@@ -1,0 +1,95 @@
+"""Connected components & community label propagation (SURVEY.md §2.11).
+
+Both reuse the BSP superstep engine over a *symmetrized* CSR:
+
+- CC: hash-min label propagation — label⁰ = id; label'(v) = min(label(v),
+  min over neighbors); converged when no label changes. The converged label is
+  the minimum vertex id of the component (exact-match criterion).
+- LP: synchronous community label propagation — label'(v) = most frequent
+  neighbor label, ties → smallest label, vertices without neighbors keep their
+  label; fixed iteration cap (deterministic).
+"""
+
+from __future__ import annotations
+
+import time
+
+import ray.data as rd
+
+from pagerank_ray.pipelines.pagerank import IterativeResult
+from pagerank_ray.state.superstep import BSPEngine, MODE_LABEL, MODE_MIN
+
+
+def _run_label_loop(
+    eng: BSPEngine,
+    max_iters: int,
+    checkpoint_root: str | None,
+    checkpoint_every: int,
+    resume: bool,
+) -> IterativeResult:
+    restored = eng.resume(checkpoint_root) if (resume and checkpoint_root) else None
+    if restored is None:
+        eng.init_state()
+    changed = -1
+    converged = False
+    step_times = []
+    while eng.iteration < max_iters:
+        t0 = time.perf_counter()
+        changed, _, checksum = eng._superstep(0.0)
+        dt = time.perf_counter() - t0
+        step_times.append(dt)
+        eng.iteration += 1
+        eng.history.append(
+            {
+                "iteration": eng.iteration,
+                "changed": changed,
+                "label_checksum": checksum,
+                "edges": eng.n_edges,
+                "superstep_sec": dt,
+            }
+        )
+        converged = changed == 0
+        if checkpoint_root and (converged or eng.iteration % checkpoint_every == 0):
+            eng._write_checkpoint(checkpoint_root, {"changed": changed, "converged": converged})
+        if converged:
+            break
+    labels = rd.from_arrow_refs([w.state_table.remote() for w in eng.workers])
+    mean_step = sum(step_times) / len(step_times) if step_times else 0.0
+    return IterativeResult(
+        result=labels,
+        iterations=eng.iteration,
+        converged=converged,
+        final_diff=float(changed),
+        n_vertices=eng.n,
+        n_edges=eng.n_edges,
+        metrics=eng.history,
+        mean_superstep_sec=mean_step,
+    )
+
+
+def connected_components(
+    sym_csr_dir: str,
+    *,
+    n_workers: int,
+    max_iters: int = 200,
+    checkpoint_root: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> IterativeResult:
+    """Hash-min CC over a CSR built from symmetrized edges (csr.symmetrize)."""
+    eng = BSPEngine(sym_csr_dir, n_workers=n_workers, mode=MODE_MIN)
+    return _run_label_loop(eng, max_iters, checkpoint_root, checkpoint_every, resume)
+
+
+def label_propagation(
+    sym_csr_dir: str,
+    *,
+    n_workers: int,
+    max_iters: int = 10,
+    checkpoint_root: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> IterativeResult:
+    """Synchronous community LP over symmetrized CSR; fixed iteration cap."""
+    eng = BSPEngine(sym_csr_dir, n_workers=n_workers, mode=MODE_LABEL)
+    return _run_label_loop(eng, max_iters, checkpoint_root, checkpoint_every, resume)

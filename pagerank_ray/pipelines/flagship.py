@@ -1,0 +1,154 @@
+"""End-to-end link-graph pipeline: pages parquet → ranks/components/labels.
+
+SURVEY.md §3.4 lifecycle. Each phase persists its artifact to ``work_dir`` as
+partitioned parquet (resumable layout): extracted/, id_map/, edges/, csr/,
+csr_sym/, checkpoints, ranks/.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from pagerank_ray.stages import csr as csr_stage
+from pagerank_ray.stages.graph_build import (
+    assign_contiguous_ids,
+    build_edges,
+    build_vertices,
+    equal_edge_cuts,
+    extract_pages,
+    normalize_extracted,
+)
+
+
+def _write_parquet_atomic(ds: rd.Dataset, out_dir: str, schema: pa.Schema | None = None) -> None:
+    """write_parquet into a temp dir then rename. An EMPTY dataset writes no
+    files (and write_parquet may not even create the directory) — emit an
+    explicit schema-stable empty file so downstream read_parquet works."""
+    import pyarrow.parquet as pq
+
+    tmp = out_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    if not any(name.endswith(".parquet") for name in os.listdir(tmp)):
+        if schema is None:
+            s = ds.schema()
+            schema = pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+        pq.write_table(schema.empty_table(), os.path.join(tmp, "empty.parquet"))
+    os.replace(tmp, out_dir)
+
+
+def edges_dataset_from_arrays(src: np.ndarray, dst: np.ndarray) -> rd.Dataset:
+    table = pa.table(
+        {
+            "src_id": pa.array(np.asarray(src, dtype=np.int64), pa.int64()),
+            "dst_id": pa.array(np.asarray(dst, dtype=np.int64), pa.int64()),
+        }
+    )
+    return rd.from_arrow(table)
+
+
+def prepare_csr_from_edges(
+    edges: rd.Dataset,
+    n_vertices: int,
+    csr_dir: str,
+    *,
+    n_parts: int,
+    symmetrize: bool = False,
+    n_edges: int | None = None,
+    seed: int = 0,
+) -> dict:
+    """edges → CSR shard directory (skipped when a manifest already exists)."""
+    manifest_path = os.path.join(csr_dir, csr_stage.MANIFEST_NAME)
+    if os.path.exists(manifest_path):
+        return csr_stage.read_manifest(csr_dir)
+    if symmetrize:
+        edges = csr_stage.symmetrize(edges)
+        n_edges = None
+    cuts = equal_edge_cuts(edges, n_vertices, n_parts, n_edges=n_edges, seed=seed)
+    return csr_stage.write_csr_shards(edges, n_vertices, cuts, csr_dir)
+
+
+def build_graph(
+    pages: rd.Dataset,
+    work_dir: str,
+    *,
+    n_parts: int,
+    num_partitions: int = 32,
+) -> dict:
+    """Phases 1-2: pages → extracted, id_map, deduped edges, vertices, CSR shards.
+
+    Returns a dict of artifact paths + graph stats. Every artifact is parquet
+    on disk; phases whose output directory already exists are skipped (resume).
+    """
+    os.makedirs(work_dir, exist_ok=True)
+    extracted_dir = os.path.join(work_dir, "extracted")
+    id_map_dir = os.path.join(work_dir, "id_map")
+    edges_dir = os.path.join(work_dir, "edges")
+    vertices_dir = os.path.join(work_dir, "vertices")
+    csr_dir = os.path.join(work_dir, "csr")
+
+    from pagerank_ray import schemas
+
+    if not os.path.isdir(extracted_dir):
+        extracted = normalize_extracted(extract_pages(pages))
+        _write_parquet_atomic(extracted, extracted_dir, schemas.EXTRACTED)
+    extracted = rd.read_parquet(extracted_dir)
+
+    if not os.path.isdir(id_map_dir):
+        id_map, n_vertices = assign_contiguous_ids(extracted)
+        _write_parquet_atomic(id_map, id_map_dir)
+    id_map = rd.read_parquet(id_map_dir)
+    n_vertices = id_map.count()
+
+    if not os.path.isdir(edges_dir):
+        edges = build_edges(extracted, id_map, n_vertices, num_partitions=num_partitions)
+        _write_parquet_atomic(edges, edges_dir, schemas.EDGES)
+    edges = rd.read_parquet(edges_dir)
+    n_edges = edges.count()
+
+    if not os.path.isdir(vertices_dir):
+        vertices = build_vertices(id_map, edges, n_vertices, num_partitions=num_partitions)
+        _write_parquet_atomic(vertices, vertices_dir, schemas.VERTICES)
+
+    manifest = prepare_csr_from_edges(
+        edges, n_vertices, csr_dir, n_parts=n_parts, n_edges=n_edges
+    )
+    return {
+        "work_dir": work_dir,
+        "extracted": extracted_dir,
+        "id_map": id_map_dir,
+        "edges": edges_dir,
+        "vertices": vertices_dir,
+        "csr": csr_dir,
+        "n_vertices": int(n_vertices),
+        "n_edges": int(n_edges),
+        "manifest": manifest,
+    }
+
+
+def run_flagship(
+    pages: rd.Dataset,
+    work_dir: str,
+    *,
+    n_workers: int,
+    n_parts: int | None = None,
+    alpha: float = 0.85,
+    max_iters: int = 100,
+    checkpoint: bool = True,
+):
+    """pages → PageRank ranks joined back to urls. Returns (IterativeResult, artifacts)."""
+    from pagerank_ray.pipelines.pagerank import pagerank
+
+    arts = build_graph(pages, work_dir, n_parts=n_parts or 4 * n_workers)
+    res = pagerank(
+        arts["csr"],
+        n_workers=n_workers,
+        alpha=alpha,
+        max_iters=max_iters,
+        checkpoint_root=os.path.join(work_dir, "checkpoints", "pagerank") if checkpoint else None,
+    )
+    return res, arts

@@ -1,0 +1,283 @@
+"""Graph build: pages → extracted → vertices + deduplicated edge table.
+
+SURVEY.md §3.4 Phase 1/2. Shuffle inventory (each is an all-to-all):
+  #1 distinct urls   — groupby("url") with a per-batch unique pre-combine
+  #2 url sort        — global sort for deterministic contiguous id assignment
+  #3 edge dedup      — groupby(src_id, dst_id) with per-batch pair-dedup pre-combine
+  #4 degree counts   — groupby(id) with per-batch bincount pre-combine
+
+The url→id joins are broadcast at test scale and hash-partitioned Ray-native
+joins beyond ``joins.BROADCAST_LIMIT`` (SURVEY.md §2.4 [NORTH]).
+
+Id assignment matches the CSR contiguity requirement of the reference
+(``destination_offsets_h[n+1]``, /root/reference/kernel_acsr.cu:371): ids are
+dense ``0..n-1`` in globally-sorted url order, computed with a two-pass
+block-offset scheme (per-block counts → driver prefix sum → vectorized add),
+never a driver-side row loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from pagerank_ray.functions.extract import extract_batch
+from pagerank_ray.functions.urls import normalize_url
+from pagerank_ray.stages import joins
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: extraction (stateless tasks)
+# ---------------------------------------------------------------------------
+
+def extract_pages(pages: rd.Dataset) -> rd.Dataset:
+    """pages → EXTRACTED (url, text, out_urls); html dropped inside the batch fn."""
+    return pages.map_batches(extract_batch, batch_format="pyarrow")
+
+
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    """Normalize page url and outlink urls (vectorized list-flatten, scalar fn per url)."""
+    urls = [normalize_url(u) for u in batch.column("url").to_pylist()]
+    col = batch.column("out_urls").combine_chunks()
+    out = []
+    for chunk in (col.chunks if isinstance(col, pa.ChunkedArray) else [col]):
+        flat = [normalize_url(u) for u in chunk.values.to_pylist()]
+        out.append(pa.ListArray.from_arrays(chunk.offsets, pa.array(flat, pa.string())))
+    cols = {c: batch.column(c) for c in batch.column_names}
+    cols["url"] = pa.array(urls, pa.string())
+    cols["out_urls"] = pa.chunked_array(out) if out else batch.column("out_urls")
+    return pa.table(cols)
+
+
+def normalize_extracted(extracted: rd.Dataset) -> rd.Dataset:
+    return extracted.map_batches(_normalize_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Phase 2a: url universe → contiguous int64 ids
+# ---------------------------------------------------------------------------
+
+def _batch_unique_urls(batch: pa.Table) -> pa.Table:
+    return pa.table({"url": pc.unique(batch.column("url"))})
+
+
+def _batch_explode_src_dst(batch: pa.Table) -> pa.Table:
+    """(url, out_urls) → flat url mentions (src urls ∪ dst urls), batch-unique."""
+    col = batch.column("out_urls")
+    flat = pc.list_flatten(col)
+    merged = pa.concat_arrays(
+        [batch.column("url").combine_chunks(), flat.combine_chunks()]
+        if isinstance(flat, pa.ChunkedArray)
+        else [batch.column("url").combine_chunks(), flat]
+    )
+    return pa.table({"url": pc.unique(merged)})
+
+
+@ray.remote
+def _nrows(table: pa.Table) -> int:
+    return table.num_rows
+
+
+@ray.remote
+def _add_offset_ids(table: pa.Table, offset: int) -> pa.Table:
+    if table.num_rows == 0 or "url" not in table.column_names:
+        # empty blocks can carry an empty schema
+        return pa.table({"id": pa.array([], pa.int64()), "url": pa.array([], pa.string())})
+    ids = pa.array(offset + np.arange(table.num_rows, dtype=np.int64), pa.int64())
+    return pa.table({"id": ids, "url": table.column("url")})
+
+
+def assign_contiguous_ids(extracted: rd.Dataset) -> tuple[rd.Dataset, int]:
+    """Distinct ``src ∪ dst`` urls → (id:int64, url:string), ids dense 0..n-1 in
+    sorted-url order. Returns (id_map dataset, n)."""
+    mentions = extracted.map_batches(_batch_explode_src_dst, batch_format="pyarrow")
+    distinct = (
+        mentions.groupby("url")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["url"])
+    )
+    sorted_urls = distinct.sort("url").materialize()
+    refs = sorted_urls.to_arrow_refs()
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    id_refs = [_add_offset_ids.remote(r, int(off)) for r, off in zip(refs, offsets)]
+    return rd.from_arrow_refs(id_refs), int(offsets[-1])
+
+
+# ---------------------------------------------------------------------------
+# Phase 2b: edge table (dedup per north_rule)
+# ---------------------------------------------------------------------------
+
+def _explode_edge_urls(batch: pa.Table) -> pa.Table:
+    col = batch.column("out_urls").combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    src = batch.column("url").to_numpy(zero_copy_only=False)
+    src_rep = np.repeat(src, lengths)
+    flat = pc.list_flatten(col)
+    return pa.table({"src_url": pa.array(src_rep, pa.string()), "dst_url": flat})
+
+
+def _dedup_pairs_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch (src_id, dst_id) dedup — the combiner before the global groupby."""
+    src = batch.column("src_id").to_numpy(zero_copy_only=False)
+    dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
+    pairs = np.stack([src, dst], axis=1)
+    uniq = np.unique(pairs, axis=0)
+    return pa.table(
+        {"src_id": pa.array(uniq[:, 0], pa.int64()), "dst_id": pa.array(uniq[:, 1], pa.int64())}
+    )
+
+
+def build_edges(
+    extracted: rd.Dataset,
+    id_map: rd.Dataset,
+    n_vertices: int,
+    *,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Deduplicated (src_id, dst_id) edge table. Self-loops kept (the reference
+    reader keeps them, kernel_acsr.cu:385-395); duplicates removed (north_rule)."""
+    edge_urls = extracted.select_columns(["url", "out_urls"]).map_batches(
+        _explode_edge_urls, batch_format="pyarrow"
+    )
+    with_src = joins.attach_column(
+        edge_urls,
+        id_map,
+        probe_col="src_url",
+        build_key="url",
+        build_val="id",
+        out_col="src_id",
+        build_count=n_vertices,
+        drop_probe_col=True,
+        num_partitions=num_partitions,
+    )
+    with_both = joins.attach_column(
+        with_src,
+        id_map,
+        probe_col="dst_url",
+        build_key="url",
+        build_val="id",
+        out_col="dst_id",
+        build_count=n_vertices,
+        drop_probe_col=True,
+        num_partitions=num_partitions,
+    ).select_columns(["src_id", "dst_id"])
+    pre = with_both.map_batches(_dedup_pairs_batch, batch_format="pyarrow")
+    deduped = (
+        pre.groupby(["src_id", "dst_id"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["src_id", "dst_id"])
+    )
+    return deduped
+
+
+# ---------------------------------------------------------------------------
+# degrees, dangling, vertices table
+# ---------------------------------------------------------------------------
+
+def _partial_counts(key: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, counts = np.unique(batch.column(key).to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({key: pa.array(ids, pa.int64()), "_pc": pa.array(counts, pa.int64())})
+
+    return fn
+
+
+def grouped_count(ds: rd.Dataset, key: str, out_col: str) -> rd.Dataset:
+    """Two-stage count: per-batch bincount combine → small groupby-sum (SURVEY A1 idiom)."""
+    partial = ds.map_batches(_partial_counts(key), batch_format="pyarrow")
+    return (
+        partial.groupby(key)
+        .aggregate(Sum("_pc", alias_name=out_col))
+        .select_columns([key, out_col])
+    )
+
+
+def build_vertices(
+    id_map: rd.Dataset, edges: rd.Dataset, n_vertices: int, *, num_partitions: int = 32
+) -> rd.Dataset:
+    """VERTICES table (id, url, out_deg, dangling). Reporting artifact — the hot
+    path derives out-degree/dangling from CSR indptr inside shards instead
+    (cf. bookmark build, kernel_acsr.cu:403-406)."""
+    out_deg = grouped_count(edges, "src_id", "out_deg")
+    return _left_attach_out_deg(id_map, out_deg)
+
+
+def _left_attach_out_deg(id_map: rd.Dataset, out_deg: rd.Dataset) -> rd.Dataset:
+    """Left join id_map ⋈ out_deg (missing → 0/dangling) via broadcast lookup."""
+    with_deg = joins.attach_with_default(
+        id_map,
+        out_deg,
+        probe_col="id",
+        build_key="src_id",
+        build_val="out_deg",
+        out_col="out_deg",
+        default=0,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        deg = batch.column("out_deg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id": batch.column("id"),
+                "url": batch.column("url"),
+                "out_deg": batch.column("out_deg"),
+                "dangling": pa.array(deg == 0),
+            }
+        )
+
+    return with_deg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# partition boundaries (equal-edge cuts over the id space)
+# ---------------------------------------------------------------------------
+
+def equal_edge_cuts(
+    edges: rd.Dataset,
+    n_vertices: int,
+    n_parts: int,
+    *,
+    seed: int = 0,
+    sample_cap: int = 262_144,
+    n_edges: int | None = None,
+) -> np.ndarray:
+    """P-1 ascending cut points over [0, n): part(v) = searchsorted(cuts, v, 'right').
+
+    Equal-EDGE (not equal-vertex) boundaries — the analogue of the reference's
+    workload-balanced batching (``deal_with_g1_batch``, /root/reference/for_test.h:87-108)
+    — computed from a seeded sample of edge src ids (driver sees ≤ sample_cap ids).
+    """
+    if n_parts <= 1:
+        return np.array([], dtype=np.int64)
+    m = n_edges if n_edges is not None else edges.count()
+    frac = min(1.0, sample_cap / max(m, 1))
+    sample = edges if frac >= 1.0 else edges.random_sample(frac, seed=seed)
+    chunks = [
+        b.column("src_id").to_numpy(zero_copy_only=False)
+        for b in sample.select_columns(["src_id"]).iter_batches(batch_format="pyarrow")
+    ]
+    src = np.concatenate(chunks) if chunks else np.array([], dtype=np.int64)
+    uniform = np.linspace(0, n_vertices, n_parts + 1)[1:-1].astype(np.int64)
+    if len(src) < n_parts * 4:
+        cuts = uniform
+    else:
+        qs = np.quantile(src, np.linspace(0, 1, n_parts + 1)[1:-1], method="nearest")
+        cuts = qs.astype(np.int64) + 1  # cut AFTER the quantile vertex
+        # enforce strictly increasing within (0, n); fall back to uniform where collapsed
+        cuts = np.maximum.accumulate(cuts)
+        collapsed = np.concatenate([[False], np.diff(cuts) == 0])
+        cuts[collapsed] = 0
+        cuts = np.where(cuts == 0, uniform, cuts)
+        cuts = np.clip(np.maximum.accumulate(cuts), 1, max(n_vertices - 1, 1))
+        cuts = np.unique(cuts)
+        if len(cuts) < n_parts - 1:  # pad with uniform points not already present
+            extra = np.setdiff1d(uniform, cuts)
+            cuts = np.sort(np.concatenate([cuts, extra]))[: n_parts - 1]
+    return cuts.astype(np.int64)
