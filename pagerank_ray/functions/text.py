@@ -1,0 +1,129 @@
+"""Text analysis batch ops for large-scale training-data pipelines.
+
+All vectorized (pandas str kernels / numpy) or regex-compiled-once actor
+stages; every op is deterministic. Used over the driver `documents` table and
+over extracted page text.
+
+Ops: token counting (whitespace + BPE-ish regex), language id (unicode-script
++ stopword heuristic), quality scoring (length/punct/stopword ratios),
+document fingerprinting (rolling hash).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs, whitespace-prefixed words
+_BPE_ISH = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\w\s]+|\s+")
+
+_STOP_EN = frozenset(
+    "the of and to a in is it you that he was for on are as with his they at be this".split()
+)
+_STOP_DE = frozenset(
+    "der die das und ist ich nicht sie du wir ein eine zu den dem mit von auf für".split()
+)
+_PUNCT = re.compile(r"[^\w\s]")
+
+
+def whitespace_token_count(texts: pd.Series) -> np.ndarray:
+    """Count of whitespace-separated tokens of the trimmed text (0 for empty).
+
+    Matches DuckDB ``len(regexp_split_to_array(trim(text), '\\s+'))`` with the
+    empty-string special case.
+    """
+    stripped = texts.fillna("").str.strip()
+    counts = stripped.str.split().str.len().fillna(0).to_numpy()
+    return np.asarray(counts, dtype=np.int64)
+
+
+class TokenCounter:
+    """Actor-pool stage: adds n_tokens (whitespace) and n_bpe_tokens (regex)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.bpe = _BPE_ISH  # compiled once per actor
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        batch["n_tokens"] = whitespace_token_count(texts)
+        batch["n_bpe_tokens"] = np.asarray(
+            [sum(1 for m in self.bpe.finditer(t) if not m.group().isspace()) for t in texts],
+            dtype=np.int64,
+        )
+        return batch
+
+
+def lang_id_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Heuristic language id: CJK-character ratio → zh; else stopword vote
+    between en and de; fallback en. Deterministic, vectorized where possible."""
+    texts = batch[text_col].fillna("")
+    cjk_ratio = texts.str.count(r"[一-鿿]") / texts.str.len().clip(lower=1)
+    langs = []
+    for t, cjk in zip(texts, cjk_ratio):
+        if cjk > 0.05:
+            langs.append("zh")
+            continue
+        words = t.lower().split()
+        en = sum(1 for w in words if w in _STOP_EN)
+        de = sum(1 for w in words if w in _STOP_DE)
+        langs.append("de" if de > en else "en")
+    batch["pred_lang"] = langs
+    return batch
+
+
+def quality_score_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Deterministic quality features + a composite score in [0, 1]:
+    length score, punctuation ratio, stopword ratio, mean word length."""
+    texts = batch[text_col].fillna("")
+    n_chars = texts.str.len().to_numpy(dtype=np.float64)
+    n_punct = texts.str.count(_PUNCT.pattern).to_numpy(dtype=np.float64)
+    tokens = texts.str.split()
+    n_tok = tokens.str.len().fillna(0).to_numpy(dtype=np.float64)
+    mean_word_len = np.divide(
+        n_chars, np.maximum(n_tok, 1.0), out=np.zeros_like(n_chars), where=n_tok > 0
+    )
+    stop_ratio = np.asarray(
+        [
+            (sum(1 for w in toks if w.lower() in _STOP_EN) / len(toks)) if toks else 0.0
+            for toks in tokens
+        ]
+    )
+    punct_ratio = n_punct / np.maximum(n_chars, 1.0)
+    len_score = np.clip(n_chars / 1000.0, 0.0, 1.0)
+    score = (
+        0.4 * len_score
+        + 0.3 * np.clip(stop_ratio / 0.4, 0.0, 1.0)
+        + 0.3 * (1.0 - np.clip(punct_ratio / 0.2, 0.0, 1.0))
+    )
+    batch["punct_ratio"] = punct_ratio
+    batch["stop_ratio"] = stop_ratio
+    batch["mean_word_len"] = mean_word_len
+    batch["quality"] = score
+    return batch
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFF = np.uint64(14695981039346656037)
+
+
+def fingerprint64(texts: pd.Series) -> np.ndarray:
+    """FNV-1a-style rolling hash over utf-8 bytes → int64 fingerprint."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts.fillna("")):
+        h = _FP_OFF
+        for b in t.encode("utf-8"):
+            h = (h ^ np.uint64(b)) * _FP_BASE
+        out[i] = h
+    return out.view(np.int64)
+
+
+def md5_hex(texts: pd.Series) -> pd.Series:
+    import hashlib
+
+    return texts.fillna("").map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())

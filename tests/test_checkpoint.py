@@ -1,0 +1,66 @@
+"""Checkpoint/resume: resume-equals-continuous (north_rule property test)."""
+
+import json
+import os
+
+import numpy as np
+
+from pagerank_ray.pipelines.flagship import edges_dataset_from_arrays, prepare_csr_from_edges
+from pagerank_ray.pipelines.pagerank import pagerank
+
+
+def _graph(tmp_path, seed=21, n=300, m=2500):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = (n * rng.random(m) ** 2.5).astype(np.int64)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    edges = edges_dataset_from_arrays(pairs[:, 0], pairs[:, 1])
+    d = str(tmp_path / "csr")
+    prepare_csr_from_edges(edges, n, d, n_parts=6, n_edges=len(pairs))
+    return d, n
+
+
+def test_resume_equals_continuous(ray_session, tmp_path):
+    csr_dir, n = _graph(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    # continuous run to convergence
+    full = pagerank(csr_dir, n_workers=2, max_iters=100)
+    ranks_full = full.result.to_pandas().sort_values("id")["rank"].to_numpy()
+
+    # interrupted run: stop after 7 supersteps (checkpoint every 7)
+    part = pagerank(
+        csr_dir, n_workers=2, max_iters=7, checkpoint_root=ckpt, checkpoint_every=7
+    )
+    assert not part.converged
+    it_dirs = [d for d in os.listdir(ckpt) if d.startswith("iter_")]
+    assert it_dirs, "checkpoint directory written"
+    man = json.load(open(os.path.join(ckpt, sorted(it_dirs)[-1], "MANIFEST.json")))
+    assert man["complete"] and man["iteration"] == 7
+    assert man["n_vertices"] == n  # lineage metadata present
+    assert os.path.exists(os.path.join(ckpt, sorted(it_dirs)[-1], "_metrics.json"))
+
+    # keep a pristine copy: resumed runs write new checkpoints into their root
+    import shutil
+
+    ckpt_b = str(tmp_path / "ckpt_b")
+    shutil.copytree(ckpt, ckpt_b)
+
+    # resume with the SAME worker count → bit-identical to the continuous run
+    res = pagerank(csr_dir, n_workers=2, max_iters=100, checkpoint_root=ckpt, resume=True)
+    assert res.iterations == full.iterations  # continued from iter 7, same total count
+    ranks_res = res.result.to_pandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_array_equal(ranks_res, ranks_full)
+
+    # resume with a DIFFERENT worker count → equal up to summation regrouping
+    res3 = pagerank(csr_dir, n_workers=3, max_iters=100, checkpoint_root=ckpt_b, resume=True)
+    ranks3 = res3.result.to_pandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(ranks3, ranks_full, rtol=1e-12)
+
+
+def test_resume_without_checkpoint_starts_fresh(ray_session, tmp_path):
+    csr_dir, n = _graph(tmp_path, seed=22)
+    res = pagerank(
+        csr_dir, n_workers=2, max_iters=20, checkpoint_root=str(tmp_path / "none"), resume=True
+    )
+    assert res.iterations == 20 or res.converged

@@ -1,0 +1,76 @@
+"""Driver-contract check: every queries() entry runs; SQL-paired entries match
+their DuckDB oracle on row count, sorted column names and values (mirroring
+the driver's CORRECTNESS harness)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _to_df(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    raise TypeError(type(result))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(ray_session, name):
+    q = entrymod.queries()[name]
+    got = _canon(_to_df(q(SF_DIR)))
+    con = _duck(SF_DIR)
+    want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want)
+    for col in got.columns:
+        a, b = got[col].to_numpy(), want[col].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            np.testing.assert_allclose(a.astype(float), b.astype(float), atol=1e-9)
+        else:
+            assert (a == b).all(), col
+
+
+def test_rows_only_queries_run(ray_session):
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    rows_only = [k for k in qs if k not in sqls]
+    assert rows_only, "some non-SQL-expressible entries registered"
+    for name in rows_only:
+        df = _to_df(qs[name](SF_DIR))
+        assert len(df) >= 0 and len(df.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    df = _to_df(entrymod.entry())
+    assert len(df) > 0
+    assert set(df.columns) == {"id", "rank"}
+    assert np.isfinite(df["rank"]).all()

@@ -1,0 +1,88 @@
+"""CC / label propagation / triangle counting vs independent NumPy oracles."""
+
+import numpy as np
+import pytest
+
+from pagerank_ray.oracle.numpy_oracle import cc_oracle, lp_oracle, triangles_oracle
+from pagerank_ray.pipelines.cc import connected_components, label_propagation
+from pagerank_ray.pipelines.flagship import edges_dataset_from_arrays, prepare_csr_from_edges
+from pagerank_ray.pipelines.triangles import triangle_counts
+
+
+def _random_graph(n, m, seed, hub_skew=2.0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = (n * rng.random(m) ** hub_skew).astype(np.int64)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def _disconnected_graph(seed=5):
+    """Two obvious components + isolated vertices."""
+    rng = np.random.default_rng(seed)
+    # component A: vertices 0..49 ring; component B: 50..79 ring; 80..99 isolated
+    a = np.arange(50)
+    b = 50 + np.arange(30)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([np.roll(a, 1), np.roll(b, 1)])
+    return src, dst, 100
+
+
+def _sym_csr(tmp_path, src, dst, n, n_parts=4):
+    edges = edges_dataset_from_arrays(src, dst)
+    d = str(tmp_path / "csr_sym")
+    prepare_csr_from_edges(edges, n, d, n_parts=n_parts, symmetrize=True)
+    return d
+
+
+def _labels_array(res, n):
+    df = res.result.to_pandas().sort_values("id")
+    assert list(df["id"]) == list(range(n))
+    return df["label"].to_numpy()
+
+
+def test_cc_two_components_and_isolates(ray_session, tmp_path):
+    src, dst, n = _disconnected_graph()
+    d = _sym_csr(tmp_path, src, dst, n)
+    res = connected_components(d, n_workers=3)
+    got = _labels_array(res, n)
+    expected = cc_oracle(n, src, dst)
+    np.testing.assert_array_equal(got, expected)
+    assert res.converged
+    assert set(got[:50]) == {0} and set(got[50:80]) == {50}
+    assert (got[80:] == np.arange(80, 100)).all()  # isolated keep own id
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 200, 300), (2, 300, 2000)])
+def test_cc_random_graphs(ray_session, tmp_path, seed, n, m):
+    src, dst = _random_graph(n, m, seed)
+    d = _sym_csr(tmp_path, src, dst, n)
+    got = _labels_array(connected_components(d, n_workers=4), n)
+    np.testing.assert_array_equal(got, cc_oracle(n, src, dst))
+
+
+@pytest.mark.parametrize("seed,n,m,iters", [(3, 150, 600, 5), (4, 250, 1500, 10)])
+def test_label_propagation_matches_sync_oracle(ray_session, tmp_path, seed, n, m, iters):
+    src, dst = _random_graph(n, m, seed)
+    d = _sym_csr(tmp_path, src, dst, n)
+    res = label_propagation(d, n_workers=3, max_iters=iters)
+    expected, oiters = lp_oracle(n, src, dst, max_iters=iters)
+    np.testing.assert_array_equal(_labels_array(res, n), expected)
+
+
+@pytest.mark.parametrize("seed,n,m", [(6, 60, 400), (7, 120, 1200)])
+def test_triangle_counts_match_oracle(ray_session, tmp_path, seed, n, m):
+    src, dst = _random_graph(n, m, seed, hub_skew=1.5)
+    edges = edges_dataset_from_arrays(src, dst)
+    got = triangle_counts(edges, n, num_partitions=4).to_pandas().sort_values("id")
+    assert list(got["id"]) == list(range(n))
+    np.testing.assert_array_equal(
+        got["tri_count"].to_numpy(), triangles_oracle(n, src, dst)
+    )
+
+
+def test_triangle_golden_k4():
+    """K4: every vertex is in C(3,2)=3 triangles (pure-oracle sanity)."""
+    src = np.array([0, 0, 0, 1, 1, 2])
+    dst = np.array([1, 2, 3, 2, 3, 3])
+    np.testing.assert_array_equal(triangles_oracle(4, src, dst), [3, 3, 3, 3])
