@@ -48,6 +48,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": tabular.q_token_counts,
         "lang_distribution": tabular.q_lang_distribution,
         "exact_dedup_docs": tabular.q_exact_dedup_docs,
+        # training-data ops (near-dup suite, similarity search, quality, multimodal)
+        "minhash_dedup_docs": tabular.q_minhash_dedup,
+        "simhash_pairs": tabular.q_simhash_pairs,
+        "doc_quality": tabular.q_doc_quality,
+        "knn_bruteforce": tabular.q_knn_bruteforce,
+        "knn_ivf": tabular.q_knn_ivf,
+        "embedding_near_dups": tabular.q_embedding_near_dups,
+        "multimodal_image_features": tabular.q_multimodal_features,
     }
 
 
@@ -105,5 +113,16 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": (
             "SELECT md5(text) AS h, MIN(doc_id)::BIGINT AS keep_id, "
             "COUNT(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text) ORDER BY h"
+        ),
+        "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "WHERE vec_id < 5), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+            "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s) "
+            "SELECT query_id, vec_id, ROUND(sim, 6) AS cosine, rank::BIGINT AS rank "
+            "FROM r WHERE rank <= 10"
         ),
     }

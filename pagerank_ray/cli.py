@@ -1,0 +1,120 @@
+"""CLI entry points — `ray job submit -- python -m pagerank_ray.cli <cmd> ...`.
+
+Owns its Ray session (guarded init; the driver-contract module never inits).
+Commands mirror SURVEY.md §3.4's lifecycle phases so a crashed run resumes
+from whatever artifacts exist in --work-dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pagerank_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-pages", help="deterministic synthetic crawl")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-pages", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+
+    b = sub.add_parser("build", help="pages parquet → graph artifacts (resumable)")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--work-dir", required=True)
+    b.add_argument("--n-parts", type=int, default=64)
+
+    for name in ("pagerank", "cc", "labelprop"):
+        s = sub.add_parser(name)
+        s.add_argument("--work-dir", required=True)
+        s.add_argument("--n-workers", type=int, default=8)
+        s.add_argument("--max-iters", type=int, default=100)
+        s.add_argument("--alpha", type=float, default=0.85)
+        s.add_argument("--resume", action="store_true")
+        s.add_argument("--out", default=None)
+
+    t = sub.add_parser("triangles")
+    t.add_argument("--work-dir", required=True)
+    t.add_argument("--out", default=None)
+
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus)
+    import os
+
+    import ray
+    import ray.data as rd
+
+    try:
+        if args.cmd == "gen-pages":
+            from pagerank_ray.sources.pages import generate_pages
+
+            generate_pages(args.out, args.n_pages, args.seed)
+            print(json.dumps({"out": args.out, "n_pages": args.n_pages}))
+        elif args.cmd == "build":
+            from pagerank_ray.pipelines.flagship import build_graph
+
+            arts = build_graph(rd.read_parquet(args.pages), args.work_dir, n_parts=args.n_parts)
+            arts.pop("manifest", None)
+            print(json.dumps(arts))
+        elif args.cmd in ("pagerank", "cc", "labelprop"):
+            from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+
+            csr = os.path.join(args.work_dir, "csr")
+            ckpt = os.path.join(args.work_dir, "checkpoints", args.cmd)
+            if args.cmd == "pagerank":
+                from pagerank_ray.pipelines.pagerank import pagerank
+
+                res = pagerank(
+                    csr, n_workers=args.n_workers, alpha=args.alpha,
+                    max_iters=args.max_iters, checkpoint_root=ckpt, resume=args.resume,
+                )
+            else:
+                sym_csr = os.path.join(args.work_dir, "csr_sym")
+                if not os.path.exists(os.path.join(sym_csr, "MANIFEST.json")):
+                    edges = rd.read_parquet(os.path.join(args.work_dir, "edges"))
+                    n = rd.read_parquet(os.path.join(args.work_dir, "id_map")).count()
+                    prepare_csr_from_edges(edges, n, sym_csr, n_parts=4 * args.n_workers,
+                                           symmetrize=True)
+                from pagerank_ray.pipelines.cc import connected_components, label_propagation
+
+                fn = connected_components if args.cmd == "cc" else label_propagation
+                res = fn(sym_csr, n_workers=args.n_workers, max_iters=args.max_iters,
+                         checkpoint_root=ckpt, resume=args.resume)
+            out = args.out or os.path.join(args.work_dir, args.cmd)
+            res.result.write_parquet(out)
+            print(json.dumps({
+                "out": out, "iterations": res.iterations, "converged": res.converged,
+                "n_vertices": res.n_vertices, "n_edges": res.n_edges,
+                "edges_per_sec": round(res.edges_per_sec),
+            }))
+        elif args.cmd == "triangles":
+            from pagerank_ray.pipelines.triangles import triangle_counts
+
+            edges = rd.read_parquet(os.path.join(args.work_dir, "edges"))
+            n = rd.read_parquet(os.path.join(args.work_dir, "id_map")).count()
+            out = args.out or os.path.join(args.work_dir, "triangles")
+            triangle_counts(edges, n).write_parquet(out)
+            print(json.dumps({"out": out, "n_vertices": n}))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

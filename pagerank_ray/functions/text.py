@@ -115,11 +115,12 @@ _FP_OFF = np.uint64(14695981039346656037)
 def fingerprint64(texts: pd.Series) -> np.ndarray:
     """FNV-1a-style rolling hash over utf-8 bytes → int64 fingerprint."""
     out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts.fillna("")):
-        h = _FP_OFF
-        for b in t.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * _FP_BASE
-        out[i] = h
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash function
+        for i, t in enumerate(texts.fillna("")):
+            h = _FP_OFF
+            for b in t.encode("utf-8"):
+                h = (h ^ np.uint64(b)) * _FP_BASE
+            out[i] = h
     return out.view(np.int64)
 
 

@@ -35,7 +35,7 @@ def _run_label_loop(
     step_times = []
     while eng.iteration < max_iters:
         t0 = time.perf_counter()
-        changed, _, checksum = eng._superstep(0.0)
+        changed, checksum = eng._superstep()
         dt = time.perf_counter() - t0
         step_times.append(dt)
         eng.iteration += 1
@@ -53,7 +53,7 @@ def _run_label_loop(
             eng._write_checkpoint(checkpoint_root, {"changed": changed, "converged": converged})
         if converged:
             break
-    labels = rd.from_arrow_refs([w.state_table.remote() for w in eng.workers])
+    labels = eng.collect_result_and_shutdown()
     mean_step = sum(step_times) / len(step_times) if step_times else 0.0
     return IterativeResult(
         result=labels,

@@ -66,7 +66,9 @@ def prepare_csr_from_edges(
     if os.path.exists(manifest_path):
         return csr_stage.read_manifest(csr_dir)
     if symmetrize:
-        edges = csr_stage.symmetrize(edges)
+        # materialize: cuts-sampling, counting and shard-writing would each
+        # re-execute the symmetrize union+groupby chain otherwise
+        edges = csr_stage.symmetrize(edges).materialize()
         n_edges = None
     cuts = equal_edge_cuts(edges, n_vertices, n_parts, n_edges=n_edges, seed=seed)
     return csr_stage.write_csr_shards(edges, n_vertices, cuts, csr_dir)

@@ -15,8 +15,10 @@ wall time). ``resume=True`` restarts from the latest complete manifest.
 from __future__ import annotations
 
 import time
+from collections import deque
 from dataclasses import dataclass, field
 
+import ray
 import ray.data as rd
 
 from pagerank_ray.state.superstep import BSPEngine, MODE_PAGERANK
@@ -57,11 +59,11 @@ def pagerank(
         alpha=alpha,
         num_cpus_per_worker=num_cpus_per_worker,
     )
-    dangling_mass = None
+    restored = None
     if resume and checkpoint_root:
-        dangling_mass = eng.resume(checkpoint_root)
-    if dangling_mass is None:
-        dangling_mass = eng.init_state()
+        restored = eng.resume(checkpoint_root)
+    if restored is None:
+        eng.init_state()
     n = eng.n
     eps = eps_per_vertex * n
     converged = False
@@ -69,8 +71,7 @@ def pagerank(
     step_times: list[float] = []
     while eng.iteration < max_iters:
         t0 = time.perf_counter()
-        remain = alpha * dangling_mass / n + (1.0 - alpha)
-        diff, dangling_mass, total = eng._superstep(remain)
+        diff, total = eng._superstep()
         dt = time.perf_counter() - t0
         step_times.append(dt)
         eng.iteration += 1
@@ -78,7 +79,6 @@ def pagerank(
             {
                 "iteration": eng.iteration,
                 "l1_diff": diff,
-                "dangling_mass": dangling_mass,
                 "total_mass": total,
                 "edges": eng.n_edges,
                 "superstep_sec": dt,
@@ -89,7 +89,7 @@ def pagerank(
             eng._write_checkpoint(checkpoint_root, {"l1_diff": diff, "converged": converged})
         if converged:
             break
-    ranks = rd.from_arrow_refs([w.state_table.remote() for w in eng.workers])
+    ranks = eng.collect_result_and_shutdown()
     mean_step = sum(step_times) / len(step_times) if step_times else 0.0
     return IterativeResult(
         result=ranks,
@@ -101,3 +101,75 @@ def pagerank(
         metrics=eng.history,
         mean_superstep_sec=mean_step,
     )
+
+
+def pagerank_fixed_iters(
+    csr_dir: str,
+    *,
+    n_workers: int,
+    iters: int,
+    alpha: float = 0.85,
+    window: int = 4,
+    warmup_iters: int = 3,
+    num_cpus_per_worker: float | None = None,
+) -> IterativeResult:
+    """Fixed-iteration PageRank with pipelined superstep submission (the
+    throughput-measurement mode; semantics of /root/reference/kernel_cusparse.cu:250
+    which runs a fixed 41 iterations with no convergence test).
+
+    Up to ``window`` supersteps are in flight at once: worker-side actor task
+    ordering keeps the dataflow correct, and driver latency (O(W²) ref routing)
+    overlaps with compute instead of sitting on the critical path — this is
+    what preserves scaling efficiency at high worker counts.
+    """
+    eng = BSPEngine(
+        csr_dir,
+        n_workers=n_workers,
+        mode=MODE_PAGERANK,
+        alpha=alpha,
+        num_cpus_per_worker=num_cpus_per_worker,
+    )
+    eng.init_state()
+    window = min(window, 5)  # shm transport ring has 6 slots; keep one spare
+    # untimed warmup: the first 1-2 supersteps pay one-time page-fault costs
+    # (fresh 10s-of-MB buffers per worker) that would pollute the mean
+    for _ in range(warmup_iters):
+        ray.get(eng.submit_superstep())
+    t0 = time.perf_counter()
+    pending: deque = deque()
+    submitted = 0
+    diffs: list[float] = []
+    completions: list[float] = [t0]
+    while submitted < min(window, iters):
+        pending.append(eng.submit_superstep())
+        submitted += 1
+    while pending:
+        results = ray.get(pending.popleft())
+        completions.append(time.perf_counter())
+        diffs.append(sum(r[0] for r in results))
+        if submitted < iters:
+            pending.append(eng.submit_superstep())
+            submitted += 1
+    wall = time.perf_counter() - t0
+    eng.iteration = iters
+    ranks = eng.collect_result_and_shutdown()
+    import numpy as np
+
+    deltas = np.diff(completions)
+    # median completion-to-completion delta: robust to VM noise bursts
+    median_step = float(np.median(deltas)) if len(deltas) else 0.0
+    res = IterativeResult(
+        result=ranks,
+        iterations=iters,
+        converged=False,
+        final_diff=diffs[-1] if diffs else float("inf"),
+        n_vertices=eng.n,
+        n_edges=eng.n_edges,
+        metrics=[
+            {"iteration": i + 1, "l1_diff": d, "superstep_sec": float(dt)}
+            for i, (d, dt) in enumerate(zip(diffs, deltas))
+        ],
+        mean_superstep_sec=wall / max(iters, 1),
+    )
+    res.median_superstep_sec = median_step
+    return res

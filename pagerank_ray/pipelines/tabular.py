@@ -24,7 +24,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from pagerank_ray.functions import text as textfn
-from pagerank_ray.stages.graph_build import _dedup_pairs_batch, grouped_count
+from pagerank_ray.stages.graph_build import dedup_pairs, grouped_count
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
@@ -42,14 +42,7 @@ def lineitem_edges(sf_dir: str) -> rd.Dataset:
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"src_id": t.column("l_orderkey"), "dst_id": t.column("l_partkey")})
 
-    pre = ds.map_batches(rename, batch_format="pyarrow").map_batches(
-        _dedup_pairs_batch, batch_format="pyarrow"
-    )
-    return (
-        pre.groupby(["src_id", "dst_id"])
-        .aggregate(Count(alias_name="_m"))
-        .select_columns(["src_id", "dst_id"])
-    )
+    return dedup_pairs(ds.map_batches(rename, batch_format="pyarrow"))
 
 
 def q_edges_dedup(sf_dir: str) -> rd.Dataset:
@@ -327,3 +320,102 @@ def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("h").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: near-dup dedup, similarity search, quality, multimodal
+# ---------------------------------------------------------------------------
+
+def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup clusters over documents (rows-only check; the
+    planted-duplicate pytest oracle is the correctness gate)."""
+    from pagerank_ray.stages.dedup import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_dedup(docs, threshold=0.8, concurrency=4)
+
+
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from pagerank_ray.stages.dedup import simhash_near_dups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dups(docs, max_hamming=3, concurrency=4)
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Language-id + quality scoring + fingerprint over documents."""
+    from pagerank_ray.functions.text import fingerprint64, lang_id_batch, quality_score_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = quality_score_batch(lang_id_batch(df))
+        df["fingerprint"] = fingerprint64(df["text"])
+        out = df[["doc_id", "pred_lang", "quality", "punct_ratio", "stop_ratio", "fingerprint"]].copy()
+        out["quality"] = out["quality"].round(6)
+        out["punct_ratio"] = out["punct_ratio"].round(6)
+        out["stop_ratio"] = out["stop_ratio"].round(6)
+        return out
+
+    return (
+        docs.map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _load_queries(sf_dir: str, n_queries: int = 5):
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    mask = np.asarray(tab.column("vec_id").to_numpy() < n_queries)
+    ids = tab.column("vec_id").to_numpy()[mask]
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v, m in zip(tab.column("embedding").to_pylist(), mask) if m]
+    )
+    return ids, vecs
+
+
+def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine top-10 for the first 5 vectors (DuckDB list_cosine_similarity
+    oracle). Deterministic tie-break (cosine desc, vec_id asc)."""
+    from pagerank_ray.stages.knn import knn_bruteforce
+
+    qids, qvecs = _load_queries(sf_dir)
+    vectors = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_bruteforce(vectors, qvecs, qids, k=10)
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine", "rank"]]
+
+
+def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate top-10 (rows-only; recall vs brute force is
+    asserted in tests/test_knn_multimodal.py)."""
+    from pagerank_ray.stages.knn import build_ivf, knn_ivf, train_centroids
+
+    qids, qvecs = _load_queries(sf_dir)
+    vectors = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = train_centroids(vectors, 16)
+    ivf = build_ivf(vectors, cents).materialize()
+    return knn_ivf(ivf, cents, qvecs, qids, k=10, nprobe=4)
+
+
+def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    from pagerank_ray.stages.dedup import embedding_near_dups
+
+    vectors = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dups(vectors, threshold=0.95, n_planes=10, concurrency=4)
+
+
+def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
+    """Image-feature plumbing over a deterministic synthetic media table
+    (codecs are stubbed in this container; see stages/multimodal.py)."""
+    import ray.data as rd2
+
+    from pagerank_ray.stages.multimodal import image_features, synth_media
+
+    media = rd2.from_arrow(synth_media(200))
+    out = image_features(media, embed_dim=32, concurrency=4).to_pandas()
+    out["embedding"] = out["embedding"].map(lambda v: [round(float(x), 6) for x in v])
+    return out.sort_values("media_id").reset_index(drop=True)

@@ -56,11 +56,15 @@ def triangle_counts(
 ) -> rd.Dataset:
     """edges (src_id, dst_id, directed, deduped) → (id, tri_count) for all vertices."""
     # undirected simple edge set, canonical (a < b)
-    und = edges.map_batches(_canonical_undirected, batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    from pagerank_ray.stages.graph_build import dedup_pairs
 
-    und = (
-        und.groupby(["a", "b"]).aggregate(Count(alias_name="_m")).select_columns(["a", "b"])
+    und = edges.map_batches(_canonical_undirected, batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"src_id": t.column("a"), "dst_id": t.column("b")}),
+        batch_format="pyarrow",
+    )
+    und = dedup_pairs(und).map_batches(
+        lambda t: pa.table({"a": t.column("src_id"), "b": t.column("dst_id")}),
+        batch_format="pyarrow",
     )
     # undirected degrees
     mentions = und.map_batches(

@@ -170,6 +170,8 @@ def synth_pages_dataset(n_pages: int, seed: int = 42, *, concurrency: int | None
     """Lazy Dataset of n_pages synthetic pages (deterministic in (seed, n))."""
     import ray.data as rd
 
+    from pagerank_ray.stages.joins import pool_size as _pool_size
+
     gen = GenPages(n_pages, seed)
     ds = rd.range(n_pages, override_num_blocks=max(8, (concurrency or 8)))
     return ds.map_batches(
@@ -177,7 +179,7 @@ def synth_pages_dataset(n_pages: int, seed: int = 42, *, concurrency: int | None
         fn_constructor_kwargs={"n_pages": n_pages, "seed": seed, "n_hosts": gen.n_hosts},
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=concurrency or 8,
+        concurrency=_pool_size(concurrency or 8),
         num_cpus=1,
     )
 

@@ -142,19 +142,13 @@ def read_manifest(csr_dir: str) -> dict:
 def symmetrize(edges: rd.Dataset) -> rd.Dataset:
     """Undirected edge set for CC/LP: union(e, reverse(e)) then pair-dedup.
     Self-loops collapse to a single (v, v)."""
-    from ray.data.aggregate import Count
 
     def reverse(batch: pa.Table) -> pa.Table:
         return pa.table(
             {"src_id": batch.column("dst_id"), "dst_id": batch.column("src_id")}
         )
 
-    from pagerank_ray.stages.graph_build import _dedup_pairs_batch
+    from pagerank_ray.stages.graph_build import dedup_pairs
 
     both = edges.union(edges.map_batches(reverse, batch_format="pyarrow"))
-    pre = both.map_batches(_dedup_pairs_batch, batch_format="pyarrow")
-    return (
-        pre.groupby(["src_id", "dst_id"])
-        .aggregate(Count(alias_name="_m"))
-        .select_columns(["src_id", "dst_id"])
-    )
+    return dedup_pairs(both)

@@ -19,11 +19,11 @@ never a driver-side row loop.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
 from pagerank_ray.functions.extract import extract_batch
 from pagerank_ray.functions.urls import normalize_url
@@ -95,10 +95,18 @@ def assign_contiguous_ids(extracted: rd.Dataset) -> tuple[rd.Dataset, int]:
     """Distinct ``src ∪ dst`` urls → (id:int64, url:string), ids dense 0..n-1 in
     sorted-url order. Returns (id_map dataset, n)."""
     mentions = extracted.map_batches(_batch_explode_src_dst, batch_format="pyarrow")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(t.column("url").to_pandas(), index=False).to_numpy()
+        return t.append_column("bucket", pa.array((h % 64).astype(np.int32)))
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["url"]].drop_duplicates()
+
     distinct = (
-        mentions.groupby("url")
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["url"])
+        mentions.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uniq, batch_format="pandas")
     )
     sorted_urls = distinct.sort("url").materialize()
     refs = sorted_urls.to_arrow_refs()
@@ -124,13 +132,43 @@ def _explode_edge_urls(batch: pa.Table) -> pa.Table:
 
 
 def _dedup_pairs_batch(batch: pa.Table) -> pa.Table:
-    """Per-batch (src_id, dst_id) dedup — the combiner before the global groupby."""
+    """Per-batch (src_id, dst_id) dedup — the combiner before the global shuffle."""
     src = batch.column("src_id").to_numpy(zero_copy_only=False)
     dst = batch.column("dst_id").to_numpy(zero_copy_only=False)
     pairs = np.stack([src, dst], axis=1)
     uniq = np.unique(pairs, axis=0)
     return pa.table(
         {"src_id": pa.array(uniq[:, 0], pa.int64()), "dst_id": pa.array(uniq[:, 1], pa.int64())}
+    )
+
+
+def dedup_pairs(ds: rd.Dataset, *, n_buckets: int = 64) -> rd.Dataset:
+    """Exact (src_id, dst_id) dedup: per-batch combine → hash-bucket groupby →
+    vectorized per-bucket np.unique.
+
+    NOT groupby(keys).aggregate(): Ray's aggregate pays per-GROUP overhead,
+    measured ~15 s for 2.4M distinct pairs where this path takes ~1 s. The
+    groupby key is the low-cardinality bucket; all per-key work is one
+    vectorized kernel per bucket. n_buckets scales with data volume (each
+    bucket must fit a worker's heap).
+    """
+    pre = ds.map_batches(_dedup_pairs_batch, batch_format="pyarrow")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        mixed = (src * np.int64(0x9E3779B1) + dst) & np.int64(0x7FFFFFFF)
+        return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = np.stack([df["src_id"].to_numpy(), df["dst_id"].to_numpy()], axis=1)
+        u = np.unique(pairs, axis=0)
+        return pd.DataFrame({"src_id": u[:, 0], "dst_id": u[:, 1]})
+
+    return (
+        pre.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uniq, batch_format="pandas")
     )
 
 
@@ -168,13 +206,7 @@ def build_edges(
         drop_probe_col=True,
         num_partitions=num_partitions,
     ).select_columns(["src_id", "dst_id"])
-    pre = with_both.map_batches(_dedup_pairs_batch, batch_format="pyarrow")
-    deduped = (
-        pre.groupby(["src_id", "dst_id"])
-        .aggregate(Count(alias_name="_m"))
-        .select_columns(["src_id", "dst_id"])
-    )
-    return deduped
+    return dedup_pairs(with_both)
 
 
 # ---------------------------------------------------------------------------
@@ -189,13 +221,25 @@ def _partial_counts(key: str):
     return fn
 
 
-def grouped_count(ds: rd.Dataset, key: str, out_col: str) -> rd.Dataset:
-    """Two-stage count: per-batch bincount combine → small groupby-sum (SURVEY A1 idiom)."""
+def grouped_count(ds: rd.Dataset, key: str, out_col: str, *, n_buckets: int = 64) -> rd.Dataset:
+    """Two-stage count: per-batch bincount combine → hash-bucket groupby →
+    vectorized per-bucket merge (SURVEY A1 idiom; see dedup_pairs on why not
+    groupby(key).aggregate at high key cardinality)."""
     partial = ds.map_batches(_partial_counts(key), batch_format="pyarrow")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        mixed = (k * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, sort=True)["_pc"].sum().reset_index()
+        return out.rename(columns={"_pc": out_col})
+
     return (
-        partial.groupby(key)
-        .aggregate(Sum("_pc", alias_name=out_col))
-        .select_columns([key, out_col])
+        partial.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
     )
 
 

@@ -169,3 +169,11 @@ def attach_with_default(
         return batch.append_column(out_col, pa.array(out).cast(out_type))
 
     return probe.map_batches(lookup, batch_format="pyarrow")
+
+
+def pool_size(requested: int) -> int:
+    """Clamp an actor-pool size so it can never reserve every CPU of the
+    session: a pool holding all CPUs starves its own downstream stages and
+    deadlocks the streaming executor (observed twice in this engine's life)."""
+    total = int(ray.cluster_resources().get("CPU", 1)) if ray.is_initialized() else requested
+    return max(1, min(requested, total - 1))

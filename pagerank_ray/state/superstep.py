@@ -8,7 +8,8 @@ given block to a given actor, so per-superstep Dataset execution would re-ship
 shard state every iteration and pay pool startup per superstep. The reference
 has the identical structure: CSC arrays uploaded to VRAM once, reused across
 all iterations (/root/reference/kernel_acsr.cu:639-643, SURVEY.md §2.3 T1);
-here "VRAM residency" becomes actor residency.
+here "VRAM residency" becomes actor residency. (A pure-Dataset formulation of
+the same superstep lives in pipelines/dataset_pagerank.py for parity testing.)
 
 Semantics per superstep (PageRank mode) follow the reference recurrence
 (kernel_bblock.cu:949-1085):
@@ -20,14 +21,21 @@ Semantics per superstep (PageRank mode) follow the reference recurrence
 The per-destination-range exchange is the engine's recurring shuffle: each
 worker pre-aggregates contributions per *destination* vertex (sorted-by-dst
 ``np.add.reduceat`` — the vectorized analogue of the reference's per-bin tree
-reductions, kernel_acsr.cu:93-120), then ships one partial per target range.
-Hub vertices (power-law skew) are therefore always combined W ways maximum —
-the same two-stage combine the reference's ``child_kernal`` + ``atomicAdd``
-performs, without a hot-key shuffle (SURVEY.md §4.3).
+reductions, kernel_acsr.cu:93-120), then publishes ONE
+pre-aggregated values object read zero-copy by all targets (see the superstep
+section below for why not W² point-to-point objects). Hub vertices (power-law skew) are therefore combined at most W ways — the same
+two-stage combine the reference's ``child_kernal`` + ``atomicAdd`` performs
+(kernel_acsr.cu:93-120), with no hot-key shuffle (SURVEY.md §4.3).
 
-Workers exchange partials peer-to-peer through the object store (the driver
-only routes ObjectRefs), so per-superstep driver work is O(W²) ref handling,
-no payload bytes. State float64 throughout (SURVEY.md §4.4).
+Scaling-efficiency design: the dangling mass of the current state is
+piggybacked on every scatter message, so each worker derives ``remain``
+locally and NO driver round-trip sits between gather and apply. The driver
+only routes ObjectRefs (O(W) per superstep, zero payload bytes) and may submit
+several supersteps ahead (actor task ordering guarantees scatter_{k+1} runs
+after apply_k on each worker), hiding driver latency entirely for
+fixed-iteration runs. State is float64 throughout (SURVEY.md §4.4); edge
+index arrays are int32 when the local range allows (these kernels are
+memory-bandwidth-bound).
 """
 
 from __future__ import annotations
@@ -39,15 +47,25 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
+from multiprocessing import resource_tracker, shared_memory
+
+
+def _attach_shm(name: str) -> shared_memory.SharedMemory:
+    """Attach to an existing segment WITHOUT registering with the resource
+    tracker (the creator owns cleanup; an attacher's tracker would otherwise
+    unlink segments still in use when its process exits)."""
+    seg = shared_memory.SharedMemory(name=name, create=False)
+    try:
+        resource_tracker.unregister(seg._name, "shared_memory")  # type: ignore[attr-defined]
+    except Exception:
+        pass
+    return seg
 
 from pagerank_ray.stages.csr import read_manifest, shard_path
 
 MODE_PAGERANK = "pagerank"
 MODE_MIN = "min"  # connected components: hash-min label propagation
 MODE_LABEL = "label"  # community label propagation: most-frequent neighbor label
-
-_DENSE_FRACTION = 0.5  # densify a partial when it covers > this fraction of the range
-
 
 def _load_shard_arrays(path: str) -> tuple[int, int, np.ndarray, np.ndarray]:
     t = pq.read_table(path)
@@ -76,6 +94,8 @@ class ShardWorker:
         n_vertices: int,
         mode: str = MODE_PAGERANK,
         alpha: float = 0.85,
+        transport: str = "shm",
+        n_buffers: int = 6,
     ):
         self.mode = mode
         self.alpha = alpha
@@ -90,13 +110,11 @@ class ShardWorker:
         self.hi = parts[-1][1]
         size = self.hi - self.lo
         indptr = np.zeros(size + 1, dtype=np.int64)
-        dsts = []
         base = 0
         for lo, hi, ip, dst in parts:
             indptr[lo - self.lo : hi - self.lo + 1] = ip + base
             base += len(dst)
-            dsts.append(dst)
-        self.dst_ids = np.concatenate(dsts) if dsts else np.array([], np.int64)
+        self.n_edges = base
         self.indptr = indptr
         self.out_deg = np.diff(indptr)
         self.dangling = self.out_deg == 0
@@ -105,26 +123,62 @@ class ShardWorker:
         inv[nz] = 1.0 / self.out_deg[nz]
         self.inv_out = inv
 
-        m = len(self.dst_ids)
-        # per-edge local src index, then the dst-sorted view of the edge list
-        src_rep = np.repeat(np.arange(size, dtype=np.int64), self.out_deg)
-        order = np.argsort(self.dst_ids, kind="stable")
-        self.src_by_dst = src_rep[order].astype(np.int64)
-        dst_sorted = self.dst_ids[order]
-        # group boundaries: one group per distinct destination vertex
-        if m:
-            change = np.concatenate([[True], dst_sorted[1:] != dst_sorted[:-1]])
-            self.group_starts = np.flatnonzero(change)
-            self.group_dst = dst_sorted[self.group_starts]
-        else:
-            self.group_starts = np.array([], np.int64)
-            self.group_dst = np.array([], np.int64)
-        # which target worker owns each destination group
-        self.group_target = np.searchsorted(self.worker_cuts, self.group_dst, side="right")
-        self.target_slices = np.searchsorted(self.group_target, np.arange(self.n_workers + 1))
-        self.dst_sorted = dst_sorted
+        # Per-SHARD scatter structure (cache blocking): each shard's source
+        # range is small enough that its rank/contrib slice stays cache
+        # resident during the gather — the cache-hierarchy analogue of the
+        # reference's degree-binned kernel shapes (kernel_bblock.cu:622-659).
+        # Per-shard group sums are written into one concatenated output
+        # buffer; (shard offsets, per-shard group_dst) are static metadata.
+        self.shards = []  # (slice_lo, src_by_dst_s, group_starts_s, out_off)
+        group_dsts = []
+        out_off = 0
+        for lo, hi, ip, dst in parts:
+            s_size = hi - lo
+            out_deg_s = np.diff(ip)
+            idx_t = np.int32 if s_size < 2**31 - 1 else np.int64
+            src_rep = np.repeat(np.arange(s_size, dtype=idx_t), out_deg_s)
+            order = np.argsort(dst, kind="stable")
+            src_by_dst_s = np.ascontiguousarray(src_rep[order])
+            dst_sorted_s = dst[order]
+            if len(dst_sorted_s):
+                change = np.concatenate([[True], dst_sorted_s[1:] != dst_sorted_s[:-1]])
+                gs = np.flatnonzero(change)
+                gd = dst_sorted_s[gs]
+            else:
+                gs = np.array([], np.int64)
+                gd = np.array([], np.int64)
+            self.shards.append((lo - self.lo, src_by_dst_s, gs, out_off, dst_sorted_s if mode == MODE_LABEL else None))
+            group_dsts.append(gd)
+            out_off += len(gd)
+        self.out_len = out_off
+        self.group_dsts = group_dsts  # static; published once via group_dst_table
+        self.in_slices = None  # per-(source shard) mapping; see prepare_incoming
         self.state = None  # set by init_state / set_state
 
+        # Exchange transport. "shm": persistent double-buffered POSIX shared
+        # memory — the scatter output size is STATIC, so per-superstep plasma
+        # allocation/serialization (measured as the dominant, jitter-prone
+        # cost at high W) is replaced by an in-place write to a pre-allocated
+        # ring of segments; the tiny (seq, dangling_mass) tuple is all that
+        # flows through the object store. Single-node transport; on a
+        # multi-node cluster use transport="plasma" (the general path, also
+        # used by MODE_LABEL whose output size varies per superstep).
+        self.transport = "plasma" if mode == MODE_LABEL else transport
+        self.n_buffers = n_buffers
+        self.iter_seq = 0
+        self.shm_segs: list = []
+        self.shm_views: list = []
+        self.attached: dict = {}
+        if self.transport == "shm":
+            dtype = np.float64 if mode == MODE_PAGERANK else np.int64
+            for _ in range(n_buffers):
+                seg = shared_memory.SharedMemory(
+                    create=True, size=max(8, self.out_len * 8)
+                )
+                self.shm_segs.append(seg)
+                self.shm_views.append(
+                    np.ndarray(self.out_len, dtype=dtype, buffer=seg.buf)
+                )
     # ---- range helpers -------------------------------------------------
     def _target_bounds(self, q: int) -> tuple[int, int]:
         lo = 0 if q == 0 else int(self.worker_cuts[q - 1])
@@ -135,7 +189,7 @@ class ShardWorker:
         return {
             "lo": int(self.lo),
             "hi": int(self.hi),
-            "n_edges": int(len(self.dst_ids)),
+            "n_edges": int(self.n_edges),
             "n_dangling": int(self.dangling.sum()),
         }
 
@@ -167,111 +221,179 @@ class ShardWorker:
         return pa.table({"id": ids, "label": self.state})
 
     # ---- superstep -----------------------------------------------------
+    # The destination-group structure is STATIC (the graph doesn't change
+    # between supersteps), so the exchange is split into a one-time metadata
+    # phase and a per-superstep values-only phase:
+    #   * group_dst(): each worker publishes its sorted distinct-destination
+    #     id array once; every target precomputes, per source, the slice of
+    #     that array falling in its own range and the local indices it maps to.
+    #   * scatter(): returns ONE object per worker — the per-destination
+    #     pre-aggregated values (np.add/minimum.reduceat) + piggybacked
+    #     dangling mass. O(W) plasma objects per superstep, not O(W²): the
+    #     plasma store seals objects serially, and a W² exchange was measured
+    #     10× slower at W=32 than W=8 on this workload.
+    #   * apply(): ray.get of the W scatter outputs is zero-copy shared-memory
+    #     mmap on a node; each target touches only its precomputed slice, so
+    #     effective traffic is point-to-point. (On a multi-node cluster the
+    #     scatter output plays the role of a per-NODE pre-aggregated partial —
+    #     the standard node-level combine.)
+
+    def group_dst_table(self):
+        """Static exchange metadata: per-shard distinct-destination arrays
+        (ascending), their offsets in the concatenated scatter buffer, and —
+        for the shm transport — the segment names of the output ring."""
+        offs = [sh[3] for sh in self.shards]
+        names = [seg.name for seg in self.shm_segs] if self.transport == "shm" else None
+        dtype = "float64" if self.mode == MODE_PAGERANK else "int64"
+        return self.group_dsts, offs, names, self.out_len, dtype
+
+    def prepare_incoming(self, table_refs: list):
+        """Precompute, for every source worker's every shard, where that
+        shard's group array intersects [lo, hi), the offset of its sums in the
+        source's concatenated buffer, and the local indices it scatters into."""
+        self.in_slices = []
+        self.src_rings = []  # per source: list of np views over its shm ring
+        for ref in table_refs:
+            gds, offs, names, out_len, dtype = (
+                ref if isinstance(ref, tuple) else ray.get(ref)
+            )
+            per_src = []
+            for gd, off in zip(gds, offs):
+                s = int(np.searchsorted(gd, self.lo))
+                e = int(np.searchsorted(gd, self.hi))
+                if e > s:
+                    per_src.append((off + s, off + e, np.ascontiguousarray(gd[s:e] - self.lo)))
+            self.in_slices.append(per_src)
+            if names is not None and per_src:
+                views = []
+                for name in names:
+                    seg = self.attached.get(name)
+                    if seg is None:
+                        seg = _attach_shm(name)
+                        self.attached[name] = seg
+                    views.append(np.ndarray(out_len, dtype=np.dtype(dtype), buffer=seg.buf))
+                self.src_rings.append(views)
+            else:
+                self.src_rings.append(None)
+        return True
+
     def scatter(self):
-        """Gather-scatter over the local CSR: per-destination pre-aggregation,
-        one partial per target worker range. Returns W values (num_returns=W)."""
-        gs = self.group_starts
-        out = []
+        """Gather-scatter over the local CSR, shard at a time (cache-blocked):
+        per-destination pre-aggregation into ONE concatenated values buffer.
+        Returns (buffer, local_dangling_mass); the piggybacked dangling mass
+        lets apply() derive `remain` with no driver round-trip."""
         if self.mode == MODE_PAGERANK:
+            d_local = float(self.state[self.dangling].sum())
             contrib = self.state * self.inv_out
-            vals = contrib[self.src_by_dst]
-            sums = np.add.reduceat(vals, gs) if len(gs) else np.array([], np.float64)
-            for q in range(self.n_workers):
-                s, e = self.target_slices[q], self.target_slices[q + 1]
-                if s == e:
-                    out.append(None)
+            if self.transport == "shm":
+                out = self.shm_views[self.iter_seq % self.n_buffers]
+            else:
+                out = np.empty(self.out_len, dtype=np.float64)
+            for s_lo, src_by_dst_s, gs, off, _ in self.shards:
+                if len(gs) == 0:
                     continue
-                t_lo, t_hi = self._target_bounds(q)
-                idx = self.group_dst[s:e] - t_lo
-                v = sums[s:e]
-                if (e - s) > (t_hi - t_lo) * _DENSE_FRACTION:
-                    dense = np.zeros(t_hi - t_lo, dtype=np.float64)
-                    dense[idx] = v
-                    out.append(dense)
-                else:
-                    out.append((idx, v))
-        elif self.mode == MODE_MIN:
-            vals = self.state[self.src_by_dst]
-            mins = np.minimum.reduceat(vals, gs) if len(gs) else np.array([], np.int64)
-            for q in range(self.n_workers):
-                s, e = self.target_slices[q], self.target_slices[q + 1]
-                if s == e:
-                    out.append(None)
+                vals = contrib[s_lo:].take(src_by_dst_s) if s_lo else contrib.take(src_by_dst_s)
+                out[off : off + len(gs)] = np.add.reduceat(vals, gs)
+            if self.transport == "shm":
+                seq = self.iter_seq
+                self.iter_seq += 1
+                return seq, d_local
+            return out, d_local
+        if self.mode == MODE_MIN:
+            if self.transport == "shm":
+                out = self.shm_views[self.iter_seq % self.n_buffers]
+            else:
+                out = np.empty(self.out_len, dtype=np.int64)
+            for s_lo, src_by_dst_s, gs, off, _ in self.shards:
+                if len(gs) == 0:
                     continue
-                t_lo, _ = self._target_bounds(q)
-                out.append((self.group_dst[s:e] - t_lo, mins[s:e]))
-        elif self.mode == MODE_LABEL:
-            vals = self.state[self.src_by_dst]
-            # count (dst, label) pairs: sort labels within each dst group
-            order = np.lexsort((vals, self.dst_sorted))
-            d2 = self.dst_sorted[order]
-            l2 = vals[order]
-            if len(d2):
+                vals = self.state[s_lo:].take(src_by_dst_s) if s_lo else self.state.take(src_by_dst_s)
+                out[off : off + len(gs)] = np.minimum.reduceat(vals, gs)
+            if self.transport == "shm":
+                seq = self.iter_seq
+                self.iter_seq += 1
+                return seq, 0.0
+            return out, 0.0
+        if self.mode == MODE_LABEL:
+            pds, pls, pcs = [], [], []
+            for s_lo, src_by_dst_s, gs, off, dst_sorted_s in self.shards:
+                if len(src_by_dst_s) == 0:
+                    continue
+                vals = self.state[s_lo:].take(src_by_dst_s) if s_lo else self.state.take(src_by_dst_s)
+                # count (dst, label) pairs: sort labels within each dst group
+                order = np.lexsort((vals, dst_sorted_s))
+                d2 = dst_sorted_s[order]
+                l2 = vals[order]
                 change = np.concatenate([[True], (d2[1:] != d2[:-1]) | (l2[1:] != l2[:-1])])
                 starts = np.flatnonzero(change)
                 counts = np.diff(np.concatenate([starts, [len(d2)]]))
-                pd_, pl_, pc_ = d2[starts], l2[starts], counts
-            else:
-                pd_ = pl_ = pc_ = np.array([], np.int64)
-            targets = np.searchsorted(self.worker_cuts, pd_, side="right")
-            t_slices = np.searchsorted(targets, np.arange(self.n_workers + 1))
-            for q in range(self.n_workers):
-                s, e = t_slices[q], t_slices[q + 1]
-                if s == e:
-                    out.append(None)
-                    continue
-                t_lo, _ = self._target_bounds(q)
-                out.append((pd_[s:e] - t_lo, pl_[s:e], pc_[s:e]))
-        else:
-            raise ValueError(self.mode)
-        if self.n_workers == 1:
-            return out[0]
-        return tuple(out)
+                pds.append(d2[starts])
+                pls.append(l2[starts])
+                pcs.append(counts)
+            if not pds:
+                z = np.array([], np.int64)
+                return (z, z, z), 0.0
+            # merge shard streams into one globally dst-sorted triple
+            pd_ = np.concatenate(pds)
+            pl_ = np.concatenate(pls)
+            pc_ = np.concatenate(pcs)
+            order = np.lexsort((pl_, pd_))
+            return (pd_[order], pl_[order], pc_[order]), 0.0
+        raise ValueError(self.mode)
 
-    def apply(self, partial_refs, remain: float = 0.0):
-        """Combine incoming partials and advance local state.
-
-        Returns (diff, dangling_sum, total): for PageRank diff = local Σ|Δ|
-        (A3) and dangling_sum feeds next iteration's D (A2, computed on the
-        NEW ranks so the driver needs no extra round-trip); for CC/LP diff =
-        number of changed labels.
-        """
-        parts = ray.get(list(partial_refs))
+    def apply(self, scatter_refs):
+        """Combine all sources' pre-aggregated values for this range and
+        advance local state. Returns (diff, total): for PageRank diff = local
+        Σ|Δ| (A3); for CC/LP diff = number of changed labels. `remain` is
+        derived from the piggybacked dangling masses. ray.get here is
+        zero-copy shared-memory on a node; only this range's precomputed
+        slices are touched."""
+        parts = ray.get(list(scatter_refs))
         size = self.hi - self.lo
         old = self.state
         if self.mode == MODE_PAGERANK:
+            d_total = sum(p[1] for p in parts)
+            remain = self.alpha * d_total / self.n + (1.0 - self.alpha)
             acc = np.zeros(size, dtype=np.float64)
-            for p in parts:
-                if p is None:
+            for src_i, ((head, _), per_src) in enumerate(zip(parts, self.in_slices)):
+                if not per_src:
                     continue
-                if isinstance(p, tuple):
-                    idx, v = p
-                    np.add.at(acc, idx, v)  # idx unique per partial, but stay safe
-                else:
-                    acc += p
+                buf = (
+                    self.src_rings[src_i][head % self.n_buffers]
+                    if self.transport == "shm"
+                    else head
+                )
+                for s, e, idx in per_src:
+                    acc[idx] += buf[s:e]  # idx unique per source shard
             new = remain + self.alpha * acc
             diff = float(np.abs(new - old).sum())
             self.state = new
-            return diff, float(new[self.dangling].sum()), float(new.sum())
+            return diff, float(new.sum())
         if self.mode == MODE_MIN:
             new = old.copy()
-            for p in parts:
-                if p is None:
+            for src_i, ((head, _), per_src) in enumerate(zip(parts, self.in_slices)):
+                if not per_src:
                     continue
-                idx, v = p
-                np.minimum.at(new, idx, v)
+                buf = (
+                    self.src_rings[src_i][head % self.n_buffers]
+                    if self.transport == "shm"
+                    else head
+                )
+                for s, e, idx in per_src:
+                    # idx unique within one source's partial → vectorized min
+                    new[idx] = np.minimum(new[idx], buf[s:e])
             changed = int((new != old).sum())
             self.state = new
-            return changed, 0.0, float(new.sum())
+            return changed, float(new.sum())
         if self.mode == MODE_LABEL:
             idxs, labels, counts = [], [], []
-            for p in parts:
-                if p is None:
-                    continue
-                i, l, c = p
-                idxs.append(i)
-                labels.append(l)
-                counts.append(c)
+            for (pd_, pl_, pc_), _ in parts:
+                s = int(np.searchsorted(pd_, self.lo))
+                e = int(np.searchsorted(pd_, self.hi))
+                if e > s:
+                    idxs.append(pd_[s:e] - self.lo)
+                    labels.append(pl_[s:e])
+                    counts.append(pc_[s:e])
             new = old.copy()
             if idxs:
                 i = np.concatenate(idxs)
@@ -291,7 +413,7 @@ class ShardWorker:
                 new[gi_s[first]] = gl_s[first]
             changed = int((new != old).sum())
             self.state = new
-            return changed, 0.0, float(new.sum())
+            return changed, float(new.sum())
         raise ValueError(self.mode)
 
     # ---- checkpointing -------------------------------------------------
@@ -332,6 +454,25 @@ class ShardWorker:
             return float(out[self.dangling].sum())
         return 0.0
 
+    def cleanup(self):
+        """Release shm segments (creator unlinks; attachments just close)."""
+        for seg in self.attached.values():
+            try:
+                seg.close()
+            except Exception:
+                pass
+        self.attached = {}
+        self.src_rings = []
+        self.shm_views = []
+        for seg in self.shm_segs:
+            try:
+                seg.close()
+                seg.unlink()
+            except Exception:
+                pass
+        self.shm_segs = []
+        return True
+
 
 def assign_parts_to_workers(manifest: dict, n_workers: int) -> list[list[int]]:
     """Contiguous, edge-balanced grouping of CSR parts onto workers: split the
@@ -363,6 +504,7 @@ class BSPEngine:
         mode: str = MODE_PAGERANK,
         alpha: float = 0.85,
         num_cpus_per_worker: float | None = None,
+        transport: str = "shm",
     ):
         self.csr_dir = csr_dir
         self.manifest = read_manifest(csr_dir)
@@ -386,20 +528,24 @@ class BSPEngine:
             # workers still run concurrently on separate cores.
             total_cpus = ray.cluster_resources().get("CPU", 1)
             num_cpus_per_worker = max(0.1, min(1.0, (total_cpus - 1) / max(self.n_workers, 1)))
-        ncpu = num_cpus_per_worker
         self.workers = [
-            ShardWorker.options(num_cpus=ncpu).remote(
+            ShardWorker.options(num_cpus=num_cpus_per_worker).remote(
                 [shard_path(csr_dir, p) for p in g],
                 worker_cuts,
                 w,
                 self.n,
                 mode,
                 alpha,
+                transport,
             )
             for w, g in enumerate(groups)
         ]
         self.metas = ray.get([w.meta.remote() for w in self.workers])
         self.n_edges = sum(m["n_edges"] for m in self.metas)
+        # one-time exchange-metadata phase: every worker precomputes where each
+        # source's static destination-group array intersects its own range
+        gd_refs = [w.group_dst_table.remote() for w in self.workers]
+        ray.get([w.prepare_incoming.remote(gd_refs) for w in self.workers])
         self.iteration = 0
         self.history: list[dict] = []
 
@@ -409,22 +555,38 @@ class BSPEngine:
         self.history = []
         return float(sum(d))
 
-    def _superstep(self, remain: float):
-        W = self.n_workers
-        if W == 1:
-            sc = self.workers[0].scatter.remote()
-            matrix = [[sc]]
-        else:
-            matrix = [w.scatter.options(num_returns=W).remote() for w in self.workers]
-        applies = [
-            self.workers[q].apply.remote([matrix[p][q] for p in range(W)], remain)
-            for q in range(W)
-        ]
-        results = ray.get(applies)
-        diff = sum(r[0] for r in results)
-        dangling = sum(r[1] for r in results)
-        total = sum(r[2] for r in results)
-        return diff, dangling, total
+    def collect_result_and_shutdown(self):
+        """Materialize per-worker state tables, then kill the actors so their
+        CPU reservations free immediately (a successor engine would otherwise
+        wait out async actor GC). Values live in plasma, not the actor."""
+        import ray.data as rd
+
+        refs = [w.state_table.remote() for w in self.workers]
+        ray.wait(refs, num_returns=len(refs))
+        self.shutdown()
+        return rd.from_arrow_refs(refs)
+
+    def shutdown(self):
+        try:
+            ray.get([w.cleanup.remote() for w in self.workers], timeout=30)
+        except Exception:
+            pass
+        for w in self.workers:
+            ray.kill(w, no_restart=True)
+        self.workers = []
+
+    def submit_superstep(self) -> list:
+        """Submit one scatter+apply round; returns the W apply ObjectRefs
+        (each resolves to (diff, total)). Does NOT block: actor task ordering
+        serializes scatter_{k+1} after apply_k per worker, so several
+        supersteps may be in flight."""
+        scatters = [w.scatter.remote() for w in self.workers]
+        return [w.apply.remote(scatters) for w in self.workers]
+
+    def _superstep(self):
+        """Blocking single superstep; returns (diff, total)."""
+        results = ray.get(self.submit_superstep())
+        return sum(r[0] for r in results), sum(r[1] for r in results)
 
     # ---- checkpoint plumbing ------------------------------------------
     def _write_checkpoint(self, ckpt_root: str, extra: dict):
