@@ -26,15 +26,21 @@ def pagerank_oracle(
     alpha: float = 0.85,
     eps_per_vertex: float = 1e-6,
     max_iters: int = 100,
+    personalization: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int, bool]:
-    """Returns (ranks on mass-n scale, iterations, converged)."""
+    """Returns (ranks on mass-n scale, iterations, converged).
+
+    personalization: optional length-n vector summing to 1 — the teleport
+    weight generalization of lightSpMV/PageRank.h:313-343 (uniform 1/n ≡ the
+    reference recurrence)."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     out_deg = np.bincount(src, minlength=n)
     dangling = out_deg == 0
     inv = np.zeros(n, dtype=np.float64)
     inv[~dangling] = 1.0 / out_deg[~dangling]
-    r = np.ones(n, dtype=np.float64)
+    pers_n = np.ones(n) if personalization is None else np.asarray(personalization) * n
+    r = pers_n.copy()
     eps = eps_per_vertex * n
     converged = False
     it = 0
@@ -43,7 +49,7 @@ def pagerank_oracle(
         remain = alpha * d_mass / n + (1.0 - alpha)
         contrib = r * inv
         acc = np.bincount(dst, weights=contrib[src], minlength=n)
-        new = remain + alpha * acc
+        new = remain * pers_n + alpha * acc
         diff = np.abs(new - r).sum()
         r = new
         if diff <= eps:

@@ -51,13 +51,26 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
     num_cpus_per_worker: float | None = None,
+    personalization=None,
+    norm: str = "l1",
+    eps_l2: float = 1e-8,
+    bin_metrics: bool = False,
 ) -> IterativeResult:
+    """norm="l1": stop at Σ|Δ| ≤ eps_per_vertex·n (reference A/B entry points,
+    kernel_acsr.cu:646). norm="l2": stop at ‖Δ‖₂/n ≤ eps_l2 on the
+    probability scale (the lightSpMV criterion, lightSpMV/PageRank.h:355-361).
+    personalization: optional length-n vector summing to 1 (M7).
+    bin_metrics: per-superstep mean |Δ| per log2-in-degree bin, written as
+    converge_node.csv next to each checkpoint (A5/S4, for_test.h:20-85)."""
     eng = BSPEngine(
         csr_dir,
         n_workers=n_workers,
         mode=MODE_PAGERANK,
         alpha=alpha,
         num_cpus_per_worker=num_cpus_per_worker,
+        personalization=personalization,
+        norm=norm,
+        bin_metrics=bin_metrics,
     )
     restored = None
     if resume and checkpoint_root:
@@ -65,28 +78,50 @@ def pagerank(
     if restored is None:
         eng.init_state()
     n = eng.n
-    eps = eps_per_vertex * n
     converged = False
     diff = float("inf")
     step_times: list[float] = []
+    bin_counts = None
+    if bin_metrics:
+        import numpy as np
+
+        bin_counts = sum(ray.get([w.bin_counts.remote() for w in eng.workers]))
+    bin_rows: list = []
     while eng.iteration < max_iters:
         t0 = time.perf_counter()
-        diff, total = eng._superstep()
+        out = eng._superstep()
+        diff, total = out[0], out[1]
         dt = time.perf_counter() - t0
         step_times.append(dt)
         eng.iteration += 1
-        eng.history.append(
-            {
-                "iteration": eng.iteration,
-                "l1_diff": diff,
-                "total_mass": total,
-                "edges": eng.n_edges,
-                "superstep_sec": dt,
-            }
-        )
-        converged = diff <= eps
+        record = {
+            "iteration": eng.iteration,
+            f"{norm}_diff": diff,
+            "total_mass": total,
+            "edges": eng.n_edges,
+            "superstep_sec": dt,
+        }
+        if bin_metrics and len(out) > 2:
+            import numpy as np
+
+            mean_per_bin = out[2] / np.maximum(bin_counts, 1)
+            record["bin_mean_abs_diff"] = [round(float(x), 10) for x in mean_per_bin]
+            bin_rows.append([eng.iteration] + [float(x) for x in mean_per_bin])
+        eng.history.append(record)
+        if norm == "l2":
+            converged = (diff ** 0.5) / n <= eps_l2
+        else:
+            converged = diff <= eps_per_vertex * n
         if checkpoint_root and (converged or eng.iteration % checkpoint_every == 0):
-            eng._write_checkpoint(checkpoint_root, {"l1_diff": diff, "converged": converged})
+            eng._write_checkpoint(checkpoint_root, {f"{norm}_diff": diff, "converged": converged})
+            if bin_rows:
+                import os
+
+                it_dir = os.path.join(checkpoint_root, f"iter_{eng.iteration:05d}")
+                with open(os.path.join(it_dir, "converge_node.csv"), "w") as f:
+                    f.write("iteration," + ",".join(f"bin{b}" for b in range(15)) + "\n")
+                    for row in bin_rows:
+                        f.write(",".join(str(x) for x in row) + "\n")
         if converged:
             break
     ranks = eng.collect_result_and_shutdown()

@@ -96,9 +96,15 @@ class ShardWorker:
         alpha: float = 0.85,
         transport: str = "shm",
         n_buffers: int = 6,
+        personalization_ref=None,
+        norm: str = "l1",
+        bin_metrics: bool = False,
     ):
         self.mode = mode
         self.alpha = alpha
+        self.norm = norm
+        self.bin_metrics = bin_metrics
+        self.pers_ref = personalization_ref
         self.n = n_vertices
         self.w = worker_index
         self.worker_cuts = np.asarray(worker_cuts, dtype=np.int64)  # len W-1
@@ -179,6 +185,23 @@ class ShardWorker:
                 self.shm_views.append(
                     np.ndarray(self.out_len, dtype=dtype, buffer=seg.buf)
                 )
+        # optional personalization vector (M7, lightSpMV/PageRank.h:313-318):
+        # p sums to 1 over all vertices; on the engine's mass-n scale the
+        # per-vertex teleport weight is n·p(v) (uniform p ≡ ones ≡ reference).
+        if personalization_ref is not None:
+            # a top-level ObjectRef constructor arg is auto-dereferenced by Ray
+            p_full = (
+                personalization_ref
+                if isinstance(personalization_ref, np.ndarray)
+                else ray.get(personalization_ref)
+            )
+            self.pers_n = np.ascontiguousarray(
+                p_full[self.lo : self.hi].astype(np.float64) * self.n
+            )
+        else:
+            self.pers_n = None
+        self.in_deg = None  # filled by prepare_incoming when bin_metrics
+        self.bins = None
     # ---- range helpers -------------------------------------------------
     def _target_bounds(self, q: int) -> tuple[int, int]:
         lo = 0 if q == 0 else int(self.worker_cuts[q - 1])
@@ -197,8 +220,12 @@ class ShardWorker:
     def init_state(self):
         size = self.hi - self.lo
         if self.mode == MODE_PAGERANK:
-            # uniform mass-n init, r=1.0 ∀v (kernel_acsr.cu:37-45)
-            self.state = np.ones(size, dtype=np.float64)
+            # uniform mass-n init, r=1.0 ∀v (kernel_acsr.cu:37-45);
+            # with personalization: r⁰ = n·p (lightSpMV/PageRank.h:313-318)
+            if self.pers_n is None:
+                self.state = np.ones(size, dtype=np.float64)
+            else:
+                self.state = self.pers_n.copy()
             return float(self.state[self.dangling].sum())
         # CC / LP: label⁰ = own id
         self.state = np.arange(self.lo, self.hi, dtype=np.int64)
@@ -245,7 +272,13 @@ class ShardWorker:
         offs = [sh[3] for sh in self.shards]
         names = [seg.name for seg in self.shm_segs] if self.transport == "shm" else None
         dtype = "float64" if self.mode == MODE_PAGERANK else "int64"
-        return self.group_dsts, offs, names, self.out_len, dtype
+        # per-shard edges-per-destination-group (static; for in-degree bins)
+        sizes = []
+        for _, src_by_dst_s, gs, _, _ in self.shards:
+            sizes.append(
+                np.diff(np.concatenate([gs, [len(src_by_dst_s)]])) if len(gs) else gs
+            )
+        return self.group_dsts, offs, names, self.out_len, dtype, sizes
 
     def prepare_incoming(self, table_refs: list):
         """Precompute, for every source worker's every shard, where that
@@ -253,16 +286,19 @@ class ShardWorker:
         source's concatenated buffer, and the local indices it scatters into."""
         self.in_slices = []
         self.src_rings = []  # per source: list of np views over its shm ring
+        in_deg = np.zeros(self.hi - self.lo, dtype=np.int64)
         for ref in table_refs:
-            gds, offs, names, out_len, dtype = (
+            gds, offs, names, out_len, dtype, sizes = (
                 ref if isinstance(ref, tuple) else ray.get(ref)
             )
             per_src = []
-            for gd, off in zip(gds, offs):
+            for gd, off, sz in zip(gds, offs, sizes):
                 s = int(np.searchsorted(gd, self.lo))
                 e = int(np.searchsorted(gd, self.hi))
                 if e > s:
-                    per_src.append((off + s, off + e, np.ascontiguousarray(gd[s:e] - self.lo)))
+                    idx = np.ascontiguousarray(gd[s:e] - self.lo)
+                    per_src.append((off + s, off + e, idx))
+                    in_deg[idx] += sz[s:e]
             self.in_slices.append(per_src)
             if names is not None and per_src:
                 views = []
@@ -275,6 +311,15 @@ class ShardWorker:
                 self.src_rings.append(views)
             else:
                 self.src_rings.append(None)
+        if self.bin_metrics:
+            # reference degree binning: bin = ⌊log2(in_deg − 0.1)⌋ + 1, bin 0
+            # for in-degree ≤ 1's lower edge, capped at 14
+            # (binary_resort, kernel_acsr.cu:419-451; max_bin kernel_bblock.cu:25)
+            self.in_deg = in_deg
+            with np.errstate(divide="ignore", invalid="ignore"):
+                b = np.floor(np.log2(np.maximum(in_deg - 0.1, 1e-9))).astype(np.int64) + 1
+            b[in_deg == 0] = 0
+            self.bins = np.clip(b, 0, 14)
         return True
 
     def scatter(self):
@@ -365,9 +410,19 @@ class ShardWorker:
                 )
                 for s, e, idx in per_src:
                     acc[idx] += buf[s:e]  # idx unique per source shard
-            new = remain + self.alpha * acc
-            diff = float(np.abs(new - old).sum())
+            if self.pers_n is None:
+                new = remain + self.alpha * acc
+            else:
+                new = remain * self.pers_n + self.alpha * acc
+            delta = np.abs(new - old)
+            if self.norm == "l2":
+                diff = float((delta * delta).sum())
+            else:
+                diff = float(delta.sum())
             self.state = new
+            if self.bin_metrics:
+                bin_sums = np.bincount(self.bins, weights=delta, minlength=15)
+                return diff, float(new.sum()), bin_sums
             return diff, float(new.sum())
         if self.mode == MODE_MIN:
             new = old.copy()
@@ -415,6 +470,12 @@ class ShardWorker:
             self.state = new
             return changed, float(new.sum())
         raise ValueError(self.mode)
+
+    def bin_counts(self):
+        """Static per-bin vertex counts (A6 degree histogram)."""
+        if self.bins is None:
+            return np.zeros(15, dtype=np.int64)
+        return np.bincount(self.bins, minlength=15)
 
     # ---- checkpointing -------------------------------------------------
     def checkpoint(self, ckpt_dir: str) -> str:
@@ -505,6 +566,9 @@ class BSPEngine:
         alpha: float = 0.85,
         num_cpus_per_worker: float | None = None,
         transport: str = "shm",
+        personalization=None,
+        norm: str = "l1",
+        bin_metrics: bool = False,
     ):
         self.csr_dir = csr_dir
         self.manifest = read_manifest(csr_dir)
@@ -537,6 +601,12 @@ class BSPEngine:
                 mode,
                 alpha,
                 transport,
+                6,
+                ray.put(np.asarray(personalization, dtype=np.float64))
+                if personalization is not None
+                else None,
+                norm,
+                bin_metrics,
             )
             for w, g in enumerate(groups)
         ]
@@ -584,9 +654,14 @@ class BSPEngine:
         return [w.apply.remote(scatters) for w in self.workers]
 
     def _superstep(self):
-        """Blocking single superstep; returns (diff, total)."""
+        """Blocking single superstep; returns (diff, total[, bin_sums])."""
         results = ray.get(self.submit_superstep())
-        return sum(r[0] for r in results), sum(r[1] for r in results)
+        diff = sum(r[0] for r in results)
+        total = sum(r[1] for r in results)
+        if len(results[0]) > 2:
+            bin_sums = sum(r[2] for r in results)
+            return diff, total, bin_sums
+        return diff, total
 
     # ---- checkpoint plumbing ------------------------------------------
     def _write_checkpoint(self, ckpt_root: str, extra: dict):

@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pagerank_ray.functions.extract import extract_page
+from pagerank_ray.functions.text import whitespace_token_count
+from pagerank_ray.oracle.numpy_oracle import pagerank_oracle
+from pagerank_ray.stages.csr import build_shard_table
+from pagerank_ray.stages.dedup import ngram_jaccard
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(text_strategy)
+def test_extractor_total_and_deterministic(body):
+    """Extractor never raises on arbitrary html-ish input and is deterministic."""
+    html = f"<body><p>{body}</p><a href='/x'>l</a></body>".encode("utf-8", "replace")
+    out1 = extract_page("https://h.example/p", html)
+    out2 = extract_page("https://h.example/p", html)
+    assert out1 == out2
+    assert isinstance(out1[0], str)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", max_size=20), min_size=1, max_size=10))
+def test_token_count_nonnegative_and_stable(texts):
+    import pandas as pd
+
+    c1 = whitespace_token_count(pd.Series(texts))
+    c2 = whitespace_token_count(pd.Series(texts))
+    assert (c1 >= 0).all()
+    np.testing.assert_array_equal(c1, c2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet="abcde ", max_size=100), st.text(alphabet="abcde ", max_size=100))
+def test_jaccard_bounds_and_symmetry(a, b):
+    j = ngram_jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == ngram_jaccard(b, a)
+    assert ngram_jaccard(a, a) == 1.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(2, 40), st.integers(0, 200), st.integers(0, 2**31 - 1))
+def test_oracle_mass_conservation_any_graph(n, m, seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0) if m else np.empty((0, 2), int)
+    r, _, _ = pagerank_oracle(n, pairs[:, 0], pairs[:, 1], max_iters=60)
+    assert abs(r.sum() - n) < 1e-8  # Σr = n regardless of topology
+    assert (r > 0).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 30), st.integers(0, 100), st.integers(0, 2**31 - 1))
+def test_csr_shard_roundtrip_any_edges(n, m, seed):
+    """indptr/dst arrays always reconstruct the exact multiset of edges."""
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    t = build_shard_table(0, src, dst, 0, n)
+    indptr = np.asarray(t.column("indptr")[0].values)
+    dsts = np.asarray(t.column("dst_ids")[0].values)
+    assert indptr[-1] == m
+    rebuilt_src = np.repeat(np.arange(n), np.diff(indptr))
+    got = sorted(zip(rebuilt_src, dsts))
+    assert got == sorted(zip(src, dst))
