@@ -173,7 +173,7 @@ def synth_pages_dataset(n_pages: int, seed: int = 42, *, concurrency: int | None
     from pagerank_ray.stages.joins import pool_size as _pool_size
 
     gen = GenPages(n_pages, seed)
-    ds = rd.range(n_pages, override_num_blocks=max(8, (concurrency or 8)))
+    ds = rd.range(n_pages, override_num_blocks=max(16, 4 * (concurrency or 8)))
     return ds.map_batches(
         GenPages,
         fn_constructor_kwargs={"n_pages": n_pages, "seed": seed, "n_hosts": gen.n_hosts},

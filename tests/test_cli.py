@@ -1,0 +1,35 @@
+"""CLI smoke test — the `ray job submit` surface, driven as a subprocess
+(the CLI owns its own Ray session, so it must not share the test session)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.slow
+def test_cli_gen_build_pagerank(tmp_path):
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    pages = str(tmp_path / "pages")
+    work = str(tmp_path / "work")
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "pagerank_ray.cli", "--num-cpus", "4", *args],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    gen = run("gen-pages", "--out", pages, "--n-pages", "300")
+    assert gen["n_pages"] == 300
+    arts = run("build", "--pages", pages, "--work-dir", work, "--n-parts", "8")
+    assert arts["n_vertices"] > 0 and arts["n_edges"] > 0
+    res = run("pagerank", "--work-dir", work, "--n-workers", "2", "--max-iters", "100")
+    assert res["converged"] and res["iterations"] > 0
+    assert os.path.isdir(res["out"])
+    # resume path: second invocation restores from the checkpoint written above
+    res2 = run("pagerank", "--work-dir", work, "--n-workers", "2", "--max-iters", "100", "--resume")
+    assert res2["converged"]
