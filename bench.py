@@ -191,6 +191,38 @@ def headline(ncpu: int) -> dict:
 
     timed("web_flagship_20k_pages", web)
 
+    # triangle counting + label propagation on the web-graph artifacts
+    def tri():
+        import ray.data as rdd
+
+        from pagerank_ray.pipelines.triangles import triangle_counts
+
+        work = os.path.join(BENCH_ROOT, "web_flagship")
+        edges = rdd.read_parquet(os.path.join(work, "edges"))
+        n = rdd.read_parquet(os.path.join(work, "id_map")).count()
+        t = triangle_counts(edges, n).materialize()
+        extras["web_triangle_corners"] = int(t.to_pandas()["tri_count"].sum())
+        return t
+
+    timed("triangles_web", tri)
+
+    def lp():
+        import ray.data as rdd
+
+        from pagerank_ray.pipelines.cc import label_propagation
+        from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+
+        work = os.path.join(BENCH_ROOT, "web_flagship")
+        edges = rdd.read_parquet(os.path.join(work, "edges"))
+        n = rdd.read_parquet(os.path.join(work, "id_map")).count()
+        sym = os.path.join(work, "csr_sym")
+        prepare_csr_from_edges(edges, n, sym, n_parts=32, symmetrize=True)
+        r = label_propagation(sym, n_workers=min(8, ncpu), max_iters=10)
+        extras["web_lp_iters"] = r.iterations
+        return r
+
+    timed("labelprop_web", lp)
+
     # superstep throughput on the mid-size synthetic power-law graph
     def superstep():
         from pagerank_ray.pipelines.pagerank import pagerank_fixed_iters

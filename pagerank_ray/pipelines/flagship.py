@@ -98,7 +98,8 @@ def build_graph(
     if not os.path.isdir(extracted_dir):
         extracted = normalize_extracted(extract_pages(pages))
         _write_parquet_atomic(extracted, extracted_dir, schemas.EXTRACTED)
-    extracted = rd.read_parquet(extracted_dir)
+    # graph build needs only (url, out_urls): prune text at the read
+    extracted = rd.read_parquet(extracted_dir, columns=["url", "out_urls"])
 
     if not os.path.isdir(id_map_dir):
         id_map, n_vertices = assign_contiguous_ids(extracted)

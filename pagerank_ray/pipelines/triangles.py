@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from pagerank_ray.stages import joins
-from pagerank_ray.stages.graph_build import grouped_count
+from pagerank_ray.stages.graph_build import grouped_count, grouped_sum
 
 
 def _canonical_undirected(batch: pa.Table) -> pa.Table:
@@ -102,27 +102,69 @@ def triangle_counts(
         )
 
     oriented = with_db.map_batches(orient, batch_format="pyarrow").materialize()
-    wedges = oriented.groupby("src").map_groups(_wedges, batch_format="pandas")
-    closing = oriented.select_columns(["src", "dst"])
-    tri = wedges.join(
-        closing,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("v", "w"),
-        right_on=("src", "dst"),
-    )
+    m_oriented = oriented.count()
 
-    def corners(t: pa.Table) -> pa.Table:
-        out = pa.concat_arrays(
-            [
-                t.column("u").combine_chunks().cast(pa.int64()),
-                t.column("v").combine_chunks().cast(pa.int64()),
-                t.column("w").combine_chunks().cast(pa.int64()),
-            ]
+    if n_vertices < 2**31 and m_oriented <= joins.BROADCAST_LIMIT:
+        # Broadcast closing-edge check: the oriented edge set encoded as sorted
+        # (src<<32)|dst int64 keys is ray.put once; every wedge batch verifies
+        # membership with one vectorized searchsorted — no W-row join shuffle.
+        # (Beyond BROADCAST_LIMIT edges the hash-join path below is used.)
+        import ray
+
+        enc_tab = joins._collect_arrow(oriented.select_columns(["src", "dst"]))
+        enc = np.sort(
+            (enc_tab.column("src").to_numpy().astype(np.int64) << 32)
+            | enc_tab.column("dst").to_numpy().astype(np.int64)
         )
-        return pa.table({"id": out})
+        ref = ray.put(enc)
 
-    counts = grouped_count(tri.map_batches(corners, batch_format="pyarrow"), "id", "tri_count")
+        def per_group(df: pd.DataFrame) -> pd.DataFrame:
+            keys = joins.broadcast_get(ref, lambda v: v, "tri-edges")
+            order = np.lexsort((df["dst"].to_numpy(), df["dst_deg"].to_numpy()))
+            nb = df["dst"].to_numpy()[order]
+            d = len(nb)
+            if d < 2:
+                return pd.DataFrame(
+                    {"id": pd.Series(dtype=np.int64), "cnt": pd.Series(dtype=np.int64)}
+                )
+            i, j = np.triu_indices(d, k=1)
+            wedge_keys = (nb[i].astype(np.int64) << 32) | nb[j].astype(np.int64)
+            pos = np.clip(np.searchsorted(keys, wedge_keys), 0, len(keys) - 1)
+            hit = keys[pos] == wedge_keys
+            v_hit, w_hit = nb[i][hit], nb[j][hit]
+            u = np.int64(df["src"].iloc[0])
+            ids = np.concatenate([v_hit, w_hit, [u]])
+            cnts = np.concatenate(
+                [np.ones(len(v_hit) * 2, dtype=np.int64), [np.int64(hit.sum())]]
+            )
+            uid, inv = np.unique(ids, return_inverse=True)
+            csum = np.bincount(inv, weights=cnts).astype(np.int64)
+            return pd.DataFrame({"id": uid, "cnt": csum})
+
+        contribs = oriented.groupby("src").map_groups(per_group, batch_format="pandas")
+        counts = grouped_sum(contribs, "id", "cnt", "tri_count")
+    else:
+        wedges = oriented.groupby("src").map_groups(_wedges, batch_format="pandas")
+        closing = oriented.select_columns(["src", "dst"])
+        tri = wedges.join(
+            closing,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("v", "w"),
+            right_on=("src", "dst"),
+        )
+
+        def corners(t: pa.Table) -> pa.Table:
+            out = pa.concat_arrays(
+                [
+                    t.column("u").combine_chunks().cast(pa.int64()),
+                    t.column("v").combine_chunks().cast(pa.int64()),
+                    t.column("w").combine_chunks().cast(pa.int64()),
+                ]
+            )
+            return pa.table({"id": out})
+
+        counts = grouped_count(tri.map_batches(corners, batch_format="pyarrow"), "id", "tri_count")
 
     # left-attach onto the full vertex id range with 0 default
     return joins.attach_with_default(

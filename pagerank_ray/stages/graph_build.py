@@ -243,6 +243,27 @@ def grouped_count(ds: rd.Dataset, key: str, out_col: str, *, n_buckets: int = 64
     )
 
 
+def grouped_sum(
+    ds: rd.Dataset, key: str, val: str, out_col: str, *, n_buckets: int = 64
+) -> rd.Dataset:
+    """Bucket-partitioned sum-by-key (same rationale as grouped_count)."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        mixed = (k * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, sort=True)[val].sum().reset_index()
+        return out.rename(columns={val: out_col})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def build_vertices(
     id_map: rd.Dataset, edges: rd.Dataset, n_vertices: int, *, num_partitions: int = 32
 ) -> rd.Dataset:

@@ -64,3 +64,30 @@ def test_resume_without_checkpoint_starts_fresh(ray_session, tmp_path):
         csr_dir, n_workers=2, max_iters=20, checkpoint_root=str(tmp_path / "none"), resume=True
     )
     assert res.iterations == 20 or res.converged
+
+
+def test_cc_resume_equals_continuous(ray_session, tmp_path):
+    """Label-mode checkpoint/resume (hash-min CC)."""
+    import numpy as np
+
+    from pagerank_ray.pipelines.cc import connected_components
+    from pagerank_ray.pipelines.flagship import (
+        edges_dataset_from_arrays,
+        prepare_csr_from_edges,
+    )
+
+    rng = np.random.default_rng(33)
+    n, m = 200, 260  # sparse → many components, several iterations
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    d = str(tmp_path / "csr_sym")
+    prepare_csr_from_edges(edges_dataset_from_arrays(src, dst), n, d, n_parts=4, symmetrize=True)
+
+    full = connected_components(d, n_workers=2)
+    labels_full = full.result.to_pandas().sort_values("id")["label"].to_numpy()
+
+    ckpt = str(tmp_path / "ck")
+    part = connected_components(d, n_workers=2, max_iters=2, checkpoint_root=ckpt, checkpoint_every=2)
+    res = connected_components(d, n_workers=2, checkpoint_root=ckpt, resume=True)
+    labels_res = res.result.to_pandas().sort_values("id")["label"].to_numpy()
+    np.testing.assert_array_equal(labels_res, labels_full)
