@@ -3,9 +3,12 @@
 ``entry()`` runs the flagship link-graph pipeline over sf0.001 (lineitem-derived
 edge table → CSR shards → converged PageRank). ``queries()`` exposes one entry
 per implemented operator family from SURVEY.md §2; SQL-expressible ones have a
-matching ``oracle_sql()`` DuckDB string with IDENTICAL column names; iterative
-graph algorithms (PageRank, CC) are registered rows-only — their correctness
-gate is the NumPy-oracle pytest suite (tests/test_pagerank.py etc.).
+matching ``oracle_sql()`` DuckDB string with IDENTICAL column names. Iterative
+graph algorithms are oracled with unrolled iterative SQL (``_pagerank_sql`` —
+20 fixed supersteps of the exact reference recurrence; ``_cc_sql`` — min-label
+to fixpoint); convergence-dependent variants (pagerank, label_propagation) and
+engine-internal hashes (minhash, simhash, fingerprint) stay rows-only — their
+correctness gate is the NumPy-oracle pytest suite.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ray.init()/ray.shutdown().
@@ -22,6 +25,131 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pagerank_ray.pipelines import tabular  # noqa: E402
 
+# the lineitem-derived deduplicated edge table (north_rule §2.7): one edge per
+# distinct (orderkey → partkey) pair. MATERIALIZED pins DuckDB to evaluate the
+# scan once instead of inlining it into every unrolled iteration.
+_EDGES = "(SELECT DISTINCT l_orderkey AS s, l_partkey AS d FROM lineitem)"
+
+
+def _pagerank_sql(iters: int = 20, alpha: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank on the mass-n scale: r⁰ = 1;
+    r'(v) = (1−α) + α·D/n + α·Σ_{u→v} r(u)/out_deg(u) with D = Σ_dangling r(u)
+    — the identical recurrence the BSP engine runs (superstep.py:399-416)."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        "outd AS MATERIALIZED (SELECT s AS id, COUNT(*)::DOUBLE AS deg FROM e GROUP BY s),",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+        "pr0 AS (SELECT id, 1.0::DOUBLE AS r FROM v),",
+    ]
+    for i in range(iters):
+        p.append(
+            f"d{i} AS (SELECT COALESCE(SUM(p.r),0)::DOUBLE AS m FROM pr{i} p "
+            f"LEFT JOIN outd o ON o.id=p.id WHERE o.id IS NULL),"
+        )
+        p.append(
+            f"pr{i + 1} AS MATERIALIZED (SELECT v.id, ({1 - alpha}) "
+            f"+ {alpha}*(SELECT m FROM d{i})/(SELECT n FROM nn) "
+            f"+ {alpha}*COALESCE(inc.sm,0) AS r FROM v LEFT JOIN "
+            f"(SELECT e.d AS id, SUM(p.r/o.deg) AS sm FROM e "
+            f"JOIN pr{i} p ON p.id=e.s JOIN outd o ON o.id=e.s GROUP BY e.d) inc "
+            f"ON inc.id=v.id),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
+
+
+def _cc_sql(iters: int = 24) -> str:
+    """Unrolled hash-min label propagation over the symmetrized edge set;
+    label = min vertex id of the component. The lineitem graph converges in
+    ≤ 6 rounds at the driver scales — 24 unrolled rounds reach the fixpoint
+    with a 4× margin, matching the engine's converged MODE_MIN labels."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "es AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),",
+        "l0 AS (SELECT s AS v, s AS l FROM e UNION SELECT d, d FROM e),",
+    ]
+    for i in range(iters):
+        p.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT v, MIN(l) AS l FROM "
+            f"(SELECT v, l FROM l{i} UNION ALL "
+            f"SELECT es.d AS v, l{i}.l AS l FROM es JOIN l{i} ON l{i}.v = es.s) t "
+            f"GROUP BY v),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + f"\nSELECT v AS id, l AS label FROM l{iters} ORDER BY id"
+
+
+def _triangles_sql() -> str:
+    """Per-vertex triangle counts with the engine's exact orientation
+    semantics (pipelines/triangles.py): undirected simple graph, each edge
+    oriented by (degree, id), one oriented-wedge + closing-edge self-join;
+    every triangle credits its three corners; vertices in no triangle get 0."""
+    return f"""
+WITH e0 AS MATERIALIZED {_EDGES},
+v AS (SELECT s AS id FROM e0 UNION SELECT d FROM e0),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(s,d) AS a, GREATEST(s,d) AS b FROM e0 WHERE s <> d),
+deg AS MATERIALIZED (SELECT x AS vv, COUNT(*) AS dg FROM
+  (SELECT a AS x FROM und UNION ALL SELECT b FROM und) t GROUP BY x),
+o AS MATERIALIZED (SELECT
+  CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b) THEN u.a ELSE u.b END AS src,
+  CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b) THEN u.b ELSE u.a END AS dst
+  FROM und u JOIN deg da ON da.vv = u.a JOIN deg db ON db.vv = u.b),
+tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM o e1 JOIN o e2 ON e2.src = e1.dst JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+cnt AS (SELECT id, COUNT(*)::BIGINT AS c FROM corners GROUP BY id)
+SELECT v.id, COALESCE(cnt.c, 0)::BIGINT AS tri_count
+FROM v LEFT JOIN cnt ON cnt.id = v.id ORDER BY v.id"""
+
+
+def _doc_quality_sql() -> str:
+    """The identical quality heuristics as functions/text.py, in DuckDB: RE2
+    unicode classes mirror Python's unicode \\w for the punct ratio; stopword
+    votes and the CJK threshold mirror lang_id_batch; the composite clip
+    formula mirrors quality_score_batch."""
+    from pagerank_ray.functions.text import _STOP_DE, _STOP_EN
+
+    en = ",".join(f"'{w}'" for w in sorted(_STOP_EN))
+    de = ",".join(f"'{w}'" for w in sorted(_STOP_DE))
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    LENGTH(text)::DOUBLE AS n_chars,
+    LENGTH(regexp_replace(text, '[\\p{{L}}\\p{{N}}_\\s]', '', 'g'))::DOUBLE AS n_punct,
+    (CASE WHEN TRIM(text)='' THEN 0
+          ELSE LEN(regexp_split_to_array(TRIM(text),'\\s+')) END)::DOUBLE AS n_tok,
+    CASE WHEN TRIM(text)='' THEN 0 ELSE LEN(list_filter(
+      regexp_split_to_array(TRIM(LOWER(text)),'\\s+'), w -> w IN ({en}))) END AS n_stop_en,
+    CASE WHEN TRIM(text)='' THEN 0 ELSE LEN(list_filter(
+      regexp_split_to_array(TRIM(LOWER(text)),'\\s+'), w -> w IN ({de}))) END AS n_stop_de,
+    LENGTH(regexp_replace(text, '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g'))::DOUBLE AS n_cjk
+  FROM documents),
+c AS (SELECT doc_id,
+  n_punct / GREATEST(n_chars, 1.0) AS punct_ratio,
+  CASE WHEN n_tok > 0 THEN n_stop_en / n_tok ELSE 0 END AS stop_ratio,
+  CASE WHEN n_cjk / GREATEST(n_chars, 1.0) > 0.05 THEN 'zh'
+       WHEN n_stop_de > n_stop_en THEN 'de' ELSE 'en' END AS pred_lang,
+  LEAST(n_chars / 1000.0, 1.0) AS len_score FROM b)
+SELECT doc_id, pred_lang,
+  ROUND(0.4*len_score + 0.3*LEAST(stop_ratio/0.4,1.0)
+        + 0.3*(1.0-LEAST(punct_ratio/0.2,1.0)), 6) AS quality,
+  ROUND(punct_ratio, 6) AS punct_ratio, ROUND(stop_ratio, 6) AS stop_ratio
+FROM c ORDER BY doc_id"""
+
+
+_KNN_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+    "WHERE vec_id < 5), "
+    "s AS (SELECT q.query_id, e.vec_id, "
+    "list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim "
+    "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+    "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s) "
+    "SELECT query_id, vec_id, ROUND(sim, 6) AS cosine, rank::BIGINT AS rank "
+    "FROM r WHERE rank <= 10"
+)
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: build the deduplicated
@@ -37,9 +165,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "in_degree_topk": tabular.q_in_degree_topk,
         "dangling_vertices": tabular.q_dangling,
         "degree_histogram": tabular.q_degree_histogram,
-        # iterative graph algorithms (rows-only; pytest oracles are the gate)
-        "pagerank": tabular.q_pagerank,
-        "connected_components": tabular.q_connected_components,
+        # iterative graph algorithms (SURVEY.md §2.11)
+        "pagerank": tabular.q_pagerank,  # converged; rows-only (pytest oracle)
+        "pagerank_fixed": tabular.q_pagerank_fixed,  # SQL-oracled (unrolled)
+        "connected_components": tabular.q_connected_components,  # SQL-oracled
+        "label_propagation": tabular.q_label_propagation,  # rows-only (pytest oracle)
+        "triangles": tabular.q_triangles,  # SQL-oracled
         # relational operators (groupby/agg, join, sort/limit, window)
         "lineitem_agg": tabular.q_lineitem_agg,
         "top_customers": tabular.q_top_customers,
@@ -51,10 +182,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (near-dup suite, similarity search, quality, multimodal)
         "minhash_dedup_docs": tabular.q_minhash_dedup,
         "simhash_pairs": tabular.q_simhash_pairs,
-        "doc_quality": tabular.q_doc_quality,
+        "doc_quality": tabular.q_doc_quality,  # SQL-oracled
+        "doc_fingerprint": tabular.q_doc_fingerprint,  # rows-only (engine hash)
         "knn_bruteforce": tabular.q_knn_bruteforce,
-        "knn_ivf": tabular.q_knn_ivf,
-        "embedding_near_dups": tabular.q_embedding_near_dups,
+        "knn_ivf": tabular.q_knn_ivf,  # SQL-oracled (nprobe = nlist ⇒ exact)
+        "embedding_near_dups": tabular.q_embedding_near_dups,  # SQL-oracled (exact path)
         "multimodal_image_features": tabular.q_multimodal_features,
     }
 
@@ -81,6 +213,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (FLOOR(LOG2(in_deg)) + 1)::BIGINT AS bin, COUNT(*)::BIGINT AS n_vertices "
             "FROM d GROUP BY 1 ORDER BY bin"
         ),
+        "pagerank_fixed": _pagerank_sql(iters=20, alpha=0.85),
+        "connected_components": _cc_sql(iters=24),
+        "triangles": _triangles_sql(),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(SUM(l_quantity), 2) AS sum_qty, "
@@ -114,15 +249,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS h, MIN(doc_id)::BIGINT AS keep_id, "
             "COUNT(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text) ORDER BY h"
         ),
-        "knn_bruteforce": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
-            "WHERE vec_id < 5), "
-            "s AS (SELECT q.query_id, e.vec_id, "
-            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim "
-            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
-            "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER "
-            "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s) "
-            "SELECT query_id, vec_id, ROUND(sim, 6) AS cosine, rank::BIGINT AS rank "
-            "FROM r WHERE rank <= 10"
+        "doc_quality": _doc_quality_sql(),
+        "knn_bruteforce": _KNN_SQL,
+        "knn_ivf": _KNN_SQL,
+        "embedding_near_dups": (
+            "WITH p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+            "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c "
+            "FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id) "
+            "SELECT a, b, ROUND(c, 6) AS cosine FROM p WHERE c >= 0.35 ORDER BY a, b"
         ),
     }

@@ -31,6 +31,15 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _round_half_away(values, ndigits: int) -> np.ndarray:
+    """Round half away from zero — DuckDB ROUND's tie rule (std::round).
+    pandas/numpy round half-to-even, which disagrees at exact .5 boundaries;
+    ratio-of-small-ints columns (doc_quality) hit those boundaries for real."""
+    scale = 10.0 ** ndigits
+    arr = np.asarray(values, dtype=np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
 # ---------------------------------------------------------------------------
 # graph build operators on the lineitem-derived edge table
 # ---------------------------------------------------------------------------
@@ -130,64 +139,171 @@ def q_degree_histogram(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def _graph_workdir(sf_dir: str, tag: str) -> str:
+    """Per-input scratch dir for cached CSR artifacts. Keyed by a content
+    fingerprint of the edge source file (abspath + mtime + size), so
+    regenerated testdata with the same directory name never reuses a stale
+    cached graph (ADVICE r1)."""
+    import hashlib
+
     base = os.path.join(tempfile.gettempdir(), "pagerank_ray_work")
     os.makedirs(base, exist_ok=True)
-    return os.path.join(base, f"{os.path.basename(os.path.normpath(sf_dir))}_{tag}")
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(li)
+    fp = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    return os.path.join(
+        base, f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}_{tag}"
+    )
 
 
-def _compact_ids(edges: rd.Dataset) -> tuple[rd.Dataset, int, pa.Table]:
-    """Map arbitrary int vertex ids to dense 0..n-1 (sorted order)."""
-    import ray
+def _compact_ids(edges: rd.Dataset) -> tuple[rd.Dataset, int, rd.Dataset]:
+    """Map arbitrary int vertex ids to dense 0..n-1 (sorted order), fully
+    distributed: bucketed distinct → sort → block offsets (the
+    graph_build.assign_dense_ids idiom), then two broadcast/hash joins to
+    rewrite the edge endpoints. The edge table never reaches the driver."""
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.graph_build import assign_dense_ids
 
+    def mentions(t: pa.Table) -> pa.Table:
+        merged = pa.concat_arrays(
+            [
+                t.column("src_id").combine_chunks().cast(pa.int64()),
+                t.column("dst_id").combine_chunks().cast(pa.int64()),
+            ]
+        )
+        return pa.table({"orig": pc.unique(merged)})
+
+    id_map, n = assign_dense_ids(
+        edges.map_batches(mentions, batch_format="pyarrow"), "orig"
+    )
+    dense = joins.attach_column(
+        edges,
+        id_map,
+        probe_col="src_id",
+        build_key="orig",
+        build_val="dense",
+        out_col="src_dense",
+        build_count=n,
+        drop_probe_col=True,
+    )
+    dense = joins.attach_column(
+        dense,
+        id_map,
+        probe_col="dst_id",
+        build_key="orig",
+        build_val="dense",
+        out_col="dst_dense",
+        build_count=n,
+        drop_probe_col=True,
+    ).map_batches(
+        lambda t: pa.table(
+            {"src_id": t.column("src_dense"), "dst_id": t.column("dst_dense")}
+        ),
+        batch_format="pyarrow",
+    )
+    return dense, n, id_map
+
+
+def _attach_orig(result: rd.Dataset, id_map: rd.Dataset, n: int, cols: list[str]) -> pd.DataFrame:
+    """Rewrite dense-id columns of a per-vertex result back to original ids
+    (broadcast/hash join per column), then collect the small result."""
     from pagerank_ray.stages import joins
 
-    tab = joins._collect_arrow(edges)
-    src = tab.column("src_id").to_numpy()
-    dst = tab.column("dst_id").to_numpy()
-    ids = np.unique(np.concatenate([src, dst]))
-    s = np.searchsorted(ids, src)
-    d = np.searchsorted(ids, dst)
-    dense = pa.table(
-        {"src_id": pa.array(s, pa.int64()), "dst_id": pa.array(d, pa.int64())}
+    out = result
+    for c in cols:
+        out = joins.attach_column(
+            out,
+            id_map,
+            probe_col=c,
+            build_key="dense",
+            build_val="orig",
+            out_col=f"{c}_orig",
+            build_count=n,
+            drop_probe_col=True,
+        )
+    df = out.to_pandas()
+    return df.rename(columns={f"{c}_orig": c for c in cols})
+
+
+def _lineitem_csr(sf_dir: str, *, n_workers: int, symmetrize: bool):
+    """Shared CSR build for the lineitem graph (cached per content fingerprint)."""
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+
+    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
+    work = _graph_workdir(sf_dir, "sym" if symmetrize else "fwd")
+    csr = os.path.join(work, "csr")
+    prepare_csr_from_edges(
+        dense_edges, n, csr, n_parts=4 * n_workers, symmetrize=symmetrize
     )
-    id_map = pa.table(
-        {"dense": pa.array(np.arange(len(ids)), pa.int64()), "orig": pa.array(ids, pa.int64())}
-    )
-    return rd.from_arrow(dense), len(ids), id_map
+    return csr, n, id_map
 
 
 def q_pagerank(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
-    """PageRank over the lineitem graph; returns (id, rank) on the original ids,
-    rank rounded for stability. Rows-only driver check; real correctness is the
-    pytest oracle suite."""
-    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    """Converged PageRank over the lineitem graph; returns (id, rank) on the
+    original ids. Rows-only driver check (convergence-dependent iteration
+    count); the SQL-oracled variant is q_pagerank_fixed; the numeric gate is
+    the pytest oracle suite."""
     from pagerank_ray.pipelines.pagerank import pagerank
 
-    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
-    work = _graph_workdir(sf_dir, "pr")
-    csr = os.path.join(work, "csr")
-    prepare_csr_from_edges(dense_edges, n, csr, n_parts=4 * n_workers)
+    csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=False)
     res = pagerank(csr, n_workers=n_workers, max_iters=100)
-    df = res.result.to_pandas().sort_values("id").reset_index(drop=True)
-    df["id"] = id_map.column("orig").to_numpy()
+    df = _attach_orig(res.result, id_map, n, ["id"])
+    df = df.sort_values("id").reset_index(drop=True)
     df["rank"] = df["rank"].round(8)
-    return df
+    return df[["id", "rank"]]
+
+
+def q_pagerank_fixed(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.DataFrame:
+    """Fixed-20-iteration PageRank (damping 0.85, dangling redistribution,
+    mass-n scale r⁰=1) — hash-checked against an unrolled iterative DuckDB
+    oracle (__ray_entry__._pagerank_sql) computing the same recurrence
+    (SURVEY.md §3.1 / kernel_bblock.cu:949-1085 semantics)."""
+    from pagerank_ray.pipelines.pagerank import pagerank
+
+    csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=False)
+    # eps 0 ⇒ the convergence test never fires: exactly `iters` supersteps
+    res = pagerank(csr, n_workers=n_workers, max_iters=iters, eps_per_vertex=0.0)
+    df = _attach_orig(res.result, id_map, n, ["id"])
+    df = df.sort_values("id").reset_index(drop=True)
+    df["rank"] = df["rank"].round(6)
+    return df[["id", "rank"]]
 
 
 def q_connected_components(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
+    """Hash-min connected components; label = min original vertex id of the
+    component — hash-checked against an unrolled min-label DuckDB oracle."""
     from pagerank_ray.pipelines.cc import connected_components
-    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+
+    csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=True)
+    res = connected_components(csr, n_workers=n_workers)
+    df = _attach_orig(res.result, id_map, n, ["id", "label"])
+    return df[["id", "label"]].sort_values("id").reset_index(drop=True)
+
+
+def q_label_propagation(sf_dir: str, n_workers: int = 4, max_iters: int = 10) -> pd.DataFrame:
+    """Synchronous community label propagation (most-frequent neighbor label,
+    ties → smallest, fixed iteration cap — deterministic). Rows-only driver
+    check; the pinned-tie-rule pytest oracle (tests/test_graph_algos.py) is
+    the correctness gate."""
+    from pagerank_ray.pipelines.cc import label_propagation
+
+    csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=True)
+    res = label_propagation(csr, n_workers=n_workers, max_iters=max_iters)
+    df = _attach_orig(res.result, id_map, n, ["id", "label"])
+    return df[["id", "label"]].sort_values("id").reset_index(drop=True)
+
+
+def q_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-vertex triangle counts of the (undirected, simple) lineitem graph —
+    hash-checked against an oriented-wedge self-join DuckDB oracle with the
+    same (deg, id) orientation semantics (pipelines/triangles.py)."""
+    from pagerank_ray.pipelines.triangles import triangle_counts
 
     dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
-    work = _graph_workdir(sf_dir, "cc")
-    csr = os.path.join(work, "csr_sym")
-    prepare_csr_from_edges(dense_edges, n, csr, n_parts=4 * n_workers, symmetrize=True)
-    res = connected_components(csr, n_workers=n_workers)
-    df = res.result.to_pandas().sort_values("id").reset_index(drop=True)
-    orig = id_map.column("orig").to_numpy()
-    df["id"] = orig
-    df["label"] = orig[df["label"].to_numpy()]  # component label on original ids
-    return df
+    counts = triangle_counts(dense_edges, n)
+    df = _attach_orig(counts, id_map, n, ["id"])
+    return df[["id", "tri_count"]].sort_values("id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -343,22 +459,43 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
-    """Language-id + quality scoring + fingerprint over documents."""
-    from pagerank_ray.functions.text import fingerprint64, lang_id_batch, quality_score_batch
+    """Language-id + quality scoring over documents — hash-checked against a
+    DuckDB oracle computing the identical heuristics (regex punct counts,
+    stopword votes, CJK ratio, the composite clip formula)."""
+    from pagerank_ray.functions.text import lang_id_batch, quality_score_batch
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         df = quality_score_batch(lang_id_batch(df))
-        df["fingerprint"] = fingerprint64(df["text"])
-        out = df[["doc_id", "pred_lang", "quality", "punct_ratio", "stop_ratio", "fingerprint"]].copy()
-        out["quality"] = out["quality"].round(6)
-        out["punct_ratio"] = out["punct_ratio"].round(6)
-        out["stop_ratio"] = out["stop_ratio"].round(6)
+        out = df[["doc_id", "pred_lang", "quality", "punct_ratio", "stop_ratio"]].copy()
+        for c in ("quality", "punct_ratio", "stop_ratio"):
+            out[c] = _round_half_away(out[c], 6)
         return out
 
     return (
         docs.map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Vectorized 64-bit polynomial document fingerprints (rows-only driver
+    check — the hash definition is engine-internal; determinism and
+    batch-vs-scalar equality are pinned in tests/test_text_dedup.py)."""
+    from pagerank_ray.functions.text import fingerprint64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "fingerprint": fingerprint64(df["text"])}
+        )
+
+    return (
+        docs.map_batches(fp, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -390,22 +527,41 @@ def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
 
 
 def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
-    """IVF-bucketed approximate top-10 (rows-only; recall vs brute force is
-    asserted in tests/test_knn_multimodal.py)."""
+    """IVF top-10 with nprobe = nlist (every bucket probed): exercises the full
+    train/assign/bucket-scan machinery and must equal exact brute force — the
+    DuckDB brute-force SQL is the oracle. Approximate recall at nprobe < nlist
+    is bounded in tests/test_knn_multimodal.py."""
     from pagerank_ray.stages.knn import build_ivf, knn_ivf, train_centroids
 
     qids, qvecs = _load_queries(sf_dir)
     vectors = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cents = train_centroids(vectors, 16)
     ivf = build_ivf(vectors, cents).materialize()
-    return knn_ivf(ivf, cents, qvecs, qids, k=10, nprobe=4)
+    out = knn_ivf(ivf, cents, qvecs, qids, k=10, nprobe=len(cents))
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine", "rank"]]
 
 
-def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
-    from pagerank_ray.stages.dedup import embedding_near_dups
+def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
+    """Embedding similarity pairs (cosine ≥ threshold, a < b) via the EXACT
+    blocked all-pairs path — hash-checked against a DuckDB cross-join oracle.
+    The approximate hyperplane-LSH path is run on the same input and asserted
+    (in-engine) to produce a subset of the exact pairs; its recall bound is
+    pinned in tests/test_text_dedup.py. The synthetic embeddings table has no
+    planted near-dups (max off-diagonal cosine ≈ 0.5–0.6), so the driver
+    threshold 0.35 is used to make the checked result non-trivial."""
+    from pagerank_ray.stages.dedup import embedding_near_dups, embedding_similarity_pairs
 
     vectors = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dups(vectors, threshold=0.95, n_planes=10, concurrency=4)
+    exact = embedding_similarity_pairs(vectors, threshold=threshold)
+    lsh = embedding_near_dups(vectors, threshold=threshold, n_planes=6, concurrency=4)
+    exact_keys = set(zip(exact["a"], exact["b"]))
+    lsh_keys = set(zip(lsh["a"], lsh["b"]))
+    if not lsh_keys <= exact_keys:
+        raise AssertionError(
+            f"LSH near-dup pairs not a subset of exact pairs: {sorted(lsh_keys - exact_keys)[:5]}"
+        )
+    return exact
 
 
 def q_multimodal_features(sf_dir: str) -> pd.DataFrame:

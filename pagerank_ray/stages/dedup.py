@@ -5,19 +5,27 @@ vectorized per-batch signature computation in ``map_batches`` (stateful actor
 pools where signature state — hash coefficients — is loaded once), then a
 keyed groupby for candidate generation, then verification. No stage holds the
 corpus in one process; only candidate PAIRS (provably small: LSH bucket sizes
-are capped and logged) reach the driver for union-find clustering.
+are capped and logged) reach the driver for union-find clustering, and the
+final relabel is a broadcast parent-map lookup inside ``map_batches`` — the
+doc-id column never funnels through the driver.
 
 Operators:
 - exact dedup         — content hash partition → min-id winner (tabular.q_exact_dedup_docs)
 - MinHash + LSH       — word-shingle → k-perm minhash → banded buckets → verified Jaccard
 - SimHash             — 64-bit token-hash fingerprint → banded blocking → Hamming verify
 - n-gram Jaccard      — the verification kernel, exposed standalone
-- embedding cosine    — random-hyperplane LSH buckets → within-bucket cosine verify
+- embedding cosine    — exact blocked all-pairs (SQL-oracled driver path) and
+                        random-hyperplane LSH buckets (the beyond-broadcast scale path)
+
+Hot-path kernels are vectorized: token hashing via ``pd.util.hash_pandas_object``
+(one call per batch), shingle hashes as polynomial combines of consecutive
+token hashes, minhash signatures as one ``(num_perm × shingles)`` modular
+matmul + ``np.minimum.reduceat`` per doc-chunk, SimHash votes as one
+``np.add.reduceat``, Hamming verification as vectorized XOR + unpackbits
+popcount. No per-byte / per-pair Python in any documents-table path.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -28,18 +36,37 @@ import ray.data as rd
 from pagerank_ray.stages import joins
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
+
+
+def _hash_tokens(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hash per token — one vectorized siphash call."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    s = pd.Series(tokens, dtype=object)
+    return pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
+
+
+def _shingles_from_token_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """Sorted unique k-shingle hashes: polynomial combine of k consecutive
+    token hashes (uint64 wraparound). Docs shorter than k collapse to one
+    whole-doc shingle, mirroring the original joined-text semantics."""
+    with np.errstate(over="ignore"):
+        if len(th) < k:
+            h = np.uint64(1469598103934665603)
+            for v in th:  # < k iterations
+                h = h * _POLY_C + v
+            return np.array([h], dtype=np.uint64)
+        n = len(th) - k + 1
+        out = np.zeros(n, dtype=np.uint64)
+        for j in range(k):  # k (=3) vectorized passes
+            out = out * _POLY_C + th[j : j + n]
+    return np.unique(out)
 
 
 def _token_shingles(text: str, k: int) -> np.ndarray:
-    """Sorted unique crc32 hashes of the k-word shingles of text."""
-    toks = text.split()
-    if len(toks) < k:
-        joined = " ".join(toks)
-        return np.array([zlib.crc32(joined.encode())], dtype=np.uint64)
-    hashes = [
-        zlib.crc32(" ".join(toks[i : i + k]).encode()) for i in range(len(toks) - k + 1)
-    ]
-    return np.unique(np.array(hashes, dtype=np.uint64))
+    """Sorted unique hashes of the k-word shingles of text."""
+    return _shingles_from_token_hashes(_hash_tokens(text.split()), k)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -55,8 +82,13 @@ class MinHasher:
     """Actor-pool stage: text → (num_perm) minhash signature → LSH band rows.
 
     Hash coefficients are generated once per actor in ``__init__`` from a
-    fixed seed (identical across actors ⇒ identical signatures).
+    fixed seed (identical across actors ⇒ identical signatures). The batch
+    path computes every doc's signature in chunked ``(num_perm × shingles)``
+    modular matmuls + ``minimum.reduceat`` — no per-shingle Python.
     """
+
+    # bound the (num_perm × shingles) work matrix to ~32 MB per chunk
+    _CHUNK_SHINGLES = 32_768
 
     def __init__(
         self,
@@ -78,28 +110,57 @@ class MinHasher:
         self.id_col = id_col
         self.text_col = text_col
 
+    def _signatures(self, texts: list[str]) -> np.ndarray:
+        """(ndocs, num_perm) minhash signature matrix for a list of texts."""
+        # tokenize per doc, hash ALL tokens in one vectorized call
+        tok_lists = [t.split() for t in texts]
+        flat = [tok for toks in tok_lists for tok in toks]
+        th_all = _hash_tokens(flat)
+        lengths = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        tok_starts = np.concatenate([[0], np.cumsum(lengths)])
+        shingle_arrays = [
+            _shingles_from_token_hashes(th_all[tok_starts[i] : tok_starts[i + 1]], self.shingle_k)
+            for i in range(len(texts))
+        ]
+        sig = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        i = 0
+        while i < len(texts):
+            # chunk docs so the (num_perm × total_shingles) matrix stays small
+            j, total = i, 0
+            while j < len(texts) and (total == 0 or total + len(shingle_arrays[j]) <= self._CHUNK_SHINGLES):
+                total += len(shingle_arrays[j])
+                j += 1
+            sh = np.concatenate(shingle_arrays[i:j])
+            starts = np.concatenate(
+                [[0], np.cumsum([len(s) for s in shingle_arrays[i:j]])]
+            )[:-1].astype(np.int64)
+            prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+            sig[i:j] = np.minimum.reduceat(prod, starts, axis=1).T
+            i = j
+        return sig
+
     def signature(self, text: str) -> np.ndarray:
-        sh = _token_shingles(text, self.shingle_k)
-        # sig[i] = min over shingles of (a_i * h + b_i) mod p  (vectorized k×s)
-        prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
-        return prod.min(axis=1)
+        return self._signatures([text])[0]
+
+    def _band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """(ndocs, bands) int64 band keys: polynomial fold over each band's rows."""
+        folded = np.zeros((sig.shape[0], self.bands), dtype=np.uint64)
+        grouped = sig.reshape(sig.shape[0], self.bands, self.rows)
+        with np.errstate(over="ignore"):
+            for r in range(self.rows):
+                folded = folded * _POLY_C + grouped[:, :, r]
+        return folded.view(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = self.signature(text or "")
-            for band in range(self.bands):
-                chunk = sig[band * self.rows : (band + 1) * self.rows]
-                out_id.append(doc_id)
-                out_band.append(band)
-                out_hash.append(zlib.crc32(chunk.tobytes()))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [(t or "") for t in batch.column(self.text_col).to_pylist()]
+        bh = self._band_hashes(self._signatures(texts))  # (ndocs, bands)
+        ndocs = len(ids)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, self.bands)),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), ndocs)),
+                "band_hash": pa.array(bh.reshape(-1)),
             }
         )
 
@@ -133,6 +194,8 @@ def minhash_lsh_dedup(
     are verified with exact shingle Jaccard ≥ threshold before clustering
     (union-find on the driver — valid because the verified pair set is
     orders of magnitude smaller than the corpus; bucket_cap bounds it).
+    The final relabel broadcasts the (small) parent map and rewrites ids
+    inside ``map_batches`` — the corpus never materializes on the driver.
     """
     band_rows = docs.map_batches(
         MinHasher,
@@ -151,7 +214,6 @@ def minhash_lsh_dedup(
         .drop_duplicates()
     )
     # verify candidates with exact n-gram Jaccard (broadcast candidate texts)
-    doc_ids = docs.count()
     if len(pairs):
         cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
         texts_tab = joins._collect_arrow(
@@ -186,44 +248,96 @@ def minhash_lsh_dedup(
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    all_ids = docs.select_columns([id_col]).to_pandas()[id_col].to_numpy()
-    cluster = np.array([find(int(i)) for i in all_ids], dtype=np.int64)
-    return pd.DataFrame(
-        {"doc_id": all_ids, "cluster_id": cluster, "keep": all_ids == cluster}
-    ).sort_values("doc_id").reset_index(drop=True)
+    # broadcast parent map (only ids touched by verified pairs; tiny), relabel
+    # distributed — searchsorted lookup per batch, identity for unmapped ids
+    mapped = sorted({int(x) for x in parent})
+    keys = np.asarray(mapped, dtype=np.int64)
+    vals = np.asarray([find(x) for x in mapped], dtype=np.int64)
+    ref = ray.put((keys, vals))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        k, v = joins.broadcast_get(ref, lambda x: x, "minhash-parents")
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k):
+            pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+            cluster = np.where(k[pos] == ids, v[pos], ids)
+        else:
+            cluster = ids
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "cluster_id": pa.array(cluster),
+                "keep": pa.array(ids == cluster),
+            }
+        )
+
+    out = (
+        docs.select_columns([id_col])
+        .map_batches(relabel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 class SimHasher:
-    """Actor-pool stage: 64-bit SimHash over token crc32 hashes + 4×16-bit
-    blocking keys (two near-dups within Hamming distance 3 share ≥1 block)."""
+    """Actor-pool stage: 64-bit SimHash over token hashes + 4×16-bit
+    blocking keys (two near-dups within Hamming distance 3 share ≥1 block).
+    Votes for the whole batch are one ``np.add.reduceat`` over the
+    (total_tokens × 64) bit matrix — no per-token Python."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
 
     @staticmethod
+    def _simhash_batch(texts: list[str]) -> np.ndarray:
+        tok_lists = [t.split() for t in texts]
+        flat = [tok for toks in tok_lists for tok in toks]
+        th = _hash_tokens(flat)
+        lengths = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        sigs = np.zeros(len(texts), dtype=np.uint64)
+        nonempty = lengths > 0
+        if th.size:
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int32
+            )
+            votes_all = 2 * bits - 1  # (total_tokens, 64)
+            starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+            # reduce over non-empty docs only: their starts are strictly
+            # increasing and < len(th), so each reduceat segment is exact
+            # (empty docs between them contribute zero tokens)
+            seg = np.add.reduceat(votes_all, starts[nonempty], axis=0)
+            packed = (
+                (seg > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            sigs[nonempty] = packed
+        return sigs
+
+    @staticmethod
     def simhash64(text: str) -> int:
-        toks = text.split()
-        if not toks:
-            return 0
-        hashes = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
-        hashes = hashes * np.uint64(0x9E3779B97F4A7C15)  # spread to 64 bits
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        return int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+        return int(SimHasher._simhash_batch([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        sigs = [self.simhash64(t or "") for t in texts]
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [(t or "") for t in batch.column(self.text_col).to_pylist()]
+        sigs = self._simhash_batch(texts)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "simhash": pa.array(np.array(sigs, dtype=np.uint64).view(np.int64)),
+                "doc_id": pa.array(ids),
+                "simhash": pa.array(sigs.view(np.int64)),
             }
         )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (unpackbits over the byte view)."""
+    if not len(x):
+        return np.zeros(0, dtype=np.int64)
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
 
 
 def simhash_near_dups(
@@ -232,10 +346,13 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bucket_cap: int = 256,
     concurrency: int = 4,
 ) -> pd.DataFrame:
     """Pairs of documents with SimHash Hamming distance ≤ max_hamming,
-    via 4-band (16-bit) blocking + in-bucket verification."""
+    via 4-band (16-bit) blocking + capped vectorized in-bucket verification
+    (XOR + unpackbits popcount; degenerate buckets truncated at bucket_cap
+    like the minhash path — no uncapped quadratic blowup)."""
     sigs = docs.map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
@@ -269,12 +386,12 @@ def simhash_near_dups(
         sh = df["simhash"].to_numpy()[order].view(np.uint64)
         _, first = np.unique(ids, return_index=True)
         ids, sh = ids[first], sh[first]
+        if len(ids) > bucket_cap:  # cap degenerate buckets (same rule as minhash)
+            ids, sh = ids[:bucket_cap], sh[:bucket_cap]
         if len(ids) < 2:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
         i, j = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(sh[x]) ^ int(sh[y])).count("1") for x, y in zip(i, j)], dtype=np.int64
-        )
+        ham = _popcount64(sh[i] ^ sh[j])
         ok = ham <= max_hamming
         return pd.DataFrame({"a": ids[i[ok]], "b": ids[j[ok]]})
 
@@ -325,24 +442,79 @@ class HyperplaneLSH:
         )
 
 
+_EMPTY_PAIRS = {
+    "a": pd.Series(dtype=np.int64),
+    "b": pd.Series(dtype=np.int64),
+    "cosine": pd.Series(dtype=np.float64),
+}
+
+
+def embedding_similarity_pairs(
+    embeddings: rd.Dataset,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 4096,
+) -> pd.DataFrame:
+    """EXACT all-pairs cosine ≥ threshold, blocked: the unit-normalized matrix
+    is broadcast once (``ray.put``); each batch computes one row-block × full
+    matmul and emits its (a < b) pairs. This is the SQL-oracled driver path;
+    corpora beyond ``joins.BROADCAST_LIMIT`` vectors use the LSH-bucketed
+    ``embedding_near_dups`` (approximate) instead."""
+    tab = joins._collect_arrow(embeddings.select_columns([id_col, vec_col]))
+    all_ids = tab.column(id_col).to_numpy().astype(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab.column(vec_col).to_pylist()])
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((all_ids, unit))
+
+    def block(batch: pa.Table) -> pa.Table:
+        ids_all, unit_all = joins.broadcast_get(ref, lambda v: v, "emb-exact")
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch.column(vec_col).to_pylist()]
+        )
+        ub = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = ub @ unit_all.T  # (block, N)
+        mask = (sims >= threshold) & (ids_all[None, :] > bids[:, None])
+        i, j = np.nonzero(mask)
+        return pa.table(
+            {
+                "a": pa.array(bids[i]),
+                "b": pa.array(ids_all[j]),
+                "cosine": pa.array(np.round(sims[i, j], 6)),
+            }
+        )
+
+    out = (
+        embeddings.map_batches(block, batch_format="pyarrow", batch_size=1024)
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def embedding_near_dups(
     embeddings: rd.Dataset,
     *,
     threshold: float = 0.95,
     n_planes: int = 12,
+    bucket_cap: int = 4096,
     concurrency: int = 4,
 ) -> pd.DataFrame:
     """Pairs of vectors with cosine ≥ threshold found within hyperplane-LSH
     buckets (approximate: pairs split across all buckets can be missed —
-    n_planes trades recall for bucket size)."""
+    n_planes trades recall for bucket size; bucket_cap bounds degenerate
+    buckets like the minhash/simhash paths)."""
 
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy()
+        if len(ids) > bucket_cap:
+            df = df.iloc[np.argsort(ids)[:bucket_cap]]
+            ids = df["vec_id"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-                 "cosine": pd.Series(dtype=np.float64)}
-            )
+            return pd.DataFrame(_EMPTY_PAIRS)
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
         norms = df["norm"].to_numpy()
         unit = vecs / np.maximum(norms[:, None], 1e-12)
@@ -353,7 +525,7 @@ def embedding_near_dups(
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
-        return pd.DataFrame({"a": a2, "b": b2, "cosine": np.round(sims[i, j][ok], 8)})
+        return pd.DataFrame({"a": a2, "b": b2, "cosine": np.round(sims[i, j][ok], 6)})
 
     bucketed = embeddings.map_batches(
         HyperplaneLSH,
@@ -364,10 +536,7 @@ def embedding_near_dups(
     )
     out = bucketed.groupby("bucket").map_groups(bucket_verify, batch_format="pandas").to_pandas()
     if out.empty or "a" not in out.columns:  # no near-dups anywhere
-        return pd.DataFrame(
-            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-             "cosine": pd.Series(dtype=np.float64)}
-        )
+        return pd.DataFrame(_EMPTY_PAIRS)
     return (
         out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
     )

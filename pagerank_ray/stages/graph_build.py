@@ -91,6 +91,49 @@ def _add_offset_ids(table: pa.Table, offset: int) -> pa.Table:
     return pa.table({"id": ids, "url": table.column("url")})
 
 
+@ray.remote
+def _add_offset_ids_named(table: pa.Table, offset: int, col: str, col_type) -> pa.Table:
+    """Generic block-offset dense-id assignment: (col) → (dense, col)."""
+    if table.num_rows == 0 or col not in table.column_names:
+        return pa.table({"dense": pa.array([], pa.int64()), col: pa.array([], col_type)})
+    ids = pa.array(offset + np.arange(table.num_rows, dtype=np.int64), pa.int64())
+    return pa.table({"dense": ids, col: table.column(col)})
+
+
+def assign_dense_ids(values: rd.Dataset, col: str, *, n_buckets: int = 64) -> tuple[rd.Dataset, int]:
+    """Distinct values of ``col`` → (dense:int64 0..n-1 in sorted order, col).
+
+    The distributed dense-id idiom shared by url ids (assign_contiguous_ids)
+    and int vertex ids (tabular._compact_ids): bucketed distinct → global sort
+    → per-block counts → driver prefix-sum of ≤ n_blocks ints → vectorized
+    offset add. The value universe never materializes on the driver.
+    """
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(t.column(col).to_pandas(), index=False).to_numpy()
+        return t.append_column("bucket", pa.array((h % n_buckets).astype(np.int32)))
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[col]].drop_duplicates()
+
+    distinct = (
+        values.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uniq, batch_format="pandas")
+    )
+    sorted_vals = distinct.sort(col).materialize()
+    refs = sorted_vals.to_arrow_refs()
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    schema = sorted_vals.schema()
+    col_type = dict(zip(schema.names, schema.types))[col]
+    id_refs = [
+        _add_offset_ids_named.remote(r, int(off), col, col_type)
+        for r, off in zip(refs, offsets)
+    ]
+    return rd.from_arrow_refs(id_refs), int(offsets[-1])
+
+
 def assign_contiguous_ids(extracted: rd.Dataset) -> tuple[rd.Dataset, int]:
     """Distinct ``src ∪ dst`` urls → (id:int64, url:string), ids dense 0..n-1 in
     sorted-url order. Returns (id_map dataset, n)."""

@@ -151,6 +151,44 @@ def build_ivf(
     return vectors.map_batches(assign, batch_format="pyarrow")
 
 
+class _IVFScore:
+    """Per-batch IVF scorer: scores a batch against the broadcast query matrix
+    and masks out, per query, any vector whose centroid bucket is NOT in that
+    query's own ``nprobe`` probe set (the IVF nprobe contract — a query's
+    result set never depends on which other queries are co-batched)."""
+
+    def __init__(self, ref, k: int, id_col: str, vec_col: str):
+        self.ref = ref
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, qmat, allowed = joins.broadcast_get(self.ref, lambda v: v, "ivf-queries")
+        vecs = _unit(_stack(batch.column(self.vec_col).to_pylist()))
+        ids = batch.column(self.id_col).to_numpy()
+        cents_of_rows = batch.column("centroid").to_numpy()
+        sims = vecs @ qmat.T  # (batch, q)
+        mask = allowed[:, cents_of_rows].T  # (batch, q) bool
+        sims = np.where(mask, sims, -2.0)  # cosine ∈ [-1,1]: -2 sorts last
+        k = min(self.k, len(ids))
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            rows = top[:, qi]
+            keep = sims[rows, qi] > -1.5  # drop masked-out fillers
+            out_q.append(np.full(keep.sum(), qids[qi], dtype=np.int64))
+            out_id.append(ids[rows[keep]])
+            out_sim.append(sims[rows[keep], qi])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_sim)),
+            }
+        )
+
+
 def knn_ivf(
     ivf: rd.Dataset,
     centroids: np.ndarray,
@@ -163,11 +201,17 @@ def knn_ivf(
     vec_col: str = "embedding",
     exclude_self: bool = True,
 ) -> pd.DataFrame:
-    """Approximate top-k: each query scans only its ``nprobe`` nearest centroid
-    buckets (recall < 1 by design; compare against knn_bruteforce in tests)."""
+    """Approximate top-k: each query scans only its own ``nprobe`` nearest
+    centroid buckets. With ``nprobe == len(centroids)`` every bucket is probed
+    and the result equals exact brute force — the driver's exactness gate on
+    the assignment/bucket-scan machinery; recall at nprobe < nlist is bounded
+    in tests/test_knn_multimodal.py."""
     qmat = _unit(np.asarray(queries, dtype=np.float64))
     cents = _unit(np.asarray(centroids, dtype=np.float64))
+    nprobe = min(nprobe, len(cents))
     probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    allowed = np.zeros((len(qmat), len(cents)), dtype=bool)
+    np.put_along_axis(allowed, probes, True, axis=1)
     wanted = np.unique(probes)
 
     import pyarrow.compute as pc
@@ -176,10 +220,17 @@ def knn_ivf(
         lambda t: t.filter(pc.is_in(t.column("centroid"), value_set=pa.array(wanted))),
         batch_format="pyarrow",
     )
-    # per query, restrict to probed buckets after brute-force scoring of the
-    # pruned subset (bucket membership check via broadcast probe table)
     qid_arr = np.asarray(query_ids, dtype=np.int64)
-    out = knn_bruteforce(
-        pruned, qmat, qid_arr, k=k, id_col=id_col, vec_col=vec_col, exclude_self=exclude_self
+    ref = ray.put((qid_arr, qmat, allowed))
+    partial = pruned.map_batches(
+        _IVFScore(ref, k + (1 if exclude_self else 0), id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=4096,
     )
-    return out
+    return (
+        partial.groupby("query_id")
+        .map_groups(_final_topk(k, exclude_self), batch_format="pandas")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )

@@ -49,6 +49,10 @@ def test_query_matches_oracle(ray_session, name):
     got = _canon(_to_df(q(SF_DIR)))
     con = _duck(SF_DIR)
     want = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    import os as _os
+    if _os.environ.get("DUMP_DIR"):
+        got.to_parquet(_os.environ["DUMP_DIR"] + f"/{name}_got.parquet")
+        want.to_parquet(_os.environ["DUMP_DIR"] + f"/{name}_want.parquet")
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
     assert len(got) == len(want)
     for col in got.columns:
