@@ -10,9 +10,16 @@ Orientation by degree bounds oriented out-degree by O(√m) — the classic skew
 guard for hub vertices, playing the role the reference's degree bins play for
 SpMV (kernel_acsr.cu:419-451): wedge fan-out at hubs stays quadratic-free.
 
+Wedge generation is bucket-partitioned like the builder's dedup/count stages
+(graph_build.dedup_pairs): edges hash-bucket by src, ONE vectorized kernel per
+bucket enumerates every source's out-neighbor pairs via ``_segment_pairs``
+(repeat/cumsum index arithmetic — no per-group pandas invocation, no Python
+loop over sources; the round-1 ``groupby("src").map_groups`` paid per-group
+overhead ~15× the kernel cost at 2M edges).
+
 Shuffles: degree count (groupby), two degree-attach joins (broadcast under
-``joins.BROADCAST_LIMIT``, hash join beyond), wedge groupby(src), and the
-closing-edge hash join on the composite key (v, w).
+``joins.BROADCAST_LIMIT``, hash join beyond), the bucket groupby, and — beyond
+the broadcast limit — the closing-edge hash join on the composite key (v, w).
 """
 
 from __future__ import annotations
@@ -36,16 +43,42 @@ def _canonical_undirected(batch: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(uniq[:, 0]), "b": pa.array(uniq[:, 1])})
 
 
-def _wedges(group: pd.DataFrame) -> pd.DataFrame:
-    """All out-neighbor pairs of one src, ordered by (deg, id)."""
-    order = np.lexsort((group["dst"].to_numpy(), group["dst_deg"].to_numpy()))
-    nb = group["dst"].to_numpy()[order]
-    d = len(nb)
-    if d < 2:
-        return pd.DataFrame({"v": [], "w": [], "u": []}).astype(np.int64)
-    i, j = np.triu_indices(d, k=1)
-    u = group["src"].iloc[0]
-    return pd.DataFrame({"v": nb[i], "w": nb[j], "u": np.full(len(i), u, dtype=np.int64)})
+def _segment_pairs(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Global (first, second) row indices of all ordered within-segment pairs
+    for contiguous segments of the given lengths. Fully vectorized:
+    repeat/cumsum index arithmetic, no Python loop over segments."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    total = int(lengths.sum())
+    offsets = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+    d_of_row = np.repeat(lengths, lengths)
+    local_i = np.arange(total, dtype=np.int64) - np.repeat(offsets, lengths)
+    counts = d_of_row - 1 - local_i  # pairs where this row is the first element
+    n_pairs = int(counts.sum())
+    first = np.repeat(np.arange(total, dtype=np.int64), counts)
+    cum = np.cumsum(counts) - counts
+    within = np.arange(n_pairs, dtype=np.int64) - np.repeat(cum, counts)
+    second = first + 1 + within
+    return first, second
+
+
+def _sorted_segments(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort a bucket's oriented edges by (src, dst_deg, dst); return
+    (src_sorted, dst_sorted, segment_lengths per distinct src)."""
+    src = df["src"].to_numpy()
+    order = np.lexsort((df["dst"].to_numpy(), df["dst_deg"].to_numpy(), src))
+    src = src[order]
+    nb = df["dst"].to_numpy()[order]
+    if not len(src):
+        return src, nb, np.zeros(0, dtype=np.int64)
+    starts = np.flatnonzero(np.concatenate([[True], src[1:] != src[:-1]]))
+    lengths = np.diff(np.concatenate([starts, [len(src)]]))
+    return src, nb, lengths
+
+
+def _bucketize_src(t: pa.Table, n_buckets: int) -> pa.Table:
+    k = t.column("src").to_numpy(zero_copy_only=False)
+    mixed = (k * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+    return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
 
 
 def triangle_counts(
@@ -53,6 +86,7 @@ def triangle_counts(
     n_vertices: int,
     *,
     num_partitions: int = 32,
+    n_buckets: int = 64,
 ) -> rd.Dataset:
     """edges (src_id, dst_id, directed, deduped) → (id, tri_count) for all vertices."""
     # undirected simple edge set, canonical (a < b)
@@ -62,10 +96,14 @@ def triangle_counts(
         lambda t: pa.table({"src_id": t.column("a"), "dst_id": t.column("b")}),
         batch_format="pyarrow",
     )
+    # materialized: und feeds three consumers (degrees, the degree joins, the
+    # oriented edge build) and deg feeds two (count + both attach builds) — a
+    # lazy chain would re-run the dedup shuffle once per consumer (measured
+    # 5× the whole pipeline's cost at 2M edges)
     und = dedup_pairs(und).map_batches(
         lambda t: pa.table({"a": t.column("src_id"), "b": t.column("dst_id")}),
         batch_format="pyarrow",
-    )
+    ).materialize()
     # undirected degrees
     mentions = und.map_batches(
         lambda t: pa.table(
@@ -73,7 +111,7 @@ def triangle_counts(
         ),
         batch_format="pyarrow",
     )
-    deg = grouped_count(mentions, "v", "deg")
+    deg = grouped_count(mentions, "v", "deg").materialize()
     deg_count = deg.count()
     with_da = joins.attach_column(
         und, deg, probe_col="a", build_key="v", build_val="deg", out_col="deg_a",
@@ -103,10 +141,13 @@ def triangle_counts(
 
     oriented = with_db.map_batches(orient, batch_format="pyarrow").materialize()
     m_oriented = oriented.count()
+    bucketed = oriented.map_batches(
+        lambda t: _bucketize_src(t, n_buckets), batch_format="pyarrow"
+    ).groupby("bucket")
 
     if n_vertices < 2**31 and m_oriented <= joins.BROADCAST_LIMIT:
         # Broadcast closing-edge check: the oriented edge set encoded as sorted
-        # (src<<32)|dst int64 keys is ray.put once; every wedge batch verifies
+        # (src<<32)|dst int64 keys is ray.put once; every bucket kernel verifies
         # membership with one vectorized searchsorted — no W-row join shuffle.
         # (Beyond BROADCAST_LIMIT edges the hash-join path below is used.)
         import ray
@@ -118,33 +159,38 @@ def triangle_counts(
         )
         ref = ray.put(enc)
 
-        def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
             keys = joins.broadcast_get(ref, lambda v: v, "tri-edges")
-            order = np.lexsort((df["dst"].to_numpy(), df["dst_deg"].to_numpy()))
-            nb = df["dst"].to_numpy()[order]
-            d = len(nb)
-            if d < 2:
+            src, nb, lengths = _sorted_segments(df)
+            if not len(src):
                 return pd.DataFrame(
                     {"id": pd.Series(dtype=np.int64), "cnt": pd.Series(dtype=np.int64)}
                 )
-            i, j = np.triu_indices(d, k=1)
-            wedge_keys = (nb[i].astype(np.int64) << 32) | nb[j].astype(np.int64)
+            first, second = _segment_pairs(lengths)
+            v, w, u = nb[first], nb[second], src[first]
+            wedge_keys = (v.astype(np.int64) << 32) | w.astype(np.int64)
             pos = np.clip(np.searchsorted(keys, wedge_keys), 0, len(keys) - 1)
             hit = keys[pos] == wedge_keys
-            v_hit, w_hit = nb[i][hit], nb[j][hit]
-            u = np.int64(df["src"].iloc[0])
-            ids = np.concatenate([v_hit, w_hit, [u]])
-            cnts = np.concatenate(
-                [np.ones(len(v_hit) * 2, dtype=np.int64), [np.int64(hit.sum())]]
-            )
+            # every closed wedge credits its three corners once each
+            ids = np.concatenate([v[hit], w[hit], u[hit]])
             uid, inv = np.unique(ids, return_inverse=True)
-            csum = np.bincount(inv, weights=cnts).astype(np.int64)
+            csum = np.bincount(inv).astype(np.int64)
             return pd.DataFrame({"id": uid, "cnt": csum})
 
-        contribs = oriented.groupby("src").map_groups(per_group, batch_format="pandas")
+        contribs = bucketed.map_groups(per_bucket, batch_format="pandas")
         counts = grouped_sum(contribs, "id", "cnt", "tri_count")
     else:
-        wedges = oriented.groupby("src").map_groups(_wedges, batch_format="pandas")
+        def wedges_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            src, nb, lengths = _sorted_segments(df)
+            if not len(src):
+                return pd.DataFrame(
+                    {"v": pd.Series(dtype=np.int64), "w": pd.Series(dtype=np.int64),
+                     "u": pd.Series(dtype=np.int64)}
+                )
+            first, second = _segment_pairs(lengths)
+            return pd.DataFrame({"v": nb[first], "w": nb[second], "u": src[first]})
+
+        wedges = bucketed.map_groups(wedges_bucket, batch_format="pandas")
         closing = oriented.select_columns(["src", "dst"])
         tri = wedges.join(
             closing,
@@ -166,7 +212,11 @@ def triangle_counts(
 
         counts = grouped_count(tri.map_batches(corners, batch_format="pyarrow"), "id", "tri_count")
 
-    # left-attach onto the full vertex id range with 0 default
+    # left-attach onto the full vertex id range with 0 default (hash left join
+    # beyond the broadcast limit). Materialized first: attach_with_default
+    # counts the build side to pick its strategy — counting a lazy chain would
+    # re-execute the whole wedge pipeline.
+    counts = counts.materialize()
     return joins.attach_with_default(
         rd.range(n_vertices),
         counts,

@@ -313,7 +313,9 @@ def build_vertices(
     """VERTICES table (id, url, out_deg, dangling). Reporting artifact — the hot
     path derives out-degree/dangling from CSR indptr inside shards instead
     (cf. bookmark build, kernel_acsr.cu:403-406)."""
-    out_deg = grouped_count(edges, "src_id", "out_deg")
+    # materialized: attach_with_default counts the build side for strategy
+    # selection; a lazy chain would be executed twice
+    out_deg = grouped_count(edges, "src_id", "out_deg").materialize()
     return _left_attach_out_deg(id_map, out_deg)
 
 

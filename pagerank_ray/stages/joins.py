@@ -142,10 +142,37 @@ def attach_with_default(
     out_col: str,
     default,
     out_type: pa.DataType = pa.int64(),
+    build_count: int | None = None,
+    num_partitions: int = 32,
 ) -> rd.Dataset:
-    """Left-join variant of attach_column for small build sides: missing probe
-    keys get ``default``. Build side must fit the broadcast limit; the build
-    table is sorted by key and probed with searchsorted (works for int keys)."""
+    """Left-join variant of attach_column: missing probe keys get ``default``.
+    Small build sides broadcast (sorted-key searchsorted probe); beyond
+    ``BROADCAST_LIMIT`` rows it falls back to a Ray-native hash left-outer
+    join + fill_null — never an unbounded driver materialization."""
+    n_build = build_count if build_count is not None else build.count()
+    if n_build > BROADCAST_LIMIT:
+        right = build.select_columns([build_key, build_val])
+        joined = probe.join(
+            right,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(probe_col,),
+            right_on=(build_key,),
+            right_suffix="_r",
+        )
+        val_name = build_val if build_val not in probe.columns() else build_val + "_r"
+        key_name = build_key if build_key != probe_col else build_key + "_r"
+
+        def _fill(t: pa.Table) -> pa.Table:
+            drop = [c for c in (key_name,) if c in t.column_names and c != probe_col]
+            if drop:
+                t = t.drop_columns(drop)
+            filled = pa.compute.fill_null(t.column(val_name).cast(out_type), default)
+            t = t.drop_columns([val_name]).append_column(out_col, filled)
+            return t
+
+        return joined.map_batches(_fill, batch_format="pyarrow")
+
     small = _collect_arrow(build.select_columns([build_key, build_val]))
 
     def sort_build(table: pa.Table):
