@@ -75,9 +75,10 @@ def connected_components(
     checkpoint_root: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    transport: str = "shm",
 ) -> IterativeResult:
     """Hash-min CC over a CSR built from symmetrized edges (csr.symmetrize)."""
-    eng = BSPEngine(sym_csr_dir, n_workers=n_workers, mode=MODE_MIN)
+    eng = BSPEngine(sym_csr_dir, n_workers=n_workers, mode=MODE_MIN, transport=transport)
     return _run_label_loop(eng, max_iters, checkpoint_root, checkpoint_every, resume)
 
 

@@ -18,6 +18,7 @@ from pagerank_ray.stages.graph_build import (
     assign_contiguous_ids,
     build_edges,
     build_vertices,
+    dedup_pages_by_url,
     equal_edge_cuts,
     extract_pages,
     normalize_extracted,
@@ -80,11 +81,16 @@ def build_graph(
     *,
     n_parts: int,
     num_partitions: int = 32,
+    dedup_pages: bool = True,
 ) -> dict:
-    """Phases 1-2: pages → extracted, id_map, deduped edges, vertices, CSR shards.
+    """Phases 0-2: pages → (url-deduped) extracted, id_map, deduped edges,
+    vertices, CSR shards.
 
-    Returns a dict of artifact paths + graph stats. Every artifact is parquet
-    on disk; phases whose output directory already exists are skipped (resume).
+    Phase 0 applies the §2.9 pinned one-page-per-url rule (latest warc_ts,
+    smallest html digest on ties) so re-crawled snapshots never double-count
+    outlinks. Returns a dict of artifact paths + graph stats. Every artifact
+    is parquet on disk; phases whose output directory already exists are
+    skipped (resume).
     """
     os.makedirs(work_dir, exist_ok=True)
     extracted_dir = os.path.join(work_dir, "extracted")
@@ -96,6 +102,8 @@ def build_graph(
     from pagerank_ray import schemas
 
     if not os.path.isdir(extracted_dir):
+        if dedup_pages:
+            pages = dedup_pages_by_url(pages)
         extracted = normalize_extracted(extract_pages(pages))
         _write_parquet_atomic(extracted, extracted_dir, schemas.EXTRACTED)
     # graph build needs only (url, out_urls): prune text at the read

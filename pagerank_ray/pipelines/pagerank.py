@@ -55,6 +55,7 @@ def pagerank(
     norm: str = "l1",
     eps_l2: float = 1e-8,
     bin_metrics: bool = False,
+    transport: str = "shm",
 ) -> IterativeResult:
     """norm="l1": stop at Σ|Δ| ≤ eps_per_vertex·n (reference A/B entry points,
     kernel_acsr.cu:646). norm="l2": stop at ‖Δ‖₂/n ≤ eps_l2 on the
@@ -71,6 +72,7 @@ def pagerank(
         personalization=personalization,
         norm=norm,
         bin_metrics=bin_metrics,
+        transport=transport,
     )
     restored = None
     if resume and checkpoint_root:
@@ -170,6 +172,11 @@ def pagerank_fixed_iters(
     # (fresh 10s-of-MB buffers per worker) that would pollute the mean
     for _ in range(warmup_iters):
         ray.get(eng.submit_superstep())
+    if warmup_iters:
+        # reset state so the timed run starts from r⁰: the returned ranks and
+        # final_diff correspond to exactly `iters` iterations (comparable to a
+        # fixed-iteration oracle), not iters+warmup
+        eng.init_state()
     t0 = time.perf_counter()
     pending: deque = deque()
     submitted = 0

@@ -31,6 +31,48 @@ from pagerank_ray.stages import joins
 
 
 # ---------------------------------------------------------------------------
+# Phase 0: page-level dedup by url (SURVEY.md §2.9 pinned streaming rule)
+# ---------------------------------------------------------------------------
+
+def dedup_pages_by_url(pages: rd.Dataset, *, n_buckets: int = 64) -> rd.Dataset:
+    """One page per url: keep the snapshot with the LATEST ``warc_ts``; ties
+    broken by the smallest md5(html) digest (SURVEY.md §2.9 pinned rule).
+
+    Bucketed by url hash — the same shuffle shape as dedup_pairs — so each
+    url's snapshots co-locate in exactly one vectorized kernel. At crawl scale
+    this shuffles the html payloads once; a cheaper variant for re-crawled
+    corpora is to carry (warc_ts, digest) through extraction and dedup the
+    html-free EXTRACTED table instead — same winner rule, lighter exchange.
+    """
+    import hashlib
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(t.column("url").to_pandas(), index=False).to_numpy()
+        return t.append_column("bucket", pa.array((h % n_buckets).astype(np.int32)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["bucket"])
+        if t.num_rows == 0:
+            return t
+        urls = np.asarray(t.column("url").to_pylist(), dtype=object)
+        ts = t.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        digests = np.asarray(
+            [hashlib.md5(b or b"").hexdigest() for b in t.column("html").to_pylist()],
+            dtype=object,
+        )
+        order = np.lexsort((digests, -ts, urls))  # url asc, ts desc, digest asc
+        sorted_urls = urls[order]
+        first = np.concatenate([[True], sorted_urls[1:] != sorted_urls[:-1]])
+        return t.take(pa.array(order[first], pa.int64()))
+
+    return (
+        pages.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Phase 1: extraction (stateless tasks)
 # ---------------------------------------------------------------------------
 

@@ -202,12 +202,6 @@ class ShardWorker:
             self.pers_n = None
         self.in_deg = None  # filled by prepare_incoming when bin_metrics
         self.bins = None
-    # ---- range helpers -------------------------------------------------
-    def _target_bounds(self, q: int) -> tuple[int, int]:
-        lo = 0 if q == 0 else int(self.worker_cuts[q - 1])
-        hi = self.n if q == self.n_workers - 1 else int(self.worker_cuts[q])
-        return lo, hi
-
     def meta(self):
         return {
             "lo": int(self.lo),
@@ -229,13 +223,6 @@ class ShardWorker:
             return float(self.state[self.dangling].sum())
         # CC / LP: label⁰ = own id
         self.state = np.arange(self.lo, self.hi, dtype=np.int64)
-        return 0.0
-
-    def set_state(self, values: np.ndarray):
-        assert len(values) == self.hi - self.lo
-        self.state = values.copy()
-        if self.mode == MODE_PAGERANK:
-            return float(self.state[self.dangling].sum())
         return 0.0
 
     def get_state(self) -> np.ndarray:
@@ -667,6 +654,12 @@ class BSPEngine:
     def _write_checkpoint(self, ckpt_root: str, extra: dict):
         it_dir = os.path.join(ckpt_root, f"iter_{self.iteration:05d}")
         os.makedirs(it_dir, exist_ok=True)
+        # clear leftovers of a crashed partial write: a mixed worker layout
+        # (different range-* slicing) would otherwise be committed as
+        # complete and poison every later restore()'s seen-count check
+        for name in os.listdir(it_dir):
+            if name.startswith("range-"):
+                os.unlink(os.path.join(it_dir, name))
         ray.get([w.checkpoint.remote(it_dir) for w in self.workers])
         manifest = {
             "iteration": self.iteration,

@@ -86,3 +86,12 @@ def test_triangle_golden_k4():
     src = np.array([0, 0, 0, 1, 1, 2])
     dst = np.array([1, 2, 3, 2, 3, 3])
     np.testing.assert_array_equal(triangles_oracle(4, src, dst), [3, 3, 3, 3])
+
+
+def test_cc_plasma_transport_oracle(ray_session, tmp_path):
+    """Hash-min CC over the plasma (multi-node) transport matches union-find."""
+    src, dst = _random_graph(400, 1200, seed=31)
+    d = _sym_csr(tmp_path, src, dst, 400)
+    got = _labels_array(connected_components(d, n_workers=3, transport="plasma"), 400)
+    want = cc_oracle(400, src, dst)
+    assert (got == want).all()

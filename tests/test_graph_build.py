@@ -87,3 +87,96 @@ def test_equal_edge_cuts_properties(ray_session):
     parts = np.searchsorted(cuts, src, side="right")
     counts = np.bincount(parts, minlength=8)
     assert counts.max() < 20000 * 0.5  # no part holds half the edges
+
+
+def _dup_url_pages():
+    """Crawl with re-crawled urls: u0 has 3 snapshots (two sharing the max
+    warc_ts but different html), u1 has 1, u2 has 2."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = {
+        "url": [
+            "https://a.example/p/0", "https://a.example/p/0", "https://a.example/p/0",
+            "https://a.example/p/1",
+            "https://a.example/p/2", "https://a.example/p/2",
+        ],
+        "warc_ts": [ts(1), ts(5), ts(5), ts(2), ts(3), ts(1)],
+        "html": [
+            b"<html><body>old</body></html>",
+            b"<html><body>new B</body></html>",   # md5 smaller/larger decides
+            b"<html><body>new A</body></html>",
+            b"<html><body>only</body></html>",
+            b"<html><body>latest</body></html>",
+            b"<html><body>stale</body></html>",
+        ],
+        "text": [""] * 6,
+        "lang": ["en"] * 6,
+    }
+    tab = pa.table(
+        {
+            "url": pa.array(rows["url"], pa.string()),
+            "warc_ts": pa.array(rows["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(rows["html"], pa.binary()),
+            "text": pa.array(rows["text"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(tab), rows
+
+
+def test_dedup_pages_by_url_rule(ray_session):
+    """§2.9 pinned rule: latest warc_ts wins; ties -> smallest md5(html)."""
+    import hashlib
+
+    from pagerank_ray.stages.graph_build import dedup_pages_by_url
+
+    pages, rows = _dup_url_pages()
+    out = dedup_pages_by_url(pages).to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(out["url"]) == [
+        "https://a.example/p/0", "https://a.example/p/1", "https://a.example/p/2"
+    ]
+    # u0: the two ts(5) snapshots tie; winner is the smaller md5 digest
+    cands = [rows["html"][1], rows["html"][2]]
+    winner = min(cands, key=lambda b: hashlib.md5(b).hexdigest())
+    assert bytes(out.loc[0, "html"]) == winner
+    assert bytes(out.loc[1, "html"]) == rows["html"][3]
+    assert bytes(out.loc[2, "html"]) == rows["html"][4]  # ts(3) beats ts(1)
+    # schema preserved exactly (timestamp unit survives the pyarrow map_groups)
+    assert out["warc_ts"].dtype.kind == "M"
+
+
+def test_flagship_dedups_recrawled_urls(ray_session, tmp_path):
+    """build_graph on a crawl with duplicate urls: one extracted row per url,
+    text extracted from the WINNING snapshot."""
+    from pagerank_ray.functions.extract import extract_batch
+    from pagerank_ray.pipelines.flagship import build_graph
+
+    pages, rows = _dup_url_pages()
+    arts = build_graph(pages, str(tmp_path / "work"), n_parts=2)
+    import ray.data as rd
+
+    ex = rd.read_parquet(arts["extracted"]).to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(ex["url"]) == [
+        "https://a.example/p/0", "https://a.example/p/1", "https://a.example/p/2"
+    ]
+    # winning snapshot's extracted text (byte-identical invariant)
+    import hashlib
+
+    cands = [rows["html"][1], rows["html"][2]]
+    winner = min(cands, key=lambda b: hashlib.md5(b).hexdigest())
+    win_tab = pa.table(
+        {
+            "url": pa.array(["https://a.example/p/0"]),
+            "html": pa.array([winner], pa.binary()),
+            "text": pa.array([""]),
+        }
+    )
+    expect = extract_batch(win_tab).column("text").to_pylist()[0]
+    assert ex.loc[0, "text"] == expect

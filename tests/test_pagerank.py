@@ -107,3 +107,26 @@ def test_worker_count_does_not_change_result(ray_session, tmp_path):
     r1 = _ranks_array(pagerank(csr_dir, n_workers=1, max_iters=100), 250)
     r4 = _ranks_array(pagerank(csr_dir, n_workers=4, max_iters=100), 250)
     np.testing.assert_allclose(r1, r4, atol=1e-12)
+
+
+@pytest.mark.parametrize("transport", ["shm", "plasma"])
+def test_transports_oracle_exact(ray_session, tmp_path, transport):
+    """PageRank over both exchange transports: shm (single-node ring) and
+    plasma (the multi-node object-store path, superstep.py) must both match
+    the NumPy oracle at 1e-6 — the plasma path is what a real cluster runs."""
+    src, dst = _random_graph(300, 2500, seed=17)
+    csr_dir = _make_csr(tmp_path, src, dst, 300, n_parts=5)
+    res = pagerank(csr_dir, n_workers=3, alpha=0.85, max_iters=200, transport=transport)
+    oracle, _, _ = pagerank_oracle(300, src, dst, alpha=0.85, max_iters=200)
+    np.testing.assert_allclose(_ranks_array(res, 300), oracle, atol=1e-6)
+
+
+def test_transport_parity_shm_vs_plasma(ray_session, tmp_path):
+    """Both transports produce bit-identical rank vectors (same recurrence,
+    only the exchange medium differs)."""
+    src, dst = _random_graph(250, 1800, seed=23)
+    a = _make_csr(tmp_path / "a", src, dst, 250, n_parts=4)
+    b = _make_csr(tmp_path / "b", src, dst, 250, n_parts=4)
+    ra = _ranks_array(pagerank(a, n_workers=2, max_iters=80, transport="shm"), 250)
+    rb = _ranks_array(pagerank(b, n_workers=2, max_iters=80, transport="plasma"), 250)
+    np.testing.assert_array_equal(ra, rb)
