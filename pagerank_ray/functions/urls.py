@@ -7,10 +7,14 @@ id assignment so `src ∪ dst` vertices unify on one canonical form.
 
 from __future__ import annotations
 
+import functools
 from urllib.parse import urlsplit, urlunsplit
 
 
+@functools.lru_cache(maxsize=1 << 17)
 def normalize_url(url: str) -> str:
+    """Memoized: crawl outlinks repeat the same target urls heavily, and the
+    urlsplit/urlunsplit pair is ~4 µs — a cache hit is ~20× cheaper."""
     try:
         parts = urlsplit(url)
     except ValueError:

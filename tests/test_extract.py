@@ -83,3 +83,46 @@ def test_extract_batch_schema():
 def test_normalize_url():
     assert normalize_url("HTTPS://SiteA.Example/Path?Q=1#frag") == "https://sitea.example/Path?Q=1"
     assert normalize_url("http://Host:8080/p") == "http://host:8080/p"
+
+
+def test_fast_scanner_matches_htmlparser_reference():
+    """The compiled-regex fast path must be byte-identical to the html.parser
+    reference on synthetic pages AND fall back (not diverge) on constructs
+    outside its subset — differential test over both."""
+    from urllib.parse import urldefrag, urljoin
+
+    import pagerank_ray.functions.extract as ex
+    from pagerank_ray.sources.pages import generate_row
+
+    def reference(url, html_bytes):
+        raw = html_bytes.decode("utf-8", errors="replace")
+        p = ex._Extractor(url)
+        p.feed(raw)
+        p.close()
+        text = ex._WS.sub(" ", "".join(p.parts)).strip()
+        outs = []
+        for h in p.hrefs:
+            try:
+                a = urljoin(url, h)
+            except ValueError:
+                continue
+            if not (a.startswith("http://") or a.startswith("https://")):
+                continue
+            outs.append(urldefrag(a)[0])
+        return text, outs
+
+    for i in range(0, 1500, 3):
+        r = generate_row(i, 5000, 23, seed=91)
+        assert ex.extract_page(r["url"], r["html"]) == reference(r["url"], r["html"])
+
+    adversarial = [
+        ("https://h.ex/a/b", b"<html><!-- c > --><a href='x'>t</a>&amp; <3 </html>"),
+        ("https://h.ex/a/b", b"<script>if(a<b){'</div>'}</script><a href=/p>t</a>"),
+        ("https://h.ex/a/b", b"<script></ script></script><a href='q'>t</a>"),
+        ("https://h.ex/a/b", b"<a href='../u'>r</a><a href='//p.ex/x'>pp</a><a href='?q'>q</a>"),
+        ("https://h.ex/a/b", b"<A HREF='HTTP://X.EX/'>c</A><a href='' >e</a><a>none</a>"),
+        ("http://h.ex/a", b"<a href='https://c.ex/p?'>cross</a><style>.x{}</style>done"),
+        ("notaurl", b"\xff<p>bad base</p><a href='https://ok.ex/y'>y</a>"),
+    ]
+    for url, html in adversarial:
+        assert ex.extract_page(url, html) == reference(url, html)
