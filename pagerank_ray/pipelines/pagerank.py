@@ -56,6 +56,7 @@ def pagerank(
     eps_l2: float = 1e-8,
     bin_metrics: bool = False,
     transport: str = "shm",
+    exchange_dtype: str = "float64",
 ) -> IterativeResult:
     """norm="l1": stop at Σ|Δ| ≤ eps_per_vertex·n (reference A/B entry points,
     kernel_acsr.cu:646). norm="l2": stop at ‖Δ‖₂/n ≤ eps_l2 on the
@@ -73,6 +74,7 @@ def pagerank(
         norm=norm,
         bin_metrics=bin_metrics,
         transport=transport,
+        exchange_dtype=exchange_dtype,
     )
     restored = None
     if resume and checkpoint_root:
@@ -149,6 +151,7 @@ def pagerank_fixed_iters(
     window: int = 4,
     warmup_iters: int = 3,
     num_cpus_per_worker: float | None = None,
+    exchange_dtype: str = "float64",
 ) -> IterativeResult:
     """Fixed-iteration PageRank with pipelined superstep submission (the
     throughput-measurement mode; semantics of /root/reference/kernel_cusparse.cu:250
@@ -165,6 +168,7 @@ def pagerank_fixed_iters(
         mode=MODE_PAGERANK,
         alpha=alpha,
         num_cpus_per_worker=num_cpus_per_worker,
+        exchange_dtype=exchange_dtype,
     )
     eng.init_state()
     window = min(window, 5)  # shm transport ring has 6 slots; keep one spare

@@ -70,7 +70,11 @@ def q_in_degree_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
 def q_dangling(sf_dir: str) -> rd.Dataset:
     """Vertices of the edge graph with no out-edges (the bookmark set,
-    /root/reference/kernel_acsr.cu:403-406, as an anti-join)."""
+    /root/reference/kernel_acsr.cu:403-406, as an anti-join). Distincts use
+    the bucketed idiom (graph_build.distinct_values) — never a per-key
+    Dataset aggregate at vertex cardinality."""
+    from pagerank_ray.stages.graph_build import distinct_values
+
     edges = lineitem_edges(sf_dir).materialize()
 
     def vertices(t: pa.Table) -> pa.Table:
@@ -82,25 +86,20 @@ def q_dangling(sf_dir: str) -> rd.Dataset:
         )
         return pa.table({"id": pc.unique(merged)})
 
-    verts = (
-        edges.map_batches(vertices, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["id"])
-    )
+    verts = distinct_values(edges.map_batches(vertices, batch_format="pyarrow"), "id")
     # broadcast semi-join: filter ids that appear as src
     import ray
 
     from pagerank_ray.stages import joins
 
     srcs = joins._collect_arrow(
-        edges.map_batches(
-            lambda t: pa.table({"src_id": pc.unique(t.column("src_id"))}),
-            batch_format="pyarrow",
+        distinct_values(
+            edges.map_batches(
+                lambda t: pa.table({"src_id": pc.unique(t.column("src_id"))}),
+                batch_format="pyarrow",
+            ),
+            "src_id",
         )
-        .groupby("src_id")
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["src_id"])
     )
     ref = ray.put(srcs)
 

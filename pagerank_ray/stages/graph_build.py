@@ -142,14 +142,10 @@ def _add_offset_ids_named(table: pa.Table, offset: int, col: str, col_type) -> p
     return pa.table({"dense": ids, col: table.column(col)})
 
 
-def assign_dense_ids(values: rd.Dataset, col: str, *, n_buckets: int = 64) -> tuple[rd.Dataset, int]:
-    """Distinct values of ``col`` → (dense:int64 0..n-1 in sorted order, col).
-
-    The distributed dense-id idiom shared by url ids (assign_contiguous_ids)
-    and int vertex ids (tabular._compact_ids): bucketed distinct → global sort
-    → per-block counts → driver prefix-sum of ≤ n_blocks ints → vectorized
-    offset add. The value universe never materializes on the driver.
-    """
+def distinct_values(values: rd.Dataset, col: str, *, n_buckets: int = 64) -> rd.Dataset:
+    """Distinct values of ``col`` via hash-bucket groupby + per-bucket
+    drop_duplicates — the low-cardinality-key shuffle idiom (see dedup_pairs
+    on why not groupby(col).aggregate at high key cardinality)."""
 
     def bucketize(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(t.column(col).to_pandas(), index=False).to_numpy()
@@ -158,12 +154,22 @@ def assign_dense_ids(values: rd.Dataset, col: str, *, n_buckets: int = 64) -> tu
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
         return df[[col]].drop_duplicates()
 
-    distinct = (
+    return (
         values.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(uniq, batch_format="pandas")
     )
-    sorted_vals = distinct.sort(col).materialize()
+
+
+def assign_dense_ids(values: rd.Dataset, col: str, *, n_buckets: int = 64) -> tuple[rd.Dataset, int]:
+    """Distinct values of ``col`` → (dense:int64 0..n-1 in sorted order, col).
+
+    The distributed dense-id idiom shared by url ids (assign_contiguous_ids)
+    and int vertex ids (tabular._compact_ids): bucketed distinct → global sort
+    → per-block counts → driver prefix-sum of ≤ n_blocks ints → vectorized
+    offset add. The value universe never materializes on the driver.
+    """
+    sorted_vals = distinct_values(values, col, n_buckets=n_buckets).sort(col).materialize()
     refs = sorted_vals.to_arrow_refs()
     counts = ray.get([_nrows.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(counts)])
