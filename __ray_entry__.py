@@ -80,6 +80,35 @@ def _cc_sql(iters: int = 24) -> str:
     return body + f"\nSELECT v AS id, l AS label FROM l{iters} ORDER BY id"
 
 
+def _lp_sql(iters: int = 10) -> str:
+    """Unrolled synchronous community label propagation with the engine's
+    exact MODE_LABEL semantics (state/superstep.py:459-487): over the
+    symmetrized pair-deduped edge set, every vertex that receives ≥1 neighbor
+    message adopts the most frequent incoming label, ties → smallest label;
+    a vertex's own label votes only via a self-loop. l⁰(v) = v. The engine
+    stops early at a fixpoint (changed == 0); re-applying the update at a
+    fixpoint is the identity, so unrolling the full ``max_iters`` rounds in
+    SQL matches the early-stopped engine exactly. Labels are compared on
+    original ids: the dense-id map is sorted (graph_build.assign_dense_ids),
+    so frequency ties break identically in either id space."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "es AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),",
+        "l0 AS (SELECT s AS v, s AS l FROM e UNION SELECT d, d FROM e),",
+    ]
+    for i in range(iters):
+        p.append(
+            f"c{i} AS (SELECT es.d AS v, l{i}.l AS l, COUNT(*) AS c "
+            f"FROM es JOIN l{i} ON l{i}.v = es.s GROUP BY es.d, l{i}.l), "
+            f"w{i} AS (SELECT v, l FROM (SELECT v, l, ROW_NUMBER() OVER "
+            f"(PARTITION BY v ORDER BY c DESC, l ASC) AS rn FROM c{i}) WHERE rn = 1), "
+            f"l{i + 1} AS MATERIALIZED (SELECT cur.v, COALESCE(w{i}.l, cur.l) AS l "
+            f"FROM l{i} cur LEFT JOIN w{i} ON w{i}.v = cur.v),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + f"\nSELECT v AS id, l AS label FROM l{iters} ORDER BY id"
+
+
 def _triangles_sql() -> str:
     """Per-vertex triangle counts with the engine's exact orientation
     semantics (pipelines/triangles.py): undirected simple graph, each edge
@@ -169,7 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": tabular.q_pagerank,  # converged; rows-only (pytest oracle)
         "pagerank_fixed": tabular.q_pagerank_fixed,  # SQL-oracled (unrolled)
         "connected_components": tabular.q_connected_components,  # SQL-oracled
-        "label_propagation": tabular.q_label_propagation,  # rows-only (pytest oracle)
+        "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "triangles": tabular.q_triangles,  # SQL-oracled
         # relational operators (groupby/agg, join, sort/limit, window)
         "lineitem_agg": tabular.q_lineitem_agg,
@@ -215,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_fixed": _pagerank_sql(iters=20, alpha=0.85),
         "connected_components": _cc_sql(iters=24),
+        "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "

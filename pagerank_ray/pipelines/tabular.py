@@ -280,11 +280,16 @@ def q_connected_components(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
     return df[["id", "label"]].sort_values("id").reset_index(drop=True)
 
 
-def q_label_propagation(sf_dir: str, n_workers: int = 4, max_iters: int = 10) -> pd.DataFrame:
+def q_label_propagation(sf_dir: str, n_workers: int = 4, max_iters: int = 3) -> pd.DataFrame:
     """Synchronous community label propagation (most-frequent neighbor label,
-    ties → smallest, fixed iteration cap — deterministic). Rows-only driver
-    check; the pinned-tie-rule pytest oracle (tests/test_graph_algos.py) is
-    the correctness gate."""
+    ties → smallest, fixed iteration cap — deterministic). Hash-checked
+    against an unrolled sync-LP DuckDB oracle (__ray_entry__._lp_sql) with
+    identical vote/tie semantics; the pinned-tie-rule pytest oracle
+    (tests/test_graph_algos.py) covers the engine kernel directly. The
+    3-iteration cap is deliberate: mid-propagation the driver graph still
+    carries >1k distinct labels, so the value hash discriminates the
+    vote/tie rules — a converged run collapses to 2 labels and would
+    rubber-stamp almost any update semantics."""
     from pagerank_ray.pipelines.cc import label_propagation
 
     csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=True)
