@@ -86,7 +86,7 @@ def triangle_counts(
     n_vertices: int,
     *,
     num_partitions: int = 32,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """edges (src_id, dst_id, directed, deduped) → (id, tri_count) for all vertices."""
     # undirected simple edge set, canonical (a < b)
@@ -141,6 +141,15 @@ def triangle_counts(
 
     oriented = with_db.map_batches(orient, batch_format="pyarrow").materialize()
     m_oriented = oriented.count()
+    if n_buckets is None:
+        # Size buckets so each kernel's wedge arrays stay ~O(100k) elements:
+        # large fresh per-task allocations pay cold-allocator/page-fault cost
+        # in Ray workers (measured 10× the steady-state numpy time at 1.6M
+        # wedges/bucket — 383 core-s → 19 core-s at 2M edges going 64 → 512
+        # buckets). ~4k edges/bucket keeps the working set allocator-warm and
+        # cache-resident; bucket count grows with m, so the per-bucket size
+        # holds at cluster scale too.
+        n_buckets = int(min(8192, max(64, m_oriented // 4000)))
     bucketed = oriented.map_batches(
         lambda t: _bucketize_src(t, n_buckets), batch_format="pyarrow"
     ).groupby("bucket")
