@@ -140,15 +140,30 @@ def read_manifest(csr_dir: str) -> dict:
 
 
 def symmetrize(edges: rd.Dataset) -> rd.Dataset:
-    """Undirected edge set for CC/LP: union(e, reverse(e)) then pair-dedup.
-    Self-loops collapse to a single (v, v)."""
+    """Undirected edge set for CC/LP: both orientations of every distinct
+    pair; self-loops collapse to a single (v, v).
 
-    def reverse(batch: pa.Table) -> pa.Table:
+    Shuffles only the CANONICAL (min, max) half through the pair-dedup —
+    mirroring the deduped half back is shuffle-free (a map), identical to
+    dedup(union(e, reverse(e))) but with half the dedup traffic (measured
+    2.3× at 2M directed edges)."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src_id").to_numpy(zero_copy_only=False)
+        d = batch.column("dst_id").to_numpy(zero_copy_only=False)
         return pa.table(
-            {"src_id": batch.column("dst_id"), "dst_id": batch.column("src_id")}
+            {"src_id": pa.array(np.minimum(s, d)), "dst_id": pa.array(np.maximum(s, d))}
+        )
+
+    def mirror_noself(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas in/out: dedup_pairs emits pandas blocks, and a union must not
+        # mix block types (Ray's DelegatingBlockBuilder asserts on it)
+        k = df["src_id"].to_numpy() != df["dst_id"].to_numpy()
+        return pd.DataFrame(
+            {"src_id": df["dst_id"].to_numpy()[k], "dst_id": df["src_id"].to_numpy()[k]}
         )
 
     from pagerank_ray.stages.graph_build import dedup_pairs
 
-    both = edges.union(edges.map_batches(reverse, batch_format="pyarrow"))
-    return dedup_pairs(both)
+    und = dedup_pairs(edges.map_batches(canon, batch_format="pyarrow")).materialize()
+    return und.union(und.map_batches(mirror_noself, batch_format="pandas"))
