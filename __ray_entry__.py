@@ -167,6 +167,32 @@ SELECT doc_id, pred_lang,
 FROM c ORDER BY doc_id"""
 
 
+def _jaccard_sql(threshold: float = 0.5) -> str:
+    """All-pairs word-3-gram Jaccard ≥ threshold on shingle STRINGS — the
+    engine computes the identical sets as collision-free 64-bit hashes of
+    token triples (stages/dedup.py:_token_shingles); tokens are whitespace
+    split on both sides, docs shorter than 3 tokens collapse to one
+    whole-doc shingle on both sides."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN TRIM(text)='' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(len(w)-2),
+           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+         ELSE [array_to_string(w, ' ')] END AS sh
+  FROM t),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+    len(list_intersect(x.sh, y.sh))::DOUBLE
+      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+  FROM s x JOIN s y ON x.doc_id < y.doc_id)
+SELECT a, b, ROUND(j, 6) AS jacc FROM p WHERE j >= {threshold} ORDER BY a, b"""
+
+
 _KNN_SQL = (
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
     "WHERE vec_id < 5), "
@@ -204,12 +230,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": tabular.q_lineitem_agg,
         "top_customers": tabular.q_top_customers,
         "events_window": tabular.q_events_window,
+        "sessionize": tabular.q_sessionize,  # SQL-oracled (LAG/cumsum window)
+        "orders_asof": tabular.q_orders_asof,  # SQL-oracled (native ASOF JOIN)
         # documents: text analysis + dedup
         "token_counts": tabular.q_token_counts,
         "lang_distribution": tabular.q_lang_distribution,
         "exact_dedup_docs": tabular.q_exact_dedup_docs,
         # training-data ops (near-dup suite, similarity search, quality, multimodal)
         "minhash_dedup_docs": tabular.q_minhash_dedup,
+        "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
         "simhash_pairs": tabular.q_simhash_pairs,
         "doc_quality": tabular.q_doc_quality,  # SQL-oracled
         "doc_fingerprint": tabular.q_doc_fingerprint,  # rows-only (engine hash)
@@ -267,6 +296,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type, hour_bucket "
             "ORDER BY event_type, hour_bucket"
         ),
+        "sessionize": (
+            "WITH s AS (SELECT event_id, user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS nw "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT event_id, user_id, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)::BIGINT AS session_num FROM s ORDER BY event_id"
+        ),
+        "orders_asof": (
+            "WITH o2 AS (SELECT * FROM orders QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1) "
+            "SELECT e.event_id, e.user_id, COALESCE(o.o_orderkey, -1) AS o_orderkey, "
+            "ROUND(COALESCE(o.o_totalprice, 0.0), 2) AS o_totalprice "
+            "FROM events e ASOF LEFT JOIN o2 o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.event_id"
+        ),
+        "jaccard_pairs": _jaccard_sql(threshold=0.5),
         "token_counts": (
             "SELECT doc_id, (CASE WHEN TRIM(text) = '' THEN 0 "
             "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END)::BIGINT AS n_tokens "

@@ -390,6 +390,62 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
 
 
+def q_sessionize(sf_dir: str, gap_sec: float = 1800.0) -> pd.DataFrame:
+    """Gap-based sessionization of the event log (SURVEY.md §2.9): a user's
+    events split into sessions wherever the gap to the previous event exceeds
+    30 min; (ts, event_id) ordering pins simultaneous events. Hash-checked
+    against a DuckDB LAG/cumsum window oracle."""
+    from pagerank_ray.stages.temporal import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = sessionize(ds, gap_sec=gap_sec).to_pandas()
+    return (
+        out[["event_id", "user_id", "session_num"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_orders_asof(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join (custom operator — Ray Data has no asof): each
+    event picks the user's most recent order at-or-before the event time
+    (ties on order date → max orderkey); unmatched events take (-1, 0.0).
+    Hash-checked against DuckDB's native ASOF LEFT JOIN."""
+    from pagerank_ray.stages.temporal import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = asof_join(
+        ev,
+        orders,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_fill={"o_orderkey": -1, "o_totalprice": 0.0},
+        right_tiebreak=["o_orderkey"],
+    ).to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return (
+        out[["event_id", "user_id", "o_orderkey", "o_totalprice"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """EXACT n-gram-Jaccard similarity join over documents (prefix-filter
+    AllPairs — no LSH, no false negatives). Hash-checked against a DuckDB
+    all-pairs shingle-list oracle computing the identical word-3-gram
+    Jaccard."""
+    from pagerank_ray.stages.dedup import jaccard_similarity_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_similarity_join(docs, threshold=threshold)
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + exact dedup
 # ---------------------------------------------------------------------------

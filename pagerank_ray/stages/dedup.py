@@ -540,3 +540,151 @@ def embedding_near_dups(
     return (
         out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (prefix filtering — no false negatives)
+# ---------------------------------------------------------------------------
+
+def _shingle_rows(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
+    """(doc_id, text) batch → exploded (doc_id, shingle, doc_n) rows — the
+    doc's sorted-unique shingle hashes with its set size attached."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch.column(text_col).to_pylist()
+    arrs = [_token_shingles(t or "", k) for t in texts]
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, lens)),
+            "shingle": pa.array(
+                np.concatenate(arrs) if arrs else np.empty(0, np.uint64)
+            ),
+            "doc_n": pa.array(np.repeat(lens, lens)),
+        }
+    )
+
+
+def jaccard_similarity_join(
+    docs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """EXACT all-pairs similarity join: every doc pair with k-word-shingle
+    Jaccard ≥ threshold, via prefix filtering (AllPairs, Bayardo et al.,
+    WWW'07) — no LSH, no false negatives, no all-pairs blowup.
+
+    Shingles get a global total order (doc-frequency asc, hash asc); a doc of
+    n shingles exposes only its first ``n - ceil(threshold*n) + 1`` shingles
+    in that order (its PREFIX). Any pair with J ≥ threshold must share a
+    prefix shingle, so candidates are pairs co-occurring under some prefix
+    shingle — rare shingles by construction, which is what keeps the
+    per-shingle groups from exploding on common phrases. Candidates are then
+    verified with the exact Jaccard kernel. Returns (a, b, jacc) pairs,
+    a < b, jacc rounded to 6.
+    """
+    from pagerank_ray.pipelines.triangles import _segment_pairs
+    from pagerank_ray.stages.graph_build import dedup_pairs, grouped_count
+
+    exploded = docs.select_columns([id_col, text_col]).map_batches(
+        lambda t: _shingle_rows(t, id_col, text_col, shingle_k),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # global shingle doc-frequency (shingles are unique per doc)
+    freq = grouped_count(exploded.select_columns(["shingle"]), "shingle", "df")
+    freq_count = freq.count()
+    with_df = joins.attach_column(
+        exploded, freq, probe_col="shingle", build_key="shingle",
+        build_val="df", out_col="df", build_count=freq_count,
+        drop_probe_col=False,
+    )
+
+    # per-doc prefix: order shingles by (df, shingle), keep the first
+    # n - ceil(tau*n) + 1. Bucketed by doc so a doc's rows co-locate.
+    def bucket_doc(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mixed = (d * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column("bucket", pa.array((mixed % n_buckets).astype(np.int32)))
+
+    def keep_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        sh = df["shingle"].to_numpy()
+        dfreq = df["df"].to_numpy(dtype=np.int64)
+        n = df["doc_n"].to_numpy(dtype=np.int64)
+        order = np.lexsort((sh, dfreq, ids))
+        ids, sh, n = ids[order], sh[order], n[order]
+        starts = np.flatnonzero(np.concatenate([[True], ids[1:] != ids[:-1]]))
+        lengths = np.diff(np.append(starts, len(ids)))
+        rank = np.arange(len(ids)) - np.repeat(starts, lengths)
+        plen = n - np.ceil(threshold * n).astype(np.int64) + 1
+        keep = rank < plen
+        return pd.DataFrame({"shingle": sh[keep], "doc_id": ids[keep]})
+
+    prefix = (
+        with_df.map_batches(bucket_doc, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keep_prefix, batch_format="pandas")
+    )
+
+    # candidate pairs: docs sharing a prefix shingle. Bucket by shingle hash;
+    # one vectorized segment-pairs kernel per bucket (triangles idiom).
+    def bucket_shingle(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["shingle"].to_numpy().astype(np.uint64)
+        mixed = (s * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        df = df.copy()
+        df["bucket"] = (mixed % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def bucket_cands(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["shingle"].to_numpy().astype(np.uint64)
+        d = df["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+        lengths = np.diff(np.append(starts, len(s)))
+        first, second = _segment_pairs(lengths)
+        if not len(first):
+            return pd.DataFrame(
+                {"src_id": pd.Series(dtype=np.int64), "dst_id": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame({"src_id": d[first], "dst_id": d[second]})
+
+    cand = dedup_pairs(
+        prefix.map_batches(bucket_shingle, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_cands, batch_format="pandas")
+    )
+    pairs = cand.to_pandas()
+
+    # verify candidates with the exact Jaccard kernel (candidate texts only)
+    if not len(pairs):
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "jacc": pd.Series(dtype=np.float64)}
+        )
+    cand_ids = np.unique(
+        np.concatenate([pairs["src_id"].to_numpy(), pairs["dst_id"].to_numpy()])
+    )
+    texts_tab = joins._collect_arrow(
+        docs.select_columns([id_col, text_col]).map_batches(
+            lambda t: t.filter(
+                pa.compute.is_in(t.column(id_col), value_set=pa.array(cand_ids))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    text_by_id = dict(
+        zip(texts_tab.column(id_col).to_pylist(), texts_tab.column(text_col).to_pylist())
+    )
+    a = pairs["src_id"].to_numpy(dtype=np.int64)
+    b = pairs["dst_id"].to_numpy(dtype=np.int64)
+    jacc = np.array(
+        [ngram_jaccard(text_by_id[x], text_by_id[y], shingle_k) for x, y in zip(a, b)]
+    )
+    keep = jacc >= threshold
+    out = pd.DataFrame({"a": a[keep], "b": b[keep], "jacc": np.round(jacc[keep], 6)})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

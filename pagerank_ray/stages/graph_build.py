@@ -307,7 +307,8 @@ def build_edges(
 def _partial_counts(key: str):
     def fn(batch: pa.Table) -> pa.Table:
         ids, counts = np.unique(batch.column(key).to_numpy(zero_copy_only=False), return_counts=True)
-        return pa.table({key: pa.array(ids, pa.int64()), "_pc": pa.array(counts, pa.int64())})
+        # ids keep their native dtype (int64 vertex ids, uint64 shingle hashes)
+        return pa.table({key: pa.array(ids), "_pc": pa.array(counts, pa.int64())})
 
     return fn
 
@@ -319,9 +320,10 @@ def grouped_count(ds: rd.Dataset, key: str, out_col: str, *, n_buckets: int = 64
     partial = ds.map_batches(_partial_counts(key), batch_format="pyarrow")
 
     def bucketize(t: pa.Table) -> pa.Table:
-        k = t.column(key).to_numpy(zero_copy_only=False)
-        mixed = (k * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
-        return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+        # hash in uint64 (wraparound) so uint64 keys never upcast to float
+        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (k * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)
+        return t.append_column("bucket", pa.array((mixed % np.uint64(n_buckets)).astype(np.int32)))
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(key, sort=True)["_pc"].sum().reset_index()

@@ -1,0 +1,208 @@
+"""Temporal / streaming-shaped operators over event tables (SURVEY.md §2.9).
+
+Two operators Ray Data has no native primitive for, expressed with the
+engine's standard bucketed-kernel idiom (hash-bucket groupby → ONE vectorized
+kernel per bucket — graph_build.dedup_pairs style, never per-key map_groups):
+
+- ``sessionize``: gap-based session assignment. Events bucket by
+  ``hash(user)``, so every user's full history lands in exactly one bucket;
+  the kernel lexsorts (user, ts, id) and derives per-user session numbers
+  with one cumsum — no per-user Python.
+- ``asof_join``: for every left row, the latest right row of the same key
+  at-or-before the left timestamp (backward as-of). Both sides bucket by
+  the SAME key hash (co-partitioning), each bucket resolved by one
+  ``pd.merge_asof`` (vectorized C kernel).
+
+Partitioning assumption (documented per the custom-operator contract): a
+single key's rows fit one worker's heap. Skewed users/keys are bounded by
+the bucket count only in aggregate — a single pathological key would need
+salting by time range, which these tables don't exhibit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _hash_bucket(vals: np.ndarray, n_buckets: int) -> np.ndarray:
+    mixed = (vals.astype(np.int64) * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+    return (mixed % n_buckets).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_sec: float = 1800.0,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """(event, user, ts) → per-event 1-based session number.
+
+    A new session starts at a user's first event and whenever the gap to the
+    previous event is STRICTLY greater than ``gap_sec``. Ordering within a
+    user is (ts, event_id) — the id tie-break pins simultaneous events.
+    Returns (id_col, user_col, session_num).
+    """
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_hash_bucket(u, n_buckets)))
+
+    gap_us = int(round(gap_sec * 1_000_000))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    user_col: pd.Series(dtype=np.int64),
+                    "session_num": pd.Series(dtype=np.int64),
+                }
+            )
+        users = df[user_col].to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((ids, ts, users))
+        users_s, ids_s, ts_s = users[order], ids[order], ts[order]
+        first_of_user = np.concatenate([[True], users_s[1:] != users_s[:-1]])
+        gap_break = np.concatenate([[False], (ts_s[1:] - ts_s[:-1]) > gap_us])
+        new_session = first_of_user | gap_break
+        seg = np.cumsum(new_session)  # global session counter within bucket
+        # per-user 1-based numbering: subtract the counter just before the
+        # user's first session (vectorized via repeat of per-user offsets)
+        starts = np.flatnonzero(first_of_user)
+        lengths = np.diff(np.append(starts, len(users_s)))
+        base = np.repeat(seg[starts] - 1, lengths)
+        return pd.DataFrame(
+            {id_col: ids_s, user_col: users_s, "session_num": seg - base}
+        )
+
+    return (
+        events.select_columns([id_col, user_col, ts_col])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# backward as-of join
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_fill: dict,
+    right_tiebreak: list[str] | None = None,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Backward as-of LEFT join: each left row picks the right row with the
+    greatest ``right_on`` ≤ ``left_on`` among rows with matching key; left
+    rows with no qualifying right row take ``right_fill[col]`` (the fill
+    also pins each column's dtype — int fill → int64, float fill → float64 —
+    so every bucket emits the identical schema whether or not it saw nulls).
+
+    Among right rows tied on (key, time), the row sorting LAST by
+    ``right_tiebreak`` wins (``pd.merge_asof`` keeps the last occurrence of
+    an equal ``on`` value) — pass a unique column to make the pick
+    deterministic. Both sides hash-bucket by key and union into one groupby, so
+    each bucket's kernel sees every row of its keys; ``pd.merge_asof``
+    resolves the bucket in one vectorized pass.
+    """
+
+    def tag(side: int, on: str, by: str, cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            by_np = t.column(by).to_numpy(zero_copy_only=False)
+            out = {
+                "__side": pa.array(np.full(t.num_rows, side, dtype=np.int8)),
+                "__key": t.column(by),
+                "__t": t.column(on).cast(pa.timestamp("us")),
+                "bucket": pa.array(_hash_bucket(by_np, n_buckets)),
+            }
+            for c in cols:
+                out[c] = t.column(c)
+            return pa.table(out)
+
+        return fn
+
+    l_tagged = left.select_columns(
+        list(dict.fromkeys([left_by, left_on, *left_cols]))
+    ).map_batches(tag(0, left_on, left_by, left_cols), batch_format="pyarrow")
+    r_tagged = right.select_columns(
+        list(dict.fromkeys([right_by, right_on, *right_cols]))
+    ).map_batches(tag(1, right_on, right_by, right_cols), batch_format="pyarrow")
+
+    # union must not mix block schemas: pad each side with the other's value
+    # columns as nulls so both emit the identical arrow schema
+    def pad(missing: list[str], template: dict[str, pa.DataType]):
+        def fn(t: pa.Table) -> pa.Table:
+            for c in missing:
+                t = t.append_column(c, pa.nulls(t.num_rows, template[c]))
+            return t
+
+        return fn
+
+    l_schema = dict(zip(l_tagged.schema().names, l_tagged.schema().types))
+    r_schema = dict(zip(r_tagged.schema().names, r_tagged.schema().types))
+    l_missing = [c for c in right_cols if c not in l_schema]
+    r_missing = [c for c in left_cols if c not in r_schema]
+    order_cols = ["__side", "__key", "__t", "bucket", *left_cols, *right_cols]
+    both = l_tagged.map_batches(pad(l_missing, r_schema), batch_format="pyarrow").map_batches(
+        lambda t: t.select(order_cols), batch_format="pyarrow"
+    ).union(
+        r_tagged.map_batches(pad(r_missing, l_schema), batch_format="pyarrow").map_batches(
+            lambda t: t.select(order_cols), batch_format="pyarrow"
+        )
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        lf = df[df["__side"] == 0]
+        rf = df[df["__side"] == 1]
+        lf = lf[["__key", "__t", *left_cols]].sort_values("__t", kind="mergesort")
+        rf = rf[["__key", "__t", *right_cols]].sort_values(
+            ["__t", *(right_tiebreak or [])], kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            lf,
+            rf,
+            on="__t",
+            by="__key",
+            direction="backward",
+            suffixes=("", "__r"),
+        )
+        out = merged[[*left_cols]].copy()
+        for c in right_cols:
+            v = right_fill[c]
+            col = merged[c].fillna(v)
+            if isinstance(v, bool):
+                out[c] = col.astype(bool)
+            elif isinstance(v, (int, np.integer)):
+                out[c] = col.astype(np.int64)
+            elif isinstance(v, (float, np.floating)):
+                out[c] = col.astype(np.float64)
+            else:
+                out[c] = col
+        out[left_by] = merged["__key"].to_numpy()
+        out[left_on] = merged["__t"].to_numpy()
+        return out
+
+    return (
+        both.groupby("bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )

@@ -1,0 +1,136 @@
+"""Oracle tests for the temporal operators (sessionize, asof_join) and the
+exact Jaccard similarity join — NumPy/pandas references on randomized inputs
+with adversarial ties, plus exactness (no false negatives) for the prefix
+filter against brute-force all-pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from pagerank_ray.stages.dedup import jaccard_similarity_join, ngram_jaccard
+from pagerank_ray.stages.temporal import asof_join, sessionize
+
+
+def _events(n=4000, users=37, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = np.datetime64("2024-01-01", "us") + np.cumsum(
+        rng.integers(0, 40 * 60 * 1_000_000, n)
+    ).astype("timedelta64[us]")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, users, n).astype(np.int64),
+            "ts": ts,
+        }
+    )
+    # adversarial: duplicate timestamps within a user
+    dup = df.sample(frac=0.05, random_state=1).copy()
+    dup["event_id"] = np.arange(n, n + len(dup), dtype=np.int64)
+    return pd.concat([df, dup], ignore_index=True)
+
+
+def test_sessionize_matches_pandas_reference(ray_session):
+    df = _events()
+    got = (
+        sessionize(rd.from_pandas(df), gap_sec=1800.0, n_buckets=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    gap = ref.groupby("user_id")["ts"].diff().dt.total_seconds()
+    new = gap.isna() | (gap > 1800.0)
+    ref["session_num"] = new.groupby(ref["user_id"]).cumsum().astype(np.int64)
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert (got["event_id"].values == ref["event_id"].values).all()
+    assert (got["session_num"].values == ref["session_num"].values).all()
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    rng = np.random.default_rng(3)
+    ev = _events(n=1500, users=25, seed=11)
+    n_orders = 400
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_custkey": rng.integers(0, 30, n_orders).astype(np.int64),
+            "o_orderdate": np.datetime64("2024-01-01", "us")
+            + rng.integers(0, 10**12, n_orders).astype("timedelta64[us]"),
+            "o_totalprice": np.round(rng.uniform(1, 1000, n_orders), 2),
+        }
+    )
+    # adversarial: exact (cust, date) ties — max orderkey must win
+    ties = orders.iloc[:20].copy()
+    ties["o_orderkey"] = np.arange(n_orders, n_orders + 20, dtype=np.int64)
+    orders = pd.concat([orders, ties], ignore_index=True)
+
+    got = (
+        asof_join(
+            rd.from_pandas(ev),
+            rd.from_pandas(orders),
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            left_cols=["event_id"],
+            right_cols=["o_orderkey", "o_totalprice"],
+            right_fill={"o_orderkey": -1, "o_totalprice": 0.0},
+            right_tiebreak=["o_orderkey"],
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    r = orders.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+    ref = pd.merge_asof(
+        ev.sort_values("ts", kind="mergesort"),
+        r.rename(columns={"o_custkey": "user_id"}),
+        left_on="ts",
+        right_on="o_orderdate",
+        by="user_id",
+        direction="backward",
+    ).sort_values("event_id")
+    ref_key = ref["o_orderkey"].fillna(-1).astype(np.int64).values
+    ref_price = ref["o_totalprice"].fillna(0.0).values
+    assert (got["o_orderkey"].values == ref_key).all()
+    assert np.allclose(got["o_totalprice"].values, ref_price)
+
+
+def _docs():
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(8, 60)).tolist()) for _ in range(80)
+    ]
+    # planted near-dups: small token edits
+    for i in range(0, 20, 2):
+        toks = texts[i].split()
+        toks[len(toks) // 2] = "EDITED"
+        texts[i + 1] = " ".join(toks)
+    # degenerate: short docs (< k tokens) and an exact duplicate
+    texts += ["a b", "a b", "x", ""]
+    return pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+
+
+@pytest.mark.parametrize("tau", [0.3, 0.6])
+def test_jaccard_join_exact_vs_bruteforce(ray_session, tau):
+    docs = _docs()
+    got = jaccard_similarity_join(
+        rd.from_pandas(docs), threshold=tau, n_buckets=8
+    )
+    want = []
+    t = docs["text"].tolist()
+    for i in range(len(t)):
+        for j in range(i + 1, len(t)):
+            jac = ngram_jaccard(t[i], t[j], 3)
+            if jac >= tau:
+                want.append((i, j, round(jac, 6)))
+    want_df = pd.DataFrame(want, columns=["a", "b", "jacc"]).sort_values(["a", "b"])
+    assert len(got) == len(want_df), f"pairs {len(got)} vs brute {len(want_df)}"
+    assert (got["a"].values == want_df["a"].values).all()
+    assert (got["b"].values == want_df["b"].values).all()
+    assert np.allclose(got["jacc"].values, want_df["jacc"].values)
