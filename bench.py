@@ -186,9 +186,12 @@ def headline(ncpu: int) -> dict:
     timed("lineitem_agg", lambda: tabular.q_lineitem_agg(SF_DIR))
     timed("top_customers", lambda: tabular.q_top_customers(SF_DIR))
     timed("events_window", lambda: tabular.q_events_window(SF_DIR))
+    timed("sessionize", lambda: tabular.q_sessionize(SF_DIR))
+    timed("orders_asof", lambda: tabular.q_orders_asof(SF_DIR))
     # documents
     timed("token_counts", lambda: tabular.q_token_counts(SF_DIR).materialize().count())
     timed("exact_dedup_docs", lambda: tabular.q_exact_dedup_docs(SF_DIR))
+    timed("jaccard_pairs", lambda: tabular.q_jaccard_pairs(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -546,12 +546,26 @@ def embedding_near_dups(
 # exact n-gram Jaccard similarity join (prefix filtering — no false negatives)
 # ---------------------------------------------------------------------------
 
+def _batch_shingle_arrays(texts: list[str], k: int) -> list[np.ndarray]:
+    """Per-doc sorted-unique shingle hashes with ONE vectorized token-hash
+    call for the whole batch (the MinHasher._signatures tokenization idiom —
+    no per-doc pd.util.hash invocation)."""
+    tok_lists = [(t or "").split() for t in texts]
+    flat = [tok for toks in tok_lists for tok in toks]
+    th_all = _hash_tokens(flat)
+    lengths = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    starts = np.concatenate([[0], np.cumsum(lengths)])
+    return [
+        _shingles_from_token_hashes(th_all[starts[i] : starts[i + 1]], k)
+        for i in range(len(texts))
+    ]
+
+
 def _shingle_rows(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
     """(doc_id, text) batch → exploded (doc_id, shingle, doc_n) rows — the
     doc's sorted-unique shingle hashes with its set size attached."""
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    texts = batch.column(text_col).to_pylist()
-    arrs = [_token_shingles(t or "", k) for t in texts]
+    arrs = _batch_shingle_arrays(batch.column(text_col).to_pylist(), k)
     lens = np.array([len(a) for a in arrs], dtype=np.int64)
     return pa.table(
         {
@@ -581,10 +595,16 @@ def jaccard_similarity_join(
     n shingles exposes only its first ``n - ceil(threshold*n) + 1`` shingles
     in that order (its PREFIX). Any pair with J ≥ threshold must share a
     prefix shingle, so candidates are pairs co-occurring under some prefix
-    shingle — rare shingles by construction, which is what keeps the
-    per-shingle groups from exploding on common phrases. Candidates are then
-    verified with the exact Jaccard kernel. Returns (a, b, jacc) pairs,
-    a < b, jacc rounded to 6.
+    shingle — rare shingles by construction. Candidates additionally pass the
+    LENGTH filter (J ≥ τ forces τ·|larger| ≤ |smaller|) before the exact
+    verify, which runs DISTRIBUTED: candidate docs' shingle sets broadcast
+    once as one CSR blob (``ray.put``), each pair batch verified with
+    vectorized sorted-array intersections — no driver-side per-pair Python,
+    no re-tokenization. Returns (a, b, jacc) pairs, a < b, jacc rounded to 6.
+
+    Scale note: the broadcast verify assumes candidate docs × shingles fits
+    the object store (bounded by the corpus' true near-dup rate + filter
+    selectivity, the same bound the minhash verify relies on).
     """
     from pagerank_ray.pipelines.triangles import _segment_pairs
     from pagerank_ray.stages.graph_build import dedup_pairs, grouped_count
@@ -622,7 +642,9 @@ def jaccard_similarity_join(
         rank = np.arange(len(ids)) - np.repeat(starts, lengths)
         plen = n - np.ceil(threshold * n).astype(np.int64) + 1
         keep = rank < plen
-        return pd.DataFrame({"shingle": sh[keep], "doc_id": ids[keep]})
+        return pd.DataFrame(
+            {"shingle": sh[keep], "doc_id": ids[keep], "doc_n": n[keep]}
+        )
 
     prefix = (
         with_df.map_batches(bucket_doc, batch_format="pyarrow")
@@ -630,8 +652,9 @@ def jaccard_similarity_join(
         .map_groups(keep_prefix, batch_format="pandas")
     )
 
-    # candidate pairs: docs sharing a prefix shingle. Bucket by shingle hash;
-    # one vectorized segment-pairs kernel per bucket (triangles idiom).
+    # candidate pairs: docs sharing a prefix shingle AND passing the length
+    # filter. Bucket by shingle hash; one vectorized segment-pairs kernel per
+    # bucket (triangles idiom).
     def bucket_shingle(df: pd.DataFrame) -> pd.DataFrame:
         s = df["shingle"].to_numpy().astype(np.uint64)
         mixed = (s * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
@@ -642,8 +665,9 @@ def jaccard_similarity_join(
     def bucket_cands(df: pd.DataFrame) -> pd.DataFrame:
         s = df["shingle"].to_numpy().astype(np.uint64)
         d = df["doc_id"].to_numpy(dtype=np.int64)
+        n = df["doc_n"].to_numpy(dtype=np.int64)
         order = np.lexsort((d, s))
-        s, d = s[order], d[order]
+        s, d, n = s[order], d[order], n[order]
         starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
         lengths = np.diff(np.append(starts, len(s)))
         first, second = _segment_pairs(lengths)
@@ -651,40 +675,79 @@ def jaccard_similarity_join(
             return pd.DataFrame(
                 {"src_id": pd.Series(dtype=np.int64), "dst_id": pd.Series(dtype=np.int64)}
             )
-        return pd.DataFrame({"src_id": d[first], "dst_id": d[second]})
+        na, nb = n[first], n[second]
+        ok = np.minimum(na, nb) >= np.ceil(threshold * np.maximum(na, nb))
+        return pd.DataFrame({"src_id": d[first][ok], "dst_id": d[second][ok]})
 
     cand = dedup_pairs(
         prefix.map_batches(bucket_shingle, batch_format="pandas")
         .groupby("bucket")
         .map_groups(bucket_cands, batch_format="pandas")
-    )
-    pairs = cand.to_pandas()
+    ).materialize()
 
-    # verify candidates with the exact Jaccard kernel (candidate texts only)
-    if not len(pairs):
+    # distinct candidate doc ids (bounded by filter selectivity)
+    from pagerank_ray.stages.graph_build import distinct_values
+
+    cand_id_rows = cand.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        t.column("src_id").combine_chunks(),
+                        t.column("dst_id").combine_chunks(),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cand_ids_tab = joins._collect_arrow(distinct_values(cand_id_rows, "doc_id"))
+    cand_ids = np.sort(cand_ids_tab.column("doc_id").to_numpy(zero_copy_only=False))
+    if not len(cand_ids):
         return pd.DataFrame(
             {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
              "jacc": pd.Series(dtype=np.float64)}
         )
-    cand_ids = np.unique(
-        np.concatenate([pairs["src_id"].to_numpy(), pairs["dst_id"].to_numpy()])
-    )
-    texts_tab = joins._collect_arrow(
-        docs.select_columns([id_col, text_col]).map_batches(
+
+    # candidate docs' shingle sets as one broadcast CSR blob: rows of
+    # `exploded` are already per-doc SORTED (np.unique output order)
+    sh_tab = joins._collect_arrow(
+        exploded.map_batches(
             lambda t: t.filter(
-                pa.compute.is_in(t.column(id_col), value_set=pa.array(cand_ids))
+                pa.compute.is_in(t.column("doc_id"), value_set=pa.array(cand_ids))
             ),
             batch_format="pyarrow",
+        ).select_columns(["doc_id", "shingle"])
+    )
+    sid = sh_tab.column("doc_id").to_numpy(zero_copy_only=False)
+    ssh = sh_tab.column("shingle").to_numpy(zero_copy_only=False)
+    order = np.argsort(sid, kind="stable")  # stable: keeps per-doc shingle sort
+    sid, ssh = sid[order], ssh[order]
+    doc_starts = np.searchsorted(sid, cand_ids)
+    doc_ends = np.append(doc_starts[1:], len(sid))
+    ref = ray.put((cand_ids, doc_starts, doc_ends, ssh))
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids_u, st, en, sh = joins.broadcast_get(ref, lambda v: v, "jacc-shingles")
+        a = t.column("src_id").to_numpy(zero_copy_only=False)
+        b = t.column("dst_id").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids_u, a)
+        ib = np.searchsorted(ids_u, b)
+        jacc = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            sa = sh[st[ia[i]] : en[ia[i]]]
+            sb = sh[st[ib[i]] : en[ib[i]]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jacc[i] = inter / union if union else 1.0
+        keep = jacc >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jacc": pa.array(np.round(jacc[keep], 6)),
+            }
         )
-    )
-    text_by_id = dict(
-        zip(texts_tab.column(id_col).to_pylist(), texts_tab.column(text_col).to_pylist())
-    )
-    a = pairs["src_id"].to_numpy(dtype=np.int64)
-    b = pairs["dst_id"].to_numpy(dtype=np.int64)
-    jacc = np.array(
-        [ngram_jaccard(text_by_id[x], text_by_id[y], shingle_k) for x, y in zip(a, b)]
-    )
-    keep = jacc >= threshold
-    out = pd.DataFrame({"a": a[keep], "b": b[keep], "jacc": np.round(jacc[keep], 6)})
+
+    out = cand.map_batches(verify, batch_format="pyarrow", batch_size=8192).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
