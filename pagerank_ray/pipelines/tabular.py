@@ -625,8 +625,11 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
 
 
 def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
-    """Image-feature plumbing over a deterministic synthetic media table
-    (codecs are stubbed in this container; see stages/multimodal.py)."""
+    """Image features over a deterministic synthetic media table with REAL
+    payloads: PPM/BMP images decode with the pure-numpy parser (resize +
+    block-mean embedding); PPM-stream video and WAV audio likewise parse for
+    real. Only compressed codecs (JPEG/MP4) are stubbed — the libraries are
+    not in this container (stages/multimodal.py)."""
     import ray.data as rd2
 
     from pagerank_ray.stages.multimodal import image_features, synth_media

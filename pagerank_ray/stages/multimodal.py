@@ -1,21 +1,30 @@
-"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns.
+"""Multimodal columns: image/audio/video as ``binary`` payloads + typed
+metadata, processed by actor-pool ``map_batches`` stages (decoder state built
+once per actor in ``__init__``; small ``batch_size`` because rows are wide —
+SURVEY.md memory notes).
 
-The engine treats media as ``binary`` payload + typed metadata columns and
-runs decode / feature-extract / resize / frame-sample as actor-pool
-``map_batches`` stages (decoder state loaded once per actor; small
-``batch_size`` because rows are wide — SURVEY.md memory notes).
+Decode is REAL for every codec-free container this environment can parse:
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are STUBBED: ``deterministic_fake=True`` produces seeded fake
-outputs (stable per content hash) so the Ray-side plumbing — schema, batch
-sizing, actor signature, output layout — is real and tested;
-``deterministic_fake=False`` raises NotImplementedError at the exact point a
-codec would be called.
+- images: PPM (P6) and uncompressed 24-bit BMP — pure-numpy header parse +
+  ``np.frombuffer``, vectorized nearest-neighbour resize, and a real
+  deterministic feature embedding (block-mean grayscale grid, L2-normalized).
+- video: PPM-STREAM (concatenated P6 frames) — frame boundaries parsed from
+  the payload itself; the sampler emits real frame bytes at the requested
+  temporal spacing.
+- audio: WAV/PCM 16-bit — RIFF chunk walk + ``np.frombuffer``; features are
+  per-window RMS energy + zero-crossing rate.
+
+Compressed codecs (JPEG/PNG/MP4/…) genuinely need external libraries that are
+not in this container; those payloads raise ``NotImplementedError`` at the
+exact call site a codec would slot into — or, with
+``deterministic_fake=True``, produce a seeded stand-in embedding (stable per
+content hash) so plumbing tests can exercise arbitrary bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -44,15 +53,151 @@ IMAGE_FEATURES = pa.schema(
 )
 
 
+# ---------------------------------------------------------------------------
+# real codec-free parsers (pure numpy / struct)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _ppm_header(payload: bytes, off: int = 0) -> tuple[int, int, int]:
+    """Parse one P6 header at ``off``; returns (width, height, data_offset)."""
+    if payload[off : off + 2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    fields, pos = [], off + 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    return w, h, pos + 1  # single whitespace after maxval
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 PPM → (h, w, 3) uint8."""
+    w, h, off = _ppm_header(payload)
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 (RGB). Pure numpy: rows are
+    bottom-up, padded to 4-byte boundaries, channels stored BGR."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<IiI", payload, 14)[:3]
+    w2, h2 = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    w, h = w2, abs(h2)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h2 > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def resize_nearest(img: np.ndarray, target: tuple[int, int]) -> np.ndarray:
+    """(h, w, c) → (th, tw, c) nearest-neighbour, fully vectorized."""
+    tw, th = target
+    h, w = img.shape[:2]
+    yi = (np.arange(th) * h // th).clip(0, h - 1)
+    xi = (np.arange(tw) * w // tw).clip(0, w - 1)
+    return img[yi[:, None], xi[None, :]]
+
+
+def image_embedding(img: np.ndarray, embed_dim: int) -> np.ndarray:
+    """Real deterministic feature vector: grayscale block means on a g×g grid
+    (g = ⌈√embed_dim⌉, truncated to embed_dim), L2-normalized float32."""
+    g = int(np.ceil(np.sqrt(embed_dim)))
+    gray = resize_nearest(img, (g * 8, g * 8)).astype(np.float32).mean(axis=2)
+    blocks = gray.reshape(g, 8, g, 8).mean(axis=(1, 3)).reshape(-1)[:embed_dim]
+    norm = float(np.linalg.norm(blocks))
+    return (blocks / norm if norm else blocks).astype(np.float32)
+
+
+def ppm_stream_frames(payload: bytes) -> list[tuple[int, int]]:
+    """Frame boundaries [(offset, length), ...] of a concatenated-P6 stream."""
+    frames, off = [], 0
+    while off < len(payload):
+        w, h, data_off = _ppm_header(payload, off)
+        end = data_off + w * h * 3
+        frames.append((off, end - off))
+        off = end
+    return frames
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples → WAV/PCM bytes."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV/PCM 16-bit → (float32 mono samples in [-1, 1], sample_rate).
+    Walks RIFF chunks; multi-channel audio is averaged to mono."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, channels, data = 12, None, 1, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
+            bits = struct.unpack_from("<H", payload, body + 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError("only PCM 16-bit supported")
+        elif cid == b"data":
+            data = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    x = data.astype(np.float32) / 32768.0
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
 def _content_seed(payload: bytes) -> int:
     return int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
 
 
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
+
 class DecodeImage:
     """Actor-pool stage: payload → fixed-dim feature vector.
 
-    Real deployment: ``__init__`` loads the vision model once per actor;
-    ``__call__`` runs batched inference. Here the decode is stubbed.
+    PPM/BMP payloads take the REAL decode → resize → block-embedding path.
+    Compressed formats raise NotImplementedError (codec not in container) —
+    or produce a seeded stand-in when ``deterministic_fake=True``. A heavier
+    model would load in ``__init__`` (once per actor), exactly where the
+    resize/grid constants are pinned now.
     """
 
     def __init__(self, embed_dim: int = 64, target: tuple[int, int] = (224, 224),
@@ -60,33 +205,50 @@ class DecodeImage:
         self.embed_dim = embed_dim
         self.target = target
         self.fake = deterministic_fake
-        # real impl: self.model = load_model(); compiled once per actor
 
-    def _decode(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "image codec not available in this environment; "
-                "install PIL/torchvision and implement decode here"
-            )
-        rng = np.random.default_rng(_content_seed(payload))
-        return rng.standard_normal(self.embed_dim).astype(np.float32)
+    def _decode(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        if payload[:2] == b"P6":
+            img = decode_ppm(payload)
+        elif payload[:2] == b"BM":
+            img = decode_bmp(payload)
+        else:
+            if not self.fake:
+                raise NotImplementedError(
+                    "compressed image codec not available in this environment; "
+                    "install PIL and decode here"
+                )
+            rng = np.random.default_rng(_content_seed(payload))
+            return rng.standard_normal(self.embed_dim).astype(np.float32), -1, -1
+        h, w = img.shape[:2]
+        img = resize_nearest(img, self.target)
+        return image_embedding(img, self.embed_dim), w, h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = [self._decode(p or b"") for p in payloads]
+        feats, ws, hs = [], [], []
+        for p in payloads:
+            f, w, h = self._decode(p or b"")
+            feats.append(f)
+            ws.append(w)
+            hs.append(h)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "embedding": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
-                "decoded_w": pa.array([self.target[0]] * len(feats), pa.int32()),
-                "decoded_h": pa.array([self.target[1]] * len(feats), pa.int32()),
+                "decoded_w": pa.array(ws, pa.int32()),
+                "decoded_h": pa.array(hs, pa.int32()),
             }
         )
 
 
 class FrameSampler:
-    """Actor-pool stage: video payload → every-nth-frame payload rows
-    (flat_map shape: one input row → several output rows)."""
+    """Actor-pool stage: video payload → sampled frame rows (flat_map shape).
+
+    PPM-stream payloads are REALLY parsed: frame boundaries come from the
+    container bytes, timestamps spread uniformly over ``duration_ms``, and the
+    emitted ``frame`` bytes are the actual P6 frames at ≥ ``every_ms``
+    spacing (first frame always kept). Other containers stub/fake as above.
+    """
 
     def __init__(self, every_ms: int = 1000, deterministic_fake: bool = True):
         self.every_ms = every_ms
@@ -100,14 +262,26 @@ class FrameSampler:
         )
         out_id, out_ts, out_frame = [], [], []
         for mid, payload, dur in zip(ids, payloads, durs):
+            payload = payload or b""
+            if payload[:2] == b"P6":
+                frames = ppm_stream_frames(payload)
+                n = len(frames)
+                ts = [int(i * (dur or 0) / n) for i in range(n)]
+                last = -self.every_ms
+                for i, (off, ln) in enumerate(frames):
+                    if i == 0 or ts[i] - last >= self.every_ms:
+                        out_id.append(mid)
+                        out_ts.append(ts[i])
+                        out_frame.append(payload[off : off + ln])
+                        last = ts[i]
+                continue
             if not self.fake:
                 raise NotImplementedError("video codec not available; stub")
             n_frames = max(1, (dur or 0) // self.every_ms)
-            seed = _content_seed(payload or b"")
+            seed = _content_seed(payload)
             for f in range(n_frames):
                 out_id.append(mid)
                 out_ts.append(f * self.every_ms)
-                # fake frame bytes: deterministic per (content, frame index)
                 out_frame.append(hashlib.sha256(f"{seed}:{f}".encode()).digest())
         return pa.table(
             {
@@ -117,6 +291,47 @@ class FrameSampler:
             }
         )
 
+
+class DecodeAudio:
+    """Actor-pool stage: WAV/PCM payload → per-window RMS energy + global
+    zero-crossing rate. Real parse for WAV; others stub/fake."""
+
+    def __init__(self, n_windows: int = 16, deterministic_fake: bool = True):
+        self.n_windows = n_windows
+        self.fake = deterministic_fake
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        if payload[:4] == b"RIFF":
+            x, _ = decode_wav(payload)
+            n = self.n_windows
+            if not len(x):
+                return np.zeros(n + 1, dtype=np.float32)
+            edges = (np.arange(n + 1) * len(x) // n).astype(np.int64)
+            sq = np.concatenate([[0.0], np.cumsum(x.astype(np.float64) ** 2)])
+            counts = np.maximum(np.diff(edges), 1)
+            rms = np.sqrt(np.diff(sq[edges]) / counts)
+            zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            return np.concatenate([rms, [zcr]]).astype(np.float32)
+        if not self.fake:
+            raise NotImplementedError("audio codec not available; stub")
+        rng = np.random.default_rng(_content_seed(payload))
+        return rng.standard_normal(self.n_windows + 1).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(p or b"") for p in batch.column("payload").to_pylist()]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "audio_features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# pipelines + synthetic real-format media
+# ---------------------------------------------------------------------------
 
 def image_features(
     media: rd.Dataset, *, embed_dim: int = 64, concurrency: int = 4, batch_size: int = 64
@@ -145,17 +360,68 @@ def sample_frames(
     )
 
 
+def audio_features(
+    media: rd.Dataset, *, n_windows: int = 16, concurrency: int = 4, batch_size: int = 64
+) -> rd.Dataset:
+    return media.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs={"n_windows": n_windows},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=joins.pool_size(concurrency),
+        num_cpus=1,
+    )
+
+
+def _synth_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Seeded gradient + noise image — real pixels, deterministic."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ],
+        axis=2,
+    )
+    noise = rng.integers(-20, 21, (h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
 def synth_media(n: int, seed: int = 5) -> pa.Table:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media table with REAL payloads: PPM images, PPM-stream
+    videos, WAV audio (every 5th row)."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, 128, dtype=np.uint8).tobytes() for _ in range(n)]
+    ids, types, payloads, ws, hs, durs = [], [], [], [], [], []
+    for i in range(n):
+        ids.append(i)
+        if i % 5 == 4:
+            rate = 8000
+            t = np.arange(rate // 2, dtype=np.float64) / rate
+            freq = float(rng.uniform(100, 1000))
+            x = (0.5 * np.sin(2 * np.pi * freq * t) + rng.normal(0, 0.01, len(t)))
+            payloads.append(encode_wav((x * 32767).clip(-32768, 32767).astype(np.int16), rate))
+            types.append("audio")
+            ws.append(-1); hs.append(-1); durs.append(500)
+        elif i % 3 == 0:
+            nf = int(rng.integers(2, 6))
+            w, h = 32, 24
+            stream = b"".join(encode_ppm(_synth_image(rng, w, h)) for _ in range(nf))
+            payloads.append(stream)
+            types.append("video")
+            ws.append(w); hs.append(h); durs.append(int(rng.integers(500, 5000)))
+        else:
+            w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            payloads.append(encode_ppm(_synth_image(rng, w, h)))
+            types.append("image")
+            ws.append(w); hs.append(h); durs.append(0)
     return pa.table(
         {
-            "media_id": pa.array(np.arange(n, dtype=np.int64)),
-            "media_type": pa.array(["image" if i % 3 else "video" for i in range(n)]),
+            "media_id": pa.array(np.array(ids, dtype=np.int64)),
+            "media_type": pa.array(types),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array([640] * n, pa.int32()),
-            "height": pa.array([480] * n, pa.int32()),
-            "duration_ms": pa.array([int(rng.integers(500, 5000)) for _ in range(n)], pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
         }
     )

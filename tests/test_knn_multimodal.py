@@ -81,16 +81,103 @@ def test_image_features_plumbing(ray_session):
     np.testing.assert_array_equal(a, b)
 
 
-def test_frame_sampler_plumbing(ray_session):
-    media = rd.from_arrow(synth_media(12))
+def test_frame_sampler_real_ppm_stream(ray_session):
+    from pagerank_ray.stages.multimodal import ppm_stream_frames
+
+    media_tab = synth_media(12)
+    media = rd.from_arrow(media_tab)
     frames = sample_frames(media, every_ms=1000, concurrency=2).to_pandas()
-    durs = synth_media(12).column("duration_ms").to_pylist()
-    expected = sum(max(1, d // 1000) for d in durs)
-    assert len(frames) == expected
-    assert (frames["frame"].map(len) == 32).all()
+    # reference: every frame's ts (uniform over duration), sampled at >= 1000ms
+    expected = 0
+    for ty, payload, dur in zip(
+        media_tab.column("media_type").to_pylist(),
+        media_tab.column("payload").to_pylist(),
+        media_tab.column("duration_ms").to_pylist(),
+    ):
+        if ty != "video":
+            continue
+        n = len(ppm_stream_frames(payload))
+        ts = [int(i * dur / n) for i in range(n)]
+        last, cnt = None, 0
+        for t in ts:
+            if last is None or t - last >= 1000:
+                cnt, last = cnt + 1, t
+        expected += cnt
+    vids = frames[frames["media_id"].isin(
+        [i for i, t in enumerate(media_tab.column("media_type").to_pylist()) if t == "video"]
+    )]
+    assert len(vids) == expected
+    # emitted frames are REAL P6 images, decodable back to (24, 32, 3)
+    from pagerank_ray.stages.multimodal import decode_ppm
+
+    img = decode_ppm(vids.iloc[0]["frame"])
+    assert img.shape == (24, 32, 3)
 
 
 def test_real_decode_path_raises():
+    import pyarrow as pa
+
     dec = DecodeImage(deterministic_fake=False)
+    fake_jpeg = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([b"\xff\xd8\xff\xe0 not a real jpeg"], pa.binary()),
+        }
+    )
     with pytest.raises(NotImplementedError):
-        dec(synth_media(2))
+        dec(fake_jpeg)
+
+
+def test_image_decode_roundtrip_and_embedding():
+    from pagerank_ray.stages.multimodal import (
+        decode_bmp, decode_ppm, encode_ppm, image_embedding, resize_nearest,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+    # hand-built 2x2 24-bit BMP (bottom-up, BGR, stride padded to 8)
+    import struct
+
+    px = {(0, 0): (255, 0, 0), (0, 1): (0, 255, 0), (1, 0): (0, 0, 255), (1, 1): (9, 8, 7)}
+    rows = b""
+    for y in (1, 0):  # bottom-up
+        r = b""
+        for x in (0, 1):
+            rr, gg, bb = px[(y, x)]
+            r += bytes([bb, gg, rr])
+        rows += r + b"\x00\x00"  # pad 6 -> 8
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    bmp = hdr + info + rows
+    out = decode_bmp(bmp)
+    for (y, x), v in px.items():
+        assert tuple(out[y, x]) == v
+    # embedding: real, deterministic, unit-norm
+    e = image_embedding(img, 16)
+    assert e.shape == (16,) and abs(float(np.linalg.norm(e)) - 1.0) < 1e-5
+    # resize: nearest keeps corner pixels
+    rs = resize_nearest(img, (8, 8))
+    assert rs.shape == (8, 8, 3) and tuple(rs[0, 0]) == tuple(img[0, 0])
+
+
+def test_audio_wav_features(ray_session):
+    from pagerank_ray.stages.multimodal import audio_features, decode_wav, encode_wav
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64) / rate
+    x = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    wav = encode_wav(x, rate)
+    dec, r = decode_wav(wav)
+    assert r == rate and len(dec) == rate
+    np.testing.assert_allclose(dec, x / 32768.0, atol=1e-4)
+    media = rd.from_arrow(synth_media(20))
+    audio_ids = [i for i in range(20) if i % 5 == 4]
+    feats = audio_features(media, n_windows=8, concurrency=2).to_pandas()
+    feats = feats[feats["media_id"].isin(audio_ids)]
+    assert len(feats) == len(audio_ids)
+    for v in feats["audio_features"]:
+        arr = np.asarray(v)
+        assert arr.shape == (9,)
+        # pure-ish sine at 0.5 amplitude: every RMS window near 0.35
+        assert np.all(arr[:8] > 0.2) and np.all(arr[:8] < 0.5)
