@@ -187,6 +187,15 @@ def asof_join(
             suffixes=("", "__r"),
         )
         out = merged[[*left_cols]].copy()
+        # the padded union made left columns nullable (float64 in pandas) —
+        # left rows themselves are never null there, so restore the declared
+        # arrow dtype losslessly
+        for c in left_cols:
+            t_arrow = l_schema[c]
+            if pa.types.is_integer(t_arrow):
+                out[c] = out[c].astype(np.int64)
+            elif pa.types.is_boolean(t_arrow):
+                out[c] = out[c].astype(bool)
         for c in right_cols:
             v = right_fill[c]
             col = merged[c].fillna(v)

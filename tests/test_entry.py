@@ -57,8 +57,12 @@ def test_query_matches_oracle(ray_session, name):
     assert len(got) == len(want)
     for col in got.columns:
         a, b = got[col].to_numpy(), want[col].to_numpy()
-        if a.dtype.kind == "f" or b.dtype.kind == "f":
-            np.testing.assert_allclose(a.astype(float), b.astype(float), atol=1e-9)
+        # dtype KIND must agree (int result vs float oracle would fail the
+        # driver's stringified value hash even when values are numerically equal)
+        kind = lambda d: "i" if d.kind in "iu" else d.kind
+        assert kind(a.dtype) == kind(b.dtype), (col, a.dtype, b.dtype)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b.astype(float), atol=1e-9)
         else:
             assert (a == b).all(), col
 
