@@ -232,6 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": tabular.q_events_window,
         "sessionize": tabular.q_sessionize,  # SQL-oracled (LAG/cumsum window)
         "orders_asof": tabular.q_orders_asof,  # SQL-oracled (native ASOF JOIN)
+        "events_hopping": tabular.q_events_hopping,  # SQL-oracled (explode windows)
+        "top_orders_per_customer": tabular.q_top_orders_per_customer,  # SQL-oracled (QUALIFY)
+        "error_burst": tabular.q_error_burst,  # SQL-oracled (range join)
         # documents: text analysis + dedup
         "token_counts": tabular.q_token_counts,
         "lang_distribution": tabular.q_lang_distribution,
@@ -310,6 +313,26 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(COALESCE(o.o_totalprice, 0.0), 2) AS o_totalprice "
             "FROM events e ASOF LEFT JOIN o2 o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.event_id"
+        ),
+        "events_hopping": (
+            "WITH x AS (SELECT event_type, value, epoch_us(ts)//1800000000 AS hb FROM events), "
+            "e2 AS (SELECT event_type, value, hb*1800000000 AS window_start FROM x "
+            "UNION ALL SELECT event_type, value, (hb-1)*1800000000 FROM x) "
+            "SELECT event_type, window_start, COUNT(*)::BIGINT AS n_events, "
+            "ROUND(SUM(value), 4) AS sum_value FROM e2 GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "top_orders_per_customer": (
+            "SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"
+            "::BIGINT AS rank FROM orders "
+            "QUALIFY rank <= 3 ORDER BY o_custkey, rank"
+        ),
+        "error_burst": (
+            "SELECT err.event_id, COUNT(e.event_id)::BIGINT AS n_events "
+            "FROM (SELECT * FROM events WHERE event_type = 'error') err "
+            "LEFT JOIN events e ON e.user_id = err.user_id "
+            "AND e.ts >= err.ts AND e.ts < err.ts + INTERVAL 1 HOUR "
+            "GROUP BY err.event_id ORDER BY err.event_id"
         ),
         "jaccard_pairs": _jaccard_sql(threshold=0.5),
         "token_counts": (

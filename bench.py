@@ -188,6 +188,9 @@ def headline(ncpu: int) -> dict:
     timed("events_window", lambda: tabular.q_events_window(SF_DIR))
     timed("sessionize", lambda: tabular.q_sessionize(SF_DIR))
     timed("orders_asof", lambda: tabular.q_orders_asof(SF_DIR))
+    timed("events_hopping", lambda: tabular.q_events_hopping(SF_DIR))
+    timed("top_orders_per_customer", lambda: tabular.q_top_orders_per_customer(SF_DIR))
+    timed("error_burst", lambda: tabular.q_error_burst(SF_DIR))
     # documents
     timed("token_counts", lambda: tabular.q_token_counts(SF_DIR).materialize().count())
     timed("exact_dedup_docs", lambda: tabular.q_exact_dedup_docs(SF_DIR))

@@ -390,6 +390,168 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
 
 
+def q_events_hopping(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) 1-hour windows with a 30-min hop per event_type —
+    every event contributes to the TWO windows covering it (flat_map-style
+    explode inside ``map_batches``, then the same grouped aggregation as the
+    tumbling case). SQL-checked against a DuckDB UNION-ALL explode oracle."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    hop_us = 1_800_000_000  # 30 min; window width = 2 hops = 1 h
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hb = ts // hop_us
+        et = t.column("event_type")
+        val = t.column("value")
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays([et.combine_chunks()] * 2),
+                "window_start": pa.array(
+                    np.concatenate([hb * hop_us, (hb - 1) * hop_us]), pa.int64()
+                ),
+                "value": pa.concat_arrays([val.combine_chunks()] * 2),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def q_top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k (window-function op): each customer's k most expensive
+    orders, rank pinned by (price desc, orderkey asc). Bucketed by customer
+    hash — one vectorized lexsort+rank kernel per bucket, no per-customer
+    groups. SQL-checked against a DuckDB QUALIFY row_number oracle."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        mixed = (c * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column("bucket", pa.array((mixed % 64).astype(np.int32)))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        cust = df["o_custkey"].to_numpy(dtype=np.int64)
+        key = df["o_orderkey"].to_numpy(dtype=np.int64)
+        price = df["o_totalprice"].to_numpy(dtype=np.float64)
+        order = np.lexsort((key, -price, cust))
+        cust, key, price = cust[order], key[order], price[order]
+        starts = np.flatnonzero(np.concatenate([[True], cust[1:] != cust[:-1]]))
+        lengths = np.diff(np.append(starts, len(cust)))
+        rank = np.arange(len(cust)) - np.repeat(starts, lengths) + 1
+        keep = rank <= k
+        return pd.DataFrame(
+            {
+                "o_custkey": cust[keep],
+                "o_orderkey": key[keep],
+                "o_totalprice": np.round(price[keep], 2),
+                "rank": rank[keep].astype(np.int64),
+            }
+        )
+
+    out = (
+        orders.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+
+
+def q_error_burst(sf_dir: str, window_sec: int = 3600) -> pd.DataFrame:
+    """Interval/range join (custom operator — Ray Data has no range join):
+    for every "error" event, the number of the SAME user's events (any type,
+    itself included) in the following hour. Both sides co-partition by user
+    hash; each bucket resolves with two vectorized ``searchsorted`` calls on
+    a rank-space composite of the bucket's (user, ts)-sorted event timeline —
+    no per-key loop, no all-pairs. SQL-checked against a DuckDB
+    range-predicate join."""
+    from pagerank_ray.stages.temporal import _hash_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    win_us = np.int64(window_sec) * 1_000_000
+
+    def tag_ev(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                "key": pa.array(u.astype(np.int64)),
+                "t_us": t.column("ts").cast(pa.int64()),
+                "okey": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "bucket": pa.array(_hash_bucket(u, 64)),
+            }
+        )
+
+    def tag_err(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("event_type"), "error")
+        t = t.filter(mask)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+                "key": pa.array(u.astype(np.int64)),
+                "t_us": t.column("ts").cast(pa.int64()),
+                "okey": t.column("event_id"),
+                "bucket": pa.array(_hash_bucket(u, 64)),
+            }
+        )
+
+    both = ev.map_batches(tag_ev, batch_format="pyarrow").union(
+        ev.map_batches(tag_err, batch_format="pyarrow")
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        o = df[df["side"] == 1]
+        if not len(o):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype=np.int64), "n_events": pd.Series(dtype=np.int64)}
+            )
+        ek = e["key"].to_numpy(dtype=np.int64)
+        et = e["t_us"].to_numpy(dtype=np.int64)
+        okeys = o["key"].to_numpy(dtype=np.int64)
+        ot = o["t_us"].to_numpy(dtype=np.int64)
+        okey_out = o["okey"].to_numpy(dtype=np.int64)
+        if not len(ek):
+            return pd.DataFrame(
+                {"event_id": okey_out, "n_events": np.zeros(len(o), np.int64)}
+            )
+        order = np.lexsort((et, ek))
+        ek, et = ek[order], et[order]
+        # rank-space composite: densify keys within the bucket so
+        # dense_key * span + (ts - t_min) fits int64, then BOTH range bounds
+        # become one vectorized searchsorted — no per-order Python loop
+        uk = np.unique(ek)
+        t_min = et.min()
+        span = int(et.max() - t_min) + int(win_us) + 2
+        assert len(uk) * span < 2**62, "composite overflow; raise n_buckets"
+        ce = np.searchsorted(uk, ek) * span + (et - t_min)
+        od = np.searchsorted(uk, okeys)
+        valid = (od < len(uk)) & (uk[np.minimum(od, len(uk) - 1)] == okeys)
+        lo_q = od * span + np.clip(ot - t_min, 0, span - 1)
+        hi_q = od * span + np.clip(ot + win_us - t_min, 0, span - 1)
+        counts = np.searchsorted(ce, hi_q, side="left") - np.searchsorted(
+            ce, lo_q, side="left"
+        )
+        counts[~valid] = 0
+        return pd.DataFrame(
+            {"event_id": okey_out, "n_events": counts.astype(np.int64)}
+        )
+
+    out = (
+        both.groupby("bucket")
+        .map_groups(kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_sessionize(sf_dir: str, gap_sec: float = 1800.0) -> pd.DataFrame:
     """Gap-based sessionization of the event log (SURVEY.md §2.9): a user's
     events split into sessions wherever the gap to the previous event exceeds
