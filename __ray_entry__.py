@@ -3,11 +3,15 @@
 ``entry()`` runs the flagship link-graph pipeline over sf0.001 (lineitem-derived
 edge table → CSR shards → converged PageRank). ``queries()`` exposes one entry
 per implemented operator family from SURVEY.md §2; SQL-expressible ones have a
-matching ``oracle_sql()`` DuckDB string with IDENTICAL column names. Iterative
-graph algorithms are oracled with unrolled iterative SQL (``_pagerank_sql`` —
-20 fixed supersteps of the exact reference recurrence; ``_cc_sql`` — min-label
-to fixpoint); convergence-dependent variants (pagerank, label_propagation) and
-engine-internal hashes (minhash, simhash, fingerprint) stay rows-only — their
+matching ``oracle_sql()`` DuckDB string with IDENTICAL column names — 25 of
+30 queries are hash-checked. Iterative graph algorithms are oracled with
+unrolled iterative SQL (``_pagerank_sql`` — 20 fixed supersteps of the exact
+reference recurrence; ``_cc_sql`` — min-label to fixpoint; ``_lp_sql`` —
+3 sync-LP vote/tie rounds). The 5 rows-only entries are each inherently
+non-SQL-reproducible: ``pagerank`` (convergence-dependent iteration count;
+the fixed-iteration variant IS oracled), ``minhash_dedup_docs`` /
+``simhash_pairs`` / ``doc_fingerprint`` (engine-internal 64-bit hash
+functions), ``multimodal_image_features`` (binary image decode). Their
 correctness gate is the NumPy-oracle pytest suite.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
