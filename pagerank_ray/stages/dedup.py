@@ -455,7 +455,6 @@ def embedding_similarity_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_cap: int = 4096,
 ) -> pd.DataFrame:
     """EXACT all-pairs cosine ≥ threshold, blocked: the unit-normalized matrix
     is broadcast once (``ray.put``); each batch computes one row-block × full
@@ -723,29 +722,52 @@ def jaccard_similarity_join(
     ssh = sh_tab.column("shingle").to_numpy(zero_copy_only=False)
     order = np.argsort(sid, kind="stable")  # stable: keeps per-doc shingle sort
     sid, ssh = sid[order], ssh[order]
+    # rank-space shingles: dense int ranks let each verify batch build
+    # (pair_idx * R + rank) composites that keep every pair's sets disjoint
+    # in ONE sorted keyspace — the whole batch verifies with a single
+    # vectorized searchsorted membership test, no per-pair Python
+    ush = np.unique(ssh)
+    rsh = np.searchsorted(ush, ssh).astype(np.int64)
     doc_starts = np.searchsorted(sid, cand_ids)
     doc_ends = np.append(doc_starts[1:], len(sid))
-    ref = ray.put((cand_ids, doc_starts, doc_ends, ssh))
+    ref = ray.put((cand_ids, doc_starts, doc_ends, rsh, len(ush)))
+
+    def _flat_segments(st: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(row indices, owning-pair index) for concatenated segments."""
+        total = int(lens.sum())
+        cum = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        pid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = np.repeat(st, lens) + (np.arange(total, dtype=np.int64) - np.repeat(cum, lens))
+        return flat, pid
 
     def verify(t: pa.Table) -> pa.Table:
-        ids_u, st, en, sh = joins.broadcast_get(ref, lambda v: v, "jacc-shingles")
+        ids_u, st, en, ranks, n_ranks = joins.broadcast_get(ref, lambda v: v, "jacc-shingles")
         a = t.column("src_id").to_numpy(zero_copy_only=False)
         b = t.column("dst_id").to_numpy(zero_copy_only=False)
         ia = np.searchsorted(ids_u, a)
         ib = np.searchsorted(ids_u, b)
-        jacc = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            sa = sh[st[ia[i]] : en[ia[i]]]
-            sb = sh[st[ib[i]] : en[ib[i]]]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jacc[i] = inter / union if union else 1.0
+        lens_a = en[ia] - st[ia]
+        lens_b = en[ib] - st[ib]
+        flat_a, pid_a = _flat_segments(st[ia], lens_a)
+        flat_b, pid_b = _flat_segments(st[ib], lens_b)
+        comp_a = pid_a * n_ranks + ranks[flat_a]
+        comp_b = pid_b * n_ranks + ranks[flat_b]  # globally sorted by construction
+        if len(comp_b):
+            pos = np.clip(np.searchsorted(comp_b, comp_a), 0, len(comp_b) - 1)
+            hit = comp_b[pos] == comp_a
+        else:
+            hit = np.zeros(len(comp_a), dtype=bool)
+        inter = np.bincount(pid_a[hit], minlength=len(a)).astype(np.int64)
+        union = lens_a + lens_b - inter
+        jacc = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = jacc >= threshold
+        # ROUND half-away-from-zero — DuckDB's tie rule (jacc is never negative)
+        rounded = np.floor(jacc[keep] * 1e6 + 0.5) / 1e6
         return pa.table(
             {
                 "a": pa.array(a[keep], pa.int64()),
                 "b": pa.array(b[keep], pa.int64()),
-                "jacc": pa.array(np.round(jacc[keep], 6)),
+                "jacc": pa.array(rounded),
             }
         )
 

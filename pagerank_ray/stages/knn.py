@@ -43,9 +43,12 @@ class _BruteForceScore:
         sims = vecs @ qmat.T  # (batch, q)
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # per-query local top-k
         for qi in range(sims.shape[1]):
-            rows = top[:, qi]
+            # tie-aware local top-k: (sim desc, vec_id asc) — argpartition
+            # keeps an ARBITRARY member of a tie group at the k boundary,
+            # which breaks the deterministic contract _final_topk and the
+            # SQL oracle pin (ORDER BY sim DESC, vec_id)
+            rows = np.lexsort((ids, -sims[:, qi]))[:k]
             out_q.append(np.full(k, qids[qi], dtype=np.int64))
             out_id.append(ids[rows])
             out_sim.append(sims[rows, qi])
@@ -172,10 +175,10 @@ class _IVFScore:
         mask = allowed[:, cents_of_rows].T  # (batch, q) bool
         sims = np.where(mask, sims, -2.0)  # cosine ∈ [-1,1]: -2 sorts last
         k = min(self.k, len(ids))
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]
         out_q, out_id, out_sim = [], [], []
         for qi in range(sims.shape[1]):
-            rows = top[:, qi]
+            # tie-aware local top-k (sim desc, vec_id asc) — see _BruteForceScore
+            rows = np.lexsort((ids, -sims[:, qi]))[:k]
             keep = sims[rows, qi] > -1.5  # drop masked-out fillers
             out_q.append(np.full(keep.sum(), qids[qi], dtype=np.int64))
             out_id.append(ids[rows[keep]])

@@ -100,13 +100,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
     data_off = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size, w, h = struct.unpack_from("<IiI", payload, 14)[:3]
-    w2, h2 = struct.unpack_from("<ii", payload, 18)
-    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    w, h2 = struct.unpack_from("<ii", payload, 18)  # biHeight signed: <0 = top-down
+    bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or compression != 0:
         raise ValueError("only uncompressed 24-bit BMP supported")
-    w, h = w2, abs(h2)
+    h = abs(h2)
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=stride * h, offset=data_off

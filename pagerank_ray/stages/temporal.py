@@ -149,11 +149,20 @@ def asof_join(
     ).map_batches(tag(1, right_on, right_by, right_cols), batch_format="pyarrow")
 
     # union must not mix block schemas: pad each side with the other's value
-    # columns as nulls so both emit the identical arrow schema
+    # columns. Padding uses typed FILL VALUES, not nulls — an int64 column
+    # with nulls round-trips through float64 in the pandas kernel and silently
+    # loses precision past 2^53; the padded cells are never read, only the
+    # dtype matters
     def pad(missing: list[str], template: dict[str, pa.DataType]):
         def fn(t: pa.Table) -> pa.Table:
             for c in missing:
-                t = t.append_column(c, pa.nulls(t.num_rows, template[c]))
+                typ = template[c]
+                if pa.types.is_integer(typ) or pa.types.is_boolean(typ):
+                    fill = int(right_fill.get(c, 0))
+                    col = pa.array(np.full(t.num_rows, fill, dtype=np.int64), type=typ)
+                else:  # floats/strings keep nulls — no precision hazard
+                    col = pa.nulls(t.num_rows, typ)
+                t = t.append_column(c, col)
             return t
 
         return fn
@@ -177,36 +186,35 @@ def asof_join(
         lf = lf[["__key", "__t", *left_cols]].sort_values("__t", kind="mergesort")
         rf = rf[["__key", "__t", *right_cols]].sort_values(
             ["__t", *(right_tiebreak or [])], kind="mergesort"
-        )
+        ).reset_index(drop=True)
+        # merge on a POSITIONAL index, not the value columns: merge_asof emits
+        # float64+NaN for unmatched rows, which silently corrupts int64 values
+        # past 2^53 — row positions are always < 2^53, then values gather
+        # exactly from the original right frame
+        rpos = rf[["__key", "__t"]].copy()
+        rpos["__ridx"] = np.arange(len(rf), dtype=np.int64)
         merged = pd.merge_asof(
-            lf,
-            rf,
-            on="__t",
-            by="__key",
-            direction="backward",
-            suffixes=("", "__r"),
+            lf, rpos, on="__t", by="__key", direction="backward"
         )
+        ridx_f = merged["__ridx"].to_numpy(dtype=np.float64)
+        matched = ~np.isnan(ridx_f)
+        ridx = ridx_f[matched].astype(np.int64)
         out = merged[[*left_cols]].copy()
-        # the padded union made left columns nullable (float64 in pandas) —
-        # left rows themselves are never null there, so restore the declared
-        # arrow dtype losslessly
-        for c in left_cols:
-            t_arrow = l_schema[c]
-            if pa.types.is_integer(t_arrow):
-                out[c] = out[c].astype(np.int64)
-            elif pa.types.is_boolean(t_arrow):
-                out[c] = out[c].astype(bool)
+        n = len(merged)
         for c in right_cols:
             v = right_fill[c]
-            col = merged[c].fillna(v)
+            src = rf[c].to_numpy()
             if isinstance(v, bool):
-                out[c] = col.astype(bool)
+                col = np.full(n, v, dtype=bool)
             elif isinstance(v, (int, np.integer)):
-                out[c] = col.astype(np.int64)
+                col = np.full(n, int(v), dtype=np.int64)
             elif isinstance(v, (float, np.floating)):
-                out[c] = col.astype(np.float64)
+                col = np.full(n, float(v), dtype=np.float64)
             else:
-                out[c] = col
+                col = np.full(n, v, dtype=object)
+            if len(ridx):
+                col[matched] = src[ridx]
+            out[c] = col
         out[left_by] = merged["__key"].to_numpy()
         out[left_on] = merged["__t"].to_numpy()
         return out

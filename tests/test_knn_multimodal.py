@@ -181,3 +181,24 @@ def test_audio_wav_features(ray_session):
         assert arr.shape == (9,)
         # pure-ish sine at 0.5 amplitude: every RMS window near 0.35
         assert np.all(arr[:8] > 0.2) and np.all(arr[:8] < 0.5)
+
+
+def test_knn_bruteforce_duplicate_vector_ties(ray_session):
+    """Regression: tie groups at the k boundary must resolve by smallest
+    vec_id (the SQL oracle's ORDER BY sim DESC, vec_id), not by whatever
+    argpartition kept."""
+    from pagerank_ray.stages.knn import knn_bruteforce
+    import pandas as pd
+
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal(8)
+    # 6 identical vectors (exact cosine ties) + 20 random ones
+    vecs = [base.copy() for _ in range(6)] + [rng.standard_normal(8) for _ in range(20)]
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs), dtype=np.int64), "embedding": [v.tolist() for v in vecs]}
+    )
+    got = knn_bruteforce(
+        rd.from_pandas(df), np.asarray([base]), np.asarray([999]), k=3, exclude_self=False
+    )
+    # all 6 duplicates tie at cosine 1.0; the 3 smallest ids must win, in order
+    assert got["vec_id"].tolist() == [0, 1, 2]

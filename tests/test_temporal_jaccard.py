@@ -128,9 +128,49 @@ def test_jaccard_join_exact_vs_bruteforce(ray_session, tau):
         for j in range(i + 1, len(t)):
             jac = ngram_jaccard(t[i], t[j], 3)
             if jac >= tau:
-                want.append((i, j, round(jac, 6)))
+                # half-away-from-zero, matching the engine + DuckDB ROUND
+                want.append((i, j, np.floor(jac * 1e6 + 0.5) / 1e6))
     want_df = pd.DataFrame(want, columns=["a", "b", "jacc"]).sort_values(["a", "b"])
     assert len(got) == len(want_df), f"pairs {len(got)} vs brute {len(want_df)}"
     assert (got["a"].values == want_df["a"].values).all()
     assert (got["b"].values == want_df["b"].values).all()
     assert np.allclose(got["jacc"].values, want_df["jacc"].values)
+
+
+def test_asof_join_preserves_int64_beyond_2_53(ray_session):
+    """Regression: the padded union must not round-trip int64 ids through
+    float64 — ids above 2^53 would silently lose low bits."""
+    big = 9007199254740993  # 2^53 + 1, not representable in float64
+    ev = pd.DataFrame(
+        {
+            "event_id": np.array([big, big + 2], dtype=np.int64),
+            "user_id": np.array([1, 2], dtype=np.int64),
+            "ts": np.array(["2024-01-02", "2024-01-02"], dtype="datetime64[us]"),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.array([big + 4], dtype=np.int64),
+            "o_custkey": np.array([1], dtype=np.int64),
+            "o_orderdate": np.array(["2024-01-01"], dtype="datetime64[us]"),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_pandas(ev),
+            rd.from_pandas(orders),
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            left_cols=["event_id"],
+            right_cols=["o_orderkey"],
+            right_fill={"o_orderkey": -1},
+            n_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == [big, big + 2]
+    assert got["o_orderkey"].tolist() == [big + 4, -1]
