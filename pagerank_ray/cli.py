@@ -54,6 +54,21 @@ def main(argv=None):
     t.add_argument("--work-dir", required=True)
     t.add_argument("--out", default=None)
 
+    d = sub.add_parser("dedup", help="MinHash-LSH near-dup clusters over a documents parquet")
+    d.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
+    d.add_argument("--out", required=True)
+    d.add_argument("--threshold", type=float, default=0.8)
+
+    j = sub.add_parser("jaccard", help="exact n-gram Jaccard similarity join (prefix-filter AllPairs)")
+    j.add_argument("--docs", required=True)
+    j.add_argument("--out", required=True)
+    j.add_argument("--threshold", type=float, default=0.5)
+
+    se = sub.add_parser("sessionize", help="gap-based sessions over an events parquet")
+    se.add_argument("--events", required=True, help="parquet with (event_id, user_id, ts)")
+    se.add_argument("--out", required=True)
+    se.add_argument("--gap-sec", type=float, default=1800.0)
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
     import os
@@ -112,6 +127,32 @@ def main(argv=None):
             out = args.out or os.path.join(args.work_dir, "triangles")
             triangle_counts(edges, n).write_parquet(out)
             print(json.dumps({"out": out, "n_vertices": n}))
+        elif args.cmd == "dedup":
+            from pagerank_ray.stages.dedup import minhash_lsh_dedup
+
+            res = minhash_lsh_dedup(
+                rd.read_parquet(args.docs), threshold=args.threshold
+            )
+            rd.from_pandas(res).write_parquet(args.out)
+            print(json.dumps({
+                "out": args.out, "docs": len(res),
+                "clusters": int(res["cluster_id"].nunique()),
+                "dropped": int((~res["keep"]).sum()),
+            }))
+        elif args.cmd == "jaccard":
+            from pagerank_ray.stages.dedup import jaccard_similarity_join
+
+            res = jaccard_similarity_join(
+                rd.read_parquet(args.docs), threshold=args.threshold
+            )
+            rd.from_pandas(res).write_parquet(args.out)
+            print(json.dumps({"out": args.out, "pairs": len(res)}))
+        elif args.cmd == "sessionize":
+            from pagerank_ray.stages.temporal import sessionize
+
+            out_ds = sessionize(rd.read_parquet(args.events), gap_sec=args.gap_sec)
+            out_ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
     finally:
         ray.shutdown()
 
