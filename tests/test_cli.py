@@ -33,3 +33,26 @@ def test_cli_gen_build_pagerank(tmp_path):
     # resume path: second invocation restores from the checkpoint written above
     res2 = run("pagerank", "--work-dir", work, "--n-workers", "2", "--max-iters", "100", "--resume")
     assert res2["converged"]
+
+
+@pytest.mark.slow
+def test_cli_training_data_ops(tmp_path):
+    """dedup / jaccard / sessionize subcommands run end-to-end over the sf0.001
+    tables and write parquet."""
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "pagerank_ray.cli", "--num-cpus", "4", *args],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    sf = "/root/testdata/sf0.001"
+    j = run("jaccard", "--docs", f"{sf}/documents.parquet", "--out", str(tmp_path / "jacc"))
+    assert j["pairs"] >= 0 and os.path.isdir(j["out"])
+    s = run("sessionize", "--events", f"{sf}/events.parquet", "--out", str(tmp_path / "sess"))
+    assert os.path.isdir(s["out"])
+    d = run("dedup", "--docs", f"{sf}/documents.parquet", "--out", str(tmp_path / "dedup"))
+    assert d["docs"] > 0 and d["clusters"] <= d["docs"]
