@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (near-dup suite, similarity search, quality, multimodal)
         "minhash_dedup_docs": tabular.q_minhash_dedup,
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
+        "doc_length_quantiles": tabular.q_doc_length_quantiles,  # SQL-oracled (quantile_cont)
         "simhash_pairs": tabular.q_simhash_pairs,
         "doc_quality": tabular.q_doc_quality,  # SQL-oracled
         "doc_fingerprint": tabular.q_doc_fingerprint,  # rows-only (engine hash)
@@ -350,6 +351,15 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": (
             "SELECT md5(text) AS h, MIN(doc_id)::BIGINT AS keep_id, "
             "COUNT(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text) ORDER BY h"
+        ),
+        "doc_length_quantiles": (
+            # quantile_cont requires a CONSTANT q — one SELECT per point
+            " UNION ALL ".join(
+                f"SELECT {q}::DOUBLE AS q, ROUND(quantile_cont(n_chars, {q}), 6)"
+                f" AS value FROM documents"
+                for q in (0.25, 0.5, 0.75, 0.95)
+            )
+            + " ORDER BY q"
         ),
         "doc_quality": _doc_quality_sql(),
         "knn_bruteforce": _KNN_SQL,

@@ -205,7 +205,7 @@ def headline(ncpu: int) -> dict:
 
         work = os.path.join(BENCH_ROOT, "web_flagship")
         shutil.rmtree(work, ignore_errors=True)
-        pages = synth_pages_dataset(20_000, seed=42, concurrency=min(16, ncpu))
+        pages = synth_pages_dataset(20_000, seed=42, concurrency=min(32, ncpu))
         res, arts = run_flagship(pages, work, n_workers=min(16, ncpu), checkpoint=False)
         extras["web_n_vertices"] = arts["n_vertices"]
         extras["web_n_edges"] = arts["n_edges"]

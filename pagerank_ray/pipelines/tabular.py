@@ -597,6 +597,19 @@ def q_orders_asof(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles (p25/p50/p75/p95) of document length —
+    global sort + block-offset scalar fetch, no driver materialization.
+    Hash-checked against DuckDB quantile_cont (identical linear
+    interpolation)."""
+    from pagerank_ray.stages.quantiles import exact_quantiles
+
+    docs = _read(sf_dir, "documents", ["n_chars"])
+    out = exact_quantiles(docs, "n_chars", [0.25, 0.5, 0.75, 0.95])
+    out["value"] = out["value"].round(6)
+    return out.sort_values("q").reset_index(drop=True)
+
+
 def q_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """EXACT n-gram-Jaccard similarity join over documents (prefix-filter
     AllPairs — no LSH, no false negatives). Hash-checked against a DuckDB

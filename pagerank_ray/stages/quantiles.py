@@ -1,0 +1,61 @@
+"""Exact distributed quantiles (SURVEY.md §2.5 aggregation breadth).
+
+Training-data pipelines constantly need p50/p95 of doc length, token count,
+score distributions. Approximate sketches trade accuracy for one pass; this
+operator is EXACT with the same linear interpolation as ``np.percentile`` /
+DuckDB ``quantile_cont``, and still never materializes the column on the
+driver: global sort → per-block row counts (the ``assign_dense_ids``
+block-offset idiom) → fetch only the ≤ 2 scalar values bracketing each
+target rank from the blocks that hold them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+@ray.remote
+def _nrows(table: pa.Table) -> int:
+    return table.num_rows
+
+
+@ray.remote
+def _value_at(table: pa.Table, local_idx: int, col: str) -> float:
+    return float(table.column(col)[local_idx].as_py())
+
+
+def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pd.DataFrame:
+    """(q, value) rows — exact linear-interpolation quantiles of ``col``.
+
+    One distributed sort; the driver sees only per-block counts and the
+    bracketing scalars (≤ 2 per quantile).
+    """
+    s = ds.select_columns([col]).sort(col).materialize()
+    refs = s.to_arrow_refs()
+    counts = np.asarray(ray.get([_nrows.remote(r) for r in refs]), dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    n = int(offsets[-1])
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
+                             "value": np.full(len(qs), np.nan)})
+
+    def fetch(global_idx: int):
+        blk = int(np.searchsorted(offsets, global_idx, side="right") - 1)
+        return _value_at.remote(refs[blk], int(global_idx - offsets[blk]), col)
+
+    tasks = []
+    for q in qs:
+        pos = q * (n - 1)
+        i0, i1 = int(np.floor(pos)), int(np.ceil(pos))
+        tasks.append((pos, fetch(i0), fetch(i1) if i1 != i0 else None))
+    out = []
+    for (pos, r0, r1), q in zip(tasks, qs):
+        v0 = ray.get(r0)
+        v1 = ray.get(r1) if r1 is not None else v0
+        frac = pos - np.floor(pos)
+        out.append((q, v0 + (v1 - v0) * frac))
+    return pd.DataFrame({"q": [o[0] for o in out], "value": [o[1] for o in out]})

@@ -174,3 +174,16 @@ def test_asof_join_preserves_int64_beyond_2_53(ray_session):
     )
     assert got["event_id"].tolist() == [big, big + 2]
     assert got["o_orderkey"].tolist() == [big + 4, -1]
+
+
+def test_exact_quantiles_matches_numpy(ray_session):
+    from pagerank_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 10_000, 5000).astype(np.int64)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = exact_quantiles(
+        rd.from_pandas(pd.DataFrame({"v": x})).repartition(7), "v", qs
+    )
+    want = [float(np.percentile(x, q * 100)) for q in qs]
+    np.testing.assert_allclose(got["value"].values, want, rtol=1e-12)
