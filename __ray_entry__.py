@@ -3,8 +3,8 @@
 ``entry()`` runs the flagship link-graph pipeline over sf0.001 (lineitem-derived
 edge table → CSR shards → converged PageRank). ``queries()`` exposes one entry
 per implemented operator family from SURVEY.md §2; SQL-expressible ones have a
-matching ``oracle_sql()`` DuckDB string with IDENTICAL column names — 25 of
-30 queries are hash-checked. Iterative graph algorithms are oracled with
+matching ``oracle_sql()`` DuckDB string with IDENTICAL column names — 26 of
+31 queries are hash-checked. Iterative graph algorithms are oracled with
 unrolled iterative SQL (``_pagerank_sql`` — 20 fixed supersteps of the exact
 reference recurrence; ``_cc_sql`` — min-label to fixpoint; ``_lp_sql`` —
 3 sync-LP vote/tie rounds). The 5 rows-only entries are each inherently
