@@ -3,8 +3,8 @@
 ``entry()`` runs the flagship link-graph pipeline over sf0.001 (lineitem-derived
 edge table → CSR shards → converged PageRank). ``queries()`` exposes one entry
 per implemented operator family from SURVEY.md §2; SQL-expressible ones have a
-matching ``oracle_sql()`` DuckDB string with IDENTICAL column names — 26 of
-31 queries are hash-checked. Iterative graph algorithms are oracled with
+matching ``oracle_sql()`` DuckDB string with IDENTICAL column names — 27 of
+32 queries are hash-checked. Iterative graph algorithms are oracled with
 unrolled iterative SQL (``_pagerank_sql`` — 20 fixed supersteps of the exact
 reference recurrence; ``_cc_sql`` — min-label to fixpoint; ``_lp_sql`` —
 3 sync-LP vote/tie rounds). The 5 rows-only entries are each inherently
@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": tabular.q_minhash_dedup,
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
         "doc_length_quantiles": tabular.q_doc_length_quantiles,  # SQL-oracled (quantile_cont)
+        "quality_filter": tabular.q_quality_filter,  # SQL-oracled (quantile_disc threshold)
         "simhash_pairs": tabular.q_simhash_pairs,
         "doc_quality": tabular.q_doc_quality,  # SQL-oracled
         "doc_fingerprint": tabular.q_doc_fingerprint,  # rows-only (engine hash)
@@ -362,6 +363,11 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY q"
         ),
         "doc_quality": _doc_quality_sql(),
+        "quality_filter": (
+            f"WITH dq AS ({_doc_quality_sql()}) "
+            "SELECT doc_id, quality FROM dq WHERE quality >= "
+            "(SELECT quantile_disc(quality, 0.25) FROM dq) ORDER BY doc_id"
+        ),
         "knn_bruteforce": _KNN_SQL,
         "knn_ivf": _KNN_SQL,
         "embedding_near_dups": (

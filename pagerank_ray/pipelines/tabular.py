@@ -610,6 +610,34 @@ def q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("q").reset_index(drop=True)
 
 
+def q_quality_filter(sf_dir: str, q: float = 0.25) -> pd.DataFrame:
+    """Composed training-data pipeline step: score every document, compute the
+    corpus p25 quality threshold (discrete quantile — an actual data value,
+    so the >= comparison is ulp-exact on both sides), keep docs at or above
+    it. The threshold is a broadcast scalar, the filter a vectorized
+    ``map_batches`` — no driver-side corpus pass. Hash-checked against a
+    DuckDB quantile_disc + filter oracle."""
+    from pagerank_ray.functions.text import lang_id_batch, quality_score_batch
+    from pagerank_ray.stages.quantiles import exact_quantile_disc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = quality_score_batch(lang_id_batch(df))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "quality": _round_half_away(df["quality"], 6)}
+        )
+
+    scored = docs.map_batches(score, batch_format="pandas").materialize()
+    thr = exact_quantile_disc(scored, "quality", q)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["quality"] >= thr]
+
+    out = scored.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """EXACT n-gram-Jaccard similarity join over documents (prefix-filter
     AllPairs — no LSH, no false negatives). Hash-checked against a DuckDB

@@ -59,3 +59,19 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pd.DataFrame:
         frac = pos - np.floor(pos)
         out.append((q, v0 + (v1 - v0) * frac))
     return pd.DataFrame({"q": [o[0] for o in out], "value": [o[1] for o in out]})
+
+
+def exact_quantile_disc(ds: rd.Dataset, col: str, q: float) -> float:
+    """DuckDB ``quantile_disc`` semantics: the ACTUAL element at sorted index
+    ``max(ceil(q·n) − 1, 0)`` — no interpolation, so downstream comparisons
+    against the threshold are ulp-exact on both engine and SQL sides."""
+    s = ds.select_columns([col]).sort(col).materialize()
+    refs = s.to_arrow_refs()
+    counts = np.asarray(ray.get([_nrows.remote(r) for r in refs]), dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    n = int(offsets[-1])
+    if n == 0:
+        return float("nan")
+    idx = max(int(np.ceil(q * n)) - 1, 0)
+    blk = int(np.searchsorted(offsets, idx, side="right") - 1)
+    return float(ray.get(_value_at.remote(refs[blk], int(idx - offsets[blk]), col)))
