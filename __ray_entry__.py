@@ -3,13 +3,16 @@
 ``entry()`` runs the flagship link-graph pipeline over sf0.001 (lineitem-derived
 edge table → CSR shards → converged PageRank). ``queries()`` exposes one entry
 per implemented operator family from SURVEY.md §2; SQL-expressible ones have a
-matching ``oracle_sql()`` DuckDB string with IDENTICAL column names — 27 of
-32 queries are hash-checked. Iterative graph algorithms are oracled with
-unrolled iterative SQL (``_pagerank_sql`` — 20 fixed supersteps of the exact
-reference recurrence; ``_cc_sql`` — min-label to fixpoint; ``_lp_sql`` —
-3 sync-LP vote/tie rounds). The 5 rows-only entries are each inherently
-non-SQL-reproducible: ``pagerank`` (convergence-dependent iteration count;
-the fixed-iteration variant IS oracled), ``minhash_dedup_docs`` /
+matching ``oracle_sql()`` DuckDB string with IDENTICAL column names. Iterative
+graph algorithms are oracled with unrolled iterative SQL (``_pagerank_sql`` —
+fixed supersteps of the exact reference recurrence; ``_cc_sql`` — min-label to
+fixpoint; ``_lp_sql`` — 3 sync-LP vote/tie rounds). The CONVERGED ``pagerank``
+query is also hash-checked: its iteration count is recomputed independently by
+the pure-NumPy oracle (pagerank_ray/oracle/numpy_oracle.py) over the same
+parquet input, and the SQL unrolls exactly that many supersteps — the L1 stop
+threshold decays geometrically (factor ≈ α), so the engine and the oracle
+cannot disagree on the count within float noise. The remaining rows-only
+entries are each inherently non-SQL-reproducible: ``minhash_dedup_docs`` /
 ``simhash_pairs`` / ``doc_fingerprint`` (engine-internal 64-bit hash
 functions), ``multimodal_image_features`` (binary image decode). Their
 correctness gate is the NumPy-oracle pytest suite.
@@ -61,6 +64,47 @@ def _pagerank_sql(iters: int = 20, alpha: float = 0.85) -> str:
         )
     body = "\n".join(p).rstrip()[:-1]
     return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
+
+
+def _converged_pagerank_iters() -> int | None:
+    """Iteration count at which PageRank converges (L1 ≤ 1e-6·n) on the
+    lineitem edge graph of the sf dir the driver compares at — computed by the
+    INDEPENDENT pure-NumPy oracle so the unrolled SQL for the converged
+    ``pagerank`` query runs exactly as many supersteps as the engine does.
+    The driver runs correctness at sf0.01 (the default); the pytest harness
+    points PAGERANK_ORACLE_SF at its own sf dir. None if the input is missing
+    or doesn't converge within the engine's max_iters (→ rows-only check)."""
+    sf_dir = os.environ.get("PAGERANK_ORACLE_SF", "/root/testdata/sf0.01")
+    try:
+        return _converged_iters_cached(os.path.abspath(sf_dir))
+    except Exception:
+        return None
+
+
+def _converged_iters_cached(sf_dir: str) -> int | None:
+    global _ITER_CACHE
+    if sf_dir in _ITER_CACHE:
+        return _ITER_CACHE[sf_dir]
+    import duckdb
+    import numpy as np
+
+    from pagerank_ray.oracle.numpy_oracle import pagerank_oracle
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    tab = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey AS s, l_partkey AS d FROM read_parquet('{path}')"
+    ).arrow()
+    s = tab.column("s").to_numpy().astype(np.int64)
+    d = tab.column("d").to_numpy().astype(np.int64)
+    ids = np.unique(np.concatenate([s, d]))
+    _, iters, converged = pagerank_oracle(
+        len(ids), np.searchsorted(ids, s), np.searchsorted(ids, d), max_iters=100
+    )
+    _ITER_CACHE[sf_dir] = iters if converged else None
+    return _ITER_CACHE[sf_dir]
+
+
+_ITER_CACHE: dict = {}
 
 
 def _cc_sql(iters: int = 24) -> str:
@@ -225,7 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dangling_vertices": tabular.q_dangling,
         "degree_histogram": tabular.q_degree_histogram,
         # iterative graph algorithms (SURVEY.md §2.11)
-        "pagerank": tabular.q_pagerank,  # converged; rows-only (pytest oracle)
+        "pagerank": tabular.q_pagerank,  # converged; SQL-oracled (NumPy-oracle iter count)
         "pagerank_fixed": tabular.q_pagerank_fixed,  # SQL-oracled (unrolled)
         "connected_components": tabular.q_connected_components,  # SQL-oracled
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
@@ -260,7 +304,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     edges = "(SELECT DISTINCT l_orderkey AS src_id, l_partkey AS dst_id FROM lineitem)"
-    return {
+    out = {}
+    pr_iters = _converged_pagerank_iters()
+    if pr_iters is not None:
+        out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
+    out.update({
         "edges_dedup": f"SELECT src_id, dst_id FROM {edges} e",
         "out_degree": (
             f"SELECT src_id, COUNT(*)::BIGINT AS out_deg FROM {edges} e GROUP BY src_id"
@@ -376,4 +424,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id) "
             "SELECT a, b, ROUND(c, 6) AS cosine FROM p WHERE c >= 0.35 ORDER BY a, b"
         ),
-    }
+    })
+    return out

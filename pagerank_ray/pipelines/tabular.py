@@ -240,16 +240,17 @@ def _lineitem_csr(sf_dir: str, *, n_workers: int, symmetrize: bool):
 
 def q_pagerank(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
     """Converged PageRank over the lineitem graph; returns (id, rank) on the
-    original ids. Rows-only driver check (convergence-dependent iteration
-    count); the SQL-oracled variant is q_pagerank_fixed; the numeric gate is
-    the pytest oracle suite."""
+    original ids. Hash-checked against an unrolled iterative DuckDB oracle
+    whose iteration count is recomputed independently by the pure-NumPy oracle
+    on the same input (__ray_entry__._converged_pagerank_iters) — the L1 stop
+    decays geometrically, so engine and oracle agree on the count."""
     from pagerank_ray.pipelines.pagerank import pagerank
 
     csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=False)
     res = pagerank(csr, n_workers=n_workers, max_iters=100)
     df = _attach_orig(res.result, id_map, n, ["id"])
     df = df.sort_values("id").reset_index(drop=True)
-    df["rank"] = df["rank"].round(8)
+    df["rank"] = _round_half_away(df["rank"], 6)
     return df[["id", "rank"]]
 
 
@@ -265,7 +266,7 @@ def q_pagerank_fixed(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.Dat
     res = pagerank(csr, n_workers=n_workers, max_iters=iters, eps_per_vertex=0.0)
     df = _attach_orig(res.result, id_map, n, ["id"])
     df = df.sort_values("id").reset_index(drop=True)
-    df["rank"] = df["rank"].round(6)
+    df["rank"] = _round_half_away(df["rank"], 6)
     return df[["id", "rank"]]
 
 
@@ -785,7 +786,7 @@ def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
     qids, qvecs = _load_queries(sf_dir)
     vectors = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_bruteforce(vectors, qvecs, qids, k=10)
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = _round_half_away(out["cosine"], 6)
     return out[["query_id", "vec_id", "cosine", "rank"]]
 
 
@@ -801,7 +802,7 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     cents = train_centroids(vectors, 16)
     ivf = build_ivf(vectors, cents).materialize()
     out = knn_ivf(ivf, cents, qvecs, qids, k=10, nprobe=len(cents))
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = _round_half_away(out["cosine"], 6)
     return out[["query_id", "vec_id", "cosine", "rank"]]
 
 

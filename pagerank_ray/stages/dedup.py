@@ -477,11 +477,15 @@ def embedding_similarity_pairs(
         sims = ub @ unit_all.T  # (block, N)
         mask = (sims >= threshold) & (ids_all[None, :] > bids[:, None])
         i, j = np.nonzero(mask)
+        picked = sims[i, j]
+        # ROUND half-away-from-zero — DuckDB's tie rule (uniform across all
+        # SQL-oracled float outputs; np.round is half-to-even)
+        rounded = np.sign(picked) * np.floor(np.abs(picked) * 1e6 + 0.5) / 1e6
         return pa.table(
             {
                 "a": pa.array(bids[i]),
                 "b": pa.array(ids_all[j]),
-                "cosine": pa.array(np.round(sims[i, j], 6)),
+                "cosine": pa.array(rounded),
             }
         )
 
@@ -524,7 +528,9 @@ def embedding_near_dups(
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
-        return pd.DataFrame({"a": a2, "b": b2, "cosine": np.round(sims[i, j][ok], 6)})
+        picked = sims[i, j][ok]
+        rounded = np.sign(picked) * np.floor(np.abs(picked) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"a": a2, "b": b2, "cosine": rounded})
 
     bucketed = embeddings.map_batches(
         HyperplaneLSH,

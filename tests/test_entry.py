@@ -12,9 +12,13 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import __ray_entry__ as entrymod
-
 SF_DIR = "/root/testdata/sf0.001"
+# the converged-pagerank oracle unrolls the NumPy-oracle iteration count of
+# the sf dir the compare runs at — point it at this harness's sf BEFORE
+# oracle_sql() is first called (pytest parametrization below)
+os.environ["PAGERANK_ORACLE_SF"] = SF_DIR
+
+import __ray_entry__ as entrymod  # noqa: E402
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
