@@ -21,6 +21,14 @@ _WS = re.compile(r"\s+")
 # GPT-2-style pre-tokenizer shape: contractions, letter runs, digit runs,
 # punctuation runs, whitespace-prefixed words
 _BPE_ISH = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\w\s]+|\s+")
+# The count of NON-whitespace matches of _BPE_ISH equals the match count of
+# the pattern with the trailing \s+ branch removed: the \s+ branch only fires
+# where every other branch fails, and dropping it just makes the scanner skip
+# those characters — the next real match starts at the same position either
+# way (the optional leading ' ?' can absorb at most the run's final space,
+# which is exactly the match the full pattern produces after consuming the
+# run). Pinned batch-vs-finditer in tests/test_text_dedup.py.
+_BPE_ISH_NONWS = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\w\s]+")
 
 _STOP_EN = frozenset(
     "the of and to a in is it you that he was for on are as with his they at be this".split()
@@ -47,33 +55,43 @@ class TokenCounter:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.bpe = _BPE_ISH  # compiled once per actor
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[self.text_col].fillna("")
         batch["n_tokens"] = whitespace_token_count(texts)
-        batch["n_bpe_tokens"] = np.asarray(
-            [sum(1 for m in self.bpe.finditer(t) if not m.group().isspace()) for t in texts],
-            dtype=np.int64,
-        )
+        # one C-level regex scan per string — no per-document Python loop
+        batch["n_bpe_tokens"] = texts.str.count(_BPE_ISH_NONWS).to_numpy(dtype=np.int64)
         return batch
+
+
+def _stopword_counts(tokens: pd.Series, stopsets) -> list[np.ndarray]:
+    """Per-doc counts of tokens contained in each stopset: ONE explode + isin
+    + bincount per set over the whole batch — no per-document Python loop.
+    ``tokens`` is a Series of token lists (``texts.str.split()`` output);
+    membership is tested on whole tokens (punctuation-attached tokens don't
+    match), the exact semantics of ``w in STOPSET`` over a split."""
+    n = len(tokens)
+    n_tok = tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
+    # explode emits len(list) rows per doc, plus one NaN row for empty lists
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.maximum(n_tok, 1))
+    flat = tokens.explode(ignore_index=True)
+    out = []
+    for s in stopsets:
+        hit = flat.isin(s).to_numpy()  # NaN rows → False
+        out.append(np.bincount(doc_idx[hit], minlength=n).astype(np.int64))
+    return out
 
 
 def lang_id_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Heuristic language id: CJK-character ratio → zh; else stopword vote
-    between en and de; fallback en. Deterministic, vectorized where possible."""
+    between en and de; fallback en. Deterministic and fully vectorized
+    (explode+isin stopword votes — lowercasing the whole string before the
+    whitespace split is equivalent to lowercasing each token, since no
+    Unicode lowercase mapping produces or removes whitespace)."""
     texts = batch[text_col].fillna("")
-    cjk_ratio = texts.str.count(r"[一-鿿]") / texts.str.len().clip(lower=1)
-    langs = []
-    for t, cjk in zip(texts, cjk_ratio):
-        if cjk > 0.05:
-            langs.append("zh")
-            continue
-        words = t.lower().split()
-        en = sum(1 for w in words if w in _STOP_EN)
-        de = sum(1 for w in words if w in _STOP_DE)
-        langs.append("de" if de > en else "en")
-    batch["pred_lang"] = langs
+    cjk_ratio = (texts.str.count(r"[一-鿿]") / texts.str.len().clip(lower=1)).to_numpy()
+    en, de = _stopword_counts(texts.str.lower().str.split(), [_STOP_EN, _STOP_DE])
+    batch["pred_lang"] = np.where(cjk_ratio > 0.05, "zh", np.where(de > en, "de", "en"))
     return batch
 
 
@@ -88,11 +106,12 @@ def quality_score_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataF
     mean_word_len = np.divide(
         n_chars, np.maximum(n_tok, 1.0), out=np.zeros_like(n_chars), where=n_tok > 0
     )
-    stop_ratio = np.asarray(
-        [
-            (sum(1 for w in toks if w.lower() in _STOP_EN) / len(toks)) if toks else 0.0
-            for toks in tokens
-        ]
+    # vectorized stopword ratio (w.lower() ∈ STOP over the split ≡ membership
+    # over the lowercased-text split — see lang_id_batch)
+    (n_stop,) = _stopword_counts(texts.str.lower().str.split(), [_STOP_EN])
+    stop_ratio = np.divide(
+        n_stop.astype(np.float64), np.maximum(n_tok, 1.0),
+        out=np.zeros(len(n_tok)), where=n_tok > 0,
     )
     punct_ratio = n_punct / np.maximum(n_chars, 1.0)
     len_score = np.clip(n_chars / 1000.0, 0.0, 1.0)

@@ -43,6 +43,32 @@ def test_token_counts_and_quality():
     assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
 
 
+def test_vectorized_text_kernels_match_reference_loops():
+    """The round-3 vectorized kernels (regex-count BPE tokens, explode+isin
+    stopword votes) must equal the per-document reference loops exactly,
+    including punctuation-attached tokens, contractions, unicode, empties."""
+    rng = np.random.default_rng(11)
+    pieces = _WORDS + ["the", "of", "und", "der", "it's", "we'll", "a,b", "x—y",
+                       "...", "naïve", "Straße", "中文", "", "  ", "\t\n", "(the)", "the,"]
+    texts = [
+        " ".join(pieces[int(k)] for k in rng.integers(0, len(pieces), int(m)))
+        for m in rng.integers(0, 25, 200)
+    ] + ["", "   ", "the the the", "DER Hund", "don't stop'll"]
+    s = pd.Series(texts)
+    # BPE-ish count: one regex scan vs the finditer loop
+    got = s.str.count(textfn._BPE_ISH_NONWS).to_numpy()
+    want = np.array(
+        [sum(1 for m in textfn._BPE_ISH.finditer(t) if not m.group().isspace()) for t in texts]
+    )
+    np.testing.assert_array_equal(got, want)
+    # stopword counts: explode+isin vs the per-doc membership loop
+    en, de = textfn._stopword_counts(s.str.lower().str.split(), [textfn._STOP_EN, textfn._STOP_DE])
+    want_en = np.array([sum(1 for w in t.lower().split() if w in textfn._STOP_EN) for t in texts])
+    want_de = np.array([sum(1 for w in t.lower().split() if w in textfn._STOP_DE) for t in texts])
+    np.testing.assert_array_equal(en, want_en)
+    np.testing.assert_array_equal(de, want_de)
+
+
 def test_lang_id_heuristic():
     df = pd.DataFrame(
         {"text": ["the cat and the dog are in the house", "der hund und die katze nicht", "这是一个中文句子"]}
