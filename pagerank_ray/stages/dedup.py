@@ -34,6 +34,7 @@ import ray
 import ray.data as rd
 
 from pagerank_ray.stages import joins
+from pagerank_ray.stages.knn import stack_vectors
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _POLY_C = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
@@ -423,9 +424,7 @@ class HyperplaneLSH:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch.column(self.vec_col).to_pylist()]
-        )
+        vecs = stack_vectors(batch.column(self.vec_col))
         if self.planes is None:
             rng = np.random.default_rng(self.seed)
             self.planes = rng.standard_normal((vecs.shape[1], self.n_planes))
@@ -463,15 +462,13 @@ def embedding_similarity_pairs(
     ``embedding_near_dups`` (approximate) instead."""
     tab = joins._collect_arrow(embeddings.select_columns([id_col, vec_col]))
     all_ids = tab.column(id_col).to_numpy().astype(np.int64)
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tab.column(vec_col).to_pylist()])
+    mat = stack_vectors(tab.column(vec_col))
     unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((all_ids, unit))
 
     def block(batch: pa.Table) -> pa.Table:
         ids_all, unit_all = joins.broadcast_get(ref, lambda v: v, "emb-exact")
-        vecs = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch.column(vec_col).to_pylist()]
-        )
+        vecs = stack_vectors(batch.column(vec_col))
         ub = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         sims = ub @ unit_all.T  # (block, N)

@@ -23,6 +23,23 @@ def _stack(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def stack_vectors(col) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow ``list<float>`` column: ONE
+    ``list_flatten`` + reshape — no per-row Python object churn (the r2-flagged
+    ``to_pylist()`` stacking). Falls back to the row-wise path for ragged
+    lists or nulls (never the case for real embedding columns)."""
+    import pyarrow.compute as pc
+
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    if not np.isnan(lens).any() and (lens == lens[0]).all():
+        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        return vals.reshape(n, int(lens[0])).astype(np.float64, copy=False)
+    return _stack(col.to_pylist())
+
+
 def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
@@ -38,7 +55,7 @@ class _BruteForceScore:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, qmat = joins.broadcast_get(self.query_ref, lambda v: v, "knn-queries")
-        vecs = _unit(_stack(batch.column(self.vec_col).to_pylist()))
+        vecs = _unit(stack_vectors(batch.column(self.vec_col)))
         ids = batch.column(self.id_col).to_numpy()
         sims = vecs @ qmat.T  # (batch, q)
         k = min(self.k, len(ids))
@@ -122,7 +139,7 @@ def train_centroids(
     n_total = vectors.count()
     frac = min(1.0, sample_cap / max(n_total, 1))
     sample = vectors if frac >= 1.0 else vectors.random_sample(frac, seed=seed)
-    mat = _unit(_stack(joins._collect_arrow(sample.select_columns([vec_col])).column(vec_col).to_pylist()))
+    mat = _unit(stack_vectors(joins._collect_arrow(sample.select_columns([vec_col])).column(vec_col)))
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
     for _ in range(iters):
@@ -147,7 +164,7 @@ def build_ivf(
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = joins.broadcast_get(ref, lambda v: v, "ivf-centroids")
-        vecs = _unit(_stack(batch.column(vec_col).to_pylist()))
+        vecs = _unit(stack_vectors(batch.column(vec_col)))
         a = np.argmax(vecs @ cents.T, axis=1).astype(np.int64)
         return batch.append_column("centroid", pa.array(a))
 
@@ -168,7 +185,7 @@ class _IVFScore:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, qmat, allowed = joins.broadcast_get(self.ref, lambda v: v, "ivf-queries")
-        vecs = _unit(_stack(batch.column(self.vec_col).to_pylist()))
+        vecs = _unit(stack_vectors(batch.column(self.vec_col)))
         ids = batch.column(self.id_col).to_numpy()
         cents_of_rows = batch.column("centroid").to_numpy()
         sims = vecs @ qmat.T  # (batch, q)
