@@ -820,11 +820,18 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     exact = embedding_similarity_pairs(vectors, threshold=threshold)
     lsh = embedding_near_dups(vectors, threshold=threshold, n_planes=6, concurrency=4)
     exact_keys = set(zip(exact["a"], exact["b"]))
-    lsh_keys = set(zip(lsh["a"], lsh["b"]))
-    if not lsh_keys <= exact_keys:
-        raise AssertionError(
-            f"LSH near-dup pairs not a subset of exact pairs: {sorted(lsh_keys - exact_keys)[:5]}"
-        )
+    # in-engine invariant: LSH pairs ⊆ exact pairs — tolerating pairs whose
+    # cosine sits within rounding distance of the threshold (the two paths
+    # normalize independently, so a boundary pair can flip by 1 ulp; ADVICE
+    # r2). The strict recall/subset bound lives in tests/test_text_dedup.py.
+    extra = set(zip(lsh["a"], lsh["b"])) - exact_keys
+    if extra:
+        cos = {(a, b): c for a, b, c in zip(lsh["a"], lsh["b"], lsh["cosine"])}
+        bad = [p for p in extra if abs(cos[p] - threshold) > 1e-6]
+        if bad:
+            raise AssertionError(
+                f"LSH near-dup pairs not a subset of exact pairs: {sorted(bad)[:5]}"
+            )
     return exact
 
 

@@ -36,6 +36,18 @@ import ray.data as rd
 from pagerank_ray.stages import joins
 from pagerank_ray.stages.knn import stack_vectors
 
+import logging
+
+_log = logging.getLogger(__name__)
+
+
+def _warn_truncated(kind: str, size: int, cap: int) -> None:
+    """Degenerate-bucket truncation is a RECALL loss — make it observable
+    (ADVICE r2: caps were silent) without failing the run."""
+    _log.warning("%s bucket truncated: %d members > cap %d — near-dup recall may drop; "
+                 "raise bucket_cap or bands/planes to shrink buckets", kind, size, cap)
+
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 _POLY_C = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
 
@@ -170,7 +182,8 @@ def _bucket_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
     ids = np.sort(df["doc_id"].to_numpy())
     if len(ids) < 2:
         return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
-    if len(ids) > cap:  # cap quadratic blowup on degenerate buckets; logged upstream
+    if len(ids) > cap:  # cap quadratic blowup on degenerate buckets
+        _warn_truncated("minhash-LSH", len(ids), cap)
         ids = ids[:cap]
     i, j = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"a": ids[i], "b": ids[j]})
@@ -391,6 +404,7 @@ def simhash_near_dups(
         _, first = np.unique(ids, return_index=True)
         ids, sh = ids[first], sh[first]
         if len(ids) > bucket_cap:  # cap degenerate buckets (same rule as minhash)
+            _warn_truncated("simhash", len(ids), bucket_cap)
             ids, sh = ids[:bucket_cap], sh[:bucket_cap]
         if len(ids) < 2:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
@@ -514,6 +528,7 @@ def embedding_near_dups(
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy()
         if len(ids) > bucket_cap:
+            _warn_truncated("embedding-LSH", len(ids), bucket_cap)
             df = df.iloc[np.argsort(ids)[:bucket_cap]]
             ids = df["vec_id"].to_numpy()
         if len(ids) < 2:

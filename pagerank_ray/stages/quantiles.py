@@ -14,8 +14,24 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
+
+
+def _drop_null_nan(ds: rd.Dataset, col: str) -> rd.Dataset:
+    """Drop NULL (and, for float columns, NaN) rows — DuckDB quantile_cont /
+    quantile_disc ignore NULLs, and Ray's sort would otherwise place them at
+    one end of the sorted blocks and shift every rank (ADVICE r2)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        mask = pc.is_valid(c)
+        if pa.types.is_floating(c.type):
+            mask = pc.and_kleene(mask, pc.invert(pc.is_nan(c)))
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 @ray.remote
@@ -32,9 +48,10 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pd.DataFrame:
     """(q, value) rows — exact linear-interpolation quantiles of ``col``.
 
     One distributed sort; the driver sees only per-block counts and the
-    bracketing scalars (≤ 2 per quantile).
+    bracketing scalars (≤ 2 per quantile). NULL/NaN rows are excluded from n
+    (DuckDB quantile_cont semantics).
     """
-    s = ds.select_columns([col]).sort(col).materialize()
+    s = _drop_null_nan(ds.select_columns([col]), col).sort(col).materialize()
     refs = s.to_arrow_refs()
     counts = np.asarray(ray.get([_nrows.remote(r) for r in refs]), dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)])
@@ -64,8 +81,9 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pd.DataFrame:
 def exact_quantile_disc(ds: rd.Dataset, col: str, q: float) -> float:
     """DuckDB ``quantile_disc`` semantics: the ACTUAL element at sorted index
     ``max(ceil(q·n) − 1, 0)`` — no interpolation, so downstream comparisons
-    against the threshold are ulp-exact on both engine and SQL sides."""
-    s = ds.select_columns([col]).sort(col).materialize()
+    against the threshold are ulp-exact on both engine and SQL sides.
+    NULL/NaN rows are excluded from n (DuckDB quantile_disc semantics)."""
+    s = _drop_null_nan(ds.select_columns([col]), col).sort(col).materialize()
     refs = s.to_arrow_refs()
     counts = np.asarray(ray.get([_nrows.remote(r) for r in refs]), dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)])

@@ -187,3 +187,22 @@ def test_exact_quantiles_matches_numpy(ray_session):
     )
     want = [float(np.percentile(x, q * 100)) for q in qs]
     np.testing.assert_allclose(got["value"].values, want, rtol=1e-12)
+
+
+def test_exact_quantiles_ignore_null_and_nan(ray_session):
+    """DuckDB quantile_cont/quantile_disc ignore NULLs — null/NaN rows must
+    not count toward n nor shift ranks (ADVICE r2)."""
+    from pagerank_ray.stages.quantiles import exact_quantile_disc, exact_quantiles
+
+    rng = np.random.default_rng(5)
+    clean = rng.normal(size=800)
+    dirty = np.concatenate([clean, np.full(137, np.nan)])
+    vals = pd.array(list(dirty) + [None] * 60, dtype="Float64")
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(5)
+    qs = [0.25, 0.5, 0.95]
+    got = exact_quantiles(ds, "v", qs)
+    want = [float(np.percentile(clean, q * 100)) for q in qs]
+    np.testing.assert_allclose(got["value"].values, want, rtol=1e-12)
+    disc = exact_quantile_disc(ds, "v", 0.25)
+    idx = max(int(np.ceil(0.25 * len(clean))) - 1, 0)
+    assert disc == float(np.sort(clean)[idx])
