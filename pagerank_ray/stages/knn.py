@@ -134,20 +134,52 @@ def train_centroids(
     sample_cap: int = 20_000,
     seed: int = 3,
 ) -> np.ndarray:
-    """Seeded mini k-means: init from a deterministic sample, then ``iters``
-    Lloyd rounds of (map_batches assign+partial-sum → driver combine)."""
+    """Seeded k-means: centroids init from a deterministic capped sample, then
+    ``iters`` DISTRIBUTED Lloyd rounds — each round streams the FULL dataset
+    through ``map_batches`` (one matmul + argmax + scatter-add per batch,
+    centroids broadcast via ``ray.put``) emitting per-centroid partial
+    (sum, count) rows; the driver combines only k×dim floats per batch.
+    The corpus never materializes; only the INIT sample (capped at
+    ``sample_cap``) is collected."""
     n_total = vectors.count()
     frac = min(1.0, sample_cap / max(n_total, 1))
     sample = vectors if frac >= 1.0 else vectors.random_sample(frac, seed=seed)
     mat = _unit(stack_vectors(joins._collect_arrow(sample.select_columns([vec_col])).column(vec_col)))
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    k, dim = centroids.shape
     for _ in range(iters):
-        assign = np.argmax(mat @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cents = joins.broadcast_get(ref, lambda v: v, "lloyd")  # ref.hex keys the cache per round
+            vecs = _unit(stack_vectors(batch.column(vec_col)))
+            a = np.argmax(vecs @ cents.T, axis=1)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, a, vecs)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "centroid": pa.array(np.arange(k, dtype=np.int64)),
+                    "count": pa.array(counts),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.reshape(-1)), dim
+                    ),
+                }
+            )
+
+        ptab = joins._collect_arrow(
+            vectors.select_columns([vec_col]).map_batches(partial, batch_format="pyarrow")
+        )
+        cid = ptab.column("centroid").to_numpy(zero_copy_only=False)
+        cnt = ptab.column("count").to_numpy(zero_copy_only=False)
+        vs = stack_vectors(ptab.column("vsum"))
+        tot_cnt = np.bincount(cid, weights=cnt, minlength=k)
+        tot_sum = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(tot_sum, cid, vs)
+        nonempty = tot_cnt > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = tot_sum[nonempty] / tot_cnt[nonempty, None]
         centroids = _unit(centroids)
     return centroids
 
