@@ -82,15 +82,19 @@ def build_graph(
     n_parts: int,
     num_partitions: int = 32,
     dedup_pages: bool = True,
+    dedup_stage: str = "pages",
 ) -> dict:
     """Phases 0-2: pages → (url-deduped) extracted, id_map, deduped edges,
     vertices, CSR shards.
 
     Phase 0 applies the §2.9 pinned one-page-per-url rule (latest warc_ts,
     smallest html digest on ties) so re-crawled snapshots never double-count
-    outlinks. Returns a dict of artifact paths + graph stats. Every artifact
-    is parquet on disk; phases whose output directory already exists are
-    skipped (resume).
+    outlinks. ``dedup_stage="pages"`` dedups the raw pages table (html
+    shuffles once); ``"extracted"`` extracts first, carrying (warc_ts,
+    digest), and dedups the html-free extracted table — identical winners,
+    lighter exchange when re-capture rates are high. Returns a dict of
+    artifact paths + graph stats. Every artifact is parquet on disk; phases
+    whose output directory already exists are skipped (resume).
     """
     os.makedirs(work_dir, exist_ok=True)
     extracted_dir = os.path.join(work_dir, "extracted")
@@ -102,9 +106,18 @@ def build_graph(
     from pagerank_ray import schemas
 
     if not os.path.isdir(extracted_dir):
-        if dedup_pages:
-            pages = dedup_pages_by_url(pages)
-        extracted = normalize_extracted(extract_pages(pages))
+        if dedup_pages and dedup_stage == "extracted":
+            from pagerank_ray.stages.graph_build import (
+                dedup_extracted_by_url,
+                extract_pages_with_provenance,
+            )
+
+            extracted = dedup_extracted_by_url(extract_pages_with_provenance(pages))
+        else:
+            if dedup_pages:
+                pages = dedup_pages_by_url(pages)
+            extracted = extract_pages(pages)
+        extracted = normalize_extracted(extracted)
         _write_parquet_atomic(extracted, extracted_dir, schemas.EXTRACTED)
     # graph build needs only (url, out_urls): prune text at the read
     extracted = rd.read_parquet(extracted_dir, columns=["url", "out_urls"])

@@ -40,9 +40,11 @@ def dedup_pages_by_url(pages: rd.Dataset, *, n_buckets: int = 64) -> rd.Dataset:
 
     Bucketed by url hash — the same shuffle shape as dedup_pairs — so each
     url's snapshots co-locate in exactly one vectorized kernel. At crawl scale
-    this shuffles the html payloads once; a cheaper variant for re-crawled
-    corpora is to carry (warc_ts, digest) through extraction and dedup the
-    html-free EXTRACTED table instead — same winner rule, lighter exchange.
+    this shuffles the html payloads once; the cheaper variant for re-crawled
+    corpora — carry (warc_ts, digest) through extraction and dedup the
+    html-free EXTRACTED table, same winner rule, lighter exchange — is
+    ``extract_pages_with_provenance`` + ``dedup_extracted_by_url``
+    (``build_graph(dedup_stage="extracted")``).
     """
     import hashlib
 
@@ -79,6 +81,55 @@ def dedup_pages_by_url(pages: rd.Dataset, *, n_buckets: int = 64) -> rd.Dataset:
 def extract_pages(pages: rd.Dataset) -> rd.Dataset:
     """pages → EXTRACTED (url, text, out_urls); html dropped inside the batch fn."""
     return pages.map_batches(extract_batch, batch_format="pyarrow")
+
+
+def extract_pages_with_provenance(pages: rd.Dataset) -> rd.Dataset:
+    """pages → (url, text, out_urls, warc_ts, digest): the html payload is
+    md5-digested and DROPPED inside the extraction batch fn, so the
+    one-page-per-url rule can run afterwards on the html-free table
+    (``dedup_extracted_by_url``) — the raw binary column never enters the
+    dedup shuffle. Extraction is deterministic per (url, html), so
+    extract-then-dedup picks byte-identical winners to dedup-then-extract."""
+    import hashlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        ex = extract_batch(t)
+        digests = [hashlib.md5(b or b"").hexdigest() for b in t.column("html").to_pylist()]
+        return ex.append_column("warc_ts", t.column("warc_ts")).append_column(
+            "digest", pa.array(digests, pa.string())
+        )
+
+    return pages.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_extracted_by_url(extracted: rd.Dataset, *, n_buckets: int = 64) -> rd.Dataset:
+    """One row per url over the html-free extracted table — the identical
+    pinned winner rule as ``dedup_pages_by_url`` (latest ``warc_ts``, ties →
+    smallest html digest), but the bucketed exchange carries (text, out_urls,
+    ts, digest) instead of raw html payloads — the cheap re-crawl variant.
+    Provenance columns are dropped from the winners."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(t.column("url").to_pandas(), index=False).to_numpy()
+        return t.append_column("bucket", pa.array((h % n_buckets).astype(np.int32)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["bucket"])
+        if t.num_rows == 0:
+            return t.drop_columns(["warc_ts", "digest"])
+        urls = np.asarray(t.column("url").to_pylist(), dtype=object)
+        ts = t.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        digests = np.asarray(t.column("digest").to_pylist(), dtype=object)
+        order = np.lexsort((digests, -ts, urls))  # url asc, ts desc, digest asc
+        sorted_urls = urls[order]
+        first = np.concatenate([[True], sorted_urls[1:] != sorted_urls[:-1]])
+        return t.take(pa.array(order[first], pa.int64())).drop_columns(["warc_ts", "digest"])
+
+    return (
+        extracted.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pyarrow")
+    )
 
 
 def _normalize_batch(batch: pa.Table) -> pa.Table:

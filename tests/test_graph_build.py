@@ -180,3 +180,24 @@ def test_flagship_dedups_recrawled_urls(ray_session, tmp_path):
     )
     expect = extract_batch(win_tab).column("text").to_pylist()[0]
     assert ex.loc[0, "text"] == expect
+
+
+def test_dedup_extracted_equals_dedup_pages(ray_session, tmp_path):
+    """The html-free dedup variant (extract first, carry (warc_ts, digest),
+    dedup the extracted table) must pick byte-identical winners to the
+    phase-0 pages dedup — same extracted artifact either way."""
+    from pagerank_ray.pipelines.flagship import build_graph
+
+    pages, _ = _dup_url_pages()
+    a = build_graph(pages, str(tmp_path / "w_pages"), n_parts=2, dedup_stage="pages")
+    pages2, _ = _dup_url_pages()
+    b = build_graph(pages2, str(tmp_path / "w_ex"), n_parts=2, dedup_stage="extracted")
+    import ray.data as rd
+
+    ex_a = rd.read_parquet(a["extracted"]).to_pandas().sort_values("url").reset_index(drop=True)
+    ex_b = rd.read_parquet(b["extracted"]).to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(ex_a.columns) == list(ex_b.columns)
+    assert ex_a["url"].tolist() == ex_b["url"].tolist()
+    assert ex_a["text"].tolist() == ex_b["text"].tolist()
+    assert ex_a["out_urls"].map(list).tolist() == ex_b["out_urls"].map(list).tolist()
+    assert a["n_vertices"] == b["n_vertices"] and a["n_edges"] == b["n_edges"]
