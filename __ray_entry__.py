@@ -283,9 +283,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": tabular.q_events_hopping,  # SQL-oracled (explode windows)
         "top_orders_per_customer": tabular.q_top_orders_per_customer,  # SQL-oracled (QUALIFY)
         "error_burst": tabular.q_error_burst,  # SQL-oracled (range join)
+        "pagerank_top20_profile": tabular.q_pagerank_top20_profile,  # SQL-oracled (composition)
         # documents: text analysis + dedup
         "token_counts": tabular.q_token_counts,
         "lang_distribution": tabular.q_lang_distribution,
+        "ngram_topk": tabular.q_ngram_topk,  # SQL-oracled (unnest bigrams)
+        "stratified_sample": tabular.q_stratified_sample,  # SQL-oracled (shared hash arithmetic)
         "exact_dedup_docs": tabular.q_exact_dedup_docs,
         # training-data ops (near-dup suite, similarity search, quality, multimodal)
         "minhash_dedup_docs": tabular.q_minhash_dedup,
@@ -389,6 +392,32 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY err.event_id ORDER BY err.event_id"
         ),
         "jaccard_pairs": _jaccard_sql(threshold=0.5),
+        "pagerank_top20_profile": (
+            f"WITH pr AS (SELECT * FROM ({_pagerank_sql(iters=20, alpha=0.85)})), "
+            "e2 AS (SELECT DISTINCT l_orderkey AS s, l_partkey AS d FROM lineitem), "
+            "outd AS (SELECT s AS id, COUNT(*)::BIGINT AS out_deg FROM e2 GROUP BY s), "
+            "ind AS (SELECT d AS id, COUNT(*)::BIGINT AS in_deg FROM e2 GROUP BY d) "
+            "SELECT pr.id, pr.rank, COALESCE(outd.out_deg, 0)::BIGINT AS out_deg, "
+            "COALESCE(ind.in_deg, 0)::BIGINT AS in_deg "
+            "FROM pr LEFT JOIN outd ON outd.id = pr.id LEFT JOIN ind ON ind.id = pr.id "
+            "ORDER BY pr.rank DESC, pr.id LIMIT 20"
+        ),
+        "ngram_topk": (
+            "WITH t AS (SELECT CASE WHEN TRIM(text)='' THEN []::VARCHAR[] "
+            "ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS w FROM documents), "
+            "g AS (SELECT unnest(list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])) "
+            "AS gram FROM t WHERE len(w) >= 2) "
+            "SELECT gram, COUNT(*)::BIGINT AS n FROM g GROUP BY gram "
+            "ORDER BY n DESC, gram LIMIT 25"
+        ),
+        "stratified_sample": (
+            # identical multiplicative-hash arithmetic as the engine — no
+            # engine-internal hash function, so the sample is SQL-checkable
+            "SELECT doc_id, lang FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 < "
+            "(CASE WHEN lang = 'en' THEN 0.2 ELSE 0.6 END) * 4294967296 "
+            "ORDER BY doc_id"
+        ),
         "token_counts": (
             "SELECT doc_id, (CASE WHEN TRIM(text) = '' THEN 0 "
             "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END)::BIGINT AS n_tokens "

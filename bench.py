@@ -29,6 +29,13 @@ BENCH_N = int(float(os.environ.get("GRAFT_BENCH_VERTICES", 8_000_000)))
 BENCH_M = int(float(os.environ.get("GRAFT_BENCH_EDGES", 200_000_000)))
 SMALL_N = int(float(os.environ.get("GRAFT_BENCH_SMALL_VERTICES", 2_000_000)))
 SMALL_M = int(float(os.environ.get("GRAFT_BENCH_SMALL_EDGES", 40_000_000)))
+# exchange precision for the superstep/scaling benches. float32 is the
+# default scale configuration: it halves the exchange bytes of the dominant
+# per-superstep DRAM traffic (accumulation stays f64; power iteration is
+# contractive — measured ≤2.6e-7 max |Δrank|, state/superstep.py:128-134) and
+# measures ~7% faster at 32 CPUs (bench/scaling_r3.json). Driver-mode
+# correctness queries always run the exact f64 exchange.
+XDTYPE = os.environ.get("GRAFT_EXCHANGE_DTYPE", "float32")
 FIXED_ITERS = 20
 BENCH_ROOT = "/tmp/pagerank_ray_bench"
 
@@ -67,7 +74,10 @@ def superstep_bench(ncpu: int, n: int, m: int) -> dict:
     csr_dir, manifest = _bench_csr(n, m)
     gen_sec = time.perf_counter() - t_gen0
 
-    res = pagerank_fixed_iters(csr_dir, n_workers=ncpu, iters=FIXED_ITERS, window=4, warmup_iters=3)
+    res = pagerank_fixed_iters(
+        csr_dir, n_workers=ncpu, iters=FIXED_ITERS, window=4, warmup_iters=3,
+        exchange_dtype=XDTYPE,
+    )
     eps = res.final_diff  # diagnostic
     median_step = getattr(res, "median_superstep_sec", res.mean_superstep_sec)
 

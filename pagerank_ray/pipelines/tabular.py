@@ -702,6 +702,94 @@ def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("h").reset_index(drop=True)
 
 
+def q_ngram_topk(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Top-k word bigrams by corpus frequency (corpus-statistics op). Bigram
+    formation is one vectorized kernel per batch — token explode + shifted
+    string concat with doc-boundary mask — and each batch pre-aggregates its
+    counts (the partial/combiner idiom) so the groupby shuffles one row per
+    DISTINCT gram per batch, not one per occurrence. Deterministic top-k
+    (count desc, gram asc). SQL-checked against a DuckDB unnest oracle."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), np.maximum(n_tok, 1))
+        w = flat.to_numpy()
+        if len(w) < 2:
+            return pd.DataFrame({"gram": pd.Series(dtype=object), "cnt": pd.Series(dtype=np.int64)})
+        both = valid[:-1] & valid[1:] & (doc_idx[:-1] == doc_idx[1:])
+        if not both.any():
+            return pd.DataFrame({"gram": pd.Series(dtype=object), "cnt": pd.Series(dtype=np.int64)})
+        grams = pd.Series(w[:-1][both]).str.cat(pd.Series(w[1:][both]), sep=" ")
+        vc = grams.value_counts()
+        return pd.DataFrame(
+            {"gram": vc.index.to_numpy(dtype=object), "cnt": vc.to_numpy(np.int64)}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("gram")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+    out = agg.sort(["n", "gram"], descending=[True, False]).limit(k).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out[["gram", "n"]].reset_index(drop=True)
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified Bernoulli sample: keep a doc iff its
+    multiplicative hash u(doc_id) = (doc_id·2654435761 mod 2³²)/2³² falls
+    under its stratum's rate (en → 0.2, every other lang → 0.6). Pure int64
+    arithmetic reproduced verbatim in the DuckDB oracle — no engine-internal
+    hash — and fully vectorized per batch. (doc_id·K stays < 2⁶³ for any
+    doc_id < 3.5e9; corpora beyond that use the same formula in uint64.)"""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        h = (ids * np.int64(2654435761)) % np.int64(4294967296)
+        rate = np.where(lang == "en", 0.2, 0.6)
+        return t.filter(pa.array(h < rate * 4294967296.0))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pagerank_top20_profile(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Composition query: the 20 highest-ranked vertices of the 20-iteration
+    PageRank joined with their out/in degrees (rank desc, id asc tie-break).
+    The degree lookups filter the distributed degree tables by the broadcast
+    top-k id set — only k rows ever reach the driver-side merge."""
+    pr = q_pagerank_fixed(sf_dir)
+    top = pr.sort_values(["rank", "id"], ascending=[False, True]).head(k).copy()
+    edges = lineitem_edges(sf_dir).materialize()
+    outd = grouped_count(edges, "src_id", "out_deg")
+    ind = grouped_count(edges, "dst_id", "in_deg")
+    ids = pa.array(top["id"].to_numpy(dtype=np.int64))
+    from pagerank_ray.stages import joins
+
+    od = joins._collect_arrow(
+        outd.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("src_id"), value_set=ids)),
+            batch_format="pyarrow",
+        )
+    ).to_pandas().rename(columns={"src_id": "id"})
+    ig = joins._collect_arrow(
+        ind.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("dst_id"), value_set=ids)),
+            batch_format="pyarrow",
+        )
+    ).to_pandas().rename(columns={"dst_id": "id"})
+    out = top.merge(od, on="id", how="left").merge(ig, on="id", how="left")
+    out["out_deg"] = out["out_deg"].fillna(0).astype(np.int64)
+    out["in_deg"] = out["in_deg"].fillna(0).astype(np.int64)
+    return out[["id", "rank", "out_deg", "in_deg"]].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: near-dup dedup, similarity search, quality, multimodal
 # ---------------------------------------------------------------------------
