@@ -5,20 +5,21 @@ SURVEY.md memory notes).
 
 Decode is REAL for every codec-free container this environment can parse:
 
-- images: PPM (P6) and uncompressed 24-bit BMP — pure-numpy header parse +
-  ``np.frombuffer``, vectorized nearest-neighbour resize, and a real
-  deterministic feature embedding (block-mean grayscale grid, L2-normalized).
+- images: PPM (P6), uncompressed 24-bit BMP, and — REAL compressed decode —
+  PNG (stdlib ``zlib`` inflate + all five scanline filters, color types
+  0/2/3/4/6, 8-bit non-interlaced). Vectorized nearest-neighbour resize and a
+  real deterministic feature embedding (block-mean grayscale grid,
+  L2-normalized).
 - video: PPM-STREAM (concatenated P6 frames) — frame boundaries parsed from
   the payload itself; the sampler emits real frame bytes at the requested
   temporal spacing.
 - audio: WAV/PCM 16-bit — RIFF chunk walk + ``np.frombuffer``; features are
   per-window RMS energy + zero-crossing rate.
 
-Compressed codecs (JPEG/PNG/MP4/…) genuinely need external libraries that are
-not in this container; those payloads raise ``NotImplementedError`` at the
-exact call site a codec would slot into — or, with
-``deterministic_fake=True``, produce a seeded stand-in embedding (stable per
-content hash) so plumbing tests can exercise arbitrary bytes.
+Codecs needing external libraries NOT in this container (JPEG/MP4/…) raise
+``NotImplementedError`` at the exact call site a codec would slot into — or,
+with ``deterministic_fake=True``, produce a seeded stand-in embedding (stable
+per content hash) so plumbing tests can exercise arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -113,6 +114,148 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if h2 > 0:  # bottom-up storage
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+# ---------------------------------------------------------------------------
+# PNG — REAL compressed-codec decode, stdlib zlib + numpy only
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, *, filters: int | list[int] = 0) -> bytes:
+    """(h, w) or (h, w, {1,3,4}) uint8 → PNG bytes (8-bit, non-interlaced).
+
+    ``filters`` selects the per-row filter type(s) (0..4, int or one per row)
+    — the encoder implements all five forward filters, which lets the test
+    suite roundtrip-check the decoder's unfiltering against an independently
+    written forward pass."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+    raw = img.astype(np.int64)
+    ftypes = [filters] * h if isinstance(filters, int) else list(filters)
+    assert len(ftypes) == h
+    rows = []
+    prev = np.zeros((w, c), dtype=np.int64)
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([np.zeros((1, c), np.int64), cur[:-1]], axis=0)
+        upleft = np.concatenate([np.zeros((1, c), np.int64), prev[:-1]], axis=0)
+        ft = ftypes[y]
+        if ft == 0:
+            out = cur
+        elif ft == 1:
+            out = cur - left
+        elif ft == 2:
+            out = cur - prev
+        elif ft == 3:
+            out = cur - (left + prev) // 2
+        else:  # 4: Paeth
+            p = left + prev - upleft
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, upleft))
+            out = cur - pred
+        rows.append(bytes([ft]) + (out % 256).astype(np.uint8).tobytes())
+        prev = cur
+    idat = zlib.compress(b"".join(rows), 6)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Inflated scanline stream → (h, w*bpp) uint8. Filters 0/2 are fully
+    vectorized; 1 (Sub) is a per-byte-lane cumsum; 3/4 carry a true
+    left-neighbour dependency, resolved per row with a short C-backed loop
+    over pixels (h·w bounded by the image, run inside the actor pool)."""
+    stride = w * bpp
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = int(ftypes[y])
+        cur = data[y]
+        if ft == 0:
+            rec = cur
+        elif ft == 2:
+            rec = (cur + prev) % 256
+        elif ft == 1:
+            rec = cur.copy()
+            for i in range(bpp):  # bpp ≤ 4 lanes, each one vectorized cumsum
+                lane = rec[i::bpp]
+                rec[i::bpp] = np.cumsum(lane) % 256
+        else:
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                rec[x] = (cur[x] + pred) % 256
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8 RGB. REAL decode via stdlib zlib: chunk walk →
+    inflate → unfilter (all five filter types) → de-palette / de-alpha.
+    Supported: 8-bit depth, color types 0/2/3/4/6, non-interlaced — the
+    dominant shapes of real corpora; 16-bit and Adam7 raise."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    idat, plte = [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    arr = _png_unfilter(zlib.decompress(b"".join(idat)), h, w, channels).reshape(
+        h, w, channels
+    )
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[arr[:, :, 0]].copy()
+    if ctype == 0:
+        return np.repeat(arr, 3, axis=2).copy()
+    if ctype == 4:
+        return np.repeat(arr[:, :, :1], 3, axis=2).copy()
+    if ctype == 6:
+        return arr[:, :, :3].copy()
+    return arr.copy()
 
 
 def resize_nearest(img: np.ndarray, target: tuple[int, int]) -> np.ndarray:
@@ -210,6 +353,8 @@ class DecodeImage:
             img = decode_ppm(payload)
         elif payload[:2] == b"BM":
             img = decode_bmp(payload)
+        elif payload[: len(_PNG_SIG)] == _PNG_SIG:
+            img = decode_png(payload)  # REAL compressed decode (stdlib zlib)
         else:
             if not self.fake:
                 raise NotImplementedError(
@@ -411,7 +556,11 @@ def synth_media(n: int, seed: int = 5) -> pa.Table:
             ws.append(w); hs.append(h); durs.append(int(rng.integers(500, 5000)))
         else:
             w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
-            payloads.append(encode_ppm(_synth_image(rng, w, h)))
+            img = _synth_image(rng, w, h)
+            if i % 2 == 0:  # alternate container: real PNG (varied filters)
+                payloads.append(encode_png(img, filters=[f % 5 for f in range(h)]))
+            else:
+                payloads.append(encode_ppm(img))
             types.append("image")
             ws.append(w); hs.append(h); durs.append(0)
     return pa.table(

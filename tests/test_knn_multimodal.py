@@ -202,3 +202,88 @@ def test_knn_bruteforce_duplicate_vector_ties(ray_session):
     )
     # all 6 duplicates tie at cosine 1.0; the 3 smallest ids must win, in order
     assert got["vec_id"].tolist() == [0, 1, 2]
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """encode_png's five forward filters are written independently of the
+    decoder's unfiltering, so a roundtrip match checks both directions."""
+    from pagerank_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 3, 4):  # gray / RGB / RGBA containers
+        for filt in (0, 1, 2, 3, 4, "mix"):
+            h, w = int(rng.integers(5, 40)), int(rng.integers(5, 40))
+            img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            f = [i % 5 for i in range(h)] if filt == "mix" else filt
+            png = encode_png(img if c > 1 else img[:, :, 0], filters=f)
+            dec = decode_png(png)
+            if c == 1:
+                exp = np.repeat(img, 3, axis=2)
+            elif c == 4:
+                exp = img[:, :, :3]  # decode drops alpha
+            else:
+                exp = img
+            np.testing.assert_array_equal(dec, exp, err_msg=f"c={c} filt={filt}")
+
+
+def test_png_palette_gray_alpha_and_rejects():
+    import struct
+    import zlib
+
+    from pagerank_ray.stages.multimodal import _PNG_SIG, decode_png
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    def build(w, h, ctype, raw_rows, extra=b"", depth=8, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + extra
+            + chunk(b"IDAT", zlib.compress(raw_rows))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(1)
+    w, h = 7, 5
+    # color type 3: palette indices -> PLTE rows
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    dec = decode_png(build(w, h, 3, raw, extra=chunk(b"PLTE", plte.tobytes())))
+    np.testing.assert_array_equal(dec, plte[idx])
+    # color type 4: gray+alpha -> gray replicated to RGB
+    ga = rng.integers(0, 256, size=(h, w, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(h))
+    dec = decode_png(build(w, h, 4, raw))
+    np.testing.assert_array_equal(dec, np.repeat(ga[:, :, :1], 3, axis=2))
+    # 16-bit depth and Adam7 interlace are out of scope and must raise
+    with pytest.raises(ValueError):
+        decode_png(build(w, h, 0, b"\x00" * (h * (2 * w + 1)), depth=16))
+    with pytest.raises(ValueError):
+        decode_png(build(w, h, 0, b"\x00" * (h * (w + 1)), interlace=1))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_decode_image_dispatches_png(ray_session):
+    """DecodeImage (real mode) must decode PNG payloads end-to-end — PNG is a
+    REAL compressed codec path (stdlib zlib), not a stub."""
+    from pagerank_ray.stages.multimodal import encode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    tab = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([encode_png(img, filters=4)], pa.binary()),
+        }
+    )
+    out = DecodeImage(deterministic_fake=False)(tab)
+    assert out.num_rows == 1
+    assert out.column("decoded_w")[0].as_py() == 30
+    assert out.column("decoded_h")[0].as_py() == 20
+    emb = np.asarray(out.column("embedding")[0].as_py())
+    assert abs(float(np.linalg.norm(emb)) - 1.0) < 1e-5
