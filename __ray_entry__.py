@@ -11,11 +11,12 @@ query is also hash-checked: its iteration count is recomputed independently by
 the pure-NumPy oracle (pagerank_ray/oracle/numpy_oracle.py) over the same
 parquet input, and the SQL unrolls exactly that many supersteps — the L1 stop
 threshold decays geometrically (factor ≈ α), so the engine and the oracle
-cannot disagree on the count within float noise. The remaining rows-only
-entries are each inherently non-SQL-reproducible: ``minhash_dedup_docs`` /
-``simhash_pairs`` / ``doc_fingerprint`` (engine-internal 64-bit hash
-functions), ``multimodal_image_features`` (binary image decode). Their
-correctness gate is the NumPy-oracle pytest suite.
+cannot disagree on the count within float noise. ``doc_fingerprint`` is
+hash-checked by reimplementing the engine's polynomial byte hash in pure
+DuckDB SQL (``_fingerprint_sql``). The remaining rows-only entries are each
+inherently non-SQL-reproducible: ``minhash_dedup_docs`` / ``simhash_pairs``
+(engine-internal 64-bit token hash), ``multimodal_image_features`` (binary
+image decode). Their correctness gate is the NumPy-oracle pytest suite.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ray.init()/ray.shutdown().
@@ -241,6 +242,50 @@ p AS (
 SELECT a, b, ROUND(j, 6) AS jacc FROM p WHERE j >= {threshold} ORDER BY a, b"""
 
 
+def _fingerprint_sql() -> str:
+    """DuckDB reimplementation of ``functions/text.py:fingerprint64``:
+    h(doc) = Σ (byteᵢ+1)·B^(L-1-i) + L  (mod 2^64) over utf-8 bytes,
+    B = 1099511628211; empty/NULL text → the FNV offset constant. Bytes come
+    from ``hex(encode(text))`` nibble pairs; powers of B from a recursive CTE;
+    all arithmetic in HUGEINT with explicit mod-2^64 and a final signed
+    reinterpretation to match the engine's ``.view(int64)``."""
+    return """
+WITH RECURSIVE pows(k, p) AS (
+    SELECT 0, 1::HUGEINT
+    UNION ALL
+    SELECT k + 1, (p * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+    FROM pows WHERE k < (SELECT COALESCE(MAX(octet_length(encode(text))), 1) FROM documents)
+),
+d AS (
+    SELECT doc_id, hex(encode(COALESCE(text, ''))) AS hx,
+           octet_length(encode(COALESCE(text, ''))) AS len
+    FROM documents
+),
+bytes AS (
+    SELECT d.doc_id, d.len, g.i,
+           (strpos('0123456789ABCDEF', substr(d.hx, 2*g.i - 1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(d.hx, 2*g.i, 1)) - 1 AS bv
+    FROM d, UNNEST(generate_series(1, d.len)) AS g(i)
+    WHERE d.len > 0
+),
+sums AS (
+    SELECT b.doc_id,
+           (SUM((b.bv + 1)::HUGEINT * p.p) + ANY_VALUE(b.len)::HUGEINT)
+             % 18446744073709551616::HUGEINT AS m
+    FROM bytes b JOIN pows p ON p.k = b.len - b.i
+    GROUP BY b.doc_id
+),
+fp AS (
+    SELECT d.doc_id,
+           CASE WHEN d.len = 0 THEN 14695981039346656037::HUGEINT ELSE s.m END AS m
+    FROM d LEFT JOIN sums s USING (doc_id)
+)
+SELECT doc_id,
+       (CASE WHEN m >= 9223372036854775808::HUGEINT
+             THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT AS fingerprint
+FROM fp ORDER BY doc_id"""
+
+
 _KNN_SQL = (
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
     "WHERE vec_id < 5), "
@@ -297,7 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": tabular.q_quality_filter,  # SQL-oracled (quantile_disc threshold)
         "simhash_pairs": tabular.q_simhash_pairs,
         "doc_quality": tabular.q_doc_quality,  # SQL-oracled
-        "doc_fingerprint": tabular.q_doc_fingerprint,  # rows-only (engine hash)
+        "doc_fingerprint": tabular.q_doc_fingerprint,  # SQL-oracled (_fingerprint_sql)
         "knn_bruteforce": tabular.q_knn_bruteforce,
         "knn_ivf": tabular.q_knn_ivf,  # SQL-oracled (nprobe = nlist ⇒ exact)
         "embedding_near_dups": tabular.q_embedding_near_dups,  # SQL-oracled (exact path)
@@ -440,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY q"
         ),
         "doc_quality": _doc_quality_sql(),
+        "doc_fingerprint": _fingerprint_sql(),
         "quality_filter": (
             f"WITH dq AS ({_doc_quality_sql()}) "
             "SELECT doc_id, quality FROM dq WHERE quality >= "

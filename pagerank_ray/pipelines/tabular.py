@@ -834,9 +834,10 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
-    """Vectorized 64-bit polynomial document fingerprints (rows-only driver
-    check — the hash definition is engine-internal; determinism and
-    batch-vs-scalar equality are pinned in tests/test_text_dedup.py)."""
+    """Vectorized 64-bit polynomial document fingerprints — hash-checked
+    against a DuckDB oracle reimplementing the identical byte power-sum in
+    HUGEINT arithmetic (__ray_entry__._fingerprint_sql); determinism and
+    batch-vs-scalar equality are additionally pinned in tests/test_text_dedup.py."""
     from pagerank_ray.functions.text import fingerprint64
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
