@@ -11,12 +11,13 @@ query is also hash-checked: its iteration count is recomputed independently by
 the pure-NumPy oracle (pagerank_ray/oracle/numpy_oracle.py) over the same
 parquet input, and the SQL unrolls exactly that many supersteps — the L1 stop
 threshold decays geometrically (factor ≈ α), so the engine and the oracle
-cannot disagree on the count within float noise. ``doc_fingerprint`` is
-hash-checked by reimplementing the engine's polynomial byte hash in pure
-DuckDB SQL (``_fingerprint_sql``). The remaining rows-only entries are each
-inherently non-SQL-reproducible: ``minhash_dedup_docs`` / ``simhash_pairs``
-(engine-internal 64-bit token hash), ``multimodal_image_features`` (binary
-image decode). Their correctness gate is the NumPy-oracle pytest suite.
+cannot disagree on the count within float noise. ``doc_fingerprint`` and
+``simhash_pairs`` are hash-checked by reimplementing the engine's 64-bit
+hashes in pure DuckDB SQL (``_fingerprint_sql`` / ``_TOKEN_HASH_CTES`` —
+the round-3 token hash is a byte polynomial + fmix64 chosen to be
+SQL-reproducible). The remaining rows-only entries:
+``multimodal_image_features`` (binary image decode) is inherently
+non-SQL-reproducible; its gate is the NumPy-oracle pytest suite.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ray.init()/ray.shutdown().
@@ -286,6 +287,218 @@ SELECT doc_id,
 FROM fp ORDER BY doc_id"""
 
 
+# Shared CTE chain recomputing the engine's 64-bit token hash
+# (stages/dedup.py:_hash_tokens = byte polynomial + murmur fmix64) in pure
+# DuckDB: hex-nibble byte extraction, HUGEINT mod-2^64 polynomial, and the
+# fmix64 multiplies via a 32-bit split (x·c mod 2^64 with x,c < 2^64 would
+# overflow signed INT128, so x·c = xl·c + ((xh·c mod 2^32)·2^32)).
+# Defines tok_hash(doc_id, tpos, h UBIGINT) over whitespace-split tokens,
+# duplicates and order preserved — the exact input to simhash votes and
+# minhash shingles.
+_TOKEN_HASH_CTES = r"""
+pows(k, p) AS (
+    SELECT 0, 1::HUGEINT
+    UNION ALL
+    SELECT k + 1, (p * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+    FROM pows WHERE k < (
+        SELECT COALESCE(MAX(octet_length(encode(tok))), 1) FROM (
+            SELECT unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+            FROM documents WHERE TRIM(COALESCE(text, '')) <> ''))
+),
+tokhex AS (
+    SELECT d.doc_id, g.i AS tpos, hex(encode(d.w[g.i])) AS hx,
+           octet_length(encode(d.w[g.i])) AS len
+    FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w
+          FROM documents WHERE TRIM(COALESCE(text, '')) <> '') d,
+         UNNEST(generate_series(1, len(d.w))) AS g(i)
+),
+tokb AS (
+    SELECT t.doc_id, t.tpos, t.len, g.i,
+           (strpos('0123456789ABCDEF', substr(t.hx, 2*g.i - 1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(t.hx, 2*g.i, 1)) - 1 AS bv
+    FROM tokhex t, UNNEST(generate_series(1, t.len)) AS g(i)
+),
+tokpoly AS (
+    SELECT b.doc_id, b.tpos,
+           ((SUM((b.bv + 1)::HUGEINT * p.p) + ANY_VALUE(b.len)::HUGEINT)
+              % 18446744073709551616::HUGEINT)::UBIGINT AS ph
+    FROM tokb b JOIN pows p ON p.k = b.len - b.i
+    GROUP BY b.doc_id, b.tpos
+),
+fm1 AS (SELECT doc_id, tpos, xor(ph, ph >> 33) AS x FROM tokpoly),
+fm2 AS (SELECT doc_id, tpos,
+          ((( (x::HUGEINT % 4294967296) * 18397679294719823053::HUGEINT
+            + (((x::HUGEINT // 4294967296) * 18397679294719823053::HUGEINT)
+               % 4294967296) * 4294967296 ))
+             % 18446744073709551616::HUGEINT)::UBIGINT AS x FROM fm1),
+fm3 AS (SELECT doc_id, tpos, xor(x, x >> 33) AS x FROM fm2),
+fm4 AS (SELECT doc_id, tpos,
+          ((( (x::HUGEINT % 4294967296) * 14181476777654086739::HUGEINT
+            + (((x::HUGEINT // 4294967296) * 14181476777654086739::HUGEINT)
+               % 4294967296) * 4294967296 ))
+             % 18446744073709551616::HUGEINT)::UBIGINT AS x FROM fm3),
+tok_hash AS MATERIALIZED (SELECT doc_id, tpos, xor(x, x >> 33) AS h FROM fm4)
+"""
+# (MATERIALIZED: DuckDB inlines CTEs per reference; the minhash oracle
+# references tok_hash six times, which would re-run the whole hash chain
+# six times — 64 s → 13 s at sf0.01 after materializing the shared stages.)
+
+
+def _minhash_sql(
+    num_perm: int = 128, bands: int = 16, shingle_k: int = 3,
+    threshold: float = 0.8, seed: int = 7,
+) -> str:
+    """DuckDB reimplementation of the FULL MinHash-LSH dedup pipeline
+    (stages/dedup.py:minhash_lsh_dedup with its default parameters):
+
+    tok_hash → 3-token shingles (polynomial fold, uint64 wraparound; docs
+    shorter than k collapse to one whole-doc fold as in
+    ``_shingles_from_token_hashes``) → per-permutation minhash
+    sig_p = min((a_p·sh mod 2^64 + b_p) mod 2^64 mod 2^61-1) with the a/b
+    coefficients regenerated here from the engine's seed → band keys via the
+    LINEAR form of the fold (Σ sig_r·C^(rows-1-r) mod 2^64 — no sequential
+    recursion needed) → candidate pairs sharing any band key → exact shingle
+    Jaccard ≥ threshold verify → connected components over verified pairs via
+    a recursive reachability CTE (exact closure, no iteration cap) →
+    (doc_id, cluster_id = min reachable id, keep).
+
+    a_p < 2^61 and sig < 2^61, so the per-row multiplies fit signed INT128
+    directly; only the shingle fold needs the 32-bit split multiply."""
+    import numpy as np
+
+    M64 = "18446744073709551616::HUGEINT"
+    POLY_C = 0x9E3779B97F4A7C15
+    MERS = (1 << 61) - 1
+
+    def mm(x: str, c: str) -> str:
+        # (x·c) mod 2^64 via 32-bit split — both operands may reach 2^64
+        return (
+            f"(((({x}) % 4294967296) * ({c}) + (((({x}) // 4294967296) * ({c})) "
+            f"% 4294967296) * 4294967296) % {M64})"
+        )
+
+    rows = num_perm // bands
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERS, num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERS, num_perm, dtype=np.uint64)
+    perm_values = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)" for p in range(num_perm)
+    )
+    cpow = [1]
+    for _ in range(rows - 1):
+        cpow.append((cpow[-1] * POLY_C) % (1 << 64))
+    coef_case = (
+        "CASE "
+        + " ".join(f"WHEN p % {rows} = {r} THEN {cpow[rows-1-r]}::HUGEINT" for r in range(rows))
+        + " END"
+    )
+
+    C = f"{POLY_C}::HUGEINT"
+    OFF2 = "1469598103934665603::HUGEINT"
+    assert shingle_k == 3, "SQL oracle is written for the engine default k=3"
+    sh3 = f"(({mm(mm('x.h::HUGEINT', C) + ' + y.h::HUGEINT', C)} + z.h::HUGEINT) % {M64})"
+    sh1 = f"(({mm(OFF2, C)} + t.h::HUGEINT) % {M64})"
+    sh2 = f"(({mm(f'(({mm(OFF2, C)} + t1.h::HUGEINT) % {M64})', C)} + t2.h::HUGEINT) % {M64})"
+
+    return f"""
+WITH RECURSIVE {_TOKEN_HASH_CTES},
+tcnt AS (
+    SELECT d.doc_id, COALESCE(c.n, 0) AS n
+    FROM documents d LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM tok_hash GROUP BY doc_id) c
+    USING (doc_id)
+),
+sh_long AS (
+    SELECT x.doc_id, {sh3} AS shv
+    FROM tok_hash x
+    JOIN tok_hash y ON y.doc_id = x.doc_id AND y.tpos = x.tpos + 1
+    JOIN tok_hash z ON z.doc_id = x.doc_id AND z.tpos = x.tpos + 2
+),
+sh_0 AS (SELECT doc_id, {OFF2} AS shv FROM tcnt WHERE n = 0),
+sh_1 AS (SELECT t.doc_id, {sh1} AS shv
+         FROM tok_hash t JOIN tcnt ON tcnt.doc_id = t.doc_id AND tcnt.n = 1),
+sh_2 AS (SELECT t1.doc_id, {sh2} AS shv
+         FROM tok_hash t1 JOIN tok_hash t2 ON t2.doc_id = t1.doc_id AND t2.tpos = 2
+         JOIN tcnt ON tcnt.doc_id = t1.doc_id AND tcnt.n = 2
+         WHERE t1.tpos = 1),
+shingles AS MATERIALIZED (
+    SELECT DISTINCT doc_id, shv FROM (
+        SELECT * FROM sh_long UNION ALL SELECT * FROM sh_0
+        UNION ALL SELECT * FROM sh_1 UNION ALL SELECT * FROM sh_2)
+),
+perms(p, a, b) AS (VALUES {perm_values}),
+sigs AS MATERIALIZED (
+    SELECT s.doc_id, pm.p,
+           MIN((((pm.a * s.shv) % {M64} + pm.b) % {M64}) % {MERS}::HUGEINT) AS sig
+    FROM shingles s CROSS JOIN perms pm
+    GROUP BY s.doc_id, pm.p
+),
+bandkeys AS MATERIALIZED (
+    SELECT doc_id, p // {rows} AS band, SUM((sig * ({coef_case})) % {M64}) % {M64} AS bh
+    FROM sigs GROUP BY doc_id, p // {rows}
+),
+cand AS MATERIALIZED (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bandkeys x JOIN bandkeys y
+      ON y.band = x.band AND y.bh = x.bh AND y.doc_id > x.doc_id
+),
+scnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.a, c.b, COUNT(*) AS ic
+    FROM cand c
+    JOIN shingles x ON x.doc_id = c.a
+    JOIN shingles y ON y.doc_id = c.b AND y.shv = x.shv
+    GROUP BY c.a, c.b
+),
+ver AS MATERIALIZED (
+    SELECT i.a, i.b
+    FROM inter i
+    JOIN scnt na ON na.doc_id = i.a
+    JOIN scnt nb ON nb.doc_id = i.b
+    WHERE i.ic::DOUBLE / (na.n + nb.n - i.ic)::DOUBLE >= {threshold}
+),
+edges2(src, dst) AS (SELECT a, b FROM ver UNION ALL SELECT b, a FROM ver),
+comp(id, r) AS (
+    SELECT src, src FROM edges2
+    UNION
+    SELECT e.dst, c.r FROM comp c JOIN edges2 e ON e.src = c.id
+),
+clusters AS (SELECT id, MIN(r) AS cluster_id FROM comp GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+       (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB reimplementation of ``simhash_near_dups``: per-doc 64-bit
+    SimHash (per-bit token votes, tie → 0, empty doc → 0) then ALL-PAIRS
+    Hamming ≤ max_hamming via bit_count(xor). All-pairs is provably identical
+    to the engine's 4×16-bit banded blocking for max_hamming ≤ 3: a pair
+    differing in ≤3 bits can touch at most 3 of the 4 disjoint 16-bit blocks,
+    so at least one block key collides (pigeonhole) and the pair is found."""
+    return f"""
+WITH RECURSIVE {_TOKEN_HASH_CTES},
+votes AS (
+    SELECT doc_id, b.j, SUM(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM tok_hash, UNNEST(generate_series(0, 63)) AS b(j)
+    GROUP BY doc_id, b.j
+),
+sig AS (
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (1::UBIGINT << j)::HUGEINT ELSE 0::HUGEINT END) AS s
+    FROM votes GROUP BY doc_id
+),
+allsig AS (
+    SELECT d.doc_id, COALESCE(sig.s, 0::HUGEINT)::UBIGINT AS s
+    FROM documents d LEFT JOIN sig USING (doc_id)
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM allsig x JOIN allsig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}
+ORDER BY a, b"""
+
+
 _KNN_SQL = (
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
     "WHERE vec_id < 5), "
@@ -336,11 +549,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": tabular.q_stratified_sample,  # SQL-oracled (shared hash arithmetic)
         "exact_dedup_docs": tabular.q_exact_dedup_docs,
         # training-data ops (near-dup suite, similarity search, quality, multimodal)
-        "minhash_dedup_docs": tabular.q_minhash_dedup,
+        "minhash_dedup_docs": tabular.q_minhash_dedup,  # SQL-oracled (_minhash_sql)
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
         "doc_length_quantiles": tabular.q_doc_length_quantiles,  # SQL-oracled (quantile_cont)
         "quality_filter": tabular.q_quality_filter,  # SQL-oracled (quantile_disc threshold)
-        "simhash_pairs": tabular.q_simhash_pairs,
+        "simhash_pairs": tabular.q_simhash_pairs,  # SQL-oracled (_simhash_sql)
         "doc_quality": tabular.q_doc_quality,  # SQL-oracled
         "doc_fingerprint": tabular.q_doc_fingerprint,  # SQL-oracled (_fingerprint_sql)
         "knn_bruteforce": tabular.q_knn_bruteforce,
@@ -486,6 +699,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _doc_quality_sql(),
         "doc_fingerprint": _fingerprint_sql(),
+        "simhash_pairs": _simhash_sql(max_hamming=3),
+        "minhash_dedup_docs": _minhash_sql(),
         "quality_filter": (
             f"WITH dq AS ({_doc_quality_sql()}) "
             "SELECT doc_id, quality FROM dq WHERE quality >= "

@@ -146,19 +146,30 @@ def _fp_pows(n: int) -> np.ndarray:
     return _FP_POWS
 
 
-def fingerprint64(texts: pd.Series) -> np.ndarray:
-    """Polynomial rolling hash over utf-8 bytes → int64 fingerprint.
+def utf8_segments(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy utf-8 byte view of a string sequence via the Arrow
+    large_string buffers: returns (data, lengths) where ``data`` is the
+    concatenated uint8 bytes of all strings in order and ``lengths`` their
+    per-string byte lengths — no per-string Python encode."""
+    arr = pa.array(strings, type=pa.large_string())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    buf = arr.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.empty(0, np.uint8)
+    return data[off[0] : off[-1]], np.diff(off)
 
-    Fully vectorized over the whole batch: one byte-buffer concat, one
-    power-table gather, one multiply, one ``np.add.reduceat`` per batch —
-    no per-byte Python (the round-1 inner loop was the single worst hot
-    loop in the repo; this replaces it with h(doc) = Σ (bᵢ+1)·Pᴸ⁻¹⁻ⁱ + L)."""
-    encoded = [t.encode("utf-8") for t in texts.fillna("")]
-    lengths = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
-    out = np.full(len(encoded), _FP_OFF, dtype=np.uint64)
+
+def poly_hash_segments(data: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """uint64 polynomial hash per contiguous segment of ``data`` (uint8,
+    segments concatenated in order): h = Σ (bᵢ+1)·Bᴸ⁻¹⁻ⁱ + L  (mod 2^64),
+    B = ``_FP_BASE``; empty segments hash to the FNV offset constant.
+
+    Fully vectorized: one power-table gather, one multiply, one
+    ``np.add.reduceat`` — no per-byte Python. SQL-reproducible: the identical
+    arithmetic runs in DuckDB HUGEINT (``__ray_entry__._fingerprint_sql``)."""
+    out = np.full(len(lengths), _FP_OFF, dtype=np.uint64)
     total = int(lengths.sum())
     if total:
-        arr = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.uint64)
+        arr = data[:total].astype(np.uint64)
         ends = np.cumsum(lengths)
         starts = ends - lengths
         exp = np.repeat(ends, lengths) - 1 - np.arange(total, dtype=np.int64)
@@ -168,7 +179,16 @@ def fingerprint64(texts: pd.Series) -> np.ndarray:
             nonempty = lengths > 0
             seg = np.add.reduceat(terms, starts[nonempty])
             out[nonempty] = seg + lengths[nonempty].astype(np.uint64)
-    return out.view(np.int64)
+    return out
+
+
+def fingerprint64(texts: pd.Series) -> np.ndarray:
+    """Polynomial rolling hash over utf-8 bytes → int64 fingerprint.
+
+    Fully vectorized over the whole batch via the Arrow string buffers (the
+    round-1 per-byte inner loop was the single worst hot loop in the repo;
+    round 3 also removed the per-doc ``encode`` loop)."""
+    return poly_hash_segments(*utf8_segments(texts.fillna(""))).view(np.int64)
 
 
 def md5_hex(texts: pd.Series) -> pd.Series:

@@ -795,8 +795,11 @@ def q_pagerank_top20_profile(sf_dir: str, k: int = 20) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH near-dup clusters over documents (rows-only check; the
-    planted-duplicate pytest oracle is the correctness gate)."""
+    """MinHash-LSH near-dup clusters over documents — hash-checked against a
+    DuckDB oracle reimplementing the ENTIRE pipeline (token hash, shingle
+    folds, 128 permutations, band keys, candidate blocking, Jaccard verify,
+    connected components) in pure SQL (__ray_entry__._minhash_sql); the
+    planted-duplicate pytest oracle additionally gates recall."""
     from pagerank_ray.stages.dedup import minhash_lsh_dedup
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -804,6 +807,9 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs — hash-checked against a DuckDB all-pairs
+    oracle (__ray_entry__._simhash_sql; all-pairs ≡ the engine's 4×16-bit
+    banding for Hamming ≤ 3 by pigeonhole)."""
     from pagerank_ray.stages.dedup import simhash_near_dups
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -33,6 +33,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from pagerank_ray.functions.text import poly_hash_segments, utf8_segments
 from pagerank_ray.stages import joins
 from pagerank_ray.stages.knn import stack_vectors
 
@@ -52,12 +53,35 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _POLY_C = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
 
 
+_FMIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _fmix64(x: np.ndarray) -> np.ndarray:
+    """Murmur3 fmix64 finalizer (vectorized, uint64 wraparound) — balances
+    the bit distribution of short-token polynomial hashes so SimHash bit
+    votes are unbiased."""
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint64(33))
+        x = x * _FMIX_C1
+        x = x ^ (x >> np.uint64(33))
+        x = x * _FMIX_C2
+        x = x ^ (x >> np.uint64(33))
+    return x
+
+
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hash per token — one vectorized siphash call."""
+    """Deterministic 64-bit hash per token: the fingerprint byte polynomial
+    (functions/text.py:poly_hash_segments) + murmur fmix64 finalizer.
+
+    SQL-REPRODUCIBLE BY DESIGN (round 3): every step is plain mod-2^64
+    arithmetic, so DuckDB can recompute identical token hashes in HUGEINT
+    (__ray_entry__._token_hash_sql) — this is what lets the driver
+    hash-check simhash/minhash end-to-end instead of rows-only. Vectorized
+    via Arrow string-buffer extraction; no per-token Python."""
     if not tokens:
         return np.empty(0, dtype=np.uint64)
-    s = pd.Series(tokens, dtype=object)
-    return pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
+    return _fmix64(poly_hash_segments(*utf8_segments(tokens)))
 
 
 def _shingles_from_token_hashes(th: np.ndarray, k: int) -> np.ndarray:
