@@ -470,6 +470,65 @@ FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
 ORDER BY d.doc_id"""
 
 
+def _hll_sql(p: int = 12) -> str:
+    """DuckDB reimplementation of the HyperLogLog sketch
+    (stages/sketch.py:approx_distinct over lineitem.l_partkey): fmix64 value
+    hash (32-bit-split multiplies), rho via an exact power-of-two table join
+    (no libm log2), harmonic sum Σ 2^(64-reg) as an exact HUGEINT, and the
+    identical left-to-right double expression for the estimate — so even the
+    APPROXIMATE estimate hash-matches. DISTINCT over the values first is an
+    optimization only: duplicate values produce identical registers."""
+    m = 1 << p
+    wbits = 64 - p
+    wmask = (1 << wbits) - 1
+
+    def fx(mul: int) -> str:
+        return (
+            f"((( (h::HUGEINT % 4294967296) * {mul}::HUGEINT"
+            f" + (((h::HUGEINT // 4294967296) * {mul}::HUGEINT)"
+            f" % 4294967296) * 4294967296 )) % 18446744073709551616::HUGEINT)::UBIGINT"
+        )
+
+    return f"""
+WITH RECURSIVE p2(k, v) AS (
+    SELECT 0, 1::HUGEINT
+    UNION ALL SELECT k + 1, v * 2 FROM p2 WHERE k < 64
+),
+vals AS (SELECT DISTINCT l_partkey::UBIGINT AS x FROM lineitem),
+g1 AS (SELECT xor(x, x >> 33) AS h FROM vals),
+g2 AS (SELECT {fx(0xFF51AFD7ED558CCD)} AS h FROM g1),
+g3 AS (SELECT xor(h, h >> 33) AS h FROM g2),
+g4 AS (SELECT {fx(0xC4CEB9FE1A85EC53)} AS h FROM g3),
+hv AS (SELECT xor(h, h >> 33) AS h FROM g4),
+parts AS (SELECT (h >> {wbits})::BIGINT AS bucket, (h & {wmask})::HUGEINT AS w FROM hv),
+rho AS (
+    SELECT p.bucket, p.w,
+           CASE WHEN p.w = 0 THEN {wbits + 1}
+                ELSE {wbits} - MAX(CASE WHEN p2.v <= p.w THEN p2.k END) END AS r
+    FROM parts p CROSS JOIN p2 GROUP BY p.bucket, p.w
+),
+regs AS (SELECT bucket, MAX(r) AS reg FROM rho GROUP BY bucket),
+allregs AS (
+    SELECT gs.b AS bucket, COALESCE(regs.reg, 0) AS reg
+    FROM (SELECT unnest(generate_series(0, {m - 1})) AS b) gs
+    LEFT JOIN regs ON regs.bucket = gs.b
+),
+s AS (
+    SELECT SUM(p2.v) AS sv, SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros
+    FROM allregs JOIN p2 ON p2.k = 64 - allregs.reg
+),
+raw AS (
+    SELECT 0.7213/(1 + 1.079/{m}.0) * {m}.0 * {m}.0 * 18446744073709551616.0
+             / CAST(sv AS DOUBLE) AS e,
+           zeros
+    FROM s
+)
+SELECT {m}::BIGINT AS m,
+       ROUND(CASE WHEN e <= 2.5 * {m}.0 AND zeros > 0
+                  THEN {m}.0 * LN({m}.0 / zeros) ELSE e END, 3) AS estimate
+FROM raw"""
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """DuckDB reimplementation of ``simhash_near_dups``: per-doc 64-bit
     SimHash (per-bit token votes, tie → 0, empty doc → 0) then ALL-PAIRS
@@ -538,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": tabular.q_events_window,
         "sessionize": tabular.q_sessionize,  # SQL-oracled (LAG/cumsum window)
         "orders_asof": tabular.q_orders_asof,  # SQL-oracled (native ASOF JOIN)
+        "running_total": tabular.q_running_total,  # SQL-oracled (windowed SUM)
+        "approx_distinct_parts": tabular.q_approx_distinct_parts,  # SQL-oracled (_hll_sql)
         "events_hopping": tabular.q_events_hopping,  # SQL-oracled (explode windows)
         "top_orders_per_customer": tabular.q_top_orders_per_customer,  # SQL-oracled (QUALIFY)
         "error_burst": tabular.q_error_burst,  # SQL-oracled (range join)
@@ -629,6 +690,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e ASOF LEFT JOIN o2 o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.event_id"
         ),
+        "running_total": (
+            # cents-exact cumulative sum: both engines accumulate
+            # CAST(ROUND(price*100) AS BIGINT), so float association can
+            # never flip the result
+            "SELECT o_orderkey, o_custkey, "
+            "ROW_NUMBER() OVER w::BIGINT AS order_rank, "
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w / 100.0 AS running_total "
+            "FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS UNBOUNDED PRECEDING) ORDER BY o_orderkey"
+        ),
+        "approx_distinct_parts": _hll_sql(p=12),
         "events_hopping": (
             "WITH x AS (SELECT event_type, value, epoch_us(ts)//1800000000 AS hb FROM events), "
             "e2 AS (SELECT event_type, value, hb*1800000000 AS window_start FROM x "

@@ -182,6 +182,23 @@ def poly_hash_segments(data: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return out
 
 
+_FMIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def fmix64(x: np.ndarray) -> np.ndarray:
+    """Murmur3 fmix64 finalizer (vectorized, uint64 wraparound). Plain
+    mod-2^64 arithmetic, so DuckDB can recompute it exactly in HUGEINT with
+    a 32-bit split multiply (see __ray_entry__._TOKEN_HASH_CTES)."""
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint64(33))
+        x = x * _FMIX_C1
+        x = x ^ (x >> np.uint64(33))
+        x = x * _FMIX_C2
+        x = x ^ (x >> np.uint64(33))
+    return x
+
+
 def fingerprint64(texts: pd.Series) -> np.ndarray:
     """Polynomial rolling hash over utf-8 bytes → int64 fingerprint.
 

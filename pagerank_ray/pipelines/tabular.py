@@ -598,6 +598,44 @@ def q_orders_asof(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-customer running order total + order rank (the
+    ROWS-UNBOUNDED-PRECEDING window primitive), accumulated in exact integer
+    cents so the result is hash-identical to DuckDB's windowed SUM."""
+    from pagerank_ray.stages.temporal import running_totals
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = running_totals(
+        orders,
+        key_col="o_custkey",
+        order_col="o_orderdate",
+        id_col="o_orderkey",
+        value_col="o_totalprice",
+    ).to_pandas()
+    return (
+        out[["o_orderkey", "o_custkey", "order_rank", "running_total"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog estimate of COUNT(DISTINCT l_partkey) — the APPROXIMATE
+    estimate itself is hash-checked against a DuckDB reimplementation of the
+    sketch (__ray_entry__._hll_sql): same fmix64 hash, exact-integer rho and
+    harmonic sum, identical float expression order."""
+    from pagerank_ray.stages.sketch import approx_distinct
+
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    est = approx_distinct(li, "l_partkey", p=12)
+    return pd.DataFrame(
+        {
+            "m": np.array([4096], dtype=np.int64),
+            "estimate": _round_half_away(np.array([est]), 3),
+        }
+    )
+
+
 def q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact distributed quantiles (p25/p50/p75/p95) of document length —
     global sort + block-offset scalar fetch, no driver materialization.

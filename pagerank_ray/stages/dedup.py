@@ -33,7 +33,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from pagerank_ray.functions.text import poly_hash_segments, utf8_segments
+from pagerank_ray.functions.text import fmix64, poly_hash_segments, utf8_segments
 from pagerank_ray.stages import joins
 from pagerank_ray.stages.knn import stack_vectors
 
@@ -53,21 +53,8 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _POLY_C = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
 
 
-_FMIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
-_FMIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
-
-
-def _fmix64(x: np.ndarray) -> np.ndarray:
-    """Murmur3 fmix64 finalizer (vectorized, uint64 wraparound) — balances
-    the bit distribution of short-token polynomial hashes so SimHash bit
-    votes are unbiased."""
-    with np.errstate(over="ignore"):
-        x = x ^ (x >> np.uint64(33))
-        x = x * _FMIX_C1
-        x = x ^ (x >> np.uint64(33))
-        x = x * _FMIX_C2
-        x = x ^ (x >> np.uint64(33))
-    return x
+_fmix64 = fmix64  # shared finalizer (functions/text.py); kept under the
+# module-local name its call sites and tests use
 
 
 def _hash_tokens(tokens: list[str]) -> np.ndarray:

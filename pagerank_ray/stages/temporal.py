@@ -1,6 +1,6 @@
 """Temporal / streaming-shaped operators over event tables (SURVEY.md §2.9).
 
-Two operators Ray Data has no native primitive for, expressed with the
+Operators Ray Data has no native primitive for, expressed with the
 engine's standard bucketed-kernel idiom (hash-bucket groupby → ONE vectorized
 kernel per bucket — graph_build.dedup_pairs style, never per-key map_groups):
 
@@ -12,6 +12,9 @@ kernel per bucket — graph_build.dedup_pairs style, never per-key map_groups):
   at-or-before the left timestamp (backward as-of). Both sides bucket by
   the SAME key hash (co-partitioning), each bucket resolved by one
   ``pd.merge_asof`` (vectorized C kernel).
+- ``running_totals``: per-key cumulative sum + row rank (the
+  ROWS-UNBOUNDED-PRECEDING window primitive), accumulated in exact integer
+  cents so the result is order-of-summation independent.
 
 Partitioning assumption (documented per the custom-operator contract): a
 single key's rows fit one worker's heap. Skewed users/keys are bounded by
@@ -221,5 +224,75 @@ def asof_join(
 
     return (
         both.groupby("bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-key running (cumulative) aggregate
+# ---------------------------------------------------------------------------
+
+
+def running_totals(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    value_col: str,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key cumulative sum + 1-based row rank ordered by
+    (order_col, id_col) — the ROWS-UNBOUNDED-PRECEDING window primitive of a
+    streaming aggregation, as a co-partitioned bucketed kernel (same idiom
+    as ``sessionize``: hash-bucket by key, ONE vectorized kernel per bucket).
+
+    Values are accumulated in integer CENTS (``round(v*100)``) so the
+    running sum is exact integer arithmetic — float summation order can
+    never flip a rounded output, which keeps the result hash-identical to a
+    SQL windowed SUM regardless of either engine's internal aggregation
+    tree. Returns (id_col, key_col, order_rank, running_total)."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_hash_bucket(k, n_buckets)))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    key_col: pd.Series(dtype=np.int64),
+                    "order_rank": pd.Series(dtype=np.int64),
+                    "running_total": pd.Series(dtype=np.float64),
+                }
+            )
+        keys = df[key_col].to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        order_vals = df[order_col].to_numpy()
+        if order_vals.dtype.kind == "M":
+            order_vals = order_vals.astype("datetime64[us]").view(np.int64)
+        cents = np.round(df[value_col].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        order = np.lexsort((ids, order_vals, keys))
+        keys_s, ids_s, cents_s = keys[order], ids[order], cents[order]
+        first = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+        cs = np.cumsum(cents_s)
+        starts = np.flatnonzero(first)
+        lengths = np.diff(np.append(starts, len(keys_s)))
+        base = np.repeat(cs[starts] - cents_s[starts], lengths)
+        rank = np.arange(len(keys_s), dtype=np.int64) - np.repeat(starts, lengths) + 1
+        return pd.DataFrame(
+            {
+                id_col: ids_s,
+                key_col: keys_s,
+                "order_rank": rank,
+                "running_total": (cs - base) / 100.0,
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, key_col, order_col, value_col])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(kernel, batch_format="pandas")
     )

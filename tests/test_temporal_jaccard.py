@@ -206,3 +206,57 @@ def test_exact_quantiles_ignore_null_and_nan(ray_session):
     disc = exact_quantile_disc(ds, "v", 0.25)
     idx = max(int(np.ceil(0.25 * len(clean))) - 1, 0)
     assert disc == float(np.sort(clean)[idx])
+
+
+def test_running_totals_matches_pandas(ray_session):
+    """Bucketed running_totals == pandas groupby cumsum/cumcount on a table
+    with duplicate order keys and multi-key skew."""
+    from pagerank_ray.stages.temporal import running_totals
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n),
+            "o": rng.integers(0, 30, n),  # many ties → id tie-break matters
+            "id": np.arange(n, dtype=np.int64),
+            "v": np.round(rng.uniform(1, 1000, n), 2),
+        }
+    )
+    got = (
+        running_totals(
+            rd.from_pandas(df).repartition(9),
+            key_col="k", order_col="o", id_col="id", value_col="v",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "o", "id"]).copy()
+    cents = np.round(ref["v"].to_numpy() * 100).astype(np.int64)
+    ref["running_total"] = pd.Series(cents, index=ref.index).groupby(ref["k"]).cumsum() / 100.0
+    ref["order_rank"] = ref.groupby("k").cumcount() + 1
+    ref = ref.sort_values("id").reset_index(drop=True)
+    np.testing.assert_array_equal(got["order_rank"].values, ref["order_rank"].values)
+    np.testing.assert_array_equal(got["running_total"].values, ref["running_total"].values)
+    np.testing.assert_array_equal(got["k"].values, ref["k"].values)
+
+
+def test_hll_approx_distinct_error_bound(ray_session):
+    """HLL estimate within 3σ (≈5%) of truth at several cardinalities, and
+    the register→estimate function is deterministic/bit-stable."""
+    from pagerank_ray.stages.sketch import approx_distinct, hll_estimate_from_registers
+
+    rng = np.random.default_rng(3)
+    for true_n in (100, 2_000, 50_000):
+        vals = rng.integers(0, 2**62, true_n, dtype=np.int64)
+        # duplicates must not change the estimate
+        col = np.concatenate([vals, vals[: true_n // 2]])
+        ds = rd.from_pandas(pd.DataFrame({"x": col})).repartition(8)
+        est = approx_distinct(ds, "x", p=12)
+        n_distinct = len(np.unique(vals))
+        assert abs(est - n_distinct) / n_distinct < 0.05, (true_n, est, n_distinct)
+    # determinism of the closed form
+    regs = np.zeros(4096, dtype=np.int64)
+    regs[:100] = 3
+    assert hll_estimate_from_registers(regs, 12) == hll_estimate_from_registers(regs.copy(), 12)
