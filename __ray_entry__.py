@@ -470,17 +470,24 @@ FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
 ORDER BY d.doc_id"""
 
 
-def _hll_sql(p: int = 12) -> str:
+def _hll_sql(p: int = 12, group_col: str | None = None) -> str:
     """DuckDB reimplementation of the HyperLogLog sketch
     (stages/sketch.py:approx_distinct over lineitem.l_partkey): fmix64 value
     hash (32-bit-split multiplies), rho via an exact power-of-two table join
     (no libm log2), harmonic sum Σ 2^(64-reg) as an exact HUGEINT, and the
     identical left-to-right double expression for the estimate — so even the
     APPROXIMATE estimate hash-matches. DISTINCT over the values first is an
-    optimization only: duplicate values produce identical registers."""
+    optimization only: duplicate values produce identical registers. With
+    ``group_col`` the same machinery runs per group
+    (stages/sketch.py:approx_distinct_grouped)."""
     m = 1 << p
     wbits = 64 - p
     wmask = (1 << wbits) - 1
+    gsel = f"{group_col} AS g, " if group_col else ""
+    gcar = "g, " if group_col else ""
+    gby = "g, " if group_col else ""
+    gout = f"g AS {group_col}, " if group_col else ""
+    gord = " ORDER BY g" if group_col else ""
 
     def fx(mul: int) -> str:
         return (
@@ -489,44 +496,54 @@ def _hll_sql(p: int = 12) -> str:
             f" % 4294967296) * 4294967296 )) % 18446744073709551616::HUGEINT)::UBIGINT"
         )
 
+    if group_col:
+        allregs = f"""allregs AS (
+    SELECT grp.g, gs.b AS bucket, COALESCE(regs.reg, 0) AS reg
+    FROM (SELECT DISTINCT g FROM vals) grp
+    CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS b) gs
+    LEFT JOIN regs ON regs.g = grp.g AND regs.bucket = gs.b
+),"""
+    else:
+        allregs = f"""allregs AS (
+    SELECT gs.b AS bucket, COALESCE(regs.reg, 0) AS reg
+    FROM (SELECT unnest(generate_series(0, {m - 1})) AS b) gs
+    LEFT JOIN regs ON regs.bucket = gs.b
+),"""
+
     return f"""
 WITH RECURSIVE p2(k, v) AS (
     SELECT 0, 1::HUGEINT
     UNION ALL SELECT k + 1, v * 2 FROM p2 WHERE k < 64
 ),
-vals AS (SELECT DISTINCT l_partkey::UBIGINT AS x FROM lineitem),
-g1 AS (SELECT xor(x, x >> 33) AS h FROM vals),
-g2 AS (SELECT {fx(0xFF51AFD7ED558CCD)} AS h FROM g1),
-g3 AS (SELECT xor(h, h >> 33) AS h FROM g2),
-g4 AS (SELECT {fx(0xC4CEB9FE1A85EC53)} AS h FROM g3),
-hv AS (SELECT xor(h, h >> 33) AS h FROM g4),
-parts AS (SELECT (h >> {wbits})::BIGINT AS bucket, (h & {wmask})::HUGEINT AS w FROM hv),
+vals AS (SELECT DISTINCT {gsel}l_partkey::UBIGINT AS x FROM lineitem),
+g1 AS (SELECT {gcar}xor(x, x >> 33) AS h FROM vals),
+g2 AS (SELECT {gcar}{fx(0xFF51AFD7ED558CCD)} AS h FROM g1),
+g3 AS (SELECT {gcar}xor(h, h >> 33) AS h FROM g2),
+g4 AS (SELECT {gcar}{fx(0xC4CEB9FE1A85EC53)} AS h FROM g3),
+hv AS (SELECT {gcar}xor(h, h >> 33) AS h FROM g4),
+parts AS (SELECT {gcar}(h >> {wbits})::BIGINT AS bucket, (h & {wmask})::HUGEINT AS w FROM hv),
 rho AS (
-    SELECT p.bucket, p.w,
+    SELECT {"p." + gby if group_col else ""}p.bucket, p.w,
            CASE WHEN p.w = 0 THEN {wbits + 1}
                 ELSE {wbits} - MAX(CASE WHEN p2.v <= p.w THEN p2.k END) END AS r
-    FROM parts p CROSS JOIN p2 GROUP BY p.bucket, p.w
+    FROM parts p CROSS JOIN p2 GROUP BY {"p." + gby if group_col else ""}p.bucket, p.w
 ),
-regs AS (SELECT bucket, MAX(r) AS reg FROM rho GROUP BY bucket),
-allregs AS (
-    SELECT gs.b AS bucket, COALESCE(regs.reg, 0) AS reg
-    FROM (SELECT unnest(generate_series(0, {m - 1})) AS b) gs
-    LEFT JOIN regs ON regs.bucket = gs.b
-),
+regs AS (SELECT {gby}bucket, MAX(r) AS reg FROM rho GROUP BY {gby}bucket),
+{allregs}
 s AS (
-    SELECT SUM(p2.v) AS sv, SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros
-    FROM allregs JOIN p2 ON p2.k = 64 - allregs.reg
+    SELECT {gby}SUM(p2.v) AS sv, SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros
+    FROM allregs JOIN p2 ON p2.k = 64 - allregs.reg{" GROUP BY g" if group_col else ""}
 ),
 raw AS (
-    SELECT 0.7213/(1 + 1.079/{m}.0) * {m}.0 * {m}.0 * 18446744073709551616.0
+    SELECT {gby}0.7213/(1 + 1.079/{m}.0) * {m}.0 * {m}.0 * 18446744073709551616.0
              / CAST(sv AS DOUBLE) AS e,
            zeros
     FROM s
 )
-SELECT {m}::BIGINT AS m,
+SELECT {gout}{m}::BIGINT AS m,
        ROUND(CASE WHEN e <= 2.5 * {m}.0 AND zeros > 0
                   THEN {m}.0 * LN({m}.0 / zeros) ELSE e END, 3) AS estimate
-FROM raw"""
+FROM raw{gord}"""
 
 
 def _simhash_sql(max_hamming: int = 3) -> str:
@@ -594,11 +611,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational operators (groupby/agg, join, sort/limit, window)
         "lineitem_agg": tabular.q_lineitem_agg,
         "top_customers": tabular.q_top_customers,
+        "region_revenue": tabular.q_region_revenue,  # SQL-oracled (Q5-style 6-table join)
         "events_window": tabular.q_events_window,
         "sessionize": tabular.q_sessionize,  # SQL-oracled (LAG/cumsum window)
         "orders_asof": tabular.q_orders_asof,  # SQL-oracled (native ASOF JOIN)
         "running_total": tabular.q_running_total,  # SQL-oracled (windowed SUM)
         "approx_distinct_parts": tabular.q_approx_distinct_parts,  # SQL-oracled (_hll_sql)
+        "approx_distinct_by_flag": tabular.q_approx_distinct_by_flag,  # SQL-oracled (grouped HLL)
         "events_hopping": tabular.q_events_hopping,  # SQL-oracled (explode windows)
         "top_orders_per_customer": tabular.q_top_orders_per_customer,  # SQL-oracled (QUALIFY)
         "error_burst": tabular.q_error_burst,  # SQL-oracled (range join)
@@ -669,6 +688,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_custkey, c_name "
             "ORDER BY SUM(o_totalprice) DESC, o_custkey LIMIT 25"
         ),
+        "region_revenue": (
+            # cents-exact revenue: both engines sum
+            # ROUND(l_extendedprice*(1-l_discount)*100) as integers, so
+            # distributed summation order can never flip the rounded output
+            "SELECT n_name, "
+            "ROUND(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0, 2)"
+            " AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
         "events_window": (
             "SELECT event_type, (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket, "
             "COUNT(*)::BIGINT AS n_events, ROUND(SUM(value), 4) AS sum_value "
@@ -702,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) ORDER BY o_orderkey"
         ),
         "approx_distinct_parts": _hll_sql(p=12),
+        "approx_distinct_by_flag": _hll_sql(p=12, group_col="l_returnflag"),
         "events_hopping": (
             "WITH x AS (SELECT event_type, value, epoch_us(ts)//1800000000 AS hb FROM events), "
             "e2 AS (SELECT event_type, value, hb*1800000000 AS window_start FROM x "

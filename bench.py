@@ -207,6 +207,8 @@ def headline(ncpu: int) -> dict:
     timed("jaccard_pairs", lambda: tabular.q_jaccard_pairs(SF_DIR))
     timed("running_total", lambda: tabular.q_running_total(SF_DIR))
     timed("approx_distinct_parts", lambda: tabular.q_approx_distinct_parts(SF_DIR))
+    timed("approx_distinct_by_flag", lambda: tabular.q_approx_distinct_by_flag(SF_DIR))
+    timed("region_revenue", lambda: tabular.q_region_revenue(SF_DIR))
     timed("ngram_topk", lambda: tabular.q_ngram_topk(SF_DIR))
     timed("stratified_sample", lambda: tabular.q_stratified_sample(SF_DIR))
     timed("pagerank_top20_profile", lambda: tabular.q_pagerank_top20_profile(SF_DIR))

@@ -365,6 +365,119 @@ def q_top_customers(sf_dir: str, k: int = 25) -> pd.DataFrame:
     return df[["o_custkey", "c_name", "total_price", "n_orders"]]
 
 
+def q_region_revenue(sf_dir: str, region: str = "ASIA", year: int = 1996) -> pd.DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue per nation where the customer
+    and the supplier sit in the same nation of one region, over one order
+    year. The join plan is the engine's canonical star-join strategy:
+
+    - ``region ⋈ nation`` resolves on the driver (≤ dozens of rows — the
+      only justified driver-side join in the plan);
+    - dimension attaches (`customer.c_nationkey`, `supplier.s_nationkey`)
+      go through ``joins.attach_with_default`` — broadcast under
+      BROADCAST_LIMIT, Ray-native hash join beyond, so the plan survives a
+      customer table that no longer fits one worker;
+    - rows outside the region/date window are dropped BEFORE the one big
+      fact-fact join (lineitem ⋈ filtered-orders on o_orderkey), so the
+      widest exchange carries only the qualifying fraction;
+    - revenue is summed in exact integer cents (per-row half-away rounding,
+      mirrored in the oracle) so distributed summation order can never flip
+      the rounded output.
+    """
+    from pagerank_ray.stages import joins
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    regions = _read(sf_dir, "region").to_pandas()
+    rkeys = set(regions.loc[regions["r_name"] == region, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nation_name = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    nat_keys = pa.array(np.array(sorted(nation_name), dtype=np.int64))
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def in_year(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        mask = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        return t.filter(mask).drop_columns(["o_orderdate"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_nationkey"), value_set=nat_keys)),
+        batch_format="pyarrow",
+    )
+    orders_n = joins.attach_with_default(
+        orders.map_batches(in_year, batch_format="pyarrow"),
+        cust,
+        probe_col="o_custkey",
+        build_key="c_custkey",
+        build_val="c_nationkey",
+        out_col="cust_nation",
+        default=-1,
+    ).filter(lambda r: r["cust_nation"] >= 0)
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("s_nationkey"), value_set=nat_keys)),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        c = _round_half_away(price * (1.0 - disc) * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev_cents": pa.array(c),
+            }
+        )
+
+    li_s = joins.attach_with_default(
+        li.map_batches(cents, batch_format="pyarrow"),
+        sup,
+        probe_col="l_suppkey",
+        build_key="s_suppkey",
+        build_val="s_nationkey",
+        out_col="supp_nation",
+        default=-1,
+    ).filter(lambda r: r["supp_nation"] >= 0)
+
+    # the one fact-fact exchange: lineitem rows pick up the customer nation
+    # of their (already date+region filtered) order, or -1 → dropped
+    li_full = joins.attach_with_default(
+        li_s,
+        orders_n,
+        probe_col="l_orderkey",
+        build_key="o_orderkey",
+        build_val="cust_nation",
+        out_col="cust_nation",
+        default=-1,
+    )
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t.column("cust_nation"), t.column("supp_nation")),
+            pc.greater_equal(t.column("cust_nation"), 0),
+        )
+        return t.filter(mask)
+
+    per_nation = (
+        li_full.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("supp_nation")
+        .aggregate(Sum("rev_cents", alias_name="cents"))
+        .to_pandas()
+    )
+    per_nation["n_name"] = per_nation["supp_nation"].map(nation_name)
+    per_nation["revenue"] = (per_nation["cents"].astype(np.int64) / 100.0).round(2)
+    return (
+        per_nation[["n_name", "revenue"]]
+        .sort_values(["revenue", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
 def q_events_window(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per event_type (streaming-shaped workload over
     the ordered log; SURVEY.md §2.9 note — windows as grouped aggregation)."""
@@ -634,6 +747,20 @@ def q_approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
             "estimate": _round_half_away(np.array([est]), 3),
         }
     )
+
+
+def q_approx_distinct_by_flag(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY + HyperLogLog: approximate distinct l_partkey per
+    l_returnflag, the grouped variant of ``approx_distinct_parts`` — shuffle
+    carries ≤ n_groups × 2^p register rows, and the per-group ESTIMATES are
+    hash-checked against _hll_sql(group_col=...)."""
+    from pagerank_ray.stages.sketch import approx_distinct_grouped
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
+    out = approx_distinct_grouped(li, "l_partkey", "l_returnflag", p=12)
+    out["m"] = out["m"].astype(np.int64)
+    out["estimate"] = _round_half_away(out["estimate"].to_numpy(), 3)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
 def q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:

@@ -63,6 +63,60 @@ def hll_estimate_from_registers(regs: np.ndarray, p: int) -> float:
     return est
 
 
+def approx_distinct_grouped(
+    ds: rd.Dataset, col: str, group_col: str, *, p: int = 12
+) -> "pd.DataFrame":
+    """Per-group approximate COUNT(DISTINCT col) — GROUP BY + HLL in one
+    pass. Each batch folds its rows into per-(group, bucket) registers with
+    a dense ``np.maximum.at`` over a (n_groups_in_batch × 2^p) scratch (one
+    vectorized scatter, no per-group loop); the shuffle then carries at most
+    n_groups × 2^p register rows — never the values. Assumes the number of
+    DISTINCT GROUPS is register-scale (each group costs 2^p rows in the
+    combine), which is the regime where a grouped sketch beats a grouped
+    exact distinct."""
+    import pandas as pd
+
+    assert p >= 12, "rho exactness argument requires w < 2^52"
+    m = 1 << p
+
+    def regs(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(t.column(group_col).to_pandas(), sort=False)
+        h = fmix64(v.astype(np.uint64))
+        wbits = 64 - p
+        bucket = (h >> np.uint64(wbits)).astype(np.int64)
+        w = (h & np.uint64((1 << wbits) - 1)).astype(np.uint64)
+        rho = np.full(len(w), wbits + 1, dtype=np.int64)
+        nz = w > 0
+        if nz.any():
+            _, e = np.frexp(w[nz].astype(np.float64))
+            rho[nz] = wbits - (e.astype(np.int64) - 1)
+        dense = np.zeros(len(uniq) * m, dtype=np.int64)
+        np.maximum.at(dense, codes.astype(np.int64) * m + bucket, rho)
+        idx = np.flatnonzero(dense)
+        return pa.table(
+            {
+                group_col: pa.array(np.asarray(uniq)[idx // m]),
+                "bucket": pa.array(idx % m),
+                "rho": pa.array(dense[idx]),
+            }
+        )
+
+    final = (
+        ds.select_columns([col, group_col])
+        .map_batches(regs, batch_format="pyarrow")
+        .groupby([group_col, "bucket"])
+        .max("rho")
+        .to_pandas()
+    )
+    rows = []
+    for g, sub in final.groupby(group_col, sort=True):
+        full = np.zeros(m, dtype=np.int64)
+        full[sub["bucket"].to_numpy(dtype=np.int64)] = sub["max(rho)"].to_numpy(dtype=np.int64)
+        rows.append((g, m, hll_estimate_from_registers(full, p)))
+    return pd.DataFrame(rows, columns=[group_col, "m", "estimate"])
+
+
 def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT col) for an integer column.
 

@@ -260,3 +260,27 @@ def test_hll_approx_distinct_error_bound(ray_session):
     regs = np.zeros(4096, dtype=np.int64)
     regs[:100] = 3
     assert hll_estimate_from_registers(regs, 12) == hll_estimate_from_registers(regs.copy(), 12)
+
+
+def test_hll_grouped_matches_per_group_truth(ray_session):
+    """Grouped HLL: each group's estimate within 5% of its true distinct
+    count, and identical to running the ungrouped sketch on that group alone
+    (register-merge associativity)."""
+    from pagerank_ray.stages.sketch import approx_distinct, approx_distinct_grouped
+
+    rng = np.random.default_rng(7)
+    frames = []
+    truth = {}
+    for g, true_n in [("a", 500), ("b", 5000), ("c", 30_000)]:
+        vals = rng.integers(0, 2**62, true_n, dtype=np.int64)
+        truth[g] = len(np.unique(vals))
+        frames.append(pd.DataFrame({"g": g, "x": np.concatenate([vals, vals[: true_n // 3]])}))
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=0)
+    ds = rd.from_pandas(df).repartition(7)
+    got = approx_distinct_grouped(ds, "x", "g", p=12).set_index("g")["estimate"]
+    for g, tn in truth.items():
+        assert abs(got[g] - tn) / tn < 0.05, (g, got[g], tn)
+        solo = approx_distinct(
+            rd.from_pandas(df[df["g"] == g][["x"]]).repartition(3), "x", p=12
+        )
+        assert got[g] == solo, (g, got[g], solo)
