@@ -7,16 +7,18 @@ Decode is REAL for every codec-free container this environment can parse:
 
 - images: PPM (P6), uncompressed 24-bit BMP, and — REAL compressed decode —
   PNG (stdlib ``zlib`` inflate + all five scanline filters, color types
-  0/2/3/4/6, 8-bit non-interlaced). Vectorized nearest-neighbour resize and a
-  real deterministic feature embedding (block-mean grayscale grid,
-  L2-normalized).
+  0/2/3/4/6, 8-bit non-interlaced) and baseline JPEG (pure-numpy Huffman +
+  IDCT decoder, ``stages/jpeg.py`` — 4:4:4/4:2:2/4:2:0, grayscale, restart
+  markers). Vectorized nearest-neighbour resize and a real deterministic
+  feature embedding (block-mean grayscale grid, L2-normalized).
 - video: PPM-STREAM (concatenated P6 frames) — frame boundaries parsed from
   the payload itself; the sampler emits real frame bytes at the requested
   temporal spacing.
 - audio: WAV/PCM 16-bit — RIFF chunk walk + ``np.frombuffer``; features are
   per-window RMS energy + zero-crossing rate.
 
-Codecs needing external libraries NOT in this container (JPEG/MP4/…) raise
+Codecs needing external libraries NOT in this container (progressive JPEG,
+MP4, Opus, …) raise
 ``NotImplementedError`` at the exact call site a codec would slot into — or,
 with ``deterministic_fake=True``, produce a seeded stand-in embedding (stable
 per content hash) so plumbing tests can exercise arbitrary bytes.
@@ -355,11 +357,16 @@ class DecodeImage:
             img = decode_bmp(payload)
         elif payload[: len(_PNG_SIG)] == _PNG_SIG:
             img = decode_png(payload)  # REAL compressed decode (stdlib zlib)
+        elif payload[:2] == b"\xff\xd8":
+            from pagerank_ray.stages.jpeg import decode_jpeg
+
+            img = decode_jpeg(payload)  # REAL baseline JPEG decode (pure numpy)
         else:
             if not self.fake:
                 raise NotImplementedError(
-                    "compressed image codec not available in this environment; "
-                    "install PIL and decode here"
+                    "image codec not available in this environment (only "
+                    "PPM/BMP/PNG/baseline-JPEG decode natively); install PIL "
+                    "and decode here"
                 )
             rng = np.random.default_rng(_content_seed(payload))
             return rng.standard_normal(self.embed_dim).astype(np.float32), -1, -1
@@ -557,8 +564,13 @@ def synth_media(n: int, seed: int = 5) -> pa.Table:
         else:
             w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
             img = _synth_image(rng, w, h)
-            if i % 2 == 0:  # alternate container: real PNG (varied filters)
+            if i % 4 == 0:  # rotate containers: PNG / baseline JPEG / PPM
                 payloads.append(encode_png(img, filters=[f % 5 for f in range(h)]))
+            elif i % 2 == 0:
+                from pagerank_ray.stages.jpeg import encode_jpeg
+
+                sub = "4:2:0" if i % 8 else "4:4:4"
+                payloads.append(encode_jpeg(img, quality=90, subsampling=sub))
             else:
                 payloads.append(encode_ppm(img))
             types.append("image")

@@ -118,14 +118,24 @@ def test_real_decode_path_raises():
     import pyarrow as pa
 
     dec = DecodeImage(deterministic_fake=False)
-    fake_jpeg = pa.table(
+    # GIF is genuinely unsupported (LZW codec not implemented) → stub raise;
+    # a truncated JPEG takes the REAL jpeg path and fails parsing instead
+    gif = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([b"GIF87a not a supported container"], pa.binary()),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        dec(gif)
+    truncated_jpeg = pa.table(
         {
             "media_id": pa.array([0], pa.int64()),
             "payload": pa.array([b"\xff\xd8\xff\xe0 not a real jpeg"], pa.binary()),
         }
     )
-    with pytest.raises(NotImplementedError):
-        dec(fake_jpeg)
+    with pytest.raises(ValueError):
+        dec(truncated_jpeg)
 
 
 def test_image_decode_roundtrip_and_embedding():
@@ -287,3 +297,110 @@ def test_decode_image_dispatches_png(ray_session):
     assert out.column("decoded_h")[0].as_py() == 20
     emb = np.asarray(out.column("embedding")[0].as_py())
     assert abs(float(np.linalg.norm(emb)) - 1.0) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (stages/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [xx * 255 // max(w - 1, 1), yy * 255 // max(h - 1, 1),
+         (xx + yy) * 255 // max(w + h - 2, 1)], axis=2
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_subsampling_quality_restarts():
+    """Encode→decode across 4:4:4/4:2:2/4:2:0, two qualities, with and
+    without restart markers, on odd (non-multiple-of-16) dimensions. Error
+    bounds are the expected lossy-DCT profile, far below any plumbing bug."""
+    from pagerank_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient(41, 57)
+    bounds = {"4:4:4": 4, "4:2:2": 10, "4:2:0": 12}
+    for sub, bound in bounds.items():
+        for ri in (0, 3):
+            dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub,
+                                          restart_interval=ri))
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.max() <= bound, (sub, ri, err.max())
+            assert err.mean() < 3.0
+
+
+def test_jpeg_uniform_image_is_exact_dc_only():
+    """A flat image has only DC energy: the file must be small and decode to
+    (nearly) the exact color — catches any zigzag/quant indexing slip that a
+    noisy roundtrip could hide inside its error budget."""
+    from pagerank_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((24, 24, 3), (200, 64, 120), dtype=np.uint8)
+    enc = encode_jpeg(img, quality=95, subsampling="4:4:4")
+    assert len(enc) < 900, len(enc)
+    dec = decode_jpeg(enc)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_dct_matrix_and_huffman_tables_are_valid():
+    """Independent structural checks that don't rely on the roundtrip:
+    orthonormal DCT basis; Annex K tables form prefix-free canonical codes
+    that exactly tile the 16-bit LUT they claim."""
+    from pagerank_ray.stages import jpeg as J
+
+    assert np.allclose(J.DCT_M @ J.DCT_M.T, np.eye(8), atol=1e-12)
+    for bits, vals in (
+        (J.DC_LUMA_BITS, J.DC_LUMA_VALS), (J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
+        (J.AC_LUMA_BITS, J.AC_LUMA_VALS), (J.AC_CHROMA_BITS, J.AC_CHROMA_VALS),
+    ):
+        assert sum(bits) == len(vals)
+        codes = J._canonical_codes(bits, vals)
+        covered = 0
+        for code, length, _sym in codes:
+            assert code < (1 << length), "code overflows its length"
+            covered += 1 << (16 - length)
+        assert covered <= 1 << 16  # prefix-free ⇒ windows never overlap
+    assert len(J.AC_LUMA_VALS) == 162 and len(J.AC_CHROMA_VALS) == 162
+    # zigzag is a permutation visiting neighbours diagonally
+    assert sorted(J.ZIGZAG_FLAT.tolist()) == list(range(64))
+    assert J.ZIGZAG_FLAT[0] == 0 and J.ZIGZAG_FLAT[1] == 1 and J.ZIGZAG_FLAT[2] == 8
+
+
+def test_jpeg_rejects_progressive():
+    from pagerank_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    enc = bytearray(encode_jpeg(_gradient(16, 16)))
+    # rewrite the SOF0 marker to SOF2 (progressive)
+    i = enc.find(b"\xff\xc0")
+    assert i > 0
+    enc[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decode_image_dispatches_jpeg(ray_session):
+    """DecodeImage (real mode) decodes JPEG payloads end-to-end, and the
+    embedding is close to the same image's lossless-PPM embedding — the two
+    container paths must agree up to JPEG loss."""
+    from pagerank_ray.stages.jpeg import encode_jpeg
+    from pagerank_ray.stages.multimodal import encode_ppm
+
+    img = _gradient(48, 36)
+    tab = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array(
+                [encode_jpeg(img, quality=95, subsampling="4:2:0"), encode_ppm(img)],
+                pa.binary(),
+            ),
+        }
+    )
+    out = DecodeImage(deterministic_fake=False)(tab)
+    assert out.column("decoded_w").to_pylist() == [36, 36]
+    assert out.column("decoded_h").to_pylist() == [48, 48]
+    e_jpeg = np.asarray(out.column("embedding")[0].as_py())
+    e_ppm = np.asarray(out.column("embedding")[1].as_py())
+    assert float(e_jpeg @ e_ppm) > 0.999
