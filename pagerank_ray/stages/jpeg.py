@@ -134,58 +134,33 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> list[tuple[int, int, i
 # decoder
 # ---------------------------------------------------------------------------
 
-_LUT_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+_LUT_CACHE: dict[bytes, list[int]] = {}
 
 
-def _build_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
-    """16-bit-peek LUT: for every 16-bit window, the decoded symbol and its
-    code length (0 = invalid prefix). Cached by table bytes — one build
-    serves every image that ships the same table (virtually all of the web)."""
+def _build_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """16-bit-peek LUT: for every 16-bit window, ``(symbol << 5) | length``
+    (0 = invalid prefix), as a plain Python list — list indexing is several
+    times faster than numpy scalar indexing in the per-symbol decode loop.
+    Cached by table bytes — one build serves every image that ships the same
+    table (virtually all of the web)."""
     key = bytes(bits) + bytes(vals)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
-    sym = np.zeros(1 << 16, dtype=np.int16)
-    ln = np.zeros(1 << 16, dtype=np.uint8)
+    packed = np.zeros(1 << 16, dtype=np.int32)
     for code, length, symbol in _canonical_codes(bits, vals):
         lo = code << (16 - length)
         hi = lo + (1 << (16 - length))
-        sym[lo:hi] = symbol
-        ln[lo:hi] = length
-    _LUT_CACHE[key] = (sym, ln)
-    return sym, ln
+        packed[lo:hi] = (symbol << 5) | length
+    lut = packed.tolist()
+    _LUT_CACHE[key] = lut
+    return lut
 
 
-class _BitReader:
-    """MSB-first bit reader over a destuffed scan segment. ``peek16`` builds
-    a 32-bit window with one int.from_bytes — no per-bit Python."""
-
-    __slots__ = ("data", "pos", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data + b"\x00\x00\x00\x00"  # padding so peeks never IndexError
-        self.pos = 0
-        self.nbits = len(data) * 8
-
-    def peek16(self) -> int:
-        byte = self.pos >> 3
-        window = int.from_bytes(self.data[byte : byte + 4], "big")
-        return (window >> (16 - (self.pos & 7))) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        self.pos += n
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        v = self.peek16() >> (16 - n)
-        self.pos += n
-        return v
-
-
-def _extend(v: int, s: int) -> int:
-    """T.81 F.2.2.1 sign extension of an s-bit magnitude."""
-    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+# sign-extension constants (T.81 F.2.2.1): an s-bit magnitude v decodes to
+# v - _EXT[s] when v < _HALF[s]
+_HALF = [0] + [1 << (s - 1) for s in range(1, 16)]
+_EXT = [0] + [(1 << s) - 1 for s in range(1, 16)]
 
 
 def _destuff(scan: bytes) -> tuple[bytes, list[int]]:
@@ -307,57 +282,97 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         c.blocks = np.zeros((c.bw * c.bh, 64), dtype=np.int32)
 
     clean, restarts = _destuff(payload[scan_start:])
-    reader = _BitReader(clean)
+    # The symbol loop below is the one inherently serial part of JPEG decode
+    # (each Huffman code's length is known only after decoding its prefix).
+    # It is written for CPython speed: one packed list-LUT hit per symbol,
+    # 32-bit windows via int.from_bytes (no per-bit work), all reader state
+    # in locals, and coefficients accumulated into flat lists that are
+    # scattered into the block arrays with ONE numpy fancy-index per
+    # component afterwards.
+    data = clean + b"\x00\x00\x00\x00"  # padding so windows never IndexError
+    from_bytes = int.from_bytes
+    half, ext = _HALF, _EXT
+    pos = 0
     restarts_iter = iter(restarts)
     next_restart = next(restarts_iter, None)
     preds = [0] * len(comps)
     n_mcus = mcux * mcuy
+    fills = [([], [], []) for _ in comps]  # per comp: block idx, zigzag k, value
 
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             # byte-align at the recorded RSTn boundary, reset DC predictors
             if next_restart is not None:
-                reader.pos = next_restart * 8
+                pos = next_restart * 8
                 next_restart = next(restarts_iter, None)
             preds = [0] * len(comps)
         my, mx = divmod(mcu, mcux)
         for ci, c in enumerate(comps):
-            dc_sym, dc_len = huff[(0, c.td)]
-            ac_sym, ac_len = huff[(1, c.ta)]
+            dc_lut = huff[(0, c.td)]
+            ac_lut = huff[(1, c.ta)]
+            fb, fk, fv = fills[ci]
+            pred = preds[ci]
             for by in range(c.v):
+                row_base = (my * c.v + by) * c.bw + mx * c.h
                 for bx in range(c.h):
-                    block_idx = (my * c.v + by) * c.bw + (mx * c.h + bx)
-                    coefs = c.blocks[block_idx]
+                    block_idx = row_base + bx
                     # --- DC
-                    p16 = reader.peek16()
-                    s = int(dc_sym[p16])
-                    ln = int(dc_len[p16])
-                    if ln == 0:
+                    byte = pos >> 3
+                    window = from_bytes(data[byte : byte + 4], "big")
+                    e = dc_lut[(window >> (16 - (pos & 7))) & 0xFFFF]
+                    ln = e & 31
+                    if not ln:
                         raise ValueError("invalid Huffman prefix (DC)")
-                    reader.skip(ln)
-                    diff = _extend(reader.read(s), s)
-                    preds[ci] += diff
-                    coefs[0] = preds[ci]
+                    s = e >> 5
+                    pos += ln
+                    if s:
+                        byte = pos >> 3
+                        window = from_bytes(data[byte : byte + 4], "big")
+                        v = (window >> (32 - (pos & 7) - s)) & ext[s]
+                        pos += s
+                        if v < half[s]:
+                            v -= ext[s]
+                        pred += v
+                    fb.append(block_idx)
+                    fk.append(0)
+                    fv.append(pred)
                     # --- AC
                     k = 1
                     while k < 64:
-                        p16 = reader.peek16()
-                        rs = int(ac_sym[p16])
-                        ln = int(ac_len[p16])
-                        if ln == 0:
+                        byte = pos >> 3
+                        window = from_bytes(data[byte : byte + 4], "big")
+                        e = ac_lut[(window >> (16 - (pos & 7))) & 0xFFFF]
+                        ln = e & 31
+                        if not ln:
                             raise ValueError("invalid Huffman prefix (AC)")
-                        reader.skip(ln)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL: 16 zeros
+                        rs = e >> 5
+                        pos += ln
+                        s = rs & 0x0F
+                        if not s:
+                            if rs == 0xF0:  # ZRL: 16 zeros
                                 k += 16
                                 continue
                             break  # EOB
-                        k += r
+                        k += rs >> 4
                         if k > 63:
                             raise ValueError("AC run past end of block")
-                        coefs[k] = _extend(reader.read(s), s)
+                        byte = pos >> 3
+                        window = from_bytes(data[byte : byte + 4], "big")
+                        v = (window >> (32 - (pos & 7) - s)) & ext[s]
+                        pos += s
+                        if v < half[s]:
+                            v -= ext[s]
+                        fb.append(block_idx)
+                        fk.append(k)
+                        fv.append(v)
                         k += 1
+            preds[ci] = pred
+
+    for c, (fb, fk, fv) in zip(comps, fills):
+        if fb:
+            c.blocks[np.array(fb, dtype=np.int64), np.array(fk, dtype=np.int64)] = np.array(
+                fv, dtype=np.int32
+            )
 
     # --- everything below is vectorized over all blocks of each component
     planes = []
