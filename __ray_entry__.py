@@ -618,6 +618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": tabular.q_running_total,  # SQL-oracled (windowed SUM)
         "approx_distinct_parts": tabular.q_approx_distinct_parts,  # SQL-oracled (_hll_sql)
         "approx_distinct_by_flag": tabular.q_approx_distinct_by_flag,  # SQL-oracled (grouped HLL)
+        "moving_avg_events": tabular.q_moving_avg_events,  # SQL-oracled (ROWS k PRECEDING)
+        "customers_no_recent_orders": tabular.q_customers_no_recent_orders,  # SQL-oracled (anti-join)
         "events_hopping": tabular.q_events_hopping,  # SQL-oracled (explode windows)
         "top_orders_per_customer": tabular.q_top_orders_per_customer,  # SQL-oracled (QUALIFY)
         "error_burst": tabular.q_error_burst,  # SQL-oracled (range join)
@@ -738,6 +740,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "approx_distinct_parts": _hll_sql(p=12),
         "approx_distinct_by_flag": _hll_sql(p=12, group_col="l_returnflag"),
+        "moving_avg_events": (
+            # cents-exact window sum, single deterministic division on both
+            # engines — the raw doubles hash-match without rounding
+            "SELECT event_id, user_id, "
+            "SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w"
+            " / (100.0 * COUNT(*) OVER w) AS moving_avg "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY event_id"
+        ),
+        "customers_no_recent_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey"
+        ),
         "events_hopping": (
             "WITH x AS (SELECT event_type, value, epoch_us(ts)//1800000000 AS hb FROM events), "
             "e2 AS (SELECT event_type, value, hb*1800000000 AS window_start FROM x "

@@ -206,6 +206,8 @@ def headline(ncpu: int) -> dict:
     timed("exact_dedup_docs", lambda: tabular.q_exact_dedup_docs(SF_DIR))
     timed("jaccard_pairs", lambda: tabular.q_jaccard_pairs(SF_DIR))
     timed("running_total", lambda: tabular.q_running_total(SF_DIR))
+    timed("moving_avg_events", lambda: tabular.q_moving_avg_events(SF_DIR))
+    timed("customers_no_recent_orders", lambda: tabular.q_customers_no_recent_orders(SF_DIR))
     timed("approx_distinct_parts", lambda: tabular.q_approx_distinct_parts(SF_DIR))
     timed("approx_distinct_by_flag", lambda: tabular.q_approx_distinct_by_flag(SF_DIR))
     timed("region_revenue", lambda: tabular.q_region_revenue(SF_DIR))

@@ -749,6 +749,58 @@ def q_approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_moving_avg_events(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """Per-user trailing 3-row moving average of event value (ROWS BETWEEN 2
+    PRECEDING window primitive) — cents-exact sum, one deterministic division,
+    so the doubles hash-match SQL without rounding."""
+    from pagerank_ray.stages.temporal import moving_average
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = moving_average(
+        ev, key_col="user_id", order_col="ts", id_col="event_id",
+        value_col="value", window=window,
+    ).to_pandas()
+    return (
+        out[["event_id", "user_id", "moving_avg"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_customers_no_recent_orders(sf_dir: str) -> pd.DataFrame:
+    """ANTI-join: customers with no order since 2001-01-01. The orders side
+    reduces to its distinct custkeys first (bucketed grouped_count — the
+    anti-join probe never sees order rows), then customers keep rows whose
+    attach_with_default sentinel survives. Broadcast under BROADCAST_LIMIT,
+    Ray-native hash left-outer join beyond — same scale story as every other
+    dimension attach."""
+    from pagerank_ray.stages import joins
+
+    cutoff = np.datetime64("2001-01-01", "us")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("o_orderdate"), pa.scalar(cutoff)))
+
+    recent_custs = grouped_count(
+        orders.map_batches(recent, batch_format="pyarrow"), "o_custkey", "n_orders"
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    tagged = joins.attach_with_default(
+        cust,
+        recent_custs,
+        probe_col="c_custkey",
+        build_key="o_custkey",
+        build_val="n_orders",
+        out_col="n_recent",
+        default=0,
+    )
+    out = tagged.filter(lambda r: r["n_recent"] == 0).to_pandas()
+    return (
+        out[["c_custkey", "c_name"]].sort_values("c_custkey").reset_index(drop=True)
+    )
+
+
 def q_approx_distinct_by_flag(sf_dir: str) -> pd.DataFrame:
     """GROUP BY + HyperLogLog: approximate distinct l_partkey per
     l_returnflag, the grouped variant of ``approx_distinct_parts`` — shuffle

@@ -296,3 +296,67 @@ def running_totals(
         .groupby("bucket")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def moving_average(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    value_col: str,
+    window: int = 3,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-key trailing moving average over the last ``window`` rows ordered
+    by (order_col, id_col) — the ROWS-BETWEEN-k-PRECEDING window primitive,
+    same bucketed idiom as ``running_totals``. Values are summed in exact
+    integer cents and divided by the actual window row count, so the float
+    result is a single deterministic division on both engines (matches SQL
+    ``SUM(cents) OVER w / (100.0 * COUNT(*) OVER w)`` exactly). Returns
+    (id_col, key_col, moving_avg)."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_hash_bucket(k, n_buckets)))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    key_col: pd.Series(dtype=np.int64),
+                    "moving_avg": pd.Series(dtype=np.float64),
+                }
+            )
+        keys = df[key_col].to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        order_vals = df[order_col].to_numpy()
+        if order_vals.dtype.kind == "M":
+            order_vals = order_vals.astype("datetime64[us]").view(np.int64)
+        cents = np.round(df[value_col].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        order = np.lexsort((ids, order_vals, keys))
+        keys_s, ids_s, cents_s = keys[order], ids[order], cents[order]
+        first = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+        starts = np.flatnonzero(first)
+        lengths = np.diff(np.append(starts, len(keys_s)))
+        rank = np.arange(len(keys_s), dtype=np.int64) - np.repeat(starts, lengths)
+        cs = np.concatenate([[0], np.cumsum(cents_s)])  # prefix sums, cs[i]=Σ<i
+        lo = np.maximum(rank - (window - 1), 0) + np.repeat(starts, lengths)
+        hi = np.arange(len(keys_s), dtype=np.int64) + 1
+        wsum = cs[hi] - cs[lo]
+        wcnt = hi - lo
+        return pd.DataFrame(
+            {
+                id_col: ids_s,
+                key_col: keys_s,
+                "moving_avg": wsum / (100.0 * wcnt),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, key_col, order_col, value_col])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )

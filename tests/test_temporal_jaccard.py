@@ -284,3 +284,37 @@ def test_hll_grouped_matches_per_group_truth(ray_session):
             rd.from_pandas(df[df["g"] == g][["x"]]).repartition(3), "x", p=12
         )
         assert got[g] == solo, (g, got[g], solo)
+
+
+def test_moving_average_matches_pandas(ray_session):
+    """Bucketed moving_average == pandas groupby rolling mean (cents) on a
+    skewed multi-key table with order ties."""
+    from pagerank_ray.stages.temporal import moving_average
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, n),
+            "o": rng.integers(0, 25, n),
+            "id": np.arange(n, dtype=np.int64),
+            "v": np.round(rng.uniform(-50, 50, n), 2),
+        }
+    )
+    got = (
+        moving_average(
+            rd.from_pandas(df).repartition(8),
+            key_col="k", order_col="o", id_col="id", value_col="v", window=3,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "o", "id"]).copy()
+    cents = pd.Series(np.round(ref["v"].to_numpy() * 100).astype(np.int64), index=ref.index)
+    g = cents.groupby(ref["k"])
+    ref["moving_avg"] = g.rolling(3, min_periods=1).sum().droplevel(0) / (
+        100.0 * g.rolling(3, min_periods=1).count().droplevel(0)
+    )
+    ref = ref.sort_values("id").reset_index(drop=True)
+    np.testing.assert_allclose(got["moving_avg"].values, ref["moving_avg"].values, rtol=0, atol=0)
