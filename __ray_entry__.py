@@ -634,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": tabular.q_minhash_dedup,  # SQL-oracled (_minhash_sql)
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
         "doc_length_quantiles": tabular.q_doc_length_quantiles,  # SQL-oracled (quantile_cont)
+        "approx_quantiles_price": tabular.q_approx_quantiles_price,  # SQL-oracled (histogram sketch)
         "quality_filter": tabular.q_quality_filter,  # SQL-oracled (quantile_disc threshold)
         "simhash_pairs": tabular.q_simhash_pairs,  # SQL-oracled (_simhash_sql)
         "doc_quality": tabular.q_doc_quality,  # SQL-oracled
@@ -749,6 +750,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY event_id"
+        ),
+        "approx_quantiles_price": (
+            # DuckDB reimplementation of the equi-width histogram quantile
+            # sketch (stages/quantiles.py:approx_quantiles_histogram):
+            # identical bin assignment, ceil-rank target and interpolation in
+            # the same double evaluation order — the APPROXIMATE estimates
+            # hash-match
+            "WITH stats AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx, "
+            "COUNT(*)::BIGINT AS n FROM lineitem), "
+            "binned AS (SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - mn) / "
+            "((mx - mn) / 2048.0)) AS BIGINT), 0), 2047) AS bin FROM lineitem, stats), "
+            "counts AS (SELECT bin, COUNT(*)::BIGINT AS c FROM binned GROUP BY bin), "
+            "cum AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin)::BIGINT AS cumc FROM counts), "
+            "qv(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)), "
+            "t AS (SELECT q, CEIL(q * n) AS target, mn, mx FROM qv, stats), "
+            "pick AS (SELECT t.q, t.target, t.mn, t.mx, MIN(c2.bin) AS b "
+            "FROM t JOIN cum c2 ON CAST(c2.cumc AS DOUBLE) >= t.target "
+            "GROUP BY t.q, t.target, t.mn, t.mx) "
+            "SELECT p.q, p.mn + ((p.mx - p.mn) / 2048.0) * (CAST(p.b AS DOUBLE) + "
+            "(p.target - CAST(COALESCE((SELECT cumc FROM cum WHERE bin = "
+            "(SELECT MAX(bin) FROM cum WHERE bin < p.b)), 0) AS DOUBLE)) "
+            "/ CAST(cb.c AS DOUBLE)) AS estimate "
+            "FROM pick p JOIN cum cb ON cb.bin = p.b ORDER BY p.q"
         ),
         "customers_no_recent_orders": (
             "SELECT c_custkey, c_name FROM customer c "

@@ -815,6 +815,17 @@ def q_approx_distinct_by_flag(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_approx_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    """Histogram-sketch approximate quantiles of l_extendedprice — the scale
+    path beside the exact sort-based operator; the APPROXIMATE estimates
+    themselves hash-match the SQL reimplementation (identical double
+    arithmetic, same contract as the HLL sketch)."""
+    from pagerank_ray.stages.quantiles import approx_quantiles_histogram
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return approx_quantiles_histogram(li, "l_extendedprice", [0.5, 0.9, 0.99], n_bins=2048)
+
+
 def q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact distributed quantiles (p25/p50/p75/p95) of document length —
     global sort + block-offset scalar fetch, no driver materialization.

@@ -93,3 +93,57 @@ def exact_quantile_disc(ds: rd.Dataset, col: str, q: float) -> float:
     idx = max(int(np.ceil(q * n)) - 1, 0)
     blk = int(np.searchsorted(offsets, idx, side="right") - 1)
     return float(ray.get(_value_at.remote(refs[blk], int(idx - offsets[blk]), col)))
+
+
+def approx_quantiles_histogram(
+    ds: rd.Dataset, col: str, qs: list[float], *, n_bins: int = 2048
+) -> pd.DataFrame:
+    """APPROXIMATE quantiles via an equi-width histogram sketch — the scale
+    path beside ``exact_quantiles``: two streaming passes (min/max, then
+    per-batch bincount), a shuffle of at most ``n_bins`` count rows (never
+    the values), and a closed-form driver step. Error is bounded by one bin
+    width of the value range — the right trade at 100 TB where the exact
+    operator's global sort is an all-to-all of every row.
+
+    DETERMINISTIC AND SQL-REPRODUCIBLE: bin assignment, the rank target
+    ``ceil(q·n)``, and the interpolation ``mn + width·(bin + frac)`` are
+    plain double arithmetic in the same evaluation order on both engines, so
+    even the approximate estimates hash-match (same contract as the HLL
+    sketch). Requires max > min (non-degenerate range) and no NULL/NaN.
+
+    Returns DataFrame (q, estimate) in the given quantile order."""
+    clean = _drop_null_nan(ds, col).select_columns([col])
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = clean.aggregate(Min(col), Max(col), Count())
+    mn = float(stats[f"min({col})"])
+    mx = float(stats[f"max({col})"])
+    n = int(stats["count()"])
+    if not n or mx <= mn:
+        raise ValueError("approx_quantiles_histogram needs a non-degenerate range")
+    width = (mx - mn) / float(n_bins)
+
+    def bincount(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(np.floor((x - mn) / width).astype(np.int64), 0, n_bins - 1)
+        counts = np.bincount(b, minlength=n_bins)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz), "c": pa.array(counts[nz])})
+
+    final = (
+        clean.map_batches(bincount, batch_format="pyarrow")
+        .groupby("bin")
+        .sum("c")
+        .to_pandas()
+    )
+    counts = np.zeros(n_bins, dtype=np.int64)
+    counts[final["bin"].to_numpy(dtype=np.int64)] = final["sum(c)"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    rows = []
+    for q in qs:
+        target = np.ceil(q * n)  # rank in 1..n (disc-style), as a double
+        b = int(np.searchsorted(cum, target, side="left"))
+        before = float(cum[b - 1]) if b else 0.0
+        frac = (float(target) - before) / float(counts[b])
+        rows.append((q, mn + width * (float(b) + frac)))
+    return pd.DataFrame(rows, columns=["q", "estimate"])

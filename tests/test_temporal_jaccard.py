@@ -318,3 +318,21 @@ def test_moving_average_matches_pandas(ray_session):
     )
     ref = ref.sort_values("id").reset_index(drop=True)
     np.testing.assert_allclose(got["moving_avg"].values, ref["moving_avg"].values, rtol=0, atol=0)
+
+
+def test_histogram_quantiles_within_one_bin(ray_session):
+    """Histogram-sketch quantiles land within one bin width of the exact
+    value, and NULL/NaN rows are ignored like the exact operator."""
+    from pagerank_ray.stages.quantiles import approx_quantiles_histogram
+
+    rng = np.random.default_rng(17)
+    x = rng.lognormal(3.0, 1.0, 20_000)
+    dirty = np.concatenate([x, np.full(97, np.nan)])
+    rng.shuffle(dirty)
+    ds = rd.from_pandas(pd.DataFrame({"v": dirty})).repartition(9)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = approx_quantiles_histogram(ds, "v", qs, n_bins=4096)
+    width = (x.max() - x.min()) / 4096
+    for q, est in zip(got["q"], got["estimate"]):
+        exact = float(np.quantile(x, q))
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact, width)
