@@ -628,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": tabular.q_token_counts,
         "lang_distribution": tabular.q_lang_distribution,
         "ngram_topk": tabular.q_ngram_topk,  # SQL-oracled (unnest bigrams)
+        "tfidf_topk": tabular.q_tfidf_topk,  # SQL-oracled (per-doc tf-idf top terms)
         "stratified_sample": tabular.q_stratified_sample,  # SQL-oracled (shared hash arithmetic)
         "exact_dedup_docs": tabular.q_exact_dedup_docs,
         # training-data ops (near-dup suite, similarity search, quality, multimodal)
@@ -817,6 +818,24 @@ def oracle_sql() -> dict[str, str]:
             "AS gram FROM t WHERE len(w) >= 2) "
             "SELECT gram, COUNT(*)::BIGINT AS n FROM g GROUP BY gram "
             "ORDER BY n DESC, gram LIMIT 25"
+        ),
+        "tfidf_topk": (
+            # same whitespace tokenization as ngram_topk/token_counts; idf is
+            # sklearn-smoothed ln((1+N)/(1+df))+1; scores rounded half-away(6)
+            # on both engines (ROUND is half-away in DuckDB) so the ranking
+            # is 1-ulp-libm-safe
+            "WITH t AS (SELECT doc_id, CASE WHEN TRIM(text)='' THEN []::VARCHAR[] "
+            "ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS w FROM documents), "
+            "tok AS (SELECT doc_id, unnest(w) AS term FROM t), "
+            "tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+            "dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term), "
+            "nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.term, "
+            "ROUND(CAST(tf.tf AS DOUBLE) * (LN((1.0 + nn.n)/(1.0 + dfreq.df)) + 1.0), 6) AS score "
+            "FROM tf JOIN dfreq USING (term) CROSS JOIN nn) "
+            "SELECT doc_id, term, score FROM scored "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3 "
+            "ORDER BY doc_id, score DESC, term"
         ),
         "stratified_sample": (
             # identical multiplicative-hash arithmetic as the engine — no

@@ -213,6 +213,7 @@ def headline(ncpu: int) -> dict:
     timed("approx_quantiles_price", lambda: tabular.q_approx_quantiles_price(SF_DIR))
     timed("region_revenue", lambda: tabular.q_region_revenue(SF_DIR))
     timed("ngram_topk", lambda: tabular.q_ngram_topk(SF_DIR))
+    timed("tfidf_topk", lambda: tabular.q_tfidf_topk(SF_DIR))
     timed("stratified_sample", lambda: tabular.q_stratified_sample(SF_DIR))
     timed("pagerank_top20_profile", lambda: tabular.q_pagerank_top20_profile(SF_DIR))
 

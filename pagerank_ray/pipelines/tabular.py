@@ -967,6 +967,69 @@ def q_ngram_topk(sf_dir: str, k: int = 25) -> pd.DataFrame:
     return out[["gram", "n"]].reset_index(drop=True)
 
 
+def q_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k terms per document by TF-IDF (idf = ln((1+N)/(1+df)) + 1,
+    sklearn-smoothed) — the corpus-statistics composition: per-batch exact
+    (doc, term, tf) rows (a doc's tokens never leave its batch, so NO
+    shuffle builds term frequencies), document frequency as a groupby over
+    those already-unique pairs, idf attached broadcast-or-hash, and a
+    bucketed per-doc top-k kernel. Scores rounded half-away(6) on both
+    engines so a 1-ulp libm log difference cannot flip the ranking."""
+    from pagerank_ray.stages import joins
+    from ray.data.aggregate import Count as _Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tf_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        doc_ids = np.repeat(df["doc_id"].to_numpy(np.int64), np.maximum(n_tok, 1))
+        pairs = pd.DataFrame({"doc_id": doc_ids[valid], "term": flat.to_numpy()[valid]})
+        if not len(pairs):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64), "term": pd.Series(dtype=object),
+                 "tf": pd.Series(dtype=np.int64)}
+            )
+        out = pairs.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        out["tf"] = out["tf"].astype(np.int64)
+        return out
+
+    tf = ds.map_batches(tf_batch, batch_format="pandas")
+    dfreq = tf.groupby("term").aggregate(_Count(alias_name="df"))
+    scored_ds = joins.attach_column(
+        tf, dfreq, probe_col="term", build_key="term", build_val="df", out_col="df"
+    )
+
+    def score_and_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        idf = np.log((1.0 + n_docs) / (1.0 + df["df"].to_numpy(np.float64))) + 1.0
+        out = df[["doc_id", "term"]].copy()
+        out["score"] = _round_half_away(df["tf"].to_numpy(np.float64) * idf, 6)
+        ids = out["doc_id"].to_numpy(np.int64)
+        out["bucket"] = ((ids * np.int64(2654435761)) % np.int64(4294967296)) % 64
+        return out
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        return df.groupby("doc_id", sort=False).head(k)[["doc_id", "term", "score"]]
+
+    out = (
+        scored_ds.map_batches(score_and_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["doc_id", "score", "term"], ascending=[True, False, True],
+                        kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic stratified Bernoulli sample: keep a doc iff its
     multiplicative hash u(doc_id) = (doc_id·2654435761 mod 2³²)/2³² falls
