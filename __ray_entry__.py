@@ -623,6 +623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": tabular.q_events_hopping,  # SQL-oracled (explode windows)
         "top_orders_per_customer": tabular.q_top_orders_per_customer,  # SQL-oracled (QUALIFY)
         "error_burst": tabular.q_error_burst,  # SQL-oracled (range join)
+        "json_extract_stats": tabular.q_json_extract_stats,  # SQL-oracled (json field agg)
+        "nation_trade_graph": tabular.q_nation_trade_graph,  # SQL-oracled (quotient graph)
         "pagerank_top20_profile": tabular.q_pagerank_top20_profile,  # SQL-oracled (composition)
         # documents: text analysis + dedup
         "token_counts": tabular.q_token_counts,
@@ -799,6 +801,25 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN events e ON e.user_id = err.user_id "
             "AND e.ts >= err.ts AND e.ts < err.ts + INTERVAL 1 HOUR "
             "GROUP BY err.event_id ORDER BY err.event_id"
+        ),
+        "json_extract_stats": (
+            "SELECT event_type, COUNT(*)::BIGINT AS n_events, "
+            "SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k, "
+            "MIN(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS min_k, "
+            "MAX(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS max_k "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "nation_trade_graph": (
+            "WITH e AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) "
+            "SELECT cn.n_name AS src_nation, sn.n_name AS dst_nation, "
+            "COUNT(*)::BIGINT AS n_edges "
+            "FROM e "
+            "JOIN orders o ON o.o_orderkey = e.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN supplier s ON s.s_suppkey = e.l_suppkey "
+            "JOIN nation cn ON cn.n_nationkey = c.c_nationkey "
+            "JOIN nation sn ON sn.n_nationkey = s.s_nationkey "
+            "GROUP BY 1, 2 ORDER BY src_nation, dst_nation"
         ),
         "jaccard_pairs": _jaccard_sql(threshold=0.5),
         "pagerank_top20_profile": (

@@ -201,6 +201,8 @@ def headline(ncpu: int) -> dict:
     timed("events_hopping", lambda: tabular.q_events_hopping(SF_DIR))
     timed("top_orders_per_customer", lambda: tabular.q_top_orders_per_customer(SF_DIR))
     timed("error_burst", lambda: tabular.q_error_burst(SF_DIR))
+    timed("json_extract_stats", lambda: tabular.q_json_extract_stats(SF_DIR))
+    timed("nation_trade_graph", lambda: tabular.q_nation_trade_graph(SF_DIR))
     # documents
     timed("token_counts", lambda: tabular.q_token_counts(SF_DIR).materialize().count())
     timed("exact_dedup_docs", lambda: tabular.q_exact_dedup_docs(SF_DIR))

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from pagerank_ray.functions import text as textfn
 from pagerank_ray.stages.graph_build import dedup_pairs, grouped_count
@@ -798,6 +798,114 @@ def q_customers_no_recent_orders(sf_dir: str) -> pd.DataFrame:
     out = tagged.filter(lambda r: r["n_recent"] == 0).to_pandas()
     return (
         out[["c_custkey", "c_name"]].sort_values("c_custkey").reset_index(drop=True)
+    )
+
+
+def q_json_extract_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer field ``k`` out of the
+    JSON ``events.props`` column and aggregate it per event_type. The
+    extraction is a single vectorized Arrow ``extract_regex`` kernel per
+    batch (flat-field fast path; no per-row json.loads in the hot loop —
+    a nested payload would take the same shape with a larger pattern table),
+    so the scan stays zero-copy Arrow end-to-end. All-integer outputs make
+    the hash compare against DuckDB's json_extract exact by construction."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), pattern=r'"k"\s*:\s*(?P<v>-?\d+)')
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "k": pc.struct_field(m, "v").cast(pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+        .to_pandas()
+    )
+    for c in ["n_events", "sum_k", "min_k", "max_k"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_nation_trade_graph(sf_dir: str) -> pd.DataFrame:
+    """Quotient-graph contraction — the webgraph domain-graph analog
+    (contract page→page edges to domain→domain by mapping every vertex
+    through url→domain): here the distinct order→supplier edges contract
+    through customer-nation (src side) and supplier-nation (dst side), and
+    the contracted edge weight is the number of underlying distinct edges.
+    Plan: dedup the fact pairs FIRST (bucketed, so the contraction never
+    sees duplicate multi-edges), one fact-fact attach (orders→custkey via
+    broadcast-or-hash), then two tiny dimension attaches; the final groupby
+    runs over 2-int16-key rows only. Nation names resolve on the driver
+    (≤25-row dim — the only driver-side join)."""
+    from pagerank_ray.stages import joins
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation_name = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
+
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"src_id": t.column("l_orderkey"), "dst_id": t.column("l_suppkey")})
+
+    pairs = dedup_pairs(edges.map_batches(rename, batch_format="pyarrow"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    with_cust = joins.attach_with_default(
+        pairs,
+        orders,
+        probe_col="src_id",
+        build_key="o_orderkey",
+        build_val="o_custkey",
+        out_col="custkey",
+        default=-1,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    with_cn = joins.attach_with_default(
+        with_cust,
+        cust,
+        probe_col="custkey",
+        build_key="c_custkey",
+        build_val="c_nationkey",
+        out_col="src_nationkey",
+        default=-1,
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    contracted = joins.attach_with_default(
+        with_cn,
+        sup,
+        probe_col="dst_id",
+        build_key="s_suppkey",
+        build_val="s_nationkey",
+        out_col="dst_nationkey",
+        default=-1,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["src_nationkey", "dst_nationkey"])
+
+    out = (
+        contracted.map_batches(project, batch_format="pyarrow")
+        .groupby(["src_nationkey", "dst_nationkey"])
+        .aggregate(Count(alias_name="n_edges"))
+        .to_pandas()
+    )
+    out["src_nation"] = out["src_nationkey"].map(nation_name)
+    out["dst_nation"] = out["dst_nationkey"].map(nation_name)
+    out["n_edges"] = out["n_edges"].astype(np.int64)
+    return (
+        out[["src_nation", "dst_nation", "n_edges"]]
+        .sort_values(["src_nation", "dst_nation"])
+        .reset_index(drop=True)
     )
 
 
