@@ -159,6 +159,44 @@ def _lp_sql(iters: int = 10) -> str:
     return body + f"\nSELECT v AS id, l AS label FROM l{iters} ORDER BY id"
 
 
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled HITS (pipelines/hits.py): h⁰ = 1; per iteration the raw
+    authority sums a(v) = Σ_{u→v} h(u) are L1-scaled to Σ = n, then the raw
+    hub sums h(u) = Σ_{u→v} a(v) are L1-scaled to Σ = n — the identical
+    raw-sum-then-scale arithmetic the MODE_SUM supersteps run, so after
+    ROUND(x, 6) (half-away on both engines) the values hash-match."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+        "h0 AS (SELECT id, 1.0::DOUBLE AS x FROM v),",
+    ]
+    for i in range(iters):
+        p.append(
+            f"ar{i} AS MATERIALIZED (SELECT v.id, COALESCE(t.sm, 0)::DOUBLE AS x "
+            f"FROM v LEFT JOIN (SELECT e.d AS id, SUM(h.x) AS sm FROM e "
+            f"JOIN h{i} h ON h.id = e.s GROUP BY e.d) t ON t.id = v.id),"
+        )
+        p.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT id, "
+            f"x * (SELECT n FROM nn) / (SELECT SUM(x) FROM ar{i}) AS x FROM ar{i}),"
+        )
+        p.append(
+            f"hr{i} AS MATERIALIZED (SELECT v.id, COALESCE(t.sm, 0)::DOUBLE AS x "
+            f"FROM v LEFT JOIN (SELECT e.s AS id, SUM(a.x) AS sm FROM e "
+            f"JOIN a{i + 1} a ON a.id = e.d GROUP BY e.s) t ON t.id = v.id),"
+        )
+        p.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT id, "
+            f"x * (SELECT n FROM nn) / (SELECT SUM(x) FROM hr{i}) AS x FROM hr{i}),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + (
+        f"\nSELECT a.id, ROUND(a.x, 6) AS auth, ROUND(h.x, 6) AS hub "
+        f"FROM a{iters} a JOIN h{iters} h ON h.id = a.id ORDER BY a.id"
+    )
+
+
 def _triangles_sql() -> str:
     """Per-vertex triangle counts with the engine's exact orientation
     semantics (pipelines/triangles.py): undirected simple graph, each edge
@@ -608,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": tabular.q_connected_components,  # SQL-oracled
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "triangles": tabular.q_triangles,  # SQL-oracled
+        "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
         # relational operators (groupby/agg, join, sort/limit, window)
         "lineitem_agg": tabular.q_lineitem_agg,
         "top_customers": tabular.q_top_customers,
@@ -679,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _cc_sql(iters=24),
         "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),
+        "hits": _hits_sql(iters=5),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(SUM(l_quantity), 2) AS sum_qty, "

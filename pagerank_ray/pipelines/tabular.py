@@ -299,6 +299,51 @@ def q_label_propagation(sf_dir: str, n_workers: int = 4, max_iters: int = 3) -> 
     return df[["id", "label"]].sort_values("id").reset_index(drop=True)
 
 
+def q_hits(sf_dir: str, n_workers: int = 4, iters: int = 5) -> pd.DataFrame:
+    """HITS hubs & authorities over the lineitem graph (pipelines/hits.py):
+    ``iters`` full iterations of the alternating MODE_SUM supersteps on the
+    forward and reversed CSRs, L1-normalized to Σ = n each half-step.
+    Hash-checked against an unrolled DuckDB oracle with identical
+    raw-sum-then-scale arithmetic (__ray_entry__._hits_sql)."""
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    from pagerank_ray.pipelines.hits import hits
+    from pagerank_ray.stages import joins
+
+    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
+    csr_fwd = os.path.join(_graph_workdir(sf_dir, "fwd"), "csr")
+    prepare_csr_from_edges(dense_edges, n, csr_fwd, n_parts=4 * n_workers)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src_id": t.column("dst_id"), "dst_id": t.column("src_id")})
+
+    csr_rev = os.path.join(_graph_workdir(sf_dir, "rev"), "csr")
+    prepare_csr_from_edges(
+        dense_edges.map_batches(swap, batch_format="pyarrow"),
+        n,
+        csr_rev,
+        n_parts=4 * n_workers,
+    )
+    res = hits(csr_fwd, csr_rev, n_workers=n_workers, iters=iters)
+
+    def name_auth(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t.column("id"), "auth": t.column("value")})
+
+    merged = joins.attach_column(
+        res.authorities.map_batches(name_auth, batch_format="pyarrow"),
+        res.hubs,
+        probe_col="id",
+        build_key="id",
+        build_val="value",
+        out_col="hub",
+        build_count=n,
+    )
+    df = _attach_orig(merged, id_map, n, ["id"])
+    df = df.sort_values("id").reset_index(drop=True)
+    df["auth"] = _round_half_away(df["auth"], 6)
+    df["hub"] = _round_half_away(df["hub"], 6)
+    return df[["id", "auth", "hub"]]
+
+
 def q_triangles(sf_dir: str) -> pd.DataFrame:
     """Per-vertex triangle counts of the (undirected, simple) lineitem graph —
     hash-checked against an oriented-wedge self-join DuckDB oracle with the

@@ -66,6 +66,7 @@ from pagerank_ray.stages.csr import read_manifest, shard_path
 MODE_PAGERANK = "pagerank"
 MODE_MIN = "min"  # connected components: hash-min label propagation
 MODE_LABEL = "label"  # community label propagation: most-frequent neighbor label
+MODE_SUM = "sum"  # plain neighbor sum: state'(v) = Σ_{u→v} state(u) (HITS half-step)
 
 _GATHER_CHUNK = 1 << 18  # edges per take+reduceat chunk: temp stays L2-resident
 
@@ -205,7 +206,11 @@ class ShardWorker:
         self.shm_views: list = []
         self.attached: dict = {}
         if self.transport == "shm":
-            dtype = self.xdtype if mode == MODE_PAGERANK else np.dtype(np.int64)
+            dtype = (
+                self.xdtype
+                if mode in (MODE_PAGERANK, MODE_SUM)
+                else np.dtype(np.int64)
+            )
             for _ in range(n_buffers):
                 seg = shared_memory.SharedMemory(
                     create=True, size=max(8, self.out_len * dtype.itemsize)
@@ -250,6 +255,9 @@ class ShardWorker:
             else:
                 self.state = self.pers_n.copy()
             return float(self.state[self.dangling].sum())
+        if self.mode == MODE_SUM:
+            self.state = np.ones(size, dtype=np.float64)
+            return 0.0
         # CC / LP: label⁰ = own id
         self.state = np.arange(self.lo, self.hi, dtype=np.int64)
         return 0.0
@@ -257,10 +265,37 @@ class ShardWorker:
     def get_state(self) -> np.ndarray:
         return self.state
 
+    def scale_state(self, c: float) -> bool:
+        """In-place scalar scale of the local state slice (HITS L1 normalize:
+        the driver computes c = n/Σ from the apply() totals — one O(n/W) pass
+        per worker, no state movement)."""
+        self.state *= c
+        return True
+
+    def load_state(self, segs: list, scale: float = 1.0) -> bool:
+        """Replace the local state slice from another pool's published range
+        slices. ``segs`` = [(src_lo, ref_or_array), ...] covering ≥ [lo, hi);
+        only overlapping refs are passed in by the driver, so each worker
+        fetches point-to-point (zero-copy plasma mmap on a node; on a cluster
+        the transfer is the range-aligned O(W) slice exchange, no shuffle)."""
+        out = np.empty(self.hi - self.lo, dtype=np.float64)
+        for src_lo, ref in segs:
+            arr = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            s = max(self.lo, src_lo)
+            e = min(self.hi, src_lo + len(arr))
+            if e > s:
+                out[s - self.lo : e - self.lo] = arr[s - src_lo : e - src_lo]
+        if scale != 1.0:
+            out *= scale
+        self.state = out
+        return True
+
     def state_table(self) -> pa.Table:
         ids = np.arange(self.lo, self.hi, dtype=np.int64)
         if self.mode == MODE_PAGERANK:
             return pa.table({"id": ids, "rank": self.state})
+        if self.mode == MODE_SUM:
+            return pa.table({"id": ids, "value": self.state})
         return pa.table({"id": ids, "label": self.state})
 
     # ---- superstep -----------------------------------------------------
@@ -287,7 +322,11 @@ class ShardWorker:
         for the shm transport — the segment names of the output ring."""
         offs = [sh[3] for sh in self.shards]
         names = [seg.name for seg in self.shm_segs] if self.transport == "shm" else None
-        dtype = self.xdtype.name if self.mode == MODE_PAGERANK else "int64"
+        dtype = (
+            self.xdtype.name
+            if self.mode in (MODE_PAGERANK, MODE_SUM)
+            else "int64"
+        )
         # per-shard edges-per-destination-group (static; for in-degree bins)
         sizes = []
         for _, src_by_dst_s, gs, _, _ in self.shards:
@@ -360,6 +399,22 @@ class ShardWorker:
                 self.iter_seq += 1
                 return seq, d_local
             return out, d_local
+        if self.mode == MODE_SUM:
+            # unit edge weight, no teleport/damping: the raw Σ_{u→v} state(u)
+            contrib = np.asarray(self.state, dtype=self.xdtype)
+            if self.transport == "shm":
+                out = self.shm_views[self.iter_seq % self.n_buffers]
+            else:
+                out = np.empty(self.out_len, dtype=self.xdtype)
+            for s_lo, src_by_dst_s, gs, off, _ in self.shards:
+                if len(gs) == 0:
+                    continue
+                _gather_reduce(contrib[s_lo:] if s_lo else contrib, src_by_dst_s, gs, out, off)
+            if self.transport == "shm":
+                seq = self.iter_seq
+                self.iter_seq += 1
+                return seq, 0.0
+            return out, 0.0
         if self.mode == MODE_MIN:
             if self.transport == "shm":
                 out = self.shm_views[self.iter_seq % self.n_buffers]
@@ -440,6 +495,23 @@ class ShardWorker:
                 bin_sums = np.bincount(self.bins, weights=delta, minlength=15)
                 return diff, float(new.sum()), bin_sums
             return diff, float(new.sum())
+        if self.mode == MODE_SUM:
+            acc = np.zeros(size, dtype=np.float64)
+            for src_i, ((head, _), per_src) in enumerate(zip(parts, self.in_slices)):
+                if not per_src:
+                    continue
+                buf = (
+                    self.src_rings[src_i][head % self.n_buffers]
+                    if self.transport == "shm"
+                    else head
+                )
+                for s, e, idx in per_src:
+                    acc[idx] += buf[s:e]
+            # old state is the OTHER vector of the alternating HITS recurrence
+            # (h before an authority step), so a per-element diff is not
+            # meaningful — callers run fixed iterations; diff = 0 sentinel.
+            self.state = acc
+            return 0.0, float(acc.sum())
         if self.mode == MODE_MIN:
             new = old.copy()
             for src_i, ((head, _), per_src) in enumerate(zip(parts, self.in_slices)):
@@ -681,6 +753,10 @@ class BSPEngine:
             return diff, total, bin_sums
         return diff, total
 
+    def scale_state(self, c: float):
+        """Scale every worker's state slice by c (HITS L1 normalization)."""
+        ray.get([w.scale_state.remote(c) for w in self.workers])
+
     # ---- checkpoint plumbing ------------------------------------------
     def _write_checkpoint(self, ckpt_root: str, extra: dict):
         it_dir = os.path.join(ckpt_root, f"iter_{self.iteration:05d}")
@@ -737,3 +813,22 @@ class BSPEngine:
         d = ray.get([w.restore.remote(it_dir) for w in self.workers])
         self.iteration = iteration
         return float(sum(d))
+
+
+def transfer_state(src: "BSPEngine", dst: "BSPEngine", scale: float = 1.0):
+    """Move the full state vector from one pool to another, re-slicing across
+    (possibly different) worker cuts: each source worker publishes its slice
+    ONCE (O(W) objects total), each destination worker fetches only the
+    overlapping refs — point-to-point range-aligned traffic, no shuffle.
+    Used by HITS to alternate between the forward- and reverse-CSR pools."""
+    refs = [w.get_state.remote() for w in src.workers]
+    src_ranges = [(m["lo"], m["hi"]) for m in src.metas]
+    futs = []
+    for w, m in zip(dst.workers, dst.metas):
+        segs = [
+            (lo, ref)
+            for (lo, hi), ref in zip(src_ranges, refs)
+            if hi > m["lo"] and lo < m["hi"]
+        ]
+        futs.append(w.load_state.remote(segs, scale))
+    ray.get(futs)
