@@ -159,6 +159,32 @@ def _lp_sql(iters: int = 10) -> str:
     return body + f"\nSELECT v AS id, l AS label FROM l{iters} ORDER BY id"
 
 
+def _kcore_sql(k: int = 7, rounds: int = 10) -> str:
+    """Fixed-unroll k-core peel (pipelines/kcore.py): over the symmetrized
+    pair-deduped edge set, each round drops every vertex whose degree < k and
+    all its incident edges. Peeling is idempotent at the fixpoint, so
+    unrolling ≥ the engine's actual round count matches its converged loop
+    exactly (same argument as _lp_sql); the engine asserts rounds ≤ this."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "es0 AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),",
+    ]
+    for i in range(rounds):
+        p.append(
+            f"b{i} AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM es{i} GROUP BY s) "
+            f"WHERE c < {k}),"
+        )
+        p.append(
+            f"es{i + 1} AS MATERIALIZED (SELECT s, d FROM es{i} "
+            f"WHERE s NOT IN (SELECT s FROM b{i}) AND d NOT IN (SELECT s FROM b{i})),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + (
+        f"\nSELECT s AS id, COUNT(*)::BIGINT AS core_deg "
+        f"FROM es{rounds} GROUP BY s ORDER BY id"
+    )
+
+
 def _hits_sql(iters: int = 5) -> str:
     """Unrolled HITS (pipelines/hits.py): h⁰ = 1; per iteration the raw
     authority sums a(v) = Σ_{u→v} h(u) are L1-scaled to Σ = n, then the raw
@@ -647,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "triangles": tabular.q_triangles,  # SQL-oracled
         "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
+        "kcore": tabular.q_kcore,  # SQL-oracled (fixed-unroll peel)
         # relational operators (groupby/agg, join, sort/limit, window)
         "lineitem_agg": tabular.q_lineitem_agg,
         "top_customers": tabular.q_top_customers,
@@ -719,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),
         "hits": _hits_sql(iters=5),
+        "kcore": _kcore_sql(k=7, rounds=10),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(SUM(l_quantity), 2) AS sum_qty, "

@@ -203,6 +203,7 @@ def headline(ncpu: int) -> dict:
     timed("error_burst", lambda: tabular.q_error_burst(SF_DIR))
     timed("json_extract_stats", lambda: tabular.q_json_extract_stats(SF_DIR))
     timed("hits_lineitem", lambda: tabular.q_hits(SF_DIR))
+    timed("kcore_lineitem", lambda: tabular.q_kcore(SF_DIR))
     timed("nation_trade_graph", lambda: tabular.q_nation_trade_graph(SF_DIR))
     # documents
     timed("token_counts", lambda: tabular.q_token_counts(SF_DIR).materialize().count())

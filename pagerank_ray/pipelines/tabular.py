@@ -344,6 +344,26 @@ def q_hits(sf_dir: str, n_workers: int = 4, iters: int = 5) -> pd.DataFrame:
     return df[["id", "auth", "hub"]]
 
 
+def q_kcore(sf_dir: str, k: int = 7) -> pd.DataFrame:
+    """k-core of the (undirected, simple) lineitem graph by distributed
+    iterative peeling (pipelines/kcore.py); returns the core members with
+    their in-core degree. Hash-checked against a fixed-unroll DuckDB oracle
+    (__ray_entry__._kcore_sql, 10 rounds — peeling is idempotent at the
+    fixpoint, and the engine asserts its actual round count fits)."""
+    from pagerank_ray.pipelines.kcore import k_core
+    from pagerank_ray.stages.csr import symmetrize
+
+    core, rounds = k_core(symmetrize(lineitem_edges(sf_dir)), k)
+    if rounds > 10:
+        raise RuntimeError(
+            f"k-core peeling took {rounds} rounds; oracle unrolls 10 — "
+            "raise _kcore_sql rounds to keep the fixpoint-idempotence match"
+        )
+    df = core.to_pandas().rename(columns={"src_id": "id"})
+    df["core_deg"] = df["core_deg"].astype(np.int64)
+    return df[["id", "core_deg"]].sort_values("id").reset_index(drop=True)
+
+
 def q_triangles(sf_dir: str) -> pd.DataFrame:
     """Per-vertex triangle counts of the (undirected, simple) lineitem graph —
     hash-checked against an oriented-wedge self-join DuckDB oracle with the
