@@ -6,7 +6,8 @@ per implemented operator family from SURVEY.md §2; SQL-expressible ones have a
 matching ``oracle_sql()`` DuckDB string with IDENTICAL column names. Iterative
 graph algorithms are oracled with unrolled iterative SQL (``_pagerank_sql`` —
 fixed supersteps of the exact reference recurrence; ``_cc_sql`` — min-label to
-fixpoint; ``_lp_sql`` — 3 sync-LP vote/tie rounds). The CONVERGED ``pagerank``
+fixpoint; ``_lp_sql`` — 3 sync-LP vote/tie rounds; ``_hits_sql`` — alternating
+normalized sums; ``_kcore_sql`` — fixed-unroll peel). The CONVERGED ``pagerank``
 query is also hash-checked: its iteration count is recomputed independently by
 the pure-NumPy oracle (pagerank_ray/oracle/numpy_oracle.py) over the same
 parquet input, and the SQL unrolls exactly that many supersteps — the L1 stop
