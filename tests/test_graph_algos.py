@@ -95,3 +95,86 @@ def test_cc_plasma_transport_oracle(ray_session, tmp_path):
     got = _labels_array(connected_components(d, n_workers=3, transport="plasma"), 400)
     want = cc_oracle(400, src, dst)
     assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# HITS + k-core (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _hits_numpy(src, dst, n, iters):
+    """Dense NumPy HITS with the engine's exact raw-sum-then-L1-scale-to-n."""
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, dst, h[src])
+        if a.sum() > 0:
+            a *= n / a.sum()
+        h = np.zeros(n)
+        np.add.at(h, src, a[dst])
+        if h.sum() > 0:
+            h *= n / h.sum()
+    return a, h
+
+
+def test_hits_matches_numpy_oracle(ray_session, tmp_path):
+    from pagerank_ray.pipelines.hits import hits
+
+    src, dst = _random_graph(200, 1500, seed=11)
+    n = 200
+    edges = edges_dataset_from_arrays(src, dst)
+    fwd = str(tmp_path / "csr_fwd")
+    rev = str(tmp_path / "csr_rev")
+    prepare_csr_from_edges(edges, n, fwd, n_parts=4)
+    prepare_csr_from_edges(edges_dataset_from_arrays(dst, src), n, rev, n_parts=4)
+    res = hits(fwd, rev, n_workers=2, iters=4)
+    a_o, h_o = _hits_numpy(src, dst, n, iters=4)
+    adf = res.authorities.to_pandas().sort_values("id")
+    hdf = res.hubs.to_pandas().sort_values("id")
+    np.testing.assert_allclose(adf["value"].to_numpy(), a_o, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(hdf["value"].to_numpy(), h_o, rtol=1e-12, atol=1e-12)
+
+
+def test_hits_star_fixpoint(ray_session, tmp_path):
+    """1→3, 2→3: authority mass all on 3 (a=(0,0,3)), hubs split (1.5,1.5,0)."""
+    from pagerank_ray.pipelines.hits import hits
+
+    src = np.array([0, 1])
+    dst = np.array([2, 2])
+    fwd = str(tmp_path / "f")
+    rev = str(tmp_path / "r")
+    prepare_csr_from_edges(edges_dataset_from_arrays(src, dst), 3, fwd, n_parts=1)
+    prepare_csr_from_edges(edges_dataset_from_arrays(dst, src), 3, rev, n_parts=1)
+    res = hits(fwd, rev, n_workers=1, iters=3)
+    a = res.authorities.to_pandas().sort_values("id")["value"].to_numpy()
+    h = res.hubs.to_pandas().sort_values("id")["value"].to_numpy()
+    np.testing.assert_allclose(a, [0.0, 0.0, 3.0])
+    np.testing.assert_allclose(h, [1.5, 1.5, 0.0])
+
+
+def test_kcore_triangle_with_pendant(ray_session):
+    """Triangle 0-1-2 plus pendant 2-3: the 2-core is exactly the triangle."""
+    from pagerank_ray.pipelines.kcore import k_core
+    from pagerank_ray.stages.csr import symmetrize
+
+    src = np.array([0, 1, 0, 2])
+    dst = np.array([1, 2, 2, 3])
+    core, rounds = k_core(symmetrize(edges_dataset_from_arrays(src, dst)), 2)
+    df = core.to_pandas().sort_values("src_id")
+    assert list(df["src_id"]) == [0, 1, 2]
+    assert list(df["core_deg"]) == [2, 2, 2]
+    assert rounds == 1
+
+
+def test_kcore_chain_peels_iteratively(ray_session):
+    """Path graph 0-1-2-3-4 with k=2 peels from both ends over multiple
+    rounds down to the empty core."""
+    from pagerank_ray.pipelines.kcore import k_core
+    from pagerank_ray.stages.csr import symmetrize
+
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([1, 2, 3, 4])
+    core, rounds = k_core(symmetrize(edges_dataset_from_arrays(src, dst)), 2)
+    assert core.count() == 0
+    assert rounds >= 2
