@@ -23,22 +23,71 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 
-def _drop_flagged(edges: rd.Dataset, flag_col: str, sentinel: int) -> rd.Dataset:
-    """Keep edges whose ``flag_col`` still holds the not-found sentinel (the
-    anti-join survivors), dropping the flag column — vectorized Arrow filter."""
+@ray.remote
+def _peel_tail(blocks: list, k: int, max_rounds: int):
+    """Finish the peel in ONE task once the surviving edge set is small: the
+    whole-fixpoint loop is a few np.bincount/mask passes per round over an
+    in-memory edge array — microseconds per round vs a full Ray Data stage
+    launch. Returns ((src_id, core_deg) table, rounds_executed). Input blocks
+    are the materialized Arrow block refs (zero-copy plasma reads)."""
+    # empty blocks may carry a degenerate schema (no columns) — skip them
+    tables = [t for t in ray.get(list(blocks)) if t.num_rows]
+    src = np.concatenate(
+        [t.column("src_id").to_numpy(zero_copy_only=False) for t in tables]
+        or [np.array([], np.int64)]
+    )
+    dst = np.concatenate(
+        [t.column("dst_id").to_numpy(zero_copy_only=False) for t in tables]
+        or [np.array([], np.int64)]
+    )
+    ids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(ids, src)
+    d = np.searchsorted(ids, dst)
+    rounds = 0
+    while rounds < max_rounds:
+        deg = np.bincount(s, minlength=len(ids))
+        bad = (deg > 0) & (deg < k)
+        if not bad.any():
+            break
+        rounds += 1
+        keep = ~bad[s] & ~bad[d]
+        s, d = s[keep], d[keep]
+    deg = np.bincount(s, minlength=len(ids))
+    alive = deg > 0
+    return (
+        pa.table(
+            {"src_id": ids[alive], "core_deg": deg[alive].astype(np.int64)}
+        ),
+        rounds,
+    )
+
+
+def _filter_flagged(
+    edges: rd.Dataset, flag_col: str, sentinel: int, keep_matched: bool
+) -> rd.Dataset:
+    """Vectorized Arrow filter on the attach sentinel: ``keep_matched=False``
+    keeps the anti-join survivors (flag still sentinel), ``True`` keeps the
+    semi-join hits (flag overwritten). Drops the flag column either way."""
 
     def f(t: pa.Table) -> pa.Table:
         mask = pc.equal(t.column(flag_col), pa.scalar(sentinel, pa.int64()))
+        if keep_matched:
+            mask = pc.invert(mask)
         return t.filter(mask).drop_columns([flag_col])
 
     return edges.map_batches(f, batch_format="pyarrow")
 
 
 def k_core(
-    sym_edges: rd.Dataset, k: int, *, max_rounds: int = 50
+    sym_edges: rd.Dataset,
+    k: int,
+    *,
+    max_rounds: int = 50,
+    tail_cutoff: int = 1_000_000,
 ) -> tuple[rd.Dataset, int]:
     """Peel ``sym_edges`` (both orientations of every distinct pair, e.g.
     ``csr.symmetrize`` output) down to the k-core.
@@ -53,33 +102,51 @@ def k_core(
     cur = sym_edges.materialize()
     rounds = 0
     while rounds < max_rounds:
-        deg = grouped_count(cur, "src_id", "deg")
+        # Hybrid finish: distributed rounds shrink the graph fast (round 1
+        # typically drops the below-k majority); once the survivor edge set
+        # fits one worker's memory, the remaining slow-converging tail
+        # (a handful of vertices per round, observed on heavy-tailed graphs)
+        # runs as ONE vectorized task instead of paying a full Ray Data
+        # stage launch per round. ~1M sym edges ≈ 16 MB of int64 pairs.
+        if cur.count() <= tail_cutoff:
+            table, tail_rounds = ray.get(
+                _peel_tail.remote(cur.to_arrow_refs(), k, max_rounds - rounds)
+            )
+            return rd.from_arrow(table), rounds + tail_rounds
+        deg = grouped_count(cur, "src_id", "deg").materialize()
 
         def low(t: pa.Table) -> pa.Table:
             return t.filter(pc.less(t.column("deg"), pa.scalar(k, pa.int64())))
 
+        def high(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t.column("deg"), pa.scalar(k, pa.int64())))
+
         bad = deg.map_batches(low, batch_format="pyarrow").materialize()
-        if bad.count() == 0:
+        n_bad = bad.count()
+        if n_bad == 0:
             break
         rounds += 1
-        tagged = joins.attach_with_default(
-            cur,
-            bad,
-            probe_col="src_id",
-            build_key="src_id",
-            build_val="deg",
-            out_col="_bad_s",
-            default=-1,
-        )
-        cur = _drop_flagged(tagged, "_bad_s", -1)
-        tagged = joins.attach_with_default(
-            cur,
-            bad,
-            probe_col="dst_id",
-            build_key="src_id",
-            build_val="deg",
-            out_col="_bad_d",
-            default=-1,
-        )
-        cur = _drop_flagged(tagged, "_bad_d", -1).materialize()
+        # Build-side selection: early rounds drop the MAJORITY of vertices
+        # (heavy-tailed degree distributions put most mass below k), so the
+        # SURVIVOR set is the small broadcastable side — semi-join on good.
+        # Late rounds peel a handful — anti-join on bad. Either way the
+        # build side is min(|bad|, |good|), keeping the attach broadcast.
+        n_good = deg.count() - n_bad
+        if n_bad <= n_good:
+            build, keep_matched = bad, False
+        else:
+            build = deg.map_batches(high, batch_format="pyarrow").materialize()
+            keep_matched = True
+        for col, flag in (("src_id", "_f_s"), ("dst_id", "_f_d")):
+            tagged = joins.attach_with_default(
+                cur,
+                build,
+                probe_col=col,
+                build_key="src_id",
+                build_val="deg",
+                out_col=flag,
+                default=-1,
+            )
+            cur = _filter_flagged(tagged, flag, -1, keep_matched)
+        cur = cur.materialize()
     return grouped_count(cur, "src_id", "core_deg"), rounds
