@@ -692,6 +692,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_burst": tabular.q_error_burst,  # SQL-oracled (range join)
         "json_extract_stats": tabular.q_json_extract_stats,  # SQL-oracled (json field agg)
         "nation_trade_graph": tabular.q_nation_trade_graph,  # SQL-oracled (quotient graph)
+        "pivot_returnflag": tabular.q_pivot_returnflag,  # SQL-oracled (wide cond. agg)
+        "parts_shipped_diff": tabular.q_parts_shipped_diff,  # SQL-oracled (EXCEPT)
         "pagerank_top20_profile": tabular.q_pagerank_top20_profile,  # SQL-oracled (composition)
         # documents: text analysis + dedup
         "token_counts": tabular.q_token_counts,
@@ -889,6 +891,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation cn ON cn.n_nationkey = c.c_nationkey "
             "JOIN nation sn ON sn.n_nationkey = s.s_nationkey "
             "GROUP BY 1, 2 ORDER BY src_nation, dst_nation"
+        ),
+        "pivot_returnflag": (
+            "SELECT l_returnflag, "
+            "ROUND(SUM(CASE WHEN l_linestatus = 'F' "
+            "THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) ELSE 0 END) / 100.0, 2) "
+            "AS rev_f, "
+            "ROUND(SUM(CASE WHEN l_linestatus = 'O' "
+            "THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) ELSE 0 END) / 100.0, 2) "
+            "AS rev_o "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "parts_shipped_diff": (
+            "SELECT l_partkey FROM ("
+            "SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995 "
+            "EXCEPT "
+            "SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996"
+            ") ORDER BY l_partkey"
         ),
         "jaccard_pairs": _jaccard_sql(threshold=0.5),
         "pagerank_top20_profile": (

@@ -205,6 +205,8 @@ def headline(ncpu: int) -> dict:
     timed("hits_lineitem", lambda: tabular.q_hits(SF_DIR))
     timed("kcore_lineitem", lambda: tabular.q_kcore(SF_DIR))
     timed("nation_trade_graph", lambda: tabular.q_nation_trade_graph(SF_DIR))
+    timed("pivot_returnflag", lambda: tabular.q_pivot_returnflag(SF_DIR))
+    timed("parts_shipped_diff", lambda: tabular.q_parts_shipped_diff(SF_DIR))
     # documents
     timed("token_counts", lambda: tabular.q_token_counts(SF_DIR).materialize().count())
     timed("exact_dedup_docs", lambda: tabular.q_exact_dedup_docs(SF_DIR))

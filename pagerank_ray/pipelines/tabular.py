@@ -974,6 +974,90 @@ def q_nation_trade_graph(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_pivot_returnflag(sf_dir: str) -> pd.DataFrame:
+    """PIVOT / wide conditional aggregation: revenue per l_returnflag split
+    into one column per l_linestatus. The pivot is one vectorized per-batch
+    map (conditional cents columns — no row explosion, no per-category
+    pass) followed by a single 3-group Sum; summing exact integer cents
+    makes the distributed combine order irrelevant to the rounded output."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = _round_half_away(price * 100.0, 0).astype(np.int64)
+        status = t.column("l_linestatus").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "rev_f_cents": pa.array(np.where(status == "F", cents, 0)),
+                "rev_o_cents": pa.array(np.where(status == "O", cents, 0)),
+            }
+        )
+
+    out = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("rev_f_cents", alias_name="f_cents"),
+            Sum("rev_o_cents", alias_name="o_cents"),
+        )
+        .to_pandas()
+    )
+    out["rev_f"] = (out["f_cents"].astype(np.int64) / 100.0).round(2)
+    out["rev_o"] = (out["o_cents"].astype(np.int64) / 100.0).round(2)
+    return (
+        out[["l_returnflag", "rev_f", "rev_o"]]
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
+def q_parts_shipped_diff(sf_dir: str) -> pd.DataFrame:
+    """Set difference (EXCEPT): parts shipped in 1995 but never in 1996.
+    Both sides reduce to bucketed distinct keys FIRST (grouped_count — the
+    exchange carries one row per distinct part), then the except is a
+    broadcast-or-hash anti-join attach with a sentinel filter — the same
+    mechanics as every other anti-join in the engine, never an all-to-all
+    over fact rows."""
+    from pagerank_ray.stages import joins
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+
+    def year_filter(year: int):
+        lo = np.datetime64(f"{year}-01-01", "us")
+        hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+        def f(t: pa.Table) -> pa.Table:
+            d = t.column("l_shipdate")
+            mask = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+            return t.filter(mask).select(["l_partkey"])
+
+        return f
+
+    p95 = grouped_count(
+        li.map_batches(year_filter(1995), batch_format="pyarrow"), "l_partkey", "n95"
+    )
+    p96 = grouped_count(
+        li.map_batches(year_filter(1996), batch_format="pyarrow"), "l_partkey", "n96"
+    )
+    tagged = joins.attach_with_default(
+        p95,
+        p96,
+        probe_col="l_partkey",
+        build_key="l_partkey",
+        build_val="n96",
+        out_col="in96",
+        default=-1,
+    )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("in96"), pa.scalar(-1, pa.int64()))
+        return t.filter(mask).select(["l_partkey"])
+
+    out = tagged.map_batches(survivors, batch_format="pyarrow").to_pandas()
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
 def q_approx_distinct_by_flag(sf_dir: str) -> pd.DataFrame:
     """GROUP BY + HyperLogLog: approximate distinct l_partkey per
     l_returnflag, the grouped variant of ``approx_distinct_parts`` — shuffle
