@@ -69,6 +69,39 @@ def _pagerank_sql(iters: int = 20, alpha: float = 0.85) -> str:
     return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
 
 
+def _pagerank_pers_sql(iters: int = 20, alpha: float = 0.85, mod: int = 97) -> str:
+    """Unrolled personalized PageRank (tabular.q_pagerank_personalized):
+    p uniform over seeds {v : v % mod == 0}, pn(v) = n·p(v); r⁰ = pn;
+    r'(v) = (α·D/n + 1−α)·pn(v) + α·Σ_{u→v} r(u)/out_deg(u) — the exact
+    M7 recurrence the engine applies (state/superstep.py:415-432)."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        "outd AS MATERIALIZED (SELECT s AS id, COUNT(*)::DOUBLE AS deg FROM e GROUP BY s),",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+        f"ns AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS k FROM v WHERE id % {mod} = 0),",
+        f"pn AS MATERIALIZED (SELECT id, CASE WHEN id % {mod} = 0 THEN "
+        "(SELECT n FROM nn)/(SELECT k FROM ns) ELSE 0.0 END::DOUBLE AS w FROM v),",
+        "pr0 AS (SELECT id, w AS r FROM pn),",
+    ]
+    for i in range(iters):
+        p.append(
+            f"d{i} AS (SELECT COALESCE(SUM(p.r),0)::DOUBLE AS m FROM pr{i} p "
+            f"LEFT JOIN outd o ON o.id=p.id WHERE o.id IS NULL),"
+        )
+        p.append(
+            f"pr{i + 1} AS MATERIALIZED (SELECT v.id, "
+            f"({alpha}*(SELECT m FROM d{i})/(SELECT n FROM nn) + {1 - alpha}) * pn.w "
+            f"+ {alpha}*COALESCE(inc.sm,0) AS r "
+            f"FROM v JOIN pn ON pn.id=v.id LEFT JOIN "
+            f"(SELECT e.d AS id, SUM(p.r/o.deg) AS sm FROM e "
+            f"JOIN pr{i} p ON p.id=e.s JOIN outd o ON o.id=e.s GROUP BY e.d) inc "
+            f"ON inc.id=v.id),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
+
+
 def _converged_pagerank_iters() -> int | None:
     """Iteration count at which PageRank converges (L1 ≤ 1e-6·n) on the
     lineitem edge graph of the sf dir the driver compares at — computed by the
@@ -670,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph algorithms (SURVEY.md §2.11)
         "pagerank": tabular.q_pagerank,  # converged; SQL-oracled (NumPy-oracle iter count)
         "pagerank_fixed": tabular.q_pagerank_fixed,  # SQL-oracled (unrolled)
+        "pagerank_personalized": tabular.q_pagerank_personalized,  # SQL-oracled (M7)
         "connected_components": tabular.q_connected_components,  # SQL-oracled
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "triangles": tabular.q_triangles,  # SQL-oracled
@@ -745,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM d GROUP BY 1 ORDER BY bin"
         ),
         "pagerank_fixed": _pagerank_sql(iters=20, alpha=0.85),
+        "pagerank_personalized": _pagerank_pers_sql(iters=20, alpha=0.85, mod=97),
         "connected_components": _cc_sql(iters=24),
         "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),

@@ -204,6 +204,7 @@ def headline(ncpu: int) -> dict:
     timed("json_extract_stats", lambda: tabular.q_json_extract_stats(SF_DIR))
     timed("hits_lineitem", lambda: tabular.q_hits(SF_DIR))
     timed("kcore_lineitem", lambda: tabular.q_kcore(SF_DIR))
+    timed("pagerank_personalized", lambda: tabular.q_pagerank_personalized(SF_DIR))
     timed("nation_trade_graph", lambda: tabular.q_nation_trade_graph(SF_DIR))
     timed("pivot_returnflag", lambda: tabular.q_pivot_returnflag(SF_DIR))
     timed("parts_shipped_diff", lambda: tabular.q_parts_shipped_diff(SF_DIR))

@@ -270,6 +270,39 @@ def q_pagerank_fixed(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.Dat
     return df[["id", "rank"]]
 
 
+def q_pagerank_personalized(
+    sf_dir: str, n_workers: int = 4, iters: int = 20, mod: int = 97
+) -> pd.DataFrame:
+    """Personalized PageRank (M7, lightSpMV/PageRank.h:313-318): teleport
+    mass restricted to the seed set {v : orig_id % mod == 0}, uniform over
+    seeds. Engine recurrence (superstep.py:415-432):
+    r⁰ = n·p; r'(v) = (α·D/n + 1−α)·n·p(v) + α·Σ_{u→v} r(u)/out_deg(u).
+    Fixed ``iters`` supersteps; hash-checked against the unrolled DuckDB
+    oracle (__ray_entry__._pagerank_pers_sql) computing the identical
+    recurrence with the seed rule expressed on original ids. The length-n
+    personalization vector is built from the (already driver-collected,
+    n-row) id_map — the same bounded materialization _attach_orig performs."""
+    from pagerank_ray.pipelines.pagerank import pagerank
+
+    csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=False)
+    im = id_map.to_pandas().sort_values("dense")
+    orig = im["orig"].to_numpy(np.int64)
+    seeds = (orig % mod) == 0
+    p = np.zeros(n, dtype=np.float64)
+    p[seeds] = 1.0 / seeds.sum()
+    res = pagerank(
+        csr,
+        n_workers=n_workers,
+        max_iters=iters,
+        eps_per_vertex=0.0,
+        personalization=p,
+    )
+    df = _attach_orig(res.result, id_map, n, ["id"])
+    df = df.sort_values("id").reset_index(drop=True)
+    df["rank"] = _round_half_away(df["rank"], 6)
+    return df[["id", "rank"]]
+
+
 def q_connected_components(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
     """Hash-min connected components; label = min original vertex id of the
     component — hash-checked against an unrolled min-label DuckDB oracle."""
