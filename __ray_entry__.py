@@ -719,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": tabular.q_running_total,  # SQL-oracled (windowed SUM)
         "approx_distinct_parts": tabular.q_approx_distinct_parts,  # SQL-oracled (_hll_sql)
         "approx_distinct_by_flag": tabular.q_approx_distinct_by_flag,  # SQL-oracled (grouped HLL)
+        "distinct_parts_by_flag": tabular.q_distinct_parts_by_flag,  # SQL-oracled (exact)
         "moving_avg_events": tabular.q_moving_avg_events,  # SQL-oracled (ROWS k PRECEDING)
         "customers_no_recent_orders": tabular.q_customers_no_recent_orders,  # SQL-oracled (anti-join)
         "events_hopping": tabular.q_events_hopping,  # SQL-oracled (explode windows)
@@ -926,6 +927,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation cn ON cn.n_nationkey = c.c_nationkey "
             "JOIN nation sn ON sn.n_nationkey = s.s_nationkey "
             "GROUP BY 1, 2 ORDER BY src_nation, dst_nation"
+        ),
+        "distinct_parts_by_flag": (
+            "SELECT l_returnflag, COUNT(DISTINCT l_partkey)::BIGINT AS n_parts "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "pivot_returnflag": (
             "SELECT l_returnflag, "

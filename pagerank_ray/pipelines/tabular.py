@@ -1091,6 +1091,41 @@ def q_parts_shipped_diff(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+def q_distinct_parts_by_flag(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped count-distinct — the exact companion of the HLL query
+    (``approx_distinct_by_flag``): dedup (flag, part) pairs first with the
+    bucketed pair-dedup (the exchange carries one row per distinct pair,
+    never fact rows), then a 3-group count. At 100 TB the pair-dedup is the
+    honest cost of exactness; the HLL path is the constant-memory sketch
+    alternative, and the driver hash-checks both."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+
+    # reuse the bucketed pair-dedup by mapping flag to a small int key
+    flags = sorted(
+        _read(sf_dir, "lineitem", ["l_returnflag"])
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()["l_returnflag"]
+    )
+    fmap = {f: i for i, f in enumerate(flags)}
+
+    def encode(t: pa.Table) -> pa.Table:
+        f = t.column("l_returnflag").to_pandas().map(fmap).to_numpy(np.int64)
+        return pa.table(
+            {"src_id": pa.array(f), "dst_id": t.column("l_partkey").cast(pa.int64())}
+        )
+
+    pairs = dedup_pairs(li.map_batches(encode, batch_format="pyarrow"))
+    out = grouped_count(pairs, "src_id", "n_parts").to_pandas()
+    out["l_returnflag"] = out["src_id"].map({i: f for f, i in fmap.items()})
+    out["n_parts"] = out["n_parts"].astype(np.int64)
+    return (
+        out[["l_returnflag", "n_parts"]]
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
 def q_approx_distinct_by_flag(sf_dir: str) -> pd.DataFrame:
     """GROUP BY + HyperLogLog: approximate distinct l_partkey per
     l_returnflag, the grouped variant of ``approx_distinct_parts`` — shuffle
