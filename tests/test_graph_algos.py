@@ -178,3 +178,22 @@ def test_kcore_chain_peels_iteratively(ray_session):
     core, rounds = k_core(symmetrize(edges_dataset_from_arrays(src, dst)), 2)
     assert core.count() == 0
     assert rounds >= 2
+
+
+def test_hits_plasma_transport_matches_shm(ray_session, tmp_path):
+    """MODE_SUM over transport="plasma" (the multi-node path) is bit-identical
+    to the shm ring — same parity gate PageRank/CC have."""
+    from pagerank_ray.pipelines.hits import hits
+
+    src, dst = _random_graph(150, 900, seed=23)
+    n = 150
+    fwd = str(tmp_path / "f")
+    rev = str(tmp_path / "r")
+    prepare_csr_from_edges(edges_dataset_from_arrays(src, dst), n, fwd, n_parts=4)
+    prepare_csr_from_edges(edges_dataset_from_arrays(dst, src), n, rev, n_parts=4)
+    r_shm = hits(fwd, rev, n_workers=2, iters=3, transport="shm")
+    r_pl = hits(fwd, rev, n_workers=2, iters=3, transport="plasma")
+    for a, b in ((r_shm.authorities, r_pl.authorities), (r_shm.hubs, r_pl.hubs)):
+        va = a.to_pandas().sort_values("id")["value"].to_numpy()
+        vb = b.to_pandas().sort_values("id")["value"].to_numpy()
+        np.testing.assert_array_equal(va, vb)
