@@ -80,8 +80,11 @@ def _pagerank_pers_sql(iters: int = 20, alpha: float = 0.85, mod: int = 97) -> s
         "outd AS MATERIALIZED (SELECT s AS id, COUNT(*)::DOUBLE AS deg FROM e GROUP BY s),",
         "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),",
         f"ns AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS k FROM v WHERE id % {mod} = 0),",
+        # (1.0/k)*n, two roundings in that order — matches the engine's
+        # p[seeds] = 1.0/k followed by the worker's p*n (superstep.py pers_n);
+        # the single-division n/k differs by 1 ulp at sf0.1 (n=147603, k=1521)
         f"pn AS MATERIALIZED (SELECT id, CASE WHEN id % {mod} = 0 THEN "
-        "(SELECT n FROM nn)/(SELECT k FROM ns) ELSE 0.0 END::DOUBLE AS w FROM v),",
+        "(1.0/(SELECT k FROM ns)) * (SELECT n FROM nn) ELSE 0.0 END::DOUBLE AS w FROM v),",
         "pr0 AS (SELECT id, w AS r FROM pn),",
     ]
     for i in range(iters):
@@ -238,8 +241,12 @@ def _hits_sql(iters: int = 5) -> str:
             f"JOIN h{i} h ON h.id = e.s GROUP BY e.d) t ON t.id = v.id),"
         )
         p.append(
+            # x * (n/S), parenthesized to match the engine's scale_state(n/S)
+            # exactly — the left-associative (x*n)/S differs by 1 ulp on
+            # thousands of values (verified at sf0.01) and would flake the
+            # hash on a rounding boundary
             f"a{i + 1} AS MATERIALIZED (SELECT id, "
-            f"x * (SELECT n FROM nn) / (SELECT SUM(x) FROM ar{i}) AS x FROM ar{i}),"
+            f"x * ((SELECT n FROM nn) / (SELECT SUM(x) FROM ar{i})) AS x FROM ar{i}),"
         )
         p.append(
             f"hr{i} AS MATERIALIZED (SELECT v.id, COALESCE(t.sm, 0)::DOUBLE AS x "
@@ -248,7 +255,7 @@ def _hits_sql(iters: int = 5) -> str:
         )
         p.append(
             f"h{i + 1} AS MATERIALIZED (SELECT id, "
-            f"x * (SELECT n FROM nn) / (SELECT SUM(x) FROM hr{i}) AS x FROM hr{i}),"
+            f"x * ((SELECT n FROM nn) / (SELECT SUM(x) FROM hr{i})) AS x FROM hr{i}),"
         )
     body = "\n".join(p).rstrip()[:-1]
     return body + (

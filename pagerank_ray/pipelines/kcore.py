@@ -48,21 +48,25 @@ def _peel_tail(blocks: list, k: int, max_rounds: int):
     s = np.searchsorted(ids, src)
     d = np.searchsorted(ids, dst)
     rounds = 0
-    while rounds < max_rounds:
+    fixpoint = False
+    while rounds <= max_rounds:
         deg = np.bincount(s, minlength=len(ids))
         bad = (deg > 0) & (deg < k)
         if not bad.any():
+            fixpoint = True
+            break
+        if rounds == max_rounds:
             break
         rounds += 1
         keep = ~bad[s] & ~bad[d]
         s, d = s[keep], d[keep]
-    deg = np.bincount(s, minlength=len(ids))
     alive = deg > 0
     return (
         pa.table(
             {"src_id": ids[alive], "core_deg": deg[alive].astype(np.int64)}
         ),
         rounds,
+        fixpoint,
     )
 
 
@@ -109,9 +113,14 @@ def k_core(
         # runs as ONE vectorized task instead of paying a full Ray Data
         # stage launch per round. ~1M sym edges ≈ 16 MB of int64 pairs.
         if cur.count() <= tail_cutoff:
-            table, tail_rounds = ray.get(
+            table, tail_rounds, fixpoint = ray.get(
                 _peel_tail.remote(cur.to_arrow_refs(), k, max_rounds - rounds)
             )
+            if not fixpoint:
+                raise RuntimeError(
+                    f"k_core: round budget ({max_rounds}) exhausted before the "
+                    "fixpoint — result would not be a k-core; raise max_rounds"
+                )
             return rd.from_arrow(table), rounds + tail_rounds
         deg = grouped_count(cur, "src_id", "deg").materialize()
 
@@ -124,7 +133,19 @@ def k_core(
         bad = deg.map_batches(low, batch_format="pyarrow").materialize()
         n_bad = bad.count()
         if n_bad == 0:
-            break
+            # fixpoint: deg already holds the in-core degrees of the final
+            # edge set (every one ≥ k) — rename instead of re-counting
+            def rename(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:  # degenerate empty-block schema
+                    return pa.table(
+                        {"src_id": pa.array([], pa.int64()),
+                         "core_deg": pa.array([], pa.int64())}
+                    )
+                return pa.table(
+                    {"src_id": t.column("src_id"), "core_deg": t.column("deg")}
+                )
+
+            return deg.map_batches(rename, batch_format="pyarrow"), rounds
         rounds += 1
         # Build-side selection: early rounds drop the MAJORITY of vertices
         # (heavy-tailed degree distributions put most mass below k), so the
@@ -149,4 +170,7 @@ def k_core(
             )
             cur = _filter_flagged(tagged, flag, -1, keep_matched)
         cur = cur.materialize()
-    return grouped_count(cur, "src_id", "core_deg"), rounds
+    raise RuntimeError(
+        f"k_core: round budget ({max_rounds}) exhausted before the fixpoint — "
+        "result would not be a k-core; raise max_rounds"
+    )

@@ -225,8 +225,12 @@ def _attach_orig(result: rd.Dataset, id_map: rd.Dataset, n: int, cols: list[str]
     return df.rename(columns={f"{c}_orig": c for c in cols})
 
 
-def _lineitem_csr(sf_dir: str, *, n_workers: int, symmetrize: bool):
-    """Shared CSR build for the lineitem graph (cached per content fingerprint)."""
+def _lineitem_csr(
+    sf_dir: str, *, n_workers: int, symmetrize: bool, return_edges: bool = False
+):
+    """Shared CSR build for the lineitem graph (cached per content fingerprint).
+    ``return_edges=True`` additionally returns the dense-id edge Dataset (for
+    callers that derive a second CSR, e.g. q_hits's reversed graph)."""
     from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
 
     dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
@@ -235,6 +239,8 @@ def _lineitem_csr(sf_dir: str, *, n_workers: int, symmetrize: bool):
     prepare_csr_from_edges(
         dense_edges, n, csr, n_parts=4 * n_workers, symmetrize=symmetrize
     )
+    if return_edges:
+        return csr, n, id_map, dense_edges
     return csr, n, id_map
 
 
@@ -342,9 +348,9 @@ def q_hits(sf_dir: str, n_workers: int = 4, iters: int = 5) -> pd.DataFrame:
     from pagerank_ray.pipelines.hits import hits
     from pagerank_ray.stages import joins
 
-    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
-    csr_fwd = os.path.join(_graph_workdir(sf_dir, "fwd"), "csr")
-    prepare_csr_from_edges(dense_edges, n, csr_fwd, n_parts=4 * n_workers)
+    csr_fwd, n, id_map, dense_edges = _lineitem_csr(
+        sf_dir, n_workers=n_workers, symmetrize=False, return_edges=True
+    )
 
     def swap(t: pa.Table) -> pa.Table:
         return pa.table({"src_id": t.column("dst_id"), "dst_id": t.column("src_id")})
@@ -1100,24 +1106,23 @@ def q_distinct_parts_by_flag(sf_dir: str) -> pd.DataFrame:
     alternative, and the driver hash-checks both."""
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
 
-    # reuse the bucketed pair-dedup by mapping flag to a small int key
-    flags = sorted(
-        _read(sf_dir, "lineitem", ["l_returnflag"])
-        .groupby("l_returnflag")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()["l_returnflag"]
-    )
-    fmap = {f: i for i, f in enumerate(flags)}
-
+    # reuse the bucketed pair-dedup by encoding the single-char flag as its
+    # byte value per batch — deterministic with NO pre-pass over the table
     def encode(t: pa.Table) -> pa.Table:
-        f = t.column("l_returnflag").to_pandas().map(fmap).to_numpy(np.int64)
+        f = (
+            t.column("l_returnflag")
+            .to_numpy(zero_copy_only=False)
+            .astype("S1")
+            .view(np.uint8)
+            .astype(np.int64)
+        )
         return pa.table(
             {"src_id": pa.array(f), "dst_id": t.column("l_partkey").cast(pa.int64())}
         )
 
     pairs = dedup_pairs(li.map_batches(encode, batch_format="pyarrow"))
     out = grouped_count(pairs, "src_id", "n_parts").to_pandas()
-    out["l_returnflag"] = out["src_id"].map({i: f for f, i in fmap.items()})
+    out["l_returnflag"] = out["src_id"].map(lambda b: chr(int(b)))
     out["n_parts"] = out["n_parts"].astype(np.int64)
     return (
         out[["l_returnflag", "n_parts"]]

@@ -577,8 +577,8 @@ class ShardWorker:
     def restore(self, ckpt_dir: str):
         """Load this worker's slice from a checkpoint dir (any prior W layout:
         reads every range file overlapping [lo, hi) and slices by id)."""
-        col = "rank" if self.mode == MODE_PAGERANK else "label"
-        dtype = np.float64 if self.mode == MODE_PAGERANK else np.int64
+        col = {MODE_PAGERANK: "rank", MODE_SUM: "value"}.get(self.mode, "label")
+        dtype = np.float64 if self.mode in (MODE_PAGERANK, MODE_SUM) else np.int64
         out = np.empty(self.hi - self.lo, dtype=dtype)
         seen = 0
         for name in sorted(os.listdir(ckpt_dir)):
