@@ -54,6 +54,17 @@ def main(argv=None):
     t.add_argument("--work-dir", required=True)
     t.add_argument("--out", default=None)
 
+    h = sub.add_parser("hits", help="HITS hubs & authorities over built graph artifacts")
+    h.add_argument("--work-dir", required=True)
+    h.add_argument("--n-workers", type=int, default=8)
+    h.add_argument("--iters", type=int, default=5)
+    h.add_argument("--out", default=None)
+
+    kc = sub.add_parser("kcore", help="k-core membership + in-core degrees")
+    kc.add_argument("--work-dir", required=True)
+    kc.add_argument("--k", type=int, default=3)
+    kc.add_argument("--out", default=None)
+
     d = sub.add_parser("dedup", help="MinHash-LSH near-dup clusters over a documents parquet")
     d.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
     d.add_argument("--out", required=True)
@@ -127,6 +138,42 @@ def main(argv=None):
             out = args.out or os.path.join(args.work_dir, "triangles")
             triangle_counts(edges, n).write_parquet(out)
             print(json.dumps({"out": out, "n_vertices": n}))
+        elif args.cmd == "hits":
+            import pyarrow as _pa
+
+            from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+            from pagerank_ray.pipelines.hits import hits as run_hits
+
+            csr_fwd = os.path.join(args.work_dir, "csr")
+            csr_rev = os.path.join(args.work_dir, "csr_rev")
+            edges = rd.read_parquet(os.path.join(args.work_dir, "edges"))
+            n = rd.read_parquet(os.path.join(args.work_dir, "id_map")).count()
+            if not os.path.exists(os.path.join(csr_rev, "MANIFEST.json")):
+                rev = edges.map_batches(
+                    lambda t: _pa.table(
+                        {"src_id": t.column("dst_id"), "dst_id": t.column("src_id")}
+                    ),
+                    batch_format="pyarrow",
+                )
+                prepare_csr_from_edges(rev, n, csr_rev, n_parts=4 * args.n_workers)
+            res = run_hits(csr_fwd, csr_rev, n_workers=args.n_workers, iters=args.iters)
+            out = args.out or os.path.join(args.work_dir, "hits")
+            res.authorities.write_parquet(os.path.join(out, "authorities"))
+            res.hubs.write_parquet(os.path.join(out, "hubs"))
+            print(json.dumps({
+                "out": out, "iterations": res.iterations,
+                "n_vertices": res.n_vertices, "n_edges": res.n_edges,
+                "mean_iter_sec": round(res.mean_superstep_sec, 4),
+            }))
+        elif args.cmd == "kcore":
+            from pagerank_ray.pipelines.kcore import k_core
+            from pagerank_ray.stages.csr import symmetrize
+
+            edges = rd.read_parquet(os.path.join(args.work_dir, "edges"))
+            core, rounds = k_core(symmetrize(edges), args.k)
+            out = args.out or os.path.join(args.work_dir, f"kcore_{args.k}")
+            core.write_parquet(out)
+            print(json.dumps({"out": out, "k": args.k, "rounds": rounds}))
         elif args.cmd == "dedup":
             from pagerank_ray.stages.dedup import minhash_lsh_dedup
 

@@ -56,3 +56,28 @@ def test_cli_training_data_ops(tmp_path):
     assert os.path.isdir(s["out"])
     d = run("dedup", "--docs", f"{sf}/documents.parquet", "--out", str(tmp_path / "dedup"))
     assert d["docs"] > 0 and d["clusters"] <= d["docs"]
+
+
+@pytest.mark.slow
+def test_cli_hits_kcore(tmp_path):
+    """hits / kcore subcommands over built graph artifacts."""
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    pages = str(tmp_path / "pages")
+    work = str(tmp_path / "work")
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "pagerank_ray.cli", "--num-cpus", "4", *args],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    run("gen-pages", "--out", pages, "--n-pages", "300")
+    run("build", "--pages", pages, "--work-dir", work, "--n-parts", "8")
+    h = run("hits", "--work-dir", work, "--n-workers", "2", "--iters", "3")
+    assert h["iterations"] == 3 and h["n_vertices"] > 0
+    assert os.path.isdir(os.path.join(h["out"], "authorities"))
+    assert os.path.isdir(os.path.join(h["out"], "hubs"))
+    kc = run("kcore", "--work-dir", work, "--k", "2")
+    assert kc["rounds"] >= 0 and os.path.isdir(kc["out"])
