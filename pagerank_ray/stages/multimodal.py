@@ -7,7 +7,8 @@ Decode is REAL for every codec-free container this environment can parse:
 
 - images: PPM (P6), uncompressed 24-bit BMP, and — REAL compressed decode —
   PNG (stdlib ``zlib`` inflate + all five scanline filters, color types
-  0/2/3/4/6, 8-bit non-interlaced) and baseline JPEG (pure-numpy Huffman +
+  0/2/3/4/6, 8-bit non-interlaced), GIF (real variable-width LZW,
+  stages/gif.py) and baseline JPEG (pure-numpy Huffman +
   IDCT decoder, ``stages/jpeg.py`` — 4:4:4/4:2:2/4:2:0, grayscale, restart
   markers). Vectorized nearest-neighbour resize and a real deterministic
   feature embedding (block-mean grayscale grid, L2-normalized).
@@ -361,12 +362,16 @@ class DecodeImage:
             from pagerank_ray.stages.jpeg import decode_jpeg
 
             img = decode_jpeg(payload)  # REAL baseline JPEG decode (pure numpy)
+        elif payload[:4] == b"GIF8":
+            from pagerank_ray.stages.gif import decode_gif
+
+            img = decode_gif(payload)  # REAL LZW decode (pure Python/numpy)
         else:
             if not self.fake:
                 raise NotImplementedError(
                     "image codec not available in this environment (only "
-                    "PPM/BMP/PNG/baseline-JPEG decode natively); install PIL "
-                    "and decode here"
+                    "PPM/BMP/PNG/GIF/baseline-JPEG decode natively); install "
+                    "PIL and decode here"
                 )
             rng = np.random.default_rng(_content_seed(payload))
             return rng.standard_normal(self.embed_dim).astype(np.float32), -1, -1
@@ -564,7 +569,11 @@ def synth_media(n: int, seed: int = 5) -> pa.Table:
         else:
             w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
             img = _synth_image(rng, w, h)
-            if i % 4 == 0:  # rotate containers: PNG / baseline JPEG / PPM
+            if i % 8 == 0:  # rotate containers: GIF / PNG / baseline JPEG / PPM
+                from pagerank_ray.stages.gif import encode_gif
+
+                payloads.append(encode_gif(img))
+            elif i % 4 == 0:
                 payloads.append(encode_png(img, filters=[f % 5 for f in range(h)]))
             elif i % 2 == 0:
                 from pagerank_ray.stages.jpeg import encode_jpeg

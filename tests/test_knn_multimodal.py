@@ -118,16 +118,24 @@ def test_real_decode_path_raises():
     import pyarrow as pa
 
     dec = DecodeImage(deterministic_fake=False)
-    # GIF is genuinely unsupported (LZW codec not implemented) → stub raise;
-    # a truncated JPEG takes the REAL jpeg path and fails parsing instead
-    gif = pa.table(
+    # WebP is genuinely unsupported (VP8 codec not implementable here) → stub
+    # raise; malformed GIF/JPEG take their REAL decode paths and fail parsing
+    webp = pa.table(
         {
             "media_id": pa.array([0], pa.int64()),
-            "payload": pa.array([b"GIF87a not a supported container"], pa.binary()),
+            "payload": pa.array([b"RIFF\x00\x00\x00\x00WEBPVP8 junk"], pa.binary()),
         }
     )
     with pytest.raises(NotImplementedError):
-        dec(gif)
+        dec(webp)
+    bad_gif = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([b"GIF87a not a real gif stream"], pa.binary()),
+        }
+    )
+    with pytest.raises(ValueError):
+        dec(bad_gif)
     truncated_jpeg = pa.table(
         {
             "media_id": pa.array([0], pa.int64()),
@@ -404,3 +412,52 @@ def test_decode_image_dispatches_jpeg(ray_session):
     e_jpeg = np.asarray(out.column("embedding")[0].as_py())
     e_ppm = np.asarray(out.column("embedding")[1].as_py())
     assert float(e_jpeg @ e_ppm) > 0.999
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (stages/gif.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_palette_exact():
+    """decode(encode(img)) must equal the quantized-palette reference exactly
+    (GIF is palette-lossy but LZW-lossless), across shapes that exercise
+    dictionary growth, width increase, and the CLEAR-overflow path."""
+    from pagerank_ray.stages.gif import _PALETTE, decode_gif, encode_gif, quantize_662
+
+    rng = np.random.default_rng(11)
+    for shape in [(24, 32), (1, 1), (7, 5), (64, 48)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        dec = decode_gif(encode_gif(img))
+        ref = _PALETTE[quantize_662(img)]
+        assert dec.shape == ref.shape
+        assert (dec == ref).all()
+    flat = np.zeros((200, 300, 3), np.uint8)  # forces dict overflow → CLEAR
+    assert (decode_gif(encode_gif(flat)) == _PALETTE[quantize_662(flat)]).all()
+
+
+def test_gif_rejects_non_gif():
+    from pagerank_ray.stages.gif import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + b"\x00" * 40)
+
+
+def test_decode_image_dispatches_gif(ray_session):
+    """DecodeImage (real mode) must decode GIF payloads end-to-end."""
+    from pagerank_ray.stages.gif import encode_gif
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    tab = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([encode_gif(img)], pa.binary()),
+        }
+    )
+    out = DecodeImage(deterministic_fake=False)(tab)
+    assert out.num_rows == 1
+    assert out.column("decoded_w")[0].as_py() == 30
+    assert out.column("decoded_h")[0].as_py() == 20
+    emb = np.asarray(out.column("embedding")[0].as_py())
+    assert abs(float(np.linalg.norm(emb)) - 1.0) < 1e-5
