@@ -735,6 +735,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_stats": tabular.q_json_extract_stats,  # SQL-oracled (json field agg)
         "nation_trade_graph": tabular.q_nation_trade_graph,  # SQL-oracled (quotient graph)
         "pivot_returnflag": tabular.q_pivot_returnflag,  # SQL-oracled (wide cond. agg)
+        "orders_percent_rank": tabular.q_orders_percent_rank,  # SQL-oracled (window)
+        "orders_by_month": tabular.q_orders_by_month,  # SQL-oracled (date parts)
         "parts_shipped_diff": tabular.q_parts_shipped_diff,  # SQL-oracled (EXCEPT)
         "pagerank_top20_profile": tabular.q_pagerank_top20_profile,  # SQL-oracled (composition)
         # documents: text analysis + dedup
@@ -934,6 +936,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation cn ON cn.n_nationkey = c.c_nationkey "
             "JOIN nation sn ON sn.n_nationkey = s.s_nationkey "
             "GROUP BY 1, 2 ORDER BY src_nation, dst_nation"
+        ),
+        "orders_percent_rank": (
+            "SELECT o_orderkey, ROUND(PERCENT_RANK() OVER "
+            "(PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pr "
+            "FROM orders ORDER BY o_orderkey"
+        ),
+        "orders_by_month": (
+            "SELECT year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m, "
+            "COUNT(*)::BIGINT AS n_orders, "
+            "ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue "
+            "FROM orders GROUP BY 1, 2 ORDER BY y, m"
         ),
         "distinct_parts_by_flag": (
             "SELECT l_returnflag, COUNT(DISTINCT l_partkey)::BIGINT AS n_parts "

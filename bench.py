@@ -207,6 +207,8 @@ def headline(ncpu: int) -> dict:
     timed("pagerank_personalized", lambda: tabular.q_pagerank_personalized(SF_DIR))
     timed("nation_trade_graph", lambda: tabular.q_nation_trade_graph(SF_DIR))
     timed("pivot_returnflag", lambda: tabular.q_pivot_returnflag(SF_DIR))
+    timed("orders_percent_rank", lambda: tabular.q_orders_percent_rank(SF_DIR))
+    timed("orders_by_month", lambda: tabular.q_orders_by_month(SF_DIR))
     timed("parts_shipped_diff", lambda: tabular.q_parts_shipped_diff(SF_DIR))
     # documents
     timed("token_counts", lambda: tabular.q_token_counts(SF_DIR).materialize().count())

@@ -1013,6 +1013,79 @@ def q_nation_trade_graph(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_orders_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Window ranking beyond top-k: each order's PERCENT_RANK of o_totalprice
+    within its o_orderpriority class — bucketed by the partition key, one
+    vectorized sort + tie-aware rank kernel per group (same single-key-fits-
+    worker assumption as the temporal suite; a skewed class would shard by
+    range with a two-pass rank offset). (rank−1)/(n−1) is the same double
+    division on both engines, so the rounded values hash-match exactly."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("o_orderpriority", sort=False):
+            price = g["o_totalprice"].to_numpy()
+            order = np.argsort(price, kind="mergesort")
+            n = len(price)
+            # tie-aware min-rank (PERCENT_RANK semantics): rank of the first
+            # equal value in sort order
+            sorted_p = price[order]
+            first_idx = np.searchsorted(sorted_p, sorted_p, side="left")
+            rank = np.empty(n, dtype=np.int64)
+            rank[order] = first_idx
+            pr = rank / (n - 1) if n > 1 else np.zeros(n)
+            out.append(
+                pd.DataFrame(
+                    {"o_orderkey": g["o_orderkey"].to_numpy(), "pr": pr}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    res = (
+        ds.groupby("o_orderpriority")
+        .map_groups(rank_group, batch_format="pandas")
+        .to_pandas()
+    )
+    res["pr"] = _round_half_away(res["pr"].to_numpy(), 6)
+    return res.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_orders_by_month(sf_dir: str) -> pd.DataFrame:
+    """Date-part grouped aggregation: orders and cents-exact revenue per
+    (year, month) — the temporal scalar functions (year/month extraction)
+    run as vectorized Arrow kernels inside the scan, never per row."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = _round_half_away(price * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "y": pc.year(d),
+                "m": pc.month(d),
+                "cents": pa.array(cents),
+            }
+        )
+
+    out = (
+        ds.map_batches(parts, batch_format="pyarrow")
+        .groupby(["y", "m"])
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="c"))
+        .to_pandas()
+    )
+    out["revenue"] = (out["c"].astype(np.int64) / 100.0).round(2)
+    out["y"] = out["y"].astype(np.int64)
+    out["m"] = out["m"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return (
+        out[["y", "m", "n_orders", "revenue"]]
+        .sort_values(["y", "m"])
+        .reset_index(drop=True)
+    )
+
+
 def q_pivot_returnflag(sf_dir: str) -> pd.DataFrame:
     """PIVOT / wide conditional aggregation: revenue per l_returnflag split
     into one column per l_linestatus. The pivot is one vectorized per-batch
