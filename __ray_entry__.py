@@ -105,6 +105,40 @@ def _pagerank_pers_sql(iters: int = 20, alpha: float = 0.85, mod: int = 97) -> s
     return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
 
 
+def _pagerank_weighted_sql(iters: int = 20, alpha: float = 0.85) -> str:
+    """Unrolled WEIGHTED PageRank (tabular.q_pagerank_weighted): edge weight
+    = Σ l_quantity per distinct (order, part) pair, row-normalized per source
+    — w_uv = q_uv / Σ_v q_uv; r'(v) = (1−α) + α·D/n + α·Σ_{u→v} w_uv·r(u).
+    Quantities are integer-valued doubles so q and the per-source totals are
+    exact in any summation order; the w division is then bit-identical to the
+    engine's per-shard normalization (csr.build_shard_table)."""
+    p = [
+        "WITH e AS MATERIALIZED (SELECT l_orderkey AS s, l_partkey AS d, "
+        "SUM(l_quantity)::DOUBLE AS q FROM lineitem GROUP BY 1, 2),",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        "tot AS MATERIALIZED (SELECT s, SUM(q) AS t FROM e GROUP BY s),",
+        "w AS MATERIALIZED (SELECT e.s, e.d, e.q / t.t AS w FROM e "
+        "JOIN tot t ON t.s = e.s),",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+        "pr0 AS (SELECT id, 1.0::DOUBLE AS r FROM v),",
+    ]
+    for i in range(iters):
+        p.append(
+            f"d{i} AS (SELECT COALESCE(SUM(p.r),0)::DOUBLE AS m FROM pr{i} p "
+            f"LEFT JOIN tot t ON t.s=p.id WHERE t.s IS NULL),"
+        )
+        p.append(
+            f"pr{i + 1} AS MATERIALIZED (SELECT v.id, ({1 - alpha}) "
+            f"+ {alpha}*(SELECT m FROM d{i})/(SELECT n FROM nn) "
+            f"+ {alpha}*COALESCE(inc.sm,0) AS r FROM v LEFT JOIN "
+            f"(SELECT w.d AS id, SUM(p.r*w.w) AS sm FROM w "
+            f"JOIN pr{i} p ON p.id=w.s GROUP BY w.d) inc "
+            f"ON inc.id=v.id),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
+
+
 def _converged_pagerank_iters() -> int | None:
     """Iteration count at which PageRank converges (L1 ≤ 1e-6·n) on the
     lineitem edge graph of the sf dir the driver compares at — computed by the
@@ -711,6 +745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": tabular.q_pagerank,  # converged; SQL-oracled (NumPy-oracle iter count)
         "pagerank_fixed": tabular.q_pagerank_fixed,  # SQL-oracled (unrolled)
         "pagerank_personalized": tabular.q_pagerank_personalized,  # SQL-oracled (M7)
+        "pagerank_weighted": tabular.q_pagerank_weighted,  # SQL-oracled (stored-weight SpMV)
         "connected_components": tabular.q_connected_components,  # SQL-oracled
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "triangles": tabular.q_triangles,  # SQL-oracled
@@ -790,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_fixed": _pagerank_sql(iters=20, alpha=0.85),
         "pagerank_personalized": _pagerank_pers_sql(iters=20, alpha=0.85, mod=97),
+        "pagerank_weighted": _pagerank_weighted_sql(iters=20, alpha=0.85),
         "connected_components": _cc_sql(iters=24),
         "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),

@@ -197,7 +197,15 @@ def _compact_ids(edges: rd.Dataset) -> tuple[rd.Dataset, int, rd.Dataset]:
         drop_probe_col=True,
     ).map_batches(
         lambda t: pa.table(
-            {"src_id": t.column("src_dense"), "dst_id": t.column("dst_dense")}
+            {
+                "src_id": t.column("src_dense"),
+                "dst_id": t.column("dst_dense"),
+                **(
+                    {"weight": t.column("weight")}
+                    if "weight" in t.schema.names
+                    else {}
+                ),
+            }
         ),
         batch_format="pyarrow",
     )
@@ -303,6 +311,43 @@ def q_pagerank_personalized(
         eps_per_vertex=0.0,
         personalization=p,
     )
+    df = _attach_orig(res.result, id_map, n, ["id"])
+    df = df.sort_values("id").reset_index(drop=True)
+    df["rank"] = _round_half_away(df["rank"], 6)
+    return df[["id", "rank"]]
+
+
+def q_pagerank_weighted(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.DataFrame:
+    """WEIGHTED PageRank — the general-SpMV capability of the reference's
+    library backends (cusparse/lightSpMV csrmv with arbitrary ``weights_h``)
+    rather than the derived 1/out_deg: edge weight = Σ l_quantity over the
+    (order, part) lineitems, row-normalized per source at CSR build
+    (csr.build_shard_table), gathered via the stored-weight path of the same
+    superstep kernel. Fixed ``iters`` supersteps; hash-checked against the
+    unrolled DuckDB oracle (__ray_entry__._pagerank_weighted_sql). Quantities
+    are integer-valued doubles, so the per-source totals — and therefore the
+    normalized weights — are bit-identical across engines and summation
+    orders."""
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    from pagerank_ray.pipelines.pagerank import pagerank
+    from pagerank_ray.stages.graph_build import grouped_pair_sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_id": t.column("l_orderkey"),
+                "dst_id": t.column("l_partkey"),
+                "weight": t.column("l_quantity").cast(pa.float64()),
+            }
+        )
+
+    weighted = grouped_pair_sum(li.map_batches(rename, batch_format="pyarrow"))
+    dense_edges, n, id_map = _compact_ids(weighted)
+    csr = os.path.join(_graph_workdir(sf_dir, "wfwd"), "csr")
+    prepare_csr_from_edges(dense_edges, n, csr, n_parts=4 * n_workers)
+    res = pagerank(csr, n_workers=n_workers, max_iters=iters, eps_per_vertex=0.0)
     df = _attach_orig(res.result, id_map, n, ["id"])
     df = df.sort_values("id").reset_index(drop=True)
     df["rank"] = _round_half_away(df["rank"], 6)

@@ -50,25 +50,43 @@ def _assign_part(cuts: np.ndarray):
 
 
 def build_shard_table(
-    part: int, src: np.ndarray, dst: np.ndarray, lo: int, hi: int
+    part: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    lo: int,
+    hi: int,
+    weights: np.ndarray | None = None,
 ) -> pa.Table:
     """One CSR shard row from this part's edges. Intra-shard order fixed to
-    (src, dst) for reproducible summation (SURVEY.md §4.4)."""
+    (src, dst) for reproducible summation (SURVEY.md §4.4).
+
+    ``weights``: optional per-edge weights. Because a part owns ALL out-edges
+    of its src range, they are row-normalized HERE (w_uv / Σ_v w_uv per src)
+    — the weighted generalization of the derived 1/out_deg (module doc): the
+    superstep's gather then multiplies rank[src] by the stored weight instead
+    of the uniform inverse degree."""
     size = hi - lo
     order = np.lexsort((dst, src))
     src_sorted = src[order] - lo
     dst_sorted = dst[order]
     counts = np.bincount(src_sorted, minlength=size)
     indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    return pa.table(
-        {
-            "part": pa.array([part], pa.int32()),
-            "lo": pa.array([lo], pa.int64()),
-            "hi": pa.array([hi], pa.int64()),
-            "indptr": pa.array([indptr], pa.large_list(pa.int64())),
-            "dst_ids": pa.array([dst_sorted.astype(np.int64)], pa.large_list(pa.int64())),
-        }
-    )
+    cols = {
+        "part": pa.array([part], pa.int32()),
+        "lo": pa.array([lo], pa.int64()),
+        "hi": pa.array([hi], pa.int64()),
+        "indptr": pa.array([indptr], pa.large_list(pa.int64())),
+        "dst_ids": pa.array([dst_sorted.astype(np.int64)], pa.large_list(pa.int64())),
+    }
+    if weights is not None:
+        w = weights[order].astype(np.float64)
+        nz = counts > 0
+        starts = indptr[:-1][nz]
+        totals = np.add.reduceat(w, starts) if len(starts) else np.array([], np.float64)
+        per_edge_tot = np.repeat(totals, counts[nz])
+        w = w / per_edge_tot
+        cols["weights"] = pa.array([w], pa.large_list(pa.float64()))
+    return pa.table(cols)
 
 
 def shard_path(csr_dir: str, part: int) -> str:
@@ -92,7 +110,8 @@ def write_csr_shards(
         lo, hi = part_bounds(part, cuts, n_vertices)
         src = df["src_id"].to_numpy(dtype=np.int64)
         dst = df["dst_id"].to_numpy(dtype=np.int64)
-        table = build_shard_table(part, src, dst, lo, hi)
+        w = df["weight"].to_numpy(np.float64) if "weight" in df.columns else None
+        table = build_shard_table(part, src, dst, lo, hi, weights=w)
         tmp = shard_path(csr_dir, part) + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, shard_path(csr_dir, part))  # atomic publish

@@ -284,6 +284,48 @@ def _dedup_pairs_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def grouped_pair_sum(
+    ds: rd.Dataset, weight_col: str = "weight", *, n_buckets: int = 64
+) -> rd.Dataset:
+    """Exact per-(src_id, dst_id) weight sum — the weighted sibling of
+    ``dedup_pairs``: per-batch combine (np.unique pair keys + add.reduceat)
+    → hash-bucket groupby → one vectorized pandas merge per bucket. The
+    exchange carries one row per distinct pair per batch, never fact rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        pairs = np.stack([src, dst], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, w)
+        return pa.table(
+            {
+                "src_id": pa.array(uniq[:, 0], pa.int64()),
+                "dst_id": pa.array(uniq[:, 1], pa.int64()),
+                "weight": pa.array(sums),
+            }
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        mixed = (src * np.int64(0x9E3779B1) + dst) & np.int64(0x7FFFFFFF)
+        return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["src_id", "dst_id"], sort=True)["weight"].sum().reset_index()
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def dedup_pairs(ds: rd.Dataset, *, n_buckets: int = 64) -> rd.Dataset:
     """Exact (src_id, dst_id) dedup: per-batch combine → hash-bucket groupby →
     vectorized per-bucket np.unique.

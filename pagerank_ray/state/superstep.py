@@ -71,11 +71,12 @@ MODE_SUM = "sum"  # plain neighbor sum: state'(v) = Σ_{u→v} state(u) (HITS ha
 _GATHER_CHUNK = 1 << 18  # edges per take+reduceat chunk: temp stays L2-resident
 
 
-def _gather_reduce(contrib, idx, gs, out, off, chunk: int = _GATHER_CHUNK):
-    """out[off:off+len(gs)] = add.reduceat(contrib.take(idx), gs), chunked on
-    group boundaries so the gathered temp never streams through DRAM (an
-    unchunked take materializes an all-edges temp — measured as the largest
-    per-superstep memory traffic term after the index reads)."""
+def _gather_reduce(contrib, idx, gs, out, off, chunk: int = _GATHER_CHUNK, w=None):
+    """out[off:off+len(gs)] = add.reduceat(contrib.take(idx) [* w], gs),
+    chunked on group boundaries so the gathered temp never streams through
+    DRAM (an unchunked take materializes an all-edges temp — measured as the
+    largest per-superstep memory traffic term after the index reads).
+    ``w``: optional per-edge weights aligned with ``idx`` (weighted CSR)."""
     n_groups = len(gs)
     n_edges = len(idx)
     g0 = 0
@@ -85,17 +86,24 @@ def _gather_reduce(contrib, idx, gs, out, off, chunk: int = _GATHER_CHUNK):
         g1 = max(g1, g0 + 1)
         e1 = int(gs[g1]) if g1 < n_groups else n_edges
         vals = contrib.take(idx[e0:e1])
+        if w is not None:
+            vals = vals * w[e0:e1]
         out[off + g0 : off + g1] = np.add.reduceat(vals, gs[g0:g1] - e0)
         g0 = g1
 
 
-def _load_shard_arrays(path: str) -> tuple[int, int, np.ndarray, np.ndarray]:
+def _load_shard_arrays(path: str):
     t = pq.read_table(path)
     lo = t.column("lo")[0].as_py()
     hi = t.column("hi")[0].as_py()
     indptr = np.asarray(t.column("indptr")[0].values)
     dst = np.asarray(t.column("dst_ids")[0].values)
-    return lo, hi, indptr, dst
+    w = (
+        np.asarray(t.column("weights")[0].values)
+        if "weights" in t.schema.names
+        else None
+    )
+    return lo, hi, indptr, dst, w
 
 
 @ray.remote
@@ -144,10 +152,13 @@ class ShardWorker:
         parts.sort(key=lambda x: x[0])
         self.lo = parts[0][0]
         self.hi = parts[-1][1]
+        # weighted CSR: any non-empty shard carrying a weights column switches
+        # the PageRank gather from the derived 1/out_deg to stored weights
+        self.weighted = any(p[4] is not None and len(p[4]) for p in parts)
         size = self.hi - self.lo
         indptr = np.zeros(size + 1, dtype=np.int64)
         base = 0
-        for lo, hi, ip, dst in parts:
+        for lo, hi, ip, dst, _w in parts:
             indptr[lo - self.lo : hi - self.lo + 1] = ip + base
             base += len(dst)
         self.n_edges = base
@@ -165,10 +176,10 @@ class ShardWorker:
         # reference's degree-binned kernel shapes (kernel_bblock.cu:622-659).
         # Per-shard group sums are written into one concatenated output
         # buffer; (shard offsets, per-shard group_dst) are static metadata.
-        self.shards = []  # (slice_lo, src_by_dst_s, group_starts_s, out_off)
+        self.shards = []  # (slice_lo, src_by_dst_s, group_starts_s, out_off, dst_sorted|None, w_by_dst|None)
         group_dsts = []
         out_off = 0
-        for lo, hi, ip, dst in parts:
+        for lo, hi, ip, dst, w in parts:
             s_size = hi - lo
             out_deg_s = np.diff(ip)
             idx_t = np.int32 if s_size < 2**31 - 1 else np.int64
@@ -176,6 +187,13 @@ class ShardWorker:
             order = np.argsort(dst, kind="stable")
             src_by_dst_s = np.ascontiguousarray(src_rep[order])
             dst_sorted_s = dst[order]
+            # per-edge weights permuted into the same dst-sorted gather order,
+            # pre-cast to the exchange dtype (avoids an upcast per superstep)
+            w_by_dst_s = (
+                np.ascontiguousarray(w[order].astype(self.xdtype))
+                if (w is not None and len(w))
+                else None
+            )
             if len(dst_sorted_s):
                 change = np.concatenate([[True], dst_sorted_s[1:] != dst_sorted_s[:-1]])
                 gs = np.flatnonzero(change)
@@ -183,7 +201,14 @@ class ShardWorker:
             else:
                 gs = np.array([], np.int64)
                 gd = np.array([], np.int64)
-            self.shards.append((lo - self.lo, src_by_dst_s, gs, out_off, dst_sorted_s if mode == MODE_LABEL else None))
+            self.shards.append((
+                lo - self.lo,
+                src_by_dst_s,
+                gs,
+                out_off,
+                dst_sorted_s if mode == MODE_LABEL else None,
+                w_by_dst_s,
+            ))
             group_dsts.append(gd)
             out_off += len(gd)
         self.out_len = out_off
@@ -329,7 +354,7 @@ class ShardWorker:
         )
         # per-shard edges-per-destination-group (static; for in-degree bins)
         sizes = []
-        for _, src_by_dst_s, gs, _, _ in self.shards:
+        for _, src_by_dst_s, gs, _, _, _ in self.shards:
             sizes.append(
                 np.diff(np.concatenate([gs, [len(src_by_dst_s)]])) if len(gs) else gs
             )
@@ -384,16 +409,25 @@ class ShardWorker:
         lets apply() derive `remain` with no driver round-trip."""
         if self.mode == MODE_PAGERANK:
             d_local = float(self.state[self.dangling].sum())
-            # one fused pass: cast-and-multiply into the exchange dtype
-            contrib = np.multiply(self.state, self.inv_out, dtype=self.xdtype)
+            if self.weighted:
+                # stored row-normalized weights: rank gathered raw, scaled
+                # per edge inside the gather (csr.build_shard_table)
+                contrib = np.asarray(self.state, dtype=self.xdtype)
+            else:
+                # one fused pass: cast-and-multiply into the exchange dtype
+                contrib = np.multiply(self.state, self.inv_out, dtype=self.xdtype)
             if self.transport == "shm":
                 out = self.shm_views[self.iter_seq % self.n_buffers]
             else:
                 out = np.empty(self.out_len, dtype=self.xdtype)
-            for s_lo, src_by_dst_s, gs, off, _ in self.shards:
+            for s_lo, src_by_dst_s, gs, off, _, w_s in self.shards:
                 if len(gs) == 0:
                     continue
-                _gather_reduce(contrib[s_lo:] if s_lo else contrib, src_by_dst_s, gs, out, off)
+                _gather_reduce(
+                    contrib[s_lo:] if s_lo else contrib,
+                    src_by_dst_s, gs, out, off,
+                    w=w_s if self.weighted else None,
+                )
             if self.transport == "shm":
                 seq = self.iter_seq
                 self.iter_seq += 1
@@ -406,7 +440,7 @@ class ShardWorker:
                 out = self.shm_views[self.iter_seq % self.n_buffers]
             else:
                 out = np.empty(self.out_len, dtype=self.xdtype)
-            for s_lo, src_by_dst_s, gs, off, _ in self.shards:
+            for s_lo, src_by_dst_s, gs, off, _, _ in self.shards:
                 if len(gs) == 0:
                     continue
                 _gather_reduce(contrib[s_lo:] if s_lo else contrib, src_by_dst_s, gs, out, off)
@@ -420,7 +454,7 @@ class ShardWorker:
                 out = self.shm_views[self.iter_seq % self.n_buffers]
             else:
                 out = np.empty(self.out_len, dtype=np.int64)
-            for s_lo, src_by_dst_s, gs, off, _ in self.shards:
+            for s_lo, src_by_dst_s, gs, off, _, _ in self.shards:
                 if len(gs) == 0:
                     continue
                 vals = self.state[s_lo:].take(src_by_dst_s) if s_lo else self.state.take(src_by_dst_s)
@@ -432,7 +466,7 @@ class ShardWorker:
             return out, 0.0
         if self.mode == MODE_LABEL:
             pds, pls, pcs = [], [], []
-            for s_lo, src_by_dst_s, gs, off, dst_sorted_s in self.shards:
+            for s_lo, src_by_dst_s, gs, off, dst_sorted_s, _ in self.shards:
                 if len(src_by_dst_s) == 0:
                     continue
                 vals = self.state[s_lo:].take(src_by_dst_s) if s_lo else self.state.take(src_by_dst_s)

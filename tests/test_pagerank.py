@@ -130,3 +130,43 @@ def test_transport_parity_shm_vs_plasma(ray_session, tmp_path):
     ra = _ranks_array(pagerank(a, n_workers=2, max_iters=80, transport="shm"), 250)
     rb = _ranks_array(pagerank(b, n_workers=2, max_iters=80, transport="plasma"), 250)
     np.testing.assert_array_equal(ra, rb)
+
+
+def test_weighted_pagerank_matches_numpy(ray_session, tmp_path):
+    """Stored-weight CSR path vs a dense NumPy weighted-PageRank oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    from pagerank_ray.pipelines.pagerank import pagerank
+
+    rng = np.random.default_rng(31)
+    n, m = 120, 700
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    q = rng.integers(1, 50, len(src)).astype(np.float64)
+    edges = rd.from_arrow(
+        pa.table({"src_id": src, "dst_id": dst, "weight": q})
+    )
+    csr = str(tmp_path / "wcsr")
+    prepare_csr_from_edges(edges, n, csr, n_parts=4)
+    res = pagerank(csr, n_workers=2, max_iters=15, eps_per_vertex=0.0)
+
+    # dense oracle with identical semantics
+    tot = np.zeros(n)
+    np.add.at(tot, src, q)
+    w = q / tot[src]
+    r = np.ones(n)
+    dangling = np.ones(n, bool)
+    dangling[src] = False
+    alpha = 0.85
+    for _ in range(15):
+        acc = np.zeros(n)
+        np.add.at(acc, dst, r[src] * w)
+        remain = alpha * r[dangling].sum() / n + (1 - alpha)
+        r = remain + alpha * acc
+    got = res.result.to_pandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(got, r, rtol=1e-12, atol=1e-12)
