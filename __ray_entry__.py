@@ -771,6 +771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_graph": tabular.q_nation_trade_graph,  # SQL-oracled (quotient graph)
         "pivot_returnflag": tabular.q_pivot_returnflag,  # SQL-oracled (wide cond. agg)
         "orders_percent_rank": tabular.q_orders_percent_rank,  # SQL-oracled (window)
+        "parts_shipped_both": tabular.q_parts_shipped_both,  # SQL-oracled (full outer)
+        "price_stats_by_flag": tabular.q_price_stats_by_flag,  # SQL-oracled (stddev)
         "orders_by_month": tabular.q_orders_by_month,  # SQL-oracled (date parts)
         "parts_shipped_diff": tabular.q_parts_shipped_diff,  # SQL-oracled (EXCEPT)
         "pagerank_top20_profile": tabular.q_pagerank_top20_profile,  # SQL-oracled (composition)
@@ -983,6 +985,32 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS n_orders, "
             "ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue "
             "FROM orders GROUP BY 1, 2 ORDER BY y, m"
+        ),
+        "parts_shipped_both": (
+            "WITH a AS (SELECT l_partkey, COUNT(*)::BIGINT AS n_1995 FROM lineitem "
+            "WHERE year(l_shipdate) = 1995 GROUP BY 1), "
+            "b AS (SELECT l_partkey, COUNT(*)::BIGINT AS n_1996 FROM lineitem "
+            "WHERE year(l_shipdate) = 1996 GROUP BY 1) "
+            "SELECT COALESCE(a.l_partkey, b.l_partkey) AS l_partkey, "
+            "COALESCE(a.n_1995, 0)::BIGINT AS n_1995, "
+            "COALESCE(b.n_1996, 0)::BIGINT AS n_1996 "
+            "FROM a FULL OUTER JOIN b ON a.l_partkey = b.l_partkey "
+            "ORDER BY l_partkey"
+        ),
+        "price_stats_by_flag": (
+            # identical closed-form moment arithmetic as the engine
+            # (q_price_stats_by_flag): exact integer cents, float64 Σc²,
+            # same parenthesization of every division
+            "WITH m AS (SELECT l_returnflag, COUNT(*)::DOUBLE AS n, "
+            "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))::DOUBLE AS s1, "
+            "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)::DOUBLE "
+            "* CAST(ROUND(l_extendedprice*100) AS BIGINT)::DOUBLE) AS s2 "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n::BIGINT AS n_rows, "
+            "ROUND((s1 / n) / 100.0, 4) AS avg_price, "
+            "ROUND(SQRT(((s2 - (s1 * s1) / n) / (n - 1.0)) / 10000.0), 4) "
+            "AS stddev_price "
+            "FROM m ORDER BY l_returnflag"
         ),
         "distinct_parts_by_flag": (
             "SELECT l_returnflag, COUNT(DISTINCT l_partkey)::BIGINT AS n_parts "

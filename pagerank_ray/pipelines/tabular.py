@@ -1249,6 +1249,104 @@ def q_distinct_parts_by_flag(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_parts_shipped_both(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN: per part, shipment counts in 1995 and 1996, keeping
+    parts that appear in EITHER year. Expressed shuffle-minimally as a union
+    of tagged per-side partial counts followed by ONE groupby — the full
+    outer join of two aggregates never needs a join operator at all, and the
+    exchange carries only (key, n95, n96) count rows."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+
+    def year_counts(year: int, col: str):
+        lo = np.datetime64(f"{year}-01-01", "us")
+        hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+        def f(t: pa.Table) -> pa.Table:
+            d = t.column("l_shipdate")
+            mask = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+            kept = t.filter(mask)
+            keys = kept.column("l_partkey").to_numpy(zero_copy_only=False)
+            uniq, counts = np.unique(keys, return_counts=True)
+            zero = np.zeros(len(uniq), dtype=np.int64)
+            return pa.table(
+                {
+                    "l_partkey": pa.array(uniq),
+                    "n95": pa.array(counts if col == "n95" else zero),
+                    "n96": pa.array(counts if col == "n96" else zero),
+                }
+            )
+
+        return f
+
+    a = li.map_batches(year_counts(1995, "n95"), batch_format="pyarrow")
+    b = li.map_batches(year_counts(1996, "n96"), batch_format="pyarrow")
+    out = (
+        a.union(b)
+        .groupby("l_partkey")
+        .aggregate(Sum("n95", alias_name="n_1995"), Sum("n96", alias_name="n_1996"))
+        .to_pandas()
+    )
+    out["n_1995"] = out["n_1995"].astype(np.int64)
+    out["n_1996"] = out["n_1996"].astype(np.int64)
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+def q_price_stats_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Grouped mean + sample stddev of l_extendedprice per l_returnflag from
+    EXACT integer-cent moments: per-batch (n, Σc, Σc²) partials — Σc² held in
+    float64 but every addend is an exact integer, and the final closed-form
+    variance is one deterministic expression mirrored verbatim in the oracle
+    SQL, so the rounded outputs hash-match."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = _round_half_away(price * 100.0, 0)
+        flags = (
+            t.column("l_returnflag")
+            .to_numpy(zero_copy_only=False)
+            .astype("S1")
+            .view(np.uint8)
+        )
+        uniq, inv = np.unique(flags, return_inverse=True)
+        n = np.bincount(inv)
+        s1 = np.bincount(inv, weights=cents)
+        s2 = np.bincount(inv, weights=cents * cents)
+        return pa.table(
+            {
+                "fb": pa.array(uniq.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+                "s1": pa.array(s1),
+                "s2": pa.array(s2),
+            }
+        )
+
+    out = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("fb")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()
+    )
+    n = out["n"].astype(np.float64).to_numpy()
+    s1 = out["s1"].to_numpy()
+    s2 = out["s2"].to_numpy()
+    mean = s1 / n / 100.0
+    var = (s2 - s1 * s1 / n) / (n - 1.0) / 10000.0
+    res = pd.DataFrame(
+        {
+            "l_returnflag": out["fb"].map(lambda b: chr(int(b))),
+            "n_rows": out["n"].astype(np.int64),
+            "avg_price": _round_half_away(mean, 4),
+            "stddev_price": _round_half_away(np.sqrt(var), 4),
+        }
+    )
+    return res.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def q_approx_distinct_by_flag(sf_dir: str) -> pd.DataFrame:
     """GROUP BY + HyperLogLog: approximate distinct l_partkey per
     l_returnflag, the grouped variant of ``approx_distinct_parts`` — shuffle
