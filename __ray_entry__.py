@@ -772,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_returnflag": tabular.q_pivot_returnflag,  # SQL-oracled (wide cond. agg)
         "orders_percent_rank": tabular.q_orders_percent_rank,  # SQL-oracled (window)
         "parts_shipped_both": tabular.q_parts_shipped_both,  # SQL-oracled (full outer)
+        "qty_price_corr": tabular.q_qty_price_corr,  # SQL-oracled (grouped Pearson)
         "price_stats_by_flag": tabular.q_price_stats_by_flag,  # SQL-oracled (stddev)
         "orders_by_month": tabular.q_orders_by_month,  # SQL-oracled (date parts)
         "parts_shipped_diff": tabular.q_parts_shipped_diff,  # SQL-oracled (EXCEPT)
@@ -1010,6 +1011,20 @@ def oracle_sql() -> dict[str, str]:
             "ROUND((s1 / n) / 100.0, 4) AS avg_price, "
             "ROUND(SQRT(((s2 - (s1 * s1) / n) / (n - 1.0)) / 10000.0), 4) "
             "AS stddev_price "
+            "FROM m ORDER BY l_returnflag"
+        ),
+        "qty_price_corr": (
+            "WITH m AS (SELECT l_returnflag, COUNT(*)::DOUBLE AS n, "
+            "SUM(l_quantity)::DOUBLE AS sx, "
+            "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))::DOUBLE AS sy, "
+            "SUM(l_quantity*l_quantity)::DOUBLE AS sxx, "
+            "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)::DOUBLE "
+            "* CAST(ROUND(l_extendedprice*100) AS BIGINT)::DOUBLE) AS syy, "
+            "SUM(l_quantity * CAST(ROUND(l_extendedprice*100) AS BIGINT)::DOUBLE) AS sxy "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, "
+            "ROUND((sxy - (sx * sy) / n) / SQRT((sxx - (sx * sx) / n) "
+            "* (syy - (sy * sy) / n)), 6) AS corr_qty_price "
             "FROM m ORDER BY l_returnflag"
         ),
         "distinct_parts_by_flag": (

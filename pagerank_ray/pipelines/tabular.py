@@ -1347,6 +1347,66 @@ def q_price_stats_by_flag(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_qty_price_corr(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation of (l_quantity, l_extendedprice) per
+    l_returnflag from integer-valued moments (quantities are small ints,
+    prices exact cents — every ADDEND is exact; the Σc² partials can exceed
+    2^53 where summation-order ulps appear, damped far below the round(6)
+    grid by the ~1e19 denominators). The closed-form expression is mirrored
+    verbatim (same parenthesization) in the oracle SQL."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = _round_half_away(price * 100.0, 0)
+        flags = (
+            t.column("l_returnflag")
+            .to_numpy(zero_copy_only=False)
+            .astype("S1")
+            .view(np.uint8)
+        )
+        uniq, inv = np.unique(flags, return_inverse=True)
+        return pa.table(
+            {
+                "fb": pa.array(uniq.astype(np.int64)),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sx": pa.array(np.bincount(inv, weights=qty)),
+                "sy": pa.array(np.bincount(inv, weights=cents)),
+                "sxx": pa.array(np.bincount(inv, weights=qty * qty)),
+                "syy": pa.array(np.bincount(inv, weights=cents * cents)),
+                "sxy": pa.array(np.bincount(inv, weights=qty * cents)),
+            }
+        )
+
+    out = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("fb")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    n = out["n"].astype(np.float64).to_numpy()
+    sx, sy = out["sx"].to_numpy(), out["sy"].to_numpy()
+    sxx, syy, sxy = out["sxx"].to_numpy(), out["syy"].to_numpy(), out["sxy"].to_numpy()
+    corr = (sxy - (sx * sy) / n) / np.sqrt(
+        (sxx - (sx * sx) / n) * (syy - (sy * sy) / n)
+    )
+    res = pd.DataFrame(
+        {
+            "l_returnflag": out["fb"].map(lambda b: chr(int(b))),
+            "corr_qty_price": _round_half_away(corr, 6),
+        }
+    )
+    return res.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def q_approx_distinct_by_flag(sf_dir: str) -> pd.DataFrame:
     """GROUP BY + HyperLogLog: approximate distinct l_partkey per
     l_returnflag, the grouped variant of ``approx_distinct_parts`` — shuffle
