@@ -8,7 +8,7 @@ Decode is REAL for every codec-free container this environment can parse:
 - images: PPM (P6), uncompressed 24-bit BMP, and — REAL compressed decode —
   PNG (stdlib ``zlib`` inflate + all five scanline filters, color types
   0/2/3/4/6, 8-bit non-interlaced), GIF (real variable-width LZW,
-  stages/gif.py) and baseline JPEG (pure-numpy Huffman +
+  stages/gif.py), QOI (lossless, full spec, stages/qoi.py) and baseline JPEG (pure-numpy Huffman +
   IDCT decoder, ``stages/jpeg.py`` — 4:4:4/4:2:2/4:2:0, grayscale, restart
   markers). Vectorized nearest-neighbour resize and a real deterministic
   feature embedding (block-mean grayscale grid, L2-normalized).
@@ -366,6 +366,10 @@ class DecodeImage:
             from pagerank_ray.stages.gif import decode_gif
 
             img = decode_gif(payload)  # REAL LZW decode (pure Python/numpy)
+        elif payload[:4] == b"qoif":
+            from pagerank_ray.stages.qoi import decode_qoi
+
+            img = decode_qoi(payload)  # REAL lossless decode (QOI spec)
         else:
             if not self.fake:
                 raise NotImplementedError(
@@ -569,7 +573,11 @@ def synth_media(n: int, seed: int = 5) -> pa.Table:
         else:
             w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
             img = _synth_image(rng, w, h)
-            if i % 8 == 0:  # rotate containers: GIF / PNG / baseline JPEG / PPM
+            if i % 16 == 0:  # rotate containers: QOI / GIF / PNG / JPEG / PPM
+                from pagerank_ray.stages.qoi import encode_qoi
+
+                payloads.append(encode_qoi(img))
+            elif i % 8 == 0:
                 from pagerank_ray.stages.gif import encode_gif
 
                 payloads.append(encode_gif(img))

@@ -461,3 +461,49 @@ def test_decode_image_dispatches_gif(ray_session):
     assert out.column("decoded_h")[0].as_py() == 20
     emb = np.asarray(out.column("embedding")[0].as_py())
     assert abs(float(np.linalg.norm(emb)) - 1.0) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# QOI codec (stages/qoi.py) — lossless: roundtrip must be bit-exact
+# ---------------------------------------------------------------------------
+
+
+def test_qoi_roundtrip_bit_exact():
+    from pagerank_ray.stages.qoi import decode_qoi, encode_qoi
+
+    rng = np.random.default_rng(19)
+    for shape in [(24, 32), (1, 1), (7, 5), (64, 48)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        assert (decode_qoi(encode_qoi(img)) == img).all()
+    flat = np.zeros((50, 60, 3), np.uint8)  # long RUN chains
+    assert (decode_qoi(encode_qoi(flat)) == flat).all()
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)  # INDEX-heavy
+    idximg = pal[rng.integers(0, 8, (30, 40))]
+    assert (decode_qoi(encode_qoi(idximg)) == idximg).all()
+    g = np.tile(np.arange(256, dtype=np.uint8), (20, 1))  # DIFF/LUMA-heavy
+    grad = np.stack([g, g // 2, 255 - g], axis=2)
+    assert (decode_qoi(encode_qoi(grad)) == grad).all()
+
+
+def test_qoi_rejects_non_qoi():
+    from pagerank_ray.stages.qoi import decode_qoi
+
+    with pytest.raises(ValueError):
+        decode_qoi(b"nope" + b"\x00" * 20)
+
+
+def test_decode_image_dispatches_qoi(ray_session):
+    from pagerank_ray.stages.qoi import encode_qoi
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    tab = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([encode_qoi(img)], pa.binary()),
+        }
+    )
+    out = DecodeImage(deterministic_fake=False)(tab)
+    assert out.num_rows == 1
+    assert out.column("decoded_w")[0].as_py() == 30
+    assert out.column("decoded_h")[0].as_py() == 20
