@@ -212,6 +212,7 @@ def headline(ncpu: int) -> dict:
     timed("orders_by_month", lambda: tabular.q_orders_by_month(SF_DIR))
     timed("parts_shipped_both", lambda: tabular.q_parts_shipped_both(SF_DIR))
     timed("price_stats_by_flag", lambda: tabular.q_price_stats_by_flag(SF_DIR))
+    timed("qty_price_corr", lambda: tabular.q_qty_price_corr(SF_DIR))
     timed("parts_shipped_diff", lambda: tabular.q_parts_shipped_diff(SF_DIR))
     # documents
     timed("token_counts", lambda: tabular.q_token_counts(SF_DIR).materialize().count())
