@@ -27,8 +27,17 @@ from pagerank_ray.functions import text as textfn
 from pagerank_ray.stages.graph_build import dedup_pairs, grouped_count
 
 
-def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+def _read(sf_dir: str, table: str, columns=None, filter=None) -> rd.Dataset:
+    """Pruned scan: ``columns`` projects at the reader; ``filter`` (a
+    pyarrow.dataset expression) pushes row filtering into the parquet
+    scanner itself — row groups whose statistics exclude the predicate are
+    never read, and non-matching rows never enter the object store."""
+    kwargs = {}
+    if filter is not None:
+        kwargs["filter"] = filter
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, **kwargs
+    )
 
 
 def _round_half_away(values, ndigits: int) -> np.ndarray:
@@ -541,22 +550,26 @@ def q_region_revenue(sf_dir: str, region: str = "ASIA", year: int = 1996) -> pd.
     nation_name = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
     nat_keys = pa.array(np.array(sorted(nation_name), dtype=np.int64))
 
-    lo = np.datetime64(f"{year}-01-01", "us")
-    hi = np.datetime64(f"{year + 1}-01-01", "us")
+    import pyarrow.dataset as pds
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"), pa.timestamp("us"))
 
-    def in_year(t: pa.Table) -> pa.Table:
-        d = t.column("o_orderdate")
-        mask = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
-        return t.filter(mask).drop_columns(["o_orderdate"])
+    # the order-year predicate runs inside the parquet scanner (row-group
+    # pruning); only qualifying orders enter the object store
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey"],
+        filter=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
+    )
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         lambda t: t.filter(pc.is_in(t.column("c_nationkey"), value_set=nat_keys)),
         batch_format="pyarrow",
     )
     orders_n = joins.attach_with_default(
-        orders.map_batches(in_year, batch_format="pyarrow"),
+        orders,
         cust,
         probe_col="o_custkey",
         build_key="c_custkey",
@@ -925,15 +938,18 @@ def q_customers_no_recent_orders(sf_dir: str) -> pd.DataFrame:
     dimension attach."""
     from pagerank_ray.stages import joins
 
-    cutoff = np.datetime64("2001-01-01", "us")
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    import pyarrow.dataset as pds
 
-    def recent(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("o_orderdate"), pa.scalar(cutoff)))
-
-    recent_custs = grouped_count(
-        orders.map_batches(recent, batch_format="pyarrow"), "o_custkey", "n_orders"
+    cutoff = pa.scalar(np.datetime64("2001-01-01", "us"), pa.timestamp("us"))
+    # row filter pushed into the parquet scanner: non-recent orders never
+    # leave storage (row-group stats prune whole groups)
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_custkey"],
+        filter=(pds.field("o_orderdate") >= cutoff),
     )
+    recent_custs = grouped_count(orders, "o_custkey", "n_orders")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     tagged = joins.attach_with_default(
         cust,
@@ -1176,27 +1192,23 @@ def q_parts_shipped_diff(sf_dir: str) -> pd.DataFrame:
     broadcast-or-hash anti-join attach with a sentinel filter — the same
     mechanics as every other anti-join in the engine, never an all-to-all
     over fact rows."""
+    import pyarrow.dataset as pds
+
     from pagerank_ray.stages import joins
 
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+    def year_scan(year: int) -> rd.Dataset:
+        # year predicate pushed into the parquet scanner (row-group pruning)
+        lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"), pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"), pa.timestamp("us"))
+        return _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey"],
+            filter=(pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi),
+        )
 
-    def year_filter(year: int):
-        lo = np.datetime64(f"{year}-01-01", "us")
-        hi = np.datetime64(f"{year + 1}-01-01", "us")
-
-        def f(t: pa.Table) -> pa.Table:
-            d = t.column("l_shipdate")
-            mask = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
-            return t.filter(mask).select(["l_partkey"])
-
-        return f
-
-    p95 = grouped_count(
-        li.map_batches(year_filter(1995), batch_format="pyarrow"), "l_partkey", "n95"
-    )
-    p96 = grouped_count(
-        li.map_batches(year_filter(1996), batch_format="pyarrow"), "l_partkey", "n96"
-    )
+    p95 = grouped_count(year_scan(1995), "l_partkey", "n95")
+    p96 = grouped_count(year_scan(1996), "l_partkey", "n96")
     tagged = joins.attach_with_default(
         p95,
         p96,
@@ -1255,17 +1267,11 @@ def q_parts_shipped_both(sf_dir: str) -> pd.DataFrame:
     of tagged per-side partial counts followed by ONE groupby — the full
     outer join of two aggregates never needs a join operator at all, and the
     exchange carries only (key, n95, n96) count rows."""
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+    import pyarrow.dataset as pds
 
     def year_counts(year: int, col: str):
-        lo = np.datetime64(f"{year}-01-01", "us")
-        hi = np.datetime64(f"{year + 1}-01-01", "us")
-
         def f(t: pa.Table) -> pa.Table:
-            d = t.column("l_shipdate")
-            mask = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
-            kept = t.filter(mask)
-            keys = kept.column("l_partkey").to_numpy(zero_copy_only=False)
+            keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
             uniq, counts = np.unique(keys, return_counts=True)
             zero = np.zeros(len(uniq), dtype=np.int64)
             return pa.table(
@@ -1278,8 +1284,19 @@ def q_parts_shipped_both(sf_dir: str) -> pd.DataFrame:
 
         return f
 
-    a = li.map_batches(year_counts(1995, "n95"), batch_format="pyarrow")
-    b = li.map_batches(year_counts(1996, "n96"), batch_format="pyarrow")
+    def year_scan(year: int) -> rd.Dataset:
+        # year predicate pushed into the parquet scanner
+        lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"), pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"), pa.timestamp("us"))
+        return _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey"],
+            filter=(pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi),
+        )
+
+    a = year_scan(1995).map_batches(year_counts(1995, "n95"), batch_format="pyarrow")
+    b = year_scan(1996).map_batches(year_counts(1996, "n96"), batch_format="pyarrow")
     out = (
         a.union(b)
         .groupby("l_partkey")
