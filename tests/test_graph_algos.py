@@ -197,3 +197,58 @@ def test_hits_plasma_transport_matches_shm(ray_session, tmp_path):
         va = a.to_pandas().sort_values("id")["value"].to_numpy()
         vb = b.to_pandas().sort_values("id")["value"].to_numpy()
         np.testing.assert_array_equal(va, vb)
+
+
+def test_hits_zero_edge_graph(ray_session, tmp_path):
+    """All-dangling graph: no edges → both score vectors are all zeros after
+    the first half-step (raw sums are zero; the L1 guard skips scaling)."""
+    from pagerank_ray.pipelines.hits import hits
+
+    empty = np.array([], dtype=np.int64)
+    fwd = str(tmp_path / "f")
+    rev = str(tmp_path / "r")
+    prepare_csr_from_edges(edges_dataset_from_arrays(empty, empty), 5, fwd, n_parts=1)
+    prepare_csr_from_edges(edges_dataset_from_arrays(empty, empty), 5, rev, n_parts=1)
+    res = hits(fwd, rev, n_workers=1, iters=2)
+    a = res.authorities.to_pandas()["value"].to_numpy()
+    h = res.hubs.to_pandas()["value"].to_numpy()
+    assert (a == 0).all() and (h == 0).all()
+
+
+def test_kcore_k1_keeps_every_edge_vertex(ray_session):
+    from pagerank_ray.pipelines.kcore import k_core
+    from pagerank_ray.stages.csr import symmetrize
+
+    src = np.array([0, 1, 5])
+    dst = np.array([1, 2, 6])
+    core, rounds = k_core(symmetrize(edges_dataset_from_arrays(src, dst)), 1)
+    assert rounds == 0
+    assert sorted(core.to_pandas()["src_id"]) == [0, 1, 2, 5, 6]
+
+
+def test_grouped_pair_sum_matches_pandas(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.stages.graph_build import grouped_pair_sum
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "src_id": rng.integers(0, 40, n),
+            "dst_id": rng.integers(0, 40, n),
+            "weight": rng.integers(1, 50, n).astype(np.float64),
+        }
+    )
+    got = (
+        grouped_pair_sum(rd.from_arrow(pa.Table.from_pandas(df)))
+        .to_pandas()
+        .sort_values(["src_id", "dst_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["src_id", "dst_id"], sort=True)["weight"].sum().reset_index()
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)

@@ -72,3 +72,38 @@ def test_csr_shard_roundtrip_any_edges(n, m, seed):
     rebuilt_src = np.repeat(np.arange(n), np.diff(indptr))
     got = sorted(zip(rebuilt_src, dsts))
     assert got == sorted(zip(src, dst))
+
+
+# ---------------------------------------------------------------------------
+# codec + weighted-pair property tests (round 3)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_qoi_roundtrip_property(h, w, seed):
+    """QOI is lossless: decode(encode(img)) == img for ANY uint8 RGB image."""
+    from pagerank_ray.stages.qoi import decode_qoi, encode_qoi
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_qoi(encode_qoi(img)) == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, seed):
+    """GIF LZW is lossless over the quantized palette for ANY image."""
+    from pagerank_ray.stages.gif import _PALETTE, decode_gif, encode_gif, quantize_662
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_gif(encode_gif(img)) == _PALETTE[quantize_662(img)]).all()
