@@ -6,8 +6,10 @@ now take the REAL path through ``DecodeImage`` (multimodal.py) instead of the
 deterministic-fake stub. Scope is baseline sequential DCT, 8-bit, Huffman
 entropy coding — the overwhelmingly dominant JPEG flavor in web corpora —
 with 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, grayscale, restart markers,
-and multi-segment DQT/DHT. Progressive (SOF2) and arithmetic coding raise
-``NotImplementedError`` (still codec-library territory).
+and multi-segment DQT/DHT. Progressive (SOF2) streams dispatch to the
+multi-scan decoder in ``stages/jpeg_progressive.py`` (spectral selection +
+successive approximation — also REAL); only arithmetic coding and
+lossless/hierarchical modes raise ``NotImplementedError``.
 
 Design for the actor-pool hot path:
 
@@ -163,9 +165,11 @@ _HALF = [0] + [1 << (s - 1) for s in range(1, 16)]
 _EXT = [0] + [(1 << s) - 1 for s in range(1, 16)]
 
 
-def _destuff(scan: bytes) -> tuple[bytes, list[int]]:
-    """Remove 0xFF00 byte stuffing; return clean bytes + restart boundaries
-    (offsets into the CLEAN stream where an RSTn sat)."""
+def _destuff(scan: bytes) -> tuple[bytes, list[int], int]:
+    """Remove 0xFF00 byte stuffing; return clean bytes, restart boundaries
+    (offsets into the CLEAN stream where an RSTn sat), and the number of
+    ORIGINAL bytes consumed (so a multi-scan parser can resume at the next
+    marker — progressive streams carry one entropy segment per scan)."""
     out = bytearray()
     restarts = []
     i = 0
@@ -185,7 +189,7 @@ def _destuff(scan: bytes) -> tuple[bytes, list[int]]:
             i += 2
         else:  # EOI or next marker — scan ends
             break
-    return bytes(out), restarts
+    return bytes(out), restarts, i
 
 
 class _Component:
@@ -243,10 +247,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq_id = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq_id))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2 progressive → the multi-scan decoder
+            from pagerank_ray.stages.jpeg_progressive import decode_progressive
+
+            return decode_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02x} (progressive/arithmetic/lossless) "
-                "is beyond the baseline decoder"
+                f"JPEG SOF marker 0x{marker:02x} (arithmetic/lossless/hierarchical) "
+                "is beyond this decoder"
             )
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             j = 0
@@ -281,7 +289,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         c.bh = mcuy * c.v
         c.blocks = np.zeros((c.bw * c.bh, 64), dtype=np.int32)
 
-    clean, restarts = _destuff(payload[scan_start:])
+    clean, restarts, _consumed = _destuff(payload[scan_start:])
     # The symbol loop below is the one inherently serial part of JPEG decode
     # (each Huffman code's length is known only after decoding its prefix).
     # It is written for CPython speed: one packed list-LUT hit per symbol,
@@ -374,7 +382,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 fv, dtype=np.int32
             )
 
-    # --- everything below is vectorized over all blocks of each component
+    return _reconstruct(comps, qt, w, h, hmax, vmax)
+
+
+def _reconstruct(comps, qt, w, h, hmax, vmax) -> np.ndarray:
+    """Shared decode tail (baseline + progressive): dequantize, inverse
+    zigzag, IDCT, upsample, color convert — vectorized over all blocks."""
     planes = []
     for c in comps:
         q = qt[c.tq][None, :]  # zigzag order, matching the coef layout

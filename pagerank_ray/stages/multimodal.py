@@ -8,18 +8,21 @@ Decode is REAL for every codec-free container this environment can parse:
 - images: PPM (P6), uncompressed 24-bit BMP, and — REAL compressed decode —
   PNG (stdlib ``zlib`` inflate + all five scanline filters, color types
   0/2/3/4/6, 8-bit non-interlaced), GIF (real variable-width LZW,
-  stages/gif.py), QOI (lossless, full spec, stages/qoi.py) and baseline JPEG (pure-numpy Huffman +
-  IDCT decoder, ``stages/jpeg.py`` — 4:4:4/4:2:2/4:2:0, grayscale, restart
-  markers). Vectorized nearest-neighbour resize and a real deterministic
-  feature embedding (block-mean grayscale grid, L2-normalized).
+  stages/gif.py), QOI (lossless, full spec, stages/qoi.py), baseline JPEG
+  (pure-numpy Huffman + IDCT decoder, ``stages/jpeg.py`` — 4:4:4/4:2:2/
+  4:2:0, grayscale, restart markers) AND progressive JPEG (multi-scan
+  spectral-selection + successive-approximation decoder,
+  ``stages/jpeg_progressive.py``). Vectorized nearest-neighbour resize and
+  a real deterministic feature embedding (block-mean grayscale grid,
+  L2-normalized).
 - video: PPM-STREAM (concatenated P6 frames) — frame boundaries parsed from
   the payload itself; the sampler emits real frame bytes at the requested
   temporal spacing.
 - audio: WAV/PCM 16-bit — RIFF chunk walk + ``np.frombuffer``; features are
   per-window RMS energy + zero-crossing rate.
 
-Codecs needing external libraries NOT in this container (progressive JPEG,
-MP4, Opus, …) raise
+Codecs needing external libraries NOT in this container (arithmetic-coded
+JPEG, WebP/VP8, MP4, Opus, …) raise
 ``NotImplementedError`` at the exact call site a codec would slot into — or,
 with ``deterministic_fake=True``, produce a seeded stand-in embedding (stable
 per content hash) so plumbing tests can exercise arbitrary bytes.
@@ -374,8 +377,8 @@ class DecodeImage:
             if not self.fake:
                 raise NotImplementedError(
                     "image codec not available in this environment (only "
-                    "PPM/BMP/PNG/GIF/baseline-JPEG decode natively); install "
-                    "PIL and decode here"
+                    "PPM/BMP/PNG/GIF/QOI/JPEG-baseline+progressive decode "
+                    "natively); install PIL and decode here"
                 )
             rng = np.random.default_rng(_content_seed(payload))
             return rng.standard_normal(self.embed_dim).astype(np.float32), -1, -1
@@ -584,10 +587,17 @@ def synth_media(n: int, seed: int = 5) -> pa.Table:
             elif i % 4 == 0:
                 payloads.append(encode_png(img, filters=[f % 5 for f in range(h)]))
             elif i % 2 == 0:
-                from pagerank_ray.stages.jpeg import encode_jpeg
+                if i % 32 == 2:  # one progressive JPEG per 32 rows
+                    from pagerank_ray.stages.jpeg_progressive import (
+                        encode_jpeg_progressive,
+                    )
 
-                sub = "4:2:0" if i % 8 else "4:4:4"
-                payloads.append(encode_jpeg(img, quality=90, subsampling=sub))
+                    payloads.append(encode_jpeg_progressive(img, quality=90))
+                else:
+                    from pagerank_ray.stages.jpeg import encode_jpeg
+
+                    sub = "4:2:0" if i % 8 else "4:4:4"
+                    payloads.append(encode_jpeg(img, quality=90, subsampling=sub))
             else:
                 payloads.append(encode_ppm(img))
             types.append("image")

@@ -375,18 +375,58 @@ def test_jpeg_dct_matrix_and_huffman_tables_are_valid():
     assert J.ZIGZAG_FLAT[0] == 0 and J.ZIGZAG_FLAT[1] == 1 and J.ZIGZAG_FLAT[2] == 8
 
 
-def test_jpeg_rejects_progressive():
+def test_jpeg_rejects_unsupported_sof():
     from pagerank_ray.stages.jpeg import decode_jpeg, encode_jpeg
 
     enc = bytearray(encode_jpeg(_gradient(16, 16)))
-    # rewrite the SOF0 marker to SOF2 (progressive)
+    # rewrite the SOF0 marker to SOF9 (arithmetic coding — genuinely out of scope)
     i = enc.find(b"\xff\xc0")
     assert i > 0
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """The 10-scan progressive encoding carries EXACTLY the same quantized
+    coefficients as the baseline 4:4:4 encoding, so both decodes must be
+    bit-identical — gating every scan type (DC first/refine, AC band
+    first/refine, EOB, ZRL, correction bits)."""
+    from pagerank_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from pagerank_ray.stages.jpeg_progressive import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, (24, 32, 3), dtype=np.uint8),
+        _gradient(40, 56),
+        np.full((16, 16, 3), 77, np.uint8),
+        rng.integers(0, 256, (17, 23, 3), dtype=np.uint8),
+    ]
+    for q in (20, 90, 98):
+        for img in cases:
+            dp = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            db = decode_jpeg(encode_jpeg(img, quality=q, subsampling="4:4:4"))
+            assert (dp == db).all()
+    # sparse-detail image: long zero runs exercise ZRL + per-block EOB paths
+    img = np.full((64, 64, 3), 128, np.uint8)
+    img[5, 7] = [255, 0, 0]
+    img[40, 50] = [0, 255, 0]
+    dp = decode_jpeg(encode_jpeg_progressive(img, quality=95))
+    db = decode_jpeg(encode_jpeg(img, quality=95, subsampling="4:4:4"))
+    assert (dp == db).all()
+
+
+def test_jpeg_progressive_grayscale():
+    from pagerank_ray.stages.jpeg import decode_jpeg
+    from pagerank_ray.stages.jpeg_progressive import encode_jpeg_progressive
+
+    rng = np.random.default_rng(8)
+    g = rng.integers(0, 256, (25, 31), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_progressive(g, quality=85))
+    assert out.shape == (25, 31, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 1] == out[:, :, 2]).all()
 
 
 def test_decode_image_dispatches_jpeg(ray_session):
