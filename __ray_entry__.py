@@ -230,6 +230,37 @@ def _lp_sql(iters: int = 10) -> str:
     return body + f"\nSELECT v AS id, l AS label FROM l{iters} ORDER BY id"
 
 
+def _bfs_sql(mod: int = 1009, rounds: int = 10) -> str:
+    """Fixed-unroll multi-source BFS (tabular.q_bfs_levels): over the
+    symmetrized edge set, d⁰ = 0 on seeds {id % mod == 0} and a 2^62
+    sentinel elsewhere; each round d' = LEAST(d, min over neighbors d+1) —
+    the identical min-plus recurrence MODE_DIST runs (sentinel arithmetic
+    included: INF < INF+1 keeps unreached vertices at the sentinel).
+    Idempotent at the fixpoint, so unrolling ≥ the true depth matches the
+    engine's converged loop; unreached vertices report -1."""
+    inf = 1 << 62
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "es AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        f"b0 AS (SELECT id, CASE WHEN id % {mod} = 0 THEN 0 "
+        f"ELSE {inf} END::BIGINT AS dist FROM v),",
+    ]
+    for i in range(rounds):
+        p.append(
+            f"b{i + 1} AS MATERIALIZED (SELECT v.id, "
+            f"LEAST(cur.dist, COALESCE(inc.m, {inf})) AS dist "
+            f"FROM v JOIN b{i} cur ON cur.id = v.id LEFT JOIN "
+            f"(SELECT es.d AS id, MIN(c.dist + 1) AS m FROM es "
+            f"JOIN b{i} c ON c.id = es.s GROUP BY es.d) inc ON inc.id = v.id),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + (
+        f"\nSELECT id, (CASE WHEN dist >= {inf} THEN -1 ELSE dist END)::BIGINT AS dist "
+        f"FROM b{rounds} ORDER BY id"
+    )
+
+
 def _kcore_sql(k: int = 7, rounds: int = 10) -> str:
     """Fixed-unroll k-core peel (pipelines/kcore.py): over the symmetrized
     pair-deduped edge set, each round drops every vertex whose degree < k and
@@ -751,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": tabular.q_triangles,  # SQL-oracled
         "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
         "kcore": tabular.q_kcore,  # SQL-oracled (fixed-unroll peel)
+        "bfs_levels": tabular.q_bfs_levels,  # SQL-oracled (unrolled min-plus)
         # relational operators (groupby/agg, join, sort/limit, window)
         "lineitem_agg": tabular.q_lineitem_agg,
         "top_customers": tabular.q_top_customers,
@@ -834,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _triangles_sql(),
         "hits": _hits_sql(iters=5),
         "kcore": _kcore_sql(k=7, rounds=10),
+        "bfs_levels": _bfs_sql(mod=1009, rounds=10),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(SUM(l_quantity), 2) AS sum_qty, "

@@ -17,7 +17,7 @@ import time
 import ray.data as rd
 
 from pagerank_ray.pipelines.pagerank import IterativeResult
-from pagerank_ray.state.superstep import BSPEngine, MODE_LABEL, MODE_MIN
+from pagerank_ray.state.superstep import BSPEngine, MODE_DIST, MODE_LABEL, MODE_MIN
 
 
 def _run_label_loop(
@@ -80,6 +80,57 @@ def connected_components(
     """Hash-min CC over a CSR built from symmetrized edges (csr.symmetrize)."""
     eng = BSPEngine(sym_csr_dir, n_workers=n_workers, mode=MODE_MIN, transport=transport)
     return _run_label_loop(eng, max_iters, checkpoint_root, checkpoint_every, resume)
+
+
+def bfs_levels(
+    sym_csr_dir: str,
+    seeds,
+    *,
+    n_workers: int,
+    max_iters: int = 200,
+    transport: str = "shm",
+) -> IterativeResult:
+    """Multi-source BFS levels (unweighted shortest paths) over a CSR:
+    d⁰ = 0 at the seed vertices, ∞ elsewhere; superstep
+    d'(v) = min(d(v), min_{u→v} d(u)+1) — the MODE_DIST variant of the
+    hash-min exchange (same O(W) pre-aggregated min-scatter); converges when
+    no distance changes. Unreached vertices keep the ∞ sentinel (callers map
+    it to -1). Runs on whatever CSR it is given — symmetrize for undirected
+    distance, forward for directed reachability depth."""
+    import numpy as np
+    import ray
+
+    eng = BSPEngine(sym_csr_dir, n_workers=n_workers, mode=MODE_DIST, transport=transport)
+    eng.init_state()
+    seeds = np.asarray(seeds, dtype=np.int64)
+    planted = sum(ray.get([w.set_values.remote(seeds, 0) for w in eng.workers]))
+    if planted == 0:
+        raise ValueError("no BFS seed falls inside the graph's vertex range")
+    changed = -1
+    converged = False
+    step_times = []
+    while eng.iteration < max_iters:
+        t0 = time.perf_counter()
+        changed, checksum = eng._superstep()
+        step_times.append(time.perf_counter() - t0)
+        eng.iteration += 1
+        eng.history.append(
+            {"iteration": eng.iteration, "changed": changed, "checksum": checksum}
+        )
+        if changed == 0:
+            converged = True
+            break
+    dists = eng.collect_result_and_shutdown()
+    return IterativeResult(
+        result=dists,
+        iterations=eng.iteration,
+        converged=converged,
+        final_diff=float(changed),
+        n_vertices=eng.n,
+        n_edges=eng.n_edges,
+        metrics=eng.history,
+        mean_superstep_sec=sum(step_times) / len(step_times) if step_times else 0.0,
+    )
 
 
 def label_propagation(

@@ -437,6 +437,31 @@ def q_hits(sf_dir: str, n_workers: int = 4, iters: int = 5) -> pd.DataFrame:
     return df[["id", "auth", "hub"]]
 
 
+def q_bfs_levels(sf_dir: str, n_workers: int = 4, mod: int = 1009) -> pd.DataFrame:
+    """Multi-source BFS levels (unweighted shortest paths) on the symmetrized
+    lineitem graph from the deterministic seed set {orig id % mod == 0} —
+    MODE_DIST supersteps (min-scatter of d+1) to the fixpoint; unreached
+    vertices report -1. Hash-checked against a fixed-unroll DuckDB oracle
+    (__ray_entry__._bfs_sql; min-plus iteration is idempotent at the
+    fixpoint, and the engine asserts its depth fits the unroll)."""
+    from pagerank_ray.pipelines.cc import bfs_levels
+
+    csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=True)
+    im = id_map.to_pandas()
+    seeds = im.loc[im["orig"] % mod == 0, "dense"].to_numpy(np.int64)
+    res = bfs_levels(csr, seeds, n_workers=n_workers)
+    if res.iterations - 1 > 10:
+        raise RuntimeError(
+            f"BFS depth {res.iterations - 1} exceeds the oracle's 10-round unroll"
+        )
+    df = _attach_orig(res.result, id_map, n, ["id"])
+    inf = np.int64(1) << 62
+    df["dist"] = np.where(df["dist"].to_numpy(np.int64) >= inf, -1, df["dist"]).astype(
+        np.int64
+    )
+    return df[["id", "dist"]].sort_values("id").reset_index(drop=True)
+
+
 def q_kcore(sf_dir: str, k: int = 7) -> pd.DataFrame:
     """k-core of the (undirected, simple) lineitem graph by distributed
     iterative peeling (pipelines/kcore.py); returns the core members with

@@ -67,6 +67,9 @@ MODE_PAGERANK = "pagerank"
 MODE_MIN = "min"  # connected components: hash-min label propagation
 MODE_LABEL = "label"  # community label propagation: most-frequent neighbor label
 MODE_SUM = "sum"  # plain neighbor sum: state'(v) = Σ_{u→v} state(u) (HITS half-step)
+MODE_DIST = "dist"  # multi-source BFS levels: d'(v) = min(d(v), min_{u→v} d(u)+1)
+
+_DIST_INF = np.int64(1) << 62  # unreached sentinel (headroom for +1 per superstep)
 
 _GATHER_CHUNK = 1 << 18  # edges per take+reduceat chunk: temp stays L2-resident
 
@@ -283,12 +286,24 @@ class ShardWorker:
         if self.mode == MODE_SUM:
             self.state = np.ones(size, dtype=np.float64)
             return 0.0
+        if self.mode == MODE_DIST:
+            # all unreached; seeds are planted afterwards via set_values
+            self.state = np.full(size, _DIST_INF, dtype=np.int64)
+            return 0.0
         # CC / LP: label⁰ = own id
         self.state = np.arange(self.lo, self.hi, dtype=np.int64)
         return 0.0
 
     def get_state(self) -> np.ndarray:
         return self.state
+
+    def set_values(self, ids: np.ndarray, value: int) -> int:
+        """Plant ``value`` at the given GLOBAL vertex ids that fall in this
+        worker's range (BFS seeds). Returns how many were planted here."""
+        ids = np.asarray(ids, dtype=np.int64)
+        local = ids[(ids >= self.lo) & (ids < self.hi)] - self.lo
+        self.state[local] = value
+        return int(len(local))
 
     def scale_state(self, c: float) -> bool:
         """In-place scalar scale of the local state slice (HITS L1 normalize:
@@ -321,6 +336,8 @@ class ShardWorker:
             return pa.table({"id": ids, "rank": self.state})
         if self.mode == MODE_SUM:
             return pa.table({"id": ids, "value": self.state})
+        if self.mode == MODE_DIST:
+            return pa.table({"id": ids, "dist": self.state})
         return pa.table({"id": ids, "label": self.state})
 
     # ---- superstep -----------------------------------------------------
@@ -449,7 +466,7 @@ class ShardWorker:
                 self.iter_seq += 1
                 return seq, 0.0
             return out, 0.0
-        if self.mode == MODE_MIN:
+        if self.mode in (MODE_MIN, MODE_DIST):
             if self.transport == "shm":
                 out = self.shm_views[self.iter_seq % self.n_buffers]
             else:
@@ -458,6 +475,8 @@ class ShardWorker:
                 if len(gs) == 0:
                     continue
                 vals = self.state[s_lo:].take(src_by_dst_s) if s_lo else self.state.take(src_by_dst_s)
+                if self.mode == MODE_DIST:
+                    vals = vals + 1  # one hop along every edge
                 out[off : off + len(gs)] = np.minimum.reduceat(vals, gs)
             if self.transport == "shm":
                 seq = self.iter_seq
@@ -546,7 +565,7 @@ class ShardWorker:
             # meaningful — callers run fixed iterations; diff = 0 sentinel.
             self.state = acc
             return 0.0, float(acc.sum())
-        if self.mode == MODE_MIN:
+        if self.mode in (MODE_MIN, MODE_DIST):
             new = old.copy()
             for src_i, ((head, _), per_src) in enumerate(zip(parts, self.in_slices)):
                 if not per_src:
@@ -611,7 +630,7 @@ class ShardWorker:
     def restore(self, ckpt_dir: str):
         """Load this worker's slice from a checkpoint dir (any prior W layout:
         reads every range file overlapping [lo, hi) and slices by id)."""
-        col = {MODE_PAGERANK: "rank", MODE_SUM: "value"}.get(self.mode, "label")
+        col = {MODE_PAGERANK: "rank", MODE_SUM: "value", MODE_DIST: "dist"}.get(self.mode, "label")
         dtype = np.float64 if self.mode in (MODE_PAGERANK, MODE_SUM) else np.int64
         out = np.empty(self.hi - self.lo, dtype=dtype)
         seen = 0

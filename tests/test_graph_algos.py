@@ -252,3 +252,39 @@ def test_grouped_pair_sum_matches_pandas(ray_session):
         df.groupby(["src_id", "dst_id"], sort=True)["weight"].sum().reset_index()
     )
     pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_bfs_levels_matches_numpy(ray_session, tmp_path):
+    """MODE_DIST supersteps vs a dense NumPy multi-source BFS."""
+    from pagerank_ray.pipelines.cc import bfs_levels
+
+    src, dst = _random_graph(300, 1200, seed=17)
+    n = 300
+    csr = _sym_csr(tmp_path, src, dst, n)
+    seeds = np.array([0, 77, 155])
+    res = bfs_levels(csr, seeds, n_workers=2)
+    assert res.converged
+    # dense oracle over the symmetrized simple graph
+    import collections
+
+    adj = collections.defaultdict(set)
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    INF = 1 << 62
+    dist = [INF] * n
+    from collections import deque
+
+    q = deque()
+    for s in seeds:
+        dist[s] = 0
+        q.append(s)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if dist[v] > dist[u] + 1:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = res.result.to_pandas().sort_values("id")["dist"].to_numpy()
+    assert (got == np.array(dist)).all()
