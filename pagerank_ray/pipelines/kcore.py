@@ -105,7 +105,7 @@ def k_core(
 
     cur = sym_edges.materialize()
     rounds = 0
-    while rounds < max_rounds:
+    while True:
         # Hybrid finish: distributed rounds shrink the graph fast (round 1
         # typically drops the below-k majority); once the survivor edge set
         # fits one worker's memory, the remaining slow-converging tail
@@ -146,6 +146,10 @@ def k_core(
                 )
 
             return deg.map_batches(rename, batch_format="pyarrow"), rounds
+        if rounds >= max_rounds:
+            # fixpoint NOT reached within budget (checked after the bad-set
+            # test so a final round that converges is never misreported)
+            break
         rounds += 1
         # Build-side selection: early rounds drop the MAJORITY of vertices
         # (heavy-tailed degree distributions put most mass below k), so the

@@ -450,6 +450,8 @@ def q_bfs_levels(sf_dir: str, n_workers: int = 4, mod: int = 1009) -> pd.DataFra
     im = id_map.to_pandas()
     seeds = im.loc[im["orig"] % mod == 0, "dense"].to_numpy(np.int64)
     res = bfs_levels(csr, seeds, n_workers=n_workers)
+    if not res.converged:
+        raise RuntimeError("BFS did not reach its fixpoint within max_iters")
     if res.iterations - 1 > 10:
         raise RuntimeError(
             f"BFS depth {res.iterations - 1} exceeds the oracle's 10-round unroll"
@@ -1294,7 +1296,7 @@ def q_parts_shipped_both(sf_dir: str) -> pd.DataFrame:
     exchange carries only (key, n95, n96) count rows."""
     import pyarrow.dataset as pds
 
-    def year_counts(year: int, col: str):
+    def year_counts(col: str):
         def f(t: pa.Table) -> pa.Table:
             keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
             uniq, counts = np.unique(keys, return_counts=True)
@@ -1320,8 +1322,8 @@ def q_parts_shipped_both(sf_dir: str) -> pd.DataFrame:
             filter=(pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi),
         )
 
-    a = year_scan(1995).map_batches(year_counts(1995, "n95"), batch_format="pyarrow")
-    b = year_scan(1996).map_batches(year_counts(1996, "n96"), batch_format="pyarrow")
+    a = year_scan(1995).map_batches(year_counts("n95"), batch_format="pyarrow")
+    b = year_scan(1996).map_batches(year_counts("n96"), batch_format="pyarrow")
     out = (
         a.union(b)
         .groupby("l_partkey")

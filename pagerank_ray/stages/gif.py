@@ -193,6 +193,13 @@ def decode_gif(payload: bytes) -> np.ndarray:
     """GIF → (h, w, 3) uint8 RGB of the first image block."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    try:
+        return _decode_gif_body(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated GIF stream: {e!r}") from e
+
+
+def _decode_gif_body(payload: bytes) -> np.ndarray:
     sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gct = None

@@ -104,7 +104,6 @@ def decode_progressive(payload: bytes) -> np.ndarray:
     blocks_py: list[list[list[int]]] = []  # per comp: per block: 64 zigzag coefs
     w = h = hmax = vmax = mcux = mcuy = 0
     restart_interval = 0
-    eobrun_state = [0]  # EOBRUN persists within one scan only; reset per scan
     i = 2
     n = len(payload)
     saw_sof = False

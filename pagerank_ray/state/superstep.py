@@ -580,6 +580,10 @@ class ShardWorker:
                     new[idx] = np.minimum(new[idx], buf[s:e])
             changed = int((new != old).sum())
             self.state = new
+            if self.mode == MODE_DIST:
+                # checksum over REACHED vertices only: summing ≥2 INF
+                # sentinels (2^62) would wrap int64
+                return changed, float(new[new < _DIST_INF].sum())
             return changed, float(new.sum())
         if self.mode == MODE_LABEL:
             idxs, labels, counts = [], [], []

@@ -547,3 +547,13 @@ def test_decode_image_dispatches_qoi(ray_session):
     assert out.num_rows == 1
     assert out.column("decoded_w")[0].as_py() == 30
     assert out.column("decoded_h")[0].as_py() == 20
+
+
+def test_gif_truncated_raises_valueerror():
+    from pagerank_ray.stages.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(29)
+    payload = encode_gif(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    for cut in (10, 14, 100, len(payload) - 3):
+        with pytest.raises(ValueError):
+            decode_gif(payload[:cut])
