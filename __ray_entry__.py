@@ -261,6 +261,39 @@ def _bfs_sql(mod: int = 1009, rounds: int = 10) -> str:
     )
 
 
+def _sssp_sql(mod: int = 1009, rounds: int = 16) -> str:
+    """Fixed-unroll weighted SSSP (tabular.q_sssp_weighted): symmetric edge
+    weight = Σ l_quantity over both directions of each pair; d⁰ = 0 on seeds
+    {id % mod == 0}, ∞ elsewhere; each round
+    d' = LEAST(d, min over in-neighbors d(u) + w) — the MODE_DISTW
+    Bellman-Ford recurrence with identical IEEE-inf arithmetic. Distances
+    are integer-valued doubles (sums of integer quantities), so the final
+    BIGINT cast is exact on both engines; unreached → -1."""
+    p = [
+        "WITH e0 AS MATERIALIZED (SELECT l_orderkey AS s, l_partkey AS d, "
+        "SUM(l_quantity)::DOUBLE AS q FROM lineitem GROUP BY 1, 2),",
+        "es AS MATERIALIZED (SELECT s, d, SUM(q) AS q FROM "
+        "(SELECT s, d, q FROM e0 UNION ALL SELECT d AS s, s AS d, q FROM e0) "
+        "GROUP BY s, d),",
+        "v AS MATERIALIZED (SELECT s AS id FROM e0 UNION SELECT d FROM e0),",
+        f"w0 AS (SELECT id, CASE WHEN id % {mod} = 0 THEN 0.0 "
+        "ELSE 'infinity'::DOUBLE END AS dist FROM v),",
+    ]
+    for i in range(rounds):
+        p.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT v.id, "
+            f"LEAST(cur.dist, COALESCE(inc.m, 'infinity'::DOUBLE)) AS dist "
+            f"FROM v JOIN w{i} cur ON cur.id = v.id LEFT JOIN "
+            f"(SELECT es.d AS id, MIN(c.dist + es.q) AS m FROM es "
+            f"JOIN w{i} c ON c.id = es.s GROUP BY es.d) inc ON inc.id = v.id),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + (
+        f"\nSELECT id, (CASE WHEN isinf(dist) THEN -1 ELSE dist END)::BIGINT AS dist "
+        f"FROM w{rounds} ORDER BY id"
+    )
+
+
 def _kcore_sql(k: int = 7, rounds: int = 10) -> str:
     """Fixed-unroll k-core peel (pipelines/kcore.py): over the symmetrized
     pair-deduped edge set, each round drops every vertex whose degree < k and
@@ -783,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
         "kcore": tabular.q_kcore,  # SQL-oracled (fixed-unroll peel)
         "bfs_levels": tabular.q_bfs_levels,  # SQL-oracled (unrolled min-plus)
+        "sssp_weighted": tabular.q_sssp_weighted,  # SQL-oracled (Bellman-Ford)
         # relational operators (groupby/agg, join, sort/limit, window)
         "lineitem_agg": tabular.q_lineitem_agg,
         "top_customers": tabular.q_top_customers,
@@ -867,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql(iters=5),
         "kcore": _kcore_sql(k=7, rounds=10),
         "bfs_levels": _bfs_sql(mod=1009, rounds=10),
+        "sssp_weighted": _sssp_sql(mod=1009, rounds=16),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(SUM(l_quantity), 2) AS sum_qty, "

@@ -207,6 +207,7 @@ def headline(ncpu: int) -> dict:
     timed("pagerank_personalized", lambda: tabular.q_pagerank_personalized(SF_DIR))
     timed("pagerank_weighted", lambda: tabular.q_pagerank_weighted(SF_DIR))
     timed("bfs_levels", lambda: tabular.q_bfs_levels(SF_DIR))
+    timed("sssp_weighted", lambda: tabular.q_sssp_weighted(SF_DIR))
     timed("nation_trade_graph", lambda: tabular.q_nation_trade_graph(SF_DIR))
     timed("pivot_returnflag", lambda: tabular.q_pivot_returnflag(SF_DIR))
     timed("orders_percent_rank", lambda: tabular.q_orders_percent_rank(SF_DIR))

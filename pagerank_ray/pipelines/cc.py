@@ -17,7 +17,7 @@ import time
 import ray.data as rd
 
 from pagerank_ray.pipelines.pagerank import IterativeResult
-from pagerank_ray.state.superstep import BSPEngine, MODE_DIST, MODE_LABEL, MODE_MIN
+from pagerank_ray.state.superstep import BSPEngine, MODE_DIST, MODE_DISTW, MODE_LABEL, MODE_MIN
 
 
 def _run_label_loop(
@@ -89,6 +89,7 @@ def bfs_levels(
     n_workers: int,
     max_iters: int = 200,
     transport: str = "shm",
+    weighted: bool = False,
 ) -> IterativeResult:
     """Multi-source BFS levels (unweighted shortest paths) over a CSR:
     d⁰ = 0 at the seed vertices, ∞ elsewhere; superstep
@@ -96,11 +97,21 @@ def bfs_levels(
     hash-min exchange (same O(W) pre-aggregated min-scatter); converges when
     no distance changes. Unreached vertices keep the ∞ sentinel (callers map
     it to -1). Runs on whatever CSR it is given — symmetrize for undirected
-    distance, forward for directed reachability depth."""
+    distance, forward for directed reachability depth.
+
+    ``weighted=True`` runs MODE_DISTW instead — Bellman-Ford min-plus over a
+    CSR built with RAW (normalize_weights=False) edge weights:
+    d'(v) = min(d(v), min d(u) + w_uv); rounds converge at the maximum hop
+    count of any shortest weighted path."""
     import numpy as np
     import ray
 
-    eng = BSPEngine(sym_csr_dir, n_workers=n_workers, mode=MODE_DIST, transport=transport)
+    eng = BSPEngine(
+        sym_csr_dir,
+        n_workers=n_workers,
+        mode=MODE_DISTW if weighted else MODE_DIST,
+        transport=transport,
+    )
     eng.init_state()
     seeds = np.asarray(seeds, dtype=np.int64)
     planted = sum(ray.get([w.set_values.remote(seeds, 0) for w in eng.workers]))

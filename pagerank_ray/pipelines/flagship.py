@@ -61,6 +61,7 @@ def prepare_csr_from_edges(
     symmetrize: bool = False,
     n_edges: int | None = None,
     seed: int = 0,
+    normalize_weights: bool = True,
 ) -> dict:
     """edges → CSR shard directory (skipped when a manifest already exists)."""
     manifest_path = os.path.join(csr_dir, csr_stage.MANIFEST_NAME)
@@ -72,7 +73,9 @@ def prepare_csr_from_edges(
         edges = csr_stage.symmetrize(edges).materialize()
         n_edges = None
     cuts = equal_edge_cuts(edges, n_vertices, n_parts, n_edges=n_edges, seed=seed)
-    return csr_stage.write_csr_shards(edges, n_vertices, cuts, csr_dir)
+    return csr_stage.write_csr_shards(
+        edges, n_vertices, cuts, csr_dir, normalize_weights=normalize_weights
+    )
 
 
 def build_graph(

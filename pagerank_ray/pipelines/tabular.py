@@ -464,6 +464,61 @@ def q_bfs_levels(sf_dir: str, n_workers: int = 4, mod: int = 1009) -> pd.DataFra
     return df[["id", "dist"]].sort_values("id").reset_index(drop=True)
 
 
+def q_sssp_weighted(sf_dir: str, n_workers: int = 4, mod: int = 1009) -> pd.DataFrame:
+    """WEIGHTED single/multi-source shortest paths (Bellman-Ford min-plus)
+    on the symmetrized weighted lineitem graph: edge weight = Σ l_quantity
+    per directed pair, symmetric weight = the sum over both directions
+    (documented contraction rule, mirrored in SQL). MODE_DISTW supersteps
+    over a RAW-weight CSR (normalize_weights=False) from the same seed rule
+    as ``bfs_levels``; distances are sums of integers (exact doubles), so
+    the hash compare needs no rounding. Unreached → -1."""
+    from pagerank_ray.pipelines.cc import bfs_levels
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    from pagerank_ray.stages.graph_build import grouped_pair_sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_id": t.column("l_orderkey"),
+                "dst_id": t.column("l_partkey"),
+                "weight": t.column("l_quantity").cast(pa.float64()),
+            }
+        )
+
+    e = grouped_pair_sum(li.map_batches(rename, batch_format="pyarrow")).materialize()
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_id": t.column("dst_id"),
+                "dst_id": t.column("src_id"),
+                "weight": t.column("weight"),
+            }
+        )
+
+    sym = grouped_pair_sum(e.union(e.map_batches(swap, batch_format="pyarrow")))
+    dense_edges, n, id_map = _compact_ids(sym)
+    csr = os.path.join(_graph_workdir(sf_dir, "wsym"), "csr")
+    prepare_csr_from_edges(
+        dense_edges, n, csr, n_parts=4 * n_workers, normalize_weights=False
+    )
+    im = id_map.to_pandas()
+    seeds = im.loc[im["orig"] % mod == 0, "dense"].to_numpy(np.int64)
+    res = bfs_levels(csr, seeds, n_workers=n_workers, weighted=True)
+    if not res.converged:
+        raise RuntimeError("weighted SSSP did not reach its fixpoint")
+    if res.iterations - 1 > 16:
+        raise RuntimeError(
+            f"SSSP hop depth {res.iterations - 1} exceeds the oracle's 16-round unroll"
+        )
+    df = _attach_orig(res.result, id_map, n, ["id"])
+    d = df["dist"].to_numpy(np.float64)
+    df["dist"] = np.where(np.isfinite(d), d, -1.0).astype(np.int64)
+    return df[["id", "dist"]].sort_values("id").reset_index(drop=True)
+
+
 def q_kcore(sf_dir: str, k: int = 7) -> pd.DataFrame:
     """k-core of the (undirected, simple) lineitem graph by distributed
     iterative peeling (pipelines/kcore.py); returns the core members with

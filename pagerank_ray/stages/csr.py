@@ -56,6 +56,7 @@ def build_shard_table(
     lo: int,
     hi: int,
     weights: np.ndarray | None = None,
+    normalize_weights: bool = True,
 ) -> pa.Table:
     """One CSR shard row from this part's edges. Intra-shard order fixed to
     (src, dst) for reproducible summation (SURVEY.md §4.4).
@@ -80,11 +81,12 @@ def build_shard_table(
     }
     if weights is not None:
         w = weights[order].astype(np.float64)
-        nz = counts > 0
-        starts = indptr[:-1][nz]
-        totals = np.add.reduceat(w, starts) if len(starts) else np.array([], np.float64)
-        per_edge_tot = np.repeat(totals, counts[nz])
-        w = w / per_edge_tot
+        if normalize_weights:  # row-stochastic (PageRank); raw for SSSP
+            nz = counts > 0
+            starts = indptr[:-1][nz]
+            totals = np.add.reduceat(w, starts) if len(starts) else np.array([], np.float64)
+            per_edge_tot = np.repeat(totals, counts[nz])
+            w = w / per_edge_tot
         cols["weights"] = pa.array([w], pa.large_list(pa.float64()))
     return pa.table(cols)
 
@@ -98,6 +100,7 @@ def write_csr_shards(
     n_vertices: int,
     cuts: np.ndarray,
     csr_dir: str,
+    normalize_weights: bool = True,
 ) -> dict:
     """edges → per-part CSR parquet files + manifest. Shuffle #3 of the build
     (groupby part = dst-range… src-range exchange). Returns the manifest dict."""
@@ -111,7 +114,9 @@ def write_csr_shards(
         src = df["src_id"].to_numpy(dtype=np.int64)
         dst = df["dst_id"].to_numpy(dtype=np.int64)
         w = df["weight"].to_numpy(np.float64) if "weight" in df.columns else None
-        table = build_shard_table(part, src, dst, lo, hi, weights=w)
+        table = build_shard_table(
+            part, src, dst, lo, hi, weights=w, normalize_weights=normalize_weights
+        )
         tmp = shard_path(csr_dir, part) + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, shard_path(csr_dir, part))  # atomic publish

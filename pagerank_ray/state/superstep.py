@@ -68,6 +68,7 @@ MODE_MIN = "min"  # connected components: hash-min label propagation
 MODE_LABEL = "label"  # community label propagation: most-frequent neighbor label
 MODE_SUM = "sum"  # plain neighbor sum: state'(v) = Σ_{u→v} state(u) (HITS half-step)
 MODE_DIST = "dist"  # multi-source BFS levels: d'(v) = min(d(v), min_{u→v} d(u)+1)
+MODE_DISTW = "distw"  # weighted SSSP (Bellman-Ford): d'(v) = min(d(v), min d(u)+w_uv)
 
 _DIST_INF = np.int64(1) << 62  # unreached sentinel (headroom for +1 per superstep)
 
@@ -236,7 +237,7 @@ class ShardWorker:
         if self.transport == "shm":
             dtype = (
                 self.xdtype
-                if mode in (MODE_PAGERANK, MODE_SUM)
+                if mode in (MODE_PAGERANK, MODE_SUM, MODE_DISTW)
                 else np.dtype(np.int64)
             )
             for _ in range(n_buffers):
@@ -290,6 +291,9 @@ class ShardWorker:
             # all unreached; seeds are planted afterwards via set_values
             self.state = np.full(size, _DIST_INF, dtype=np.int64)
             return 0.0
+        if self.mode == MODE_DISTW:
+            self.state = np.full(size, np.inf, dtype=np.float64)
+            return 0.0
         # CC / LP: label⁰ = own id
         self.state = np.arange(self.lo, self.hi, dtype=np.int64)
         return 0.0
@@ -336,7 +340,7 @@ class ShardWorker:
             return pa.table({"id": ids, "rank": self.state})
         if self.mode == MODE_SUM:
             return pa.table({"id": ids, "value": self.state})
-        if self.mode == MODE_DIST:
+        if self.mode in (MODE_DIST, MODE_DISTW):
             return pa.table({"id": ids, "dist": self.state})
         return pa.table({"id": ids, "label": self.state})
 
@@ -366,7 +370,7 @@ class ShardWorker:
         names = [seg.name for seg in self.shm_segs] if self.transport == "shm" else None
         dtype = (
             self.xdtype.name
-            if self.mode in (MODE_PAGERANK, MODE_SUM)
+            if self.mode in (MODE_PAGERANK, MODE_SUM, MODE_DISTW)
             else "int64"
         )
         # per-shard edges-per-destination-group (static; for in-degree bins)
@@ -466,17 +470,24 @@ class ShardWorker:
                 self.iter_seq += 1
                 return seq, 0.0
             return out, 0.0
-        if self.mode in (MODE_MIN, MODE_DIST):
+        if self.mode in (MODE_MIN, MODE_DIST, MODE_DISTW):
             if self.transport == "shm":
                 out = self.shm_views[self.iter_seq % self.n_buffers]
             else:
-                out = np.empty(self.out_len, dtype=np.int64)
-            for s_lo, src_by_dst_s, gs, off, _, _ in self.shards:
+                out = np.empty(
+                    self.out_len,
+                    dtype=self.xdtype if self.mode == MODE_DISTW else np.int64,
+                )
+            for s_lo, src_by_dst_s, gs, off, _, w_s in self.shards:
                 if len(gs) == 0:
                     continue
                 vals = self.state[s_lo:].take(src_by_dst_s) if s_lo else self.state.take(src_by_dst_s)
                 if self.mode == MODE_DIST:
                     vals = vals + 1  # one hop along every edge
+                elif self.mode == MODE_DISTW:
+                    # raw per-edge weights (csr normalize_weights=False);
+                    # unweighted shards fall back to unit hops
+                    vals = vals + (w_s if w_s is not None else 1.0)
                 out[off : off + len(gs)] = np.minimum.reduceat(vals, gs)
             if self.transport == "shm":
                 seq = self.iter_seq
@@ -565,7 +576,7 @@ class ShardWorker:
             # meaningful — callers run fixed iterations; diff = 0 sentinel.
             self.state = acc
             return 0.0, float(acc.sum())
-        if self.mode in (MODE_MIN, MODE_DIST):
+        if self.mode in (MODE_MIN, MODE_DIST, MODE_DISTW):
             new = old.copy()
             for src_i, ((head, _), per_src) in enumerate(zip(parts, self.in_slices)):
                 if not per_src:
@@ -584,6 +595,8 @@ class ShardWorker:
                 # checksum over REACHED vertices only: summing ≥2 INF
                 # sentinels (2^62) would wrap int64
                 return changed, float(new[new < _DIST_INF].sum())
+            if self.mode == MODE_DISTW:
+                return changed, float(new[np.isfinite(new)].sum())
             return changed, float(new.sum())
         if self.mode == MODE_LABEL:
             idxs, labels, counts = [], [], []
@@ -634,8 +647,8 @@ class ShardWorker:
     def restore(self, ckpt_dir: str):
         """Load this worker's slice from a checkpoint dir (any prior W layout:
         reads every range file overlapping [lo, hi) and slices by id)."""
-        col = {MODE_PAGERANK: "rank", MODE_SUM: "value", MODE_DIST: "dist"}.get(self.mode, "label")
-        dtype = np.float64 if self.mode in (MODE_PAGERANK, MODE_SUM) else np.int64
+        col = {MODE_PAGERANK: "rank", MODE_SUM: "value", MODE_DIST: "dist", MODE_DISTW: "dist"}.get(self.mode, "label")
+        dtype = np.float64 if self.mode in (MODE_PAGERANK, MODE_SUM, MODE_DISTW) else np.int64
         out = np.empty(self.hi - self.lo, dtype=dtype)
         seen = 0
         for name in sorted(os.listdir(ckpt_dir)):

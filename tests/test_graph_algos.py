@@ -288,3 +288,54 @@ def test_bfs_levels_matches_numpy(ray_session, tmp_path):
                 q.append(v)
     got = res.result.to_pandas().sort_values("id")["dist"].to_numpy()
     assert (got == np.array(dist)).all()
+
+
+def test_sssp_weighted_matches_dijkstra(ray_session, tmp_path):
+    """MODE_DISTW Bellman-Ford supersteps vs a dense Dijkstra oracle."""
+    import heapq
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.cc import bfs_levels
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+
+    rng = np.random.default_rng(43)
+    n, m = 200, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    wq = rng.integers(1, 20, m).astype(np.float64)
+    # symmetric weighted multigraph → min-plus works per directed edge; keep
+    # the first weight per directed pair (dedup like grouped_pair_sum would)
+    seen = {}
+    for s, d, q in zip(src, dst, wq):
+        seen[(int(s), int(d))] = seen.get((int(s), int(d)), 0.0) + q
+        seen[(int(d), int(s))] = seen.get((int(d), int(s)), 0.0) + q
+    ss = np.array([k[0] for k in seen], np.int64)
+    dd = np.array([k[1] for k in seen], np.int64)
+    ww = np.array(list(seen.values()), np.float64)
+    edges = rd.from_arrow(pa.table({"src_id": ss, "dst_id": dd, "weight": ww}))
+    csr = str(tmp_path / "wcsr")
+    prepare_csr_from_edges(edges, n, csr, n_parts=4, normalize_weights=False)
+    seeds = [0, 50]
+    res = bfs_levels(csr, seeds, n_workers=2, weighted=True)
+    assert res.converged
+
+    adj = {}
+    for s, d, q in zip(ss, dd, ww):
+        adj.setdefault(int(s), []).append((int(d), q))
+    dist = [np.inf] * n
+    pq_heap = []
+    for s in seeds:
+        dist[s] = 0.0
+        heapq.heappush(pq_heap, (0.0, s))
+    while pq_heap:
+        du, u = heapq.heappop(pq_heap)
+        if du > dist[u]:
+            continue
+        for v, q in adj.get(u, []):
+            if dist[v] > du + q:
+                dist[v] = du + q
+                heapq.heappush(pq_heap, (dist[v], v))
+    got = res.result.to_pandas().sort_values("id")["dist"].to_numpy()
+    np.testing.assert_array_equal(got, np.array(dist))
