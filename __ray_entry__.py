@@ -749,6 +749,56 @@ SELECT {gout}{m}::BIGINT AS m,
 FROM raw{gord}"""
 
 
+def _bloom_sql(mod: int = 7, m_bits: int = 4096) -> str:
+    """DuckDB reimplementation of the Bloom semi-join
+    (tabular.q_bloom_semi_join): identical fmix64 (32-bit-split multiplies),
+    k=2 positions (h % m, (h >> 32) % m), membership = both bits set — so
+    the counts INCLUDING the sketch's deterministic false positives
+    hash-match."""
+
+    def fx(mul: int) -> str:
+        return (
+            f"((( (h::HUGEINT % 4294967296) * {mul}::HUGEINT"
+            f" + (((h::HUGEINT // 4294967296) * {mul}::HUGEINT)"
+            f" % 4294967296) * 4294967296 )) % 18446744073709551616::HUGEINT)::UBIGINT"
+        )
+
+    def fmix_chain(src: str) -> str:
+        return (
+            f"g1 AS (SELECT k, xor(x, x >> 33) AS h FROM {src}), "
+            f"g2 AS (SELECT k, {fx(0xFF51AFD7ED558CCD)} AS h FROM g1), "
+            "g3 AS (SELECT k, xor(h, h >> 33) AS h FROM g2), "
+            f"g4 AS (SELECT k, {fx(0xC4CEB9FE1A85EC53)} AS h FROM g3), "
+            "hv AS (SELECT k, xor(h, h >> 33) AS h FROM g4)"
+        )
+
+    return (
+        f"WITH bk AS (SELECT DISTINCT p_partkey AS k FROM part "
+        f"WHERE p_partkey % {mod} = 0), "
+        "bv AS (SELECT k, k::UBIGINT AS x FROM bk), "
+        + fmix_chain("bv")
+        + ", "
+        f"bits AS (SELECT DISTINCT b FROM ("
+        f"SELECT (h % {m_bits})::BIGINT AS b FROM hv "
+        f"UNION SELECT ((h >> 32) % {m_bits})::BIGINT FROM hv)), "
+        "pk AS (SELECT l_partkey AS k, COUNT(*)::BIGINT AS n_rows "
+        "FROM lineitem GROUP BY 1), "
+        "pv AS (SELECT k, k::UBIGINT AS x FROM pk), "
+        "p1 AS (SELECT k, xor(x, x >> 33) AS h FROM pv), "
+        f"p2 AS (SELECT k, {fx(0xFF51AFD7ED558CCD)} AS h FROM p1), "
+        "p3 AS (SELECT k, xor(h, h >> 33) AS h FROM p2), "
+        f"p4 AS (SELECT k, {fx(0xC4CEB9FE1A85EC53)} AS h FROM p3), "
+        "ph AS (SELECT k, xor(h, h >> 33) AS h FROM p4), "
+        f"pass AS (SELECT ph.k FROM ph "
+        f"WHERE (h % {m_bits})::BIGINT IN (SELECT b FROM bits) "
+        f"AND ((h >> 32) % {m_bits})::BIGINT IN (SELECT b FROM bits)) "
+        "SELECT (SELECT COUNT(*) FROM pass)::BIGINT AS n_keys_passed, "
+        "(SELECT COALESCE(SUM(pk.n_rows), 0) FROM pk JOIN pass ON pass.k = pk.k)"
+        "::BIGINT AS n_rows_passed, "
+        "(SELECT COUNT(*) FROM pk JOIN bk ON bk.k = pk.k)::BIGINT AS n_true_keys"
+    )
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """DuckDB reimplementation of ``simhash_near_dups``: per-doc 64-bit
     SimHash (per-bit token votes, tie → 0, empty doc → 0) then ALL-PAIRS
@@ -827,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": tabular.q_running_total,  # SQL-oracled (windowed SUM)
         "approx_distinct_parts": tabular.q_approx_distinct_parts,  # SQL-oracled (_hll_sql)
         "approx_distinct_by_flag": tabular.q_approx_distinct_by_flag,  # SQL-oracled (grouped HLL)
+        "bloom_semi_join": tabular.q_bloom_semi_join,  # SQL-oracled (exact-FP bloom)
         "distinct_parts_by_flag": tabular.q_distinct_parts_by_flag,  # SQL-oracled (exact)
         "moving_avg_events": tabular.q_moving_avg_events,  # SQL-oracled (ROWS k PRECEDING)
         "customers_no_recent_orders": tabular.q_customers_no_recent_orders,  # SQL-oracled (anti-join)
@@ -1025,6 +1076,7 @@ def oracle_sql() -> dict[str, str]:
             "AND e.ts >= err.ts AND e.ts < err.ts + INTERVAL 1 HOUR "
             "GROUP BY err.event_id ORDER BY err.event_id"
         ),
+        "bloom_semi_join": _bloom_sql(mod=7, m_bits=4096),
         "json_extract_stats": (
             "SELECT event_type, COUNT(*)::BIGINT AS n_events, "
             "SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k, "

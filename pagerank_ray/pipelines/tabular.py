@@ -1520,6 +1520,67 @@ def q_approx_distinct_by_flag(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_bloom_semi_join(sf_dir: str, mod: int = 7, m_bits: int = 4096) -> pd.DataFrame:
+    """Bloom-filter semi-join — the classic distributed-join pre-filter as a
+    first-class sketch operator (beside HLL and the histogram quantiles):
+    build a 4096-bit Bloom (k=2, shared fmix64) over the part keys with
+    p_partkey % mod == 0 (a deterministic, scale-independent build side),
+    probe the DISTINCT lineitem part keys against
+    the broadcast bitmap, and report (keys passed incl. deterministic false
+    positives, lineitem rows passed, exact true keys) — the FP overhead is
+    part of the output, and because the hash is SQL-reproducible the counts
+    WITH false positives hash-match the DuckDB reimplementation."""
+    import ray
+
+    from pagerank_ray.stages.sketch import bloom_build, bloom_filter_keys
+    from pagerank_ray.stages import joins
+
+    def keep_build(t: pa.Table) -> pa.Table:
+        keys = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keys % mod == 0))
+
+    build = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        keep_build, batch_format="pyarrow"
+    )
+    bits = bloom_build(build, "p_partkey", m_bits=m_bits)
+
+    probe_keys = grouped_count(
+        _read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey", "n_rows"
+    ).materialize()
+    passed = bloom_filter_keys(probe_keys, "l_partkey", bits).materialize()
+    n_keys_passed = passed.count()
+    n_rows_passed = int(passed.to_pandas()["n_rows"].sum())
+
+    # exact true-key count (shows the sketch's FP overhead in the output)
+    tagged = joins.attach_with_default(
+        probe_keys,
+        build.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        probe_col="l_partkey",
+        build_key="p_partkey",
+        build_val="one",
+        out_col="hit",
+        default=0,
+    )
+    n_true = tagged.map_batches(
+        lambda t: pa.table(
+            {"n": pa.array([int(pc.sum(t.column("hit")).as_py() or 0)])}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()["n"].sum()
+    return pd.DataFrame(
+        {
+            "n_keys_passed": [np.int64(n_keys_passed)],
+            "n_rows_passed": [np.int64(n_rows_passed)],
+            "n_true_keys": [np.int64(n_true)],
+        }
+    )
+
+
 def q_approx_quantiles_price(sf_dir: str) -> pd.DataFrame:
     """Histogram-sketch approximate quantiles of l_extendedprice — the scale
     path beside the exact sort-based operator; the APPROXIMATE estimates

@@ -143,3 +143,54 @@ def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> float:
             dtype=np.int64
         )
     return hll_estimate_from_registers(full, p)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — SQL-reproducible membership sketch (semi-join pre-filter)
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(ds: rd.Dataset, col: str, *, m_bits: int = 4096) -> np.ndarray:
+    """Distributed Bloom-filter build over an int key column: k=2 positions
+    per key from ONE shared fmix64 hash (low bits and bits ≥32 — the double-
+    hashing standard), per-batch distinct positions, bucketed dedup, then
+    the ≤ m_bits distinct positions assemble the bitmap on the driver — the
+    same bounded-collect contract as the HLL registers (the bitmap, not the
+    data, is the sketch). Exactly SQL-reproducible: plain mod-2^64 fmix64 +
+    two modulo reductions (__ray_entry__._bloom_sql)."""
+    from pagerank_ray.stages.graph_build import grouped_count
+
+    def positions(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = fmix64(vals)
+        b1 = (h % np.uint64(m_bits)).astype(np.int64)
+        b2 = ((h >> np.uint64(32)) % np.uint64(m_bits)).astype(np.int64)
+        return pa.table({"b": pa.array(np.unique(np.concatenate([b1, b2])))})
+
+    pos = grouped_count(ds.map_batches(positions, batch_format="pyarrow"), "b", "n")
+    df = pos.to_pandas()
+    bits = np.zeros(m_bits, dtype=bool)
+    if len(df):  # empty build side → all-rejecting filter (valid bloom)
+        bits[df["b"].to_numpy(np.int64)] = True
+    return bits
+
+
+def bloom_filter_keys(
+    ds: rd.Dataset, col: str, bits: np.ndarray
+) -> rd.Dataset:
+    """Keep rows whose key passes the Bloom membership test (b1 AND b2 set)
+    — vectorized per batch against the broadcast bitmap (ray.put once)."""
+    import ray
+
+    m_bits = len(bits)
+    bits_ref = ray.put(bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        vals = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = fmix64(vals)
+        b1 = (h % np.uint64(m_bits)).astype(np.int64)
+        b2 = ((h >> np.uint64(32)) % np.uint64(m_bits)).astype(np.int64)
+        return t.filter(pa.array(b[b1] & b[b2]))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
