@@ -225,6 +225,7 @@ def headline(ncpu: int) -> dict:
     timed("customers_no_recent_orders", lambda: tabular.q_customers_no_recent_orders(SF_DIR))
     timed("approx_distinct_parts", lambda: tabular.q_approx_distinct_parts(SF_DIR))
     timed("approx_distinct_by_flag", lambda: tabular.q_approx_distinct_by_flag(SF_DIR))
+    timed("bloom_semi_join", lambda: tabular.q_bloom_semi_join(SF_DIR))
     timed("distinct_parts_by_flag", lambda: tabular.q_distinct_parts_by_flag(SF_DIR))
     timed("approx_quantiles_price", lambda: tabular.q_approx_quantiles_price(SF_DIR))
     timed("region_revenue", lambda: tabular.q_region_revenue(SF_DIR))
