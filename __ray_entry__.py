@@ -692,12 +692,7 @@ def _hll_sql(p: int = 12, group_col: str | None = None) -> str:
     gout = f"g AS {group_col}, " if group_col else ""
     gord = " ORDER BY g" if group_col else ""
 
-    def fx(mul: int) -> str:
-        return (
-            f"((( (h::HUGEINT % 4294967296) * {mul}::HUGEINT"
-            f" + (((h::HUGEINT // 4294967296) * {mul}::HUGEINT)"
-            f" % 4294967296) * 4294967296 )) % 18446744073709551616::HUGEINT)::UBIGINT"
-        )
+    fx = _fx_sql  # shared 32-bit-split mod-2^64 multiply
 
     if group_col:
         allregs = f"""allregs AS (
@@ -749,51 +744,57 @@ SELECT {gout}{m}::BIGINT AS m,
 FROM raw{gord}"""
 
 
+def _fx_sql(mul: int) -> str:
+    """Mod-2^64 multiply of column ``h`` by a 64-bit constant via 32-bit-split
+    HUGEINT arithmetic — the single shared building block of every
+    fmix64-in-SQL oracle (HLL, Bloom, token hash)."""
+    return (
+        f"((( (h::HUGEINT % 4294967296) * {mul}::HUGEINT"
+        f" + (((h::HUGEINT // 4294967296) * {mul}::HUGEINT)"
+        f" % 4294967296) * 4294967296 )) % 18446744073709551616::HUGEINT)::UBIGINT"
+    )
+
+
+def _fmix_chain_sql(prefix: str, src: str, carry: str = "k, ") -> str:
+    """CTE chain computing fmix64 over column ``x`` of ``src``; the final CTE
+    is ``{prefix}hv`` with columns (carried..., h)."""
+    c = carry
+    return (
+        f"{prefix}g1 AS (SELECT {c}xor(x, x >> 33) AS h FROM {src}), "
+        f"{prefix}g2 AS (SELECT {c}{_fx_sql(0xFF51AFD7ED558CCD)} AS h FROM {prefix}g1), "
+        f"{prefix}g3 AS (SELECT {c}xor(h, h >> 33) AS h FROM {prefix}g2), "
+        f"{prefix}g4 AS (SELECT {c}{_fx_sql(0xC4CEB9FE1A85EC53)} AS h FROM {prefix}g3), "
+        f"{prefix}hv AS (SELECT {c}xor(h, h >> 33) AS h FROM {prefix}g4)"
+    )
+
+
 def _bloom_sql(mod: int = 7, m_bits: int = 4096) -> str:
     """DuckDB reimplementation of the Bloom semi-join
-    (tabular.q_bloom_semi_join): identical fmix64 (32-bit-split multiplies),
-    k=2 positions (h % m, (h >> 32) % m), membership = both bits set — so
-    the counts INCLUDING the sketch's deterministic false positives
+    (tabular.q_bloom_semi_join): identical fmix64 (32-bit-split multiplies,
+    _fx_sql), k=2 positions (h % m, (h >> 32) % m), membership = both bits
+    set — so the counts INCLUDING the sketch's deterministic false positives
     hash-match."""
-
-    def fx(mul: int) -> str:
-        return (
-            f"((( (h::HUGEINT % 4294967296) * {mul}::HUGEINT"
-            f" + (((h::HUGEINT // 4294967296) * {mul}::HUGEINT)"
-            f" % 4294967296) * 4294967296 )) % 18446744073709551616::HUGEINT)::UBIGINT"
-        )
-
-    def fmix_chain(src: str) -> str:
-        return (
-            f"g1 AS (SELECT k, xor(x, x >> 33) AS h FROM {src}), "
-            f"g2 AS (SELECT k, {fx(0xFF51AFD7ED558CCD)} AS h FROM g1), "
-            "g3 AS (SELECT k, xor(h, h >> 33) AS h FROM g2), "
-            f"g4 AS (SELECT k, {fx(0xC4CEB9FE1A85EC53)} AS h FROM g3), "
-            "hv AS (SELECT k, xor(h, h >> 33) AS h FROM g4)"
-        )
-
     return (
         f"WITH bk AS (SELECT DISTINCT p_partkey AS k FROM part "
         f"WHERE p_partkey % {mod} = 0), "
         "bv AS (SELECT k, k::UBIGINT AS x FROM bk), "
-        + fmix_chain("bv")
+        + _fmix_chain_sql("b", "bv")
         + ", "
         f"bits AS (SELECT DISTINCT b FROM ("
-        f"SELECT (h % {m_bits})::BIGINT AS b FROM hv "
-        f"UNION SELECT ((h >> 32) % {m_bits})::BIGINT FROM hv)), "
+        f"SELECT (h % {m_bits})::BIGINT AS b FROM bhv "
+        f"UNION SELECT ((h >> 32) % {m_bits})::BIGINT FROM bhv)), "
         "pk AS (SELECT l_partkey AS k, COUNT(*)::BIGINT AS n_rows "
         "FROM lineitem GROUP BY 1), "
         "pv AS (SELECT k, k::UBIGINT AS x FROM pk), "
-        "p1 AS (SELECT k, xor(x, x >> 33) AS h FROM pv), "
-        f"p2 AS (SELECT k, {fx(0xFF51AFD7ED558CCD)} AS h FROM p1), "
-        "p3 AS (SELECT k, xor(h, h >> 33) AS h FROM p2), "
-        f"p4 AS (SELECT k, {fx(0xC4CEB9FE1A85EC53)} AS h FROM p3), "
-        "ph AS (SELECT k, xor(h, h >> 33) AS h FROM p4), "
-        f"pass AS (SELECT ph.k FROM ph "
+        + _fmix_chain_sql("p", "pv")
+        + " "
+        f"SELECT (SELECT COUNT(*) FROM phv "
         f"WHERE (h % {m_bits})::BIGINT IN (SELECT b FROM bits) "
-        f"AND ((h >> 32) % {m_bits})::BIGINT IN (SELECT b FROM bits)) "
-        "SELECT (SELECT COUNT(*) FROM pass)::BIGINT AS n_keys_passed, "
-        "(SELECT COALESCE(SUM(pk.n_rows), 0) FROM pk JOIN pass ON pass.k = pk.k)"
+        f"AND ((h >> 32) % {m_bits})::BIGINT IN (SELECT b FROM bits))"
+        "::BIGINT AS n_keys_passed, "
+        "(SELECT COALESCE(SUM(pk.n_rows), 0) FROM pk JOIN phv ON phv.k = pk.k "
+        f"WHERE (phv.h % {m_bits})::BIGINT IN (SELECT b FROM bits) "
+        f"AND ((phv.h >> 32) % {m_bits})::BIGINT IN (SELECT b FROM bits))"
         "::BIGINT AS n_rows_passed, "
         "(SELECT COUNT(*) FROM pk JOIN bk ON bk.k = pk.k)::BIGINT AS n_true_keys"
     )

@@ -66,7 +66,14 @@ def prepare_csr_from_edges(
     """edges → CSR shard directory (skipped when a manifest already exists)."""
     manifest_path = os.path.join(csr_dir, csr_stage.MANIFEST_NAME)
     if os.path.exists(manifest_path):
-        return csr_stage.read_manifest(csr_dir)
+        cached = csr_stage.read_manifest(csr_dir)
+        if cached.get("normalize_weights", True) != normalize_weights:
+            raise ValueError(
+                f"cached CSR at {csr_dir} was built with "
+                f"normalize_weights={cached.get('normalize_weights', True)}; "
+                "use a different csr_dir for the other normalization"
+            )
+        return cached
     if symmetrize:
         # materialize: cuts-sampling, counting and shard-writing would each
         # re-execute the symmetrize union+groupby chain otherwise

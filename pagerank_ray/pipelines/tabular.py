@@ -326,19 +326,10 @@ def q_pagerank_personalized(
     return df[["id", "rank"]]
 
 
-def q_pagerank_weighted(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.DataFrame:
-    """WEIGHTED PageRank — the general-SpMV capability of the reference's
-    library backends (cusparse/lightSpMV csrmv with arbitrary ``weights_h``)
-    rather than the derived 1/out_deg: edge weight = Σ l_quantity over the
-    (order, part) lineitems, row-normalized per source at CSR build
-    (csr.build_shard_table), gathered via the stored-weight path of the same
-    superstep kernel. Fixed ``iters`` supersteps; hash-checked against the
-    unrolled DuckDB oracle (__ray_entry__._pagerank_weighted_sql). Quantities
-    are integer-valued doubles, so the per-source totals — and therefore the
-    normalized weights — are bit-identical across engines and summation
-    orders."""
-    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
-    from pagerank_ray.pipelines.pagerank import pagerank
+def _weighted_lineitem_edges(sf_dir: str) -> rd.Dataset:
+    """Weighted edge table src=l_orderkey → dst=l_partkey with
+    weight = Σ l_quantity per distinct pair (shared by q_pagerank_weighted
+    and q_sssp_weighted — one definition of the weight rule)."""
     from pagerank_ray.stages.graph_build import grouped_pair_sum
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
@@ -352,8 +343,24 @@ def q_pagerank_weighted(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.
             }
         )
 
-    weighted = grouped_pair_sum(li.map_batches(rename, batch_format="pyarrow"))
-    dense_edges, n, id_map = _compact_ids(weighted)
+    return grouped_pair_sum(li.map_batches(rename, batch_format="pyarrow"))
+
+
+def q_pagerank_weighted(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.DataFrame:
+    """WEIGHTED PageRank — the general-SpMV capability of the reference's
+    library backends (cusparse/lightSpMV csrmv with arbitrary ``weights_h``)
+    rather than the derived 1/out_deg: edge weight = Σ l_quantity over the
+    (order, part) lineitems, row-normalized per source at CSR build
+    (csr.build_shard_table), gathered via the stored-weight path of the same
+    superstep kernel. Fixed ``iters`` supersteps; hash-checked against the
+    unrolled DuckDB oracle (__ray_entry__._pagerank_weighted_sql). Quantities
+    are integer-valued doubles, so the per-source totals — and therefore the
+    normalized weights — are bit-identical across engines and summation
+    orders."""
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    from pagerank_ray.pipelines.pagerank import pagerank
+
+    dense_edges, n, id_map = _compact_ids(_weighted_lineitem_edges(sf_dir))
     csr = os.path.join(_graph_workdir(sf_dir, "wfwd"), "csr")
     prepare_csr_from_edges(dense_edges, n, csr, n_parts=4 * n_workers)
     res = pagerank(csr, n_workers=n_workers, max_iters=iters, eps_per_vertex=0.0)
@@ -476,18 +483,7 @@ def q_sssp_weighted(sf_dir: str, n_workers: int = 4, mod: int = 1009) -> pd.Data
     from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
     from pagerank_ray.stages.graph_build import grouped_pair_sum
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
-
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src_id": t.column("l_orderkey"),
-                "dst_id": t.column("l_partkey"),
-                "weight": t.column("l_quantity").cast(pa.float64()),
-            }
-        )
-
-    e = grouped_pair_sum(li.map_batches(rename, batch_format="pyarrow")).materialize()
+    e = _weighted_lineitem_edges(sf_dir).materialize()
 
     def swap(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1539,17 +1535,20 @@ def q_bloom_semi_join(sf_dir: str, mod: int = 7, m_bits: int = 4096) -> pd.DataF
         keys = t.column("p_partkey").to_numpy(zero_copy_only=False)
         return t.filter(pa.array(keys % mod == 0))
 
-    build = _read(sf_dir, "part", ["p_partkey"]).map_batches(
-        keep_build, batch_format="pyarrow"
+    build = (
+        _read(sf_dir, "part", ["p_partkey"])
+        .map_batches(keep_build, batch_format="pyarrow")
+        .materialize()  # one part scan feeds the sketch AND the exact check
     )
+    n_build = build.count()
     bits = bloom_build(build, "p_partkey", m_bits=m_bits)
 
     probe_keys = grouped_count(
         _read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey", "n_rows"
     ).materialize()
-    passed = bloom_filter_keys(probe_keys, "l_partkey", bits).materialize()
-    n_keys_passed = passed.count()
-    n_rows_passed = int(passed.to_pandas()["n_rows"].sum())
+    passed_df = bloom_filter_keys(probe_keys, "l_partkey", bits).to_pandas()
+    n_keys_passed = len(passed_df)
+    n_rows_passed = int(passed_df["n_rows"].sum()) if n_keys_passed else 0
 
     # exact true-key count (shows the sketch's FP overhead in the output)
     tagged = joins.attach_with_default(
@@ -1565,6 +1564,7 @@ def q_bloom_semi_join(sf_dir: str, mod: int = 7, m_bits: int = 4096) -> pd.DataF
         build_val="one",
         out_col="hit",
         default=0,
+        build_count=n_build,
     )
     n_true = tagged.map_batches(
         lambda t: pa.table(

@@ -150,6 +150,9 @@ def write_csr_shards(
         "cuts": [int(c) for c in cuts],
         "n_edges": int(sum(edge_counts.values())),
         "edge_counts": {str(k): int(v) for k, v in sorted(edge_counts.items())},
+        # build semantics, so a cached dir can never silently serve shards
+        # built under the other weight normalization
+        "normalize_weights": bool(normalize_weights),
     }
     tmp = os.path.join(csr_dir, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:

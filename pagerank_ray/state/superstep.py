@@ -144,6 +144,11 @@ class ShardWorker:
         # in apply() accumulates in float64, and power iteration is
         # contractive (errors damped by α each superstep, not compounded) —
         # measured ≤2e-7 max |Δrank| vs the f64 exchange on the bench graphs.
+        if mode == MODE_DISTW and exchange_dtype == "float32":
+            raise ValueError(
+                "MODE_DISTW requires the float64 exchange: f32 would break "
+                "the exact-integer-distance contract (q_sssp_weighted)"
+            )
         self.xdtype = np.dtype(np.float32 if exchange_dtype == "float32" else np.float64)
         self.bin_metrics = bin_metrics
         self.pers_ref = personalization_ref
@@ -159,6 +164,11 @@ class ShardWorker:
         # weighted CSR: any non-empty shard carrying a weights column switches
         # the PageRank gather from the derived 1/out_deg to stored weights
         self.weighted = any(p[4] is not None and len(p[4]) for p in parts)
+        if mode == MODE_DISTW and self.n_edges_of(parts) > 0 and not self.weighted:
+            raise ValueError(
+                "MODE_DISTW over a CSR without stored weights — build it "
+                "with a weight column and normalize_weights=False"
+            )
         size = self.hi - self.lo
         indptr = np.zeros(size + 1, dtype=np.int64)
         base = 0
@@ -265,6 +275,10 @@ class ShardWorker:
             self.pers_n = None
         self.in_deg = None  # filled by prepare_incoming when bin_metrics
         self.bins = None
+    @staticmethod
+    def n_edges_of(parts) -> int:
+        return sum(len(p[3]) for p in parts)
+
     def meta(self):
         return {
             "lo": int(self.lo),
@@ -485,9 +499,9 @@ class ShardWorker:
                 if self.mode == MODE_DIST:
                     vals = vals + 1  # one hop along every edge
                 elif self.mode == MODE_DISTW:
-                    # raw per-edge weights (csr normalize_weights=False);
-                    # unweighted shards fall back to unit hops
-                    vals = vals + (w_s if w_s is not None else 1.0)
+                    # raw per-edge weights (csr normalize_weights=False;
+                    # enforced in __init__)
+                    vals = vals + w_s
                 out[off : off + len(gs)] = np.minimum.reduceat(vals, gs)
             if self.transport == "shm":
                 seq = self.iter_seq

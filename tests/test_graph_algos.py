@@ -305,8 +305,8 @@ def test_sssp_weighted_matches_dijkstra(ray_session, tmp_path):
     src = rng.integers(0, n, m)
     dst = rng.integers(0, n, m)
     wq = rng.integers(1, 20, m).astype(np.float64)
-    # symmetric weighted multigraph → min-plus works per directed edge; keep
-    # the first weight per directed pair (dedup like grouped_pair_sum would)
+    # symmetric weighted multigraph: SUM parallel-edge weights per directed
+    # pair — the same contraction rule as grouped_pair_sum / q_sssp_weighted
     seen = {}
     for s, d, q in zip(src, dst, wq):
         seen[(int(s), int(d))] = seen.get((int(s), int(d)), 0.0) + q
