@@ -65,6 +65,12 @@ def main(argv=None):
     kc.add_argument("--k", type=int, default=3)
     kc.add_argument("--out", default=None)
 
+    bf = sub.add_parser("bfs", help="multi-source BFS levels from seed vertex ids")
+    bf.add_argument("--work-dir", required=True)
+    bf.add_argument("--seeds", required=True, help="comma-separated vertex ids")
+    bf.add_argument("--n-workers", type=int, default=8)
+    bf.add_argument("--out", default=None)
+
     d = sub.add_parser("dedup", help="MinHash-LSH near-dup clusters over a documents parquet")
     d.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
     d.add_argument("--out", required=True)
@@ -164,6 +170,24 @@ def main(argv=None):
                 "out": out, "iterations": res.iterations,
                 "n_vertices": res.n_vertices, "n_edges": res.n_edges,
                 "mean_iter_sec": round(res.mean_superstep_sec, 4),
+            }))
+        elif args.cmd == "bfs":
+            from pagerank_ray.pipelines.cc import bfs_levels
+            from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+
+            sym_csr = os.path.join(args.work_dir, "csr_sym")
+            if not os.path.exists(os.path.join(sym_csr, "MANIFEST.json")):
+                edges = rd.read_parquet(os.path.join(args.work_dir, "edges"))
+                n = rd.read_parquet(os.path.join(args.work_dir, "id_map")).count()
+                prepare_csr_from_edges(edges, n, sym_csr, n_parts=4 * args.n_workers,
+                                       symmetrize=True)
+            seeds = [int(x) for x in args.seeds.split(",")]
+            res = bfs_levels(sym_csr, seeds, n_workers=args.n_workers)
+            out = args.out or os.path.join(args.work_dir, "bfs")
+            res.result.write_parquet(out)
+            print(json.dumps({
+                "out": out, "iterations": res.iterations, "converged": res.converged,
+                "n_vertices": res.n_vertices,
             }))
         elif args.cmd == "kcore":
             from pagerank_ray.pipelines.kcore import k_core

@@ -81,3 +81,23 @@ def test_cli_hits_kcore(tmp_path):
     assert os.path.isdir(os.path.join(h["out"], "hubs"))
     kc = run("kcore", "--work-dir", work, "--k", "2")
     assert kc["rounds"] >= 0 and os.path.isdir(kc["out"])
+
+
+@pytest.mark.slow
+def test_cli_bfs(tmp_path):
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    pages = str(tmp_path / "pages")
+    work = str(tmp_path / "work")
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "pagerank_ray.cli", "--num-cpus", "4", *args],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    run("gen-pages", "--out", pages, "--n-pages", "300")
+    run("build", "--pages", pages, "--work-dir", work, "--n-parts", "8")
+    b = run("bfs", "--work-dir", work, "--seeds", "0,1,2", "--n-workers", "2")
+    assert b["converged"] and os.path.isdir(b["out"])
