@@ -483,18 +483,54 @@ def q_sssp_weighted(sf_dir: str, n_workers: int = 4, mod: int = 1009) -> pd.Data
     from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
     from pagerank_ray.stages.graph_build import grouped_pair_sum
 
-    e = _weighted_lineitem_edges(sf_dir).materialize()
+    # Symmetrize with ONE shuffle (the csr.symmetrize trick for weighted
+    # edges): canonicalize every lineitem row to (min, max) BEFORE the pair
+    # sum — so (a,b) and (b,a) quantities merge in the same groupby — then
+    # mirror the summed canonical half back shuffle-free.
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
 
-    def swap(t: pa.Table) -> pa.Table:
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        d = t.column("l_partkey").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "src_id": t.column("dst_id"),
-                "dst_id": t.column("src_id"),
-                "weight": t.column("weight"),
+                "src_id": pa.array(np.minimum(s, d)),
+                "dst_id": pa.array(np.maximum(s, d)),
+                "weight": t.column("l_quantity").cast(pa.float64()),
             }
         )
 
-    sym = grouped_pair_sum(e.union(e.map_batches(swap, batch_format="pyarrow")))
+    half = grouped_pair_sum(li.map_batches(canon, batch_format="pyarrow")).materialize()
+
+    def double_self(t: pa.Table) -> pa.Table:
+        # a self-loop's quantity appears in BOTH directions of the oracle's
+        # UNION ALL and merges to a single 2q edge — mirror that exactly
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src_id": t.column("src_id"),
+                "dst_id": t.column("dst_id"),
+                "weight": pa.array(np.where(s == d, w * 2.0, w)),
+            }
+        )
+
+    def mirror_noself(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table(
+            {
+                "src_id": pa.array(d[keep]),
+                "dst_id": pa.array(s[keep]),
+                "weight": pa.array(t.column("weight").to_numpy(zero_copy_only=False)[keep]),
+            }
+        )
+
+    sym = half.map_batches(double_self, batch_format="pyarrow").union(
+        half.map_batches(mirror_noself, batch_format="pyarrow")
+    )
     dense_edges, n, id_map = _compact_ids(sym)
     csr = os.path.join(_graph_workdir(sf_dir, "wsym"), "csr")
     prepare_csr_from_edges(
