@@ -184,7 +184,18 @@ def main(argv=None):
             seeds = [int(x) for x in args.seeds.split(",")]
             res = bfs_levels(sym_csr, seeds, n_workers=args.n_workers)
             out = args.out or os.path.join(args.work_dir, "bfs")
-            res.result.write_parquet(out)
+
+            import numpy as np
+            import pyarrow as pa
+
+            def _map_unreached(t: pa.Table) -> pa.Table:
+                # bfs_levels' contract: callers map the 2^62 ∞ sentinel to -1
+                d = t.column("dist").to_numpy(zero_copy_only=False)
+                d = np.where(d >= np.int64(1) << 62, np.int64(-1), d)
+                return t.set_column(t.schema.get_field_index("dist"), "dist",
+                                    pa.array(d, type=pa.int64()))
+
+            res.result.map_batches(_map_unreached, batch_format="pyarrow").write_parquet(out)
             print(json.dumps({
                 "out": out, "iterations": res.iterations, "converged": res.converged,
                 "n_vertices": res.n_vertices,

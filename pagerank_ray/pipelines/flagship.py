@@ -106,6 +106,10 @@ def build_graph(
     artifact paths + graph stats. Every artifact is parquet on disk; phases
     whose output directory already exists are skipped (resume).
     """
+    if dedup_stage not in ("pages", "extracted"):
+        raise ValueError(
+            f"dedup_stage must be 'pages' or 'extracted', got {dedup_stage!r}"
+        )
     os.makedirs(work_dir, exist_ok=True)
     extracted_dir = os.path.join(work_dir, "extracted")
     id_map_dir = os.path.join(work_dir, "id_map")

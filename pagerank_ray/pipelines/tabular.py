@@ -2025,10 +2025,11 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
 
 def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     """Image features over a deterministic synthetic media table with REAL
-    payloads: PPM/BMP images decode with the pure-numpy parser (resize +
-    block-mean embedding); PPM-stream video and WAV audio likewise parse for
-    real. Only compressed codecs (JPEG/MP4) are stubbed — the libraries are
-    not in this container (stages/multimodal.py)."""
+    payloads: PPM/BMP/PNG/GIF/QOI and baseline+progressive JPEG all decode
+    with the pure-numpy codecs (resize + block-mean embedding); PPM-stream
+    video and WAV audio likewise parse for real. Only arithmetic-coded JPEG,
+    non-PPM video and non-WAV audio are env-stubbed — those libraries are
+    not in this container (stages/multimodal.py, stages/jpeg.py)."""
     import ray.data as rd2
 
     from pagerank_ray.stages.multimodal import image_features, synth_media

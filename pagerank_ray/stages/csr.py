@@ -120,7 +120,9 @@ def write_csr_shards(
         tmp = shard_path(csr_dir, part) + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, shard_path(csr_dir, part))  # atomic publish
-        return pd.DataFrame({"part": [part], "n_edges": [len(src)]})
+        return pd.DataFrame(
+            {"part": [part], "n_edges": [len(src)], "weighted": [w is not None]}
+        )
 
     written = (
         edges.map_batches(_assign_part(cuts), batch_format="pyarrow")
@@ -130,8 +132,10 @@ def write_csr_shards(
     )
     if written.empty:  # zero-edge graph (all-dangling crawl)
         edge_counts: dict[int, int] = {}
+        weighted = False
     else:
         edge_counts = dict(zip(written["part"].astype(int), written["n_edges"].astype(int)))
+        weighted = bool(written["weighted"].any())
     # Parts with zero edges (all-dangling ranges) still need a shard file.
     for part in range(n_parts):
         if part not in edge_counts:
@@ -153,6 +157,9 @@ def write_csr_shards(
         # build semantics, so a cached dir can never silently serve shards
         # built under the other weight normalization
         "normalize_weights": bool(normalize_weights),
+        # whether any shard stores a per-edge weight column: BSPEngine uses
+        # (weighted, normalize_weights) to reject mode/semantics mismatches
+        "weighted": weighted,
     }
     tmp = os.path.join(csr_dir, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:

@@ -35,6 +35,14 @@ def _hash_bucket(vals: np.ndarray, n_buckets: int) -> np.ndarray:
     return (mixed % n_buckets).astype(np.int32)
 
 
+def _cents_half_away(values: np.ndarray) -> np.ndarray:
+    """value → int64 cents with DuckDB's ROUND tie rule (half away from zero).
+    np.round is half-to-even and diverges at exact .005 inputs; the repo's
+    uniform rounding contract (tabular._round_half_away) uses half-away."""
+    arr = np.asarray(values, dtype=np.float64) * 100.0
+    return (np.sign(arr) * np.floor(np.abs(arr) + 0.5)).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # sessionization
 # ---------------------------------------------------------------------------
@@ -272,7 +280,7 @@ def running_totals(
         order_vals = df[order_col].to_numpy()
         if order_vals.dtype.kind == "M":
             order_vals = order_vals.astype("datetime64[us]").view(np.int64)
-        cents = np.round(df[value_col].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        cents = _cents_half_away(df[value_col].to_numpy(dtype=np.float64))
         order = np.lexsort((ids, order_vals, keys))
         keys_s, ids_s, cents_s = keys[order], ids[order], cents[order]
         first = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
@@ -334,7 +342,7 @@ def moving_average(
         order_vals = df[order_col].to_numpy()
         if order_vals.dtype.kind == "M":
             order_vals = order_vals.astype("datetime64[us]").view(np.int64)
-        cents = np.round(df[value_col].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        cents = _cents_half_away(df[value_col].to_numpy(dtype=np.float64))
         order = np.lexsort((ids, order_vals, keys))
         keys_s, ids_s, cents_s = keys[order], ids[order], cents[order]
         first = np.concatenate([[True], keys_s[1:] != keys_s[:-1]])

@@ -748,6 +748,25 @@ class BSPEngine:
         self.n = self.manifest["n_vertices"]
         self.mode = mode
         self.alpha = alpha
+        # Mode/weight-semantics validation (ADVICE r3): a row-normalized
+        # (PageRank) weighted CSR fed to MODE_DISTW, or a raw-weight CSR fed
+        # to weighted MODE_PAGERANK, would silently compute the wrong thing.
+        # The manifest records how the shards were built — reject here, at
+        # engine construction, not deep in a worker kernel.
+        norm_w = self.manifest.get("normalize_weights", True)
+        weighted = self.manifest.get("weighted")  # None on pre-r4 manifests
+        if mode == MODE_DISTW and norm_w:
+            raise ValueError(
+                "MODE_DISTW requires a raw-weight CSR (normalize_weights="
+                f"False); {csr_dir} was built with normalize_weights=True — "
+                "row-stochastic weights would yield wrong shortest paths"
+            )
+        if mode == MODE_PAGERANK and weighted and not norm_w:
+            raise ValueError(
+                f"weighted MODE_PAGERANK requires a row-normalized CSR; "
+                f"{csr_dir} stores raw weights (normalize_weights=False) — "
+                "the transition matrix would not be stochastic"
+            )
         groups = assign_parts_to_workers(self.manifest, n_workers)
         self.n_workers = len(groups)
         cuts = self.manifest["cuts"]

@@ -101,3 +101,9 @@ def test_cli_bfs(tmp_path):
     run("build", "--pages", pages, "--work-dir", work, "--n-parts", "8")
     b = run("bfs", "--work-dir", work, "--seeds", "0,1,2", "--n-workers", "2")
     assert b["converged"] and os.path.isdir(b["out"])
+    # ADVICE r3: the CLI must honor bfs_levels' "callers map ∞ to -1"
+    # contract — no raw 2^62 sentinel may reach the output parquet
+    import pyarrow.parquet as pq
+
+    dist = pq.read_table(b["out"]).column("dist").to_numpy()
+    assert int(dist.max()) < (1 << 62) and int(dist.min()) >= -1

@@ -339,3 +339,43 @@ def test_sssp_weighted_matches_dijkstra(ray_session, tmp_path):
                 heapq.heappush(pq_heap, (dist[v], v))
     got = res.result.to_pandas().sort_values("id")["dist"].to_numpy()
     np.testing.assert_array_equal(got, np.array(dist))
+
+
+def test_mode_weight_semantics_rejected(ray_session, tmp_path):
+    """ADVICE r3: the manifest's (weighted, normalize_weights) pair must gate
+    the mode at BSPEngine construction — MODE_DISTW over a row-normalized CSR
+    and weighted MODE_PAGERANK over a raw-weight CSR are silent-wrong-answer
+    combinations and must raise loudly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.state.superstep import BSPEngine, MODE_DISTW, MODE_PAGERANK
+
+    edges = rd.from_arrow(pa.table({
+        "src_id": np.array([0, 0, 1, 2], np.int64),
+        "dst_id": np.array([1, 2, 2, 0], np.int64),
+        "weight": np.array([3.0, 1.0, 2.0, 5.0], np.float64),
+    }))
+    norm_csr = str(tmp_path / "norm_csr")
+    prepare_csr_from_edges(edges, 3, norm_csr, n_parts=2, normalize_weights=True)
+    with pytest.raises(ValueError, match="normalize_weights=True"):
+        BSPEngine(norm_csr, n_workers=2, mode=MODE_DISTW)
+
+    raw_csr = str(tmp_path / "raw_csr")
+    prepare_csr_from_edges(edges, 3, raw_csr, n_parts=2, normalize_weights=False)
+    with pytest.raises(ValueError, match="raw weights"):
+        BSPEngine(raw_csr, n_workers=2, mode=MODE_PAGERANK)
+
+    # the valid pairings still construct
+    BSPEngine(norm_csr, n_workers=2, mode=MODE_PAGERANK)
+    BSPEngine(raw_csr, n_workers=2, mode=MODE_DISTW)
+
+
+def test_build_graph_rejects_bad_dedup_stage(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.flagship import build_graph
+
+    with pytest.raises(ValueError, match="dedup_stage"):
+        build_graph(rd.from_items([]), str(tmp_path / "w"), n_parts=2,
+                    dedup_stage="extract")
