@@ -1738,7 +1738,14 @@ def q_ngram_topk(sf_dir: str, k: int = 25) -> pd.DataFrame:
     string concat with doc-boundary mask — and each batch pre-aggregates its
     counts (the partial/combiner idiom) so the groupby shuffles one row per
     DISTINCT gram per batch, not one per occurrence. Deterministic top-k
-    (count desc, gram asc). SQL-checked against a DuckDB unnest oracle."""
+    (count desc, gram asc). SQL-checked against a DuckDB unnest oracle.
+
+    The merge is the bucketed-combine idiom (graph_build.dedup_pairs), NOT
+    groupby("gram").aggregate(): Ray's aggregate pays per-GROUP overhead and
+    gram cardinality is corpus-scale. Each gram hashes to exactly ONE bucket,
+    so the global top-k is the top-k of the union of per-bucket top-ks —
+    n_buckets × k candidate rows reach the driver, never the full vocabulary."""
+    n_buckets = 64
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1759,13 +1766,27 @@ def q_ngram_topk(sf_dir: str, k: int = 25) -> pd.DataFrame:
             {"gram": vc.index.to_numpy(dtype=object), "cnt": vc.to_numpy(np.int64)}
         )
 
-    agg = (
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic vectorized string hash (fixed pandas hash key)
+        h = pd.util.hash_array(df["gram"].to_numpy(dtype=object))
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("gram", sort=False)["cnt"].sum().reset_index(name="n")
+        s["n"] = s["n"].astype(np.int64)
+        return s.sort_values(["n", "gram"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    cand = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("gram")
-        .aggregate(Sum("cnt", alias_name="n"))
+        .map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_topk, batch_format="pandas")
+        .to_pandas()  # ≤ n_buckets × k rows
     )
-    out = agg.sort(["n", "gram"], descending=[True, False]).limit(k).to_pandas()
-    out["n"] = out["n"].astype(np.int64)
+    out = cand.sort_values(["n", "gram"], ascending=[False, True],
+                           kind="mergesort").head(k)
     return out[["gram", "n"]].reset_index(drop=True)
 
 
@@ -1778,8 +1799,8 @@ def q_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
     bucketed per-doc top-k kernel. Scores rounded half-away(6) on both
     engines so a 1-ulp libm log difference cannot flip the ranking."""
     from pagerank_ray.stages import joins
-    from ray.data.aggregate import Count as _Count
 
+    n_buckets = 64
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
 
@@ -1799,8 +1820,32 @@ def q_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
         out["tf"] = out["tf"].astype(np.int64)
         return out
 
-    tf = ds.map_batches(tf_batch, batch_format="pandas")
-    dfreq = tf.groupby("term").aggregate(_Count(alias_name="df"))
+    # tf is consumed twice (df-count build + probe side of the idf attach):
+    # materialize once so the tokenize/explode doesn't run twice. The
+    # (doc, term, tf) table is object-store-resident and spillable.
+    tf = ds.map_batches(tf_batch, batch_format="pandas").materialize()
+
+    # document frequency over the already-unique (doc, term) pairs — the
+    # bucketed-combine idiom instead of a corpus-cardinality
+    # groupby("term").aggregate() (see q_ngram_topk / dedup_pairs rationale)
+    def term_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        terms = df["term"].to_numpy(dtype=object)
+        h = pd.util.hash_array(terms)
+        return pd.DataFrame(
+            {"term": terms, "bucket": (h % np.uint64(n_buckets)).astype(np.int32)}
+        )
+
+    def df_merge(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["term"].value_counts(sort=False)
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(dtype=object), "df": vc.to_numpy(np.int64)}
+        )
+
+    dfreq = (
+        tf.map_batches(term_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(df_merge, batch_format="pandas")
+    )
     scored_ds = joins.attach_column(
         tf, dfreq, probe_col="term", build_key="term", build_val="df", out_col="df"
     )
