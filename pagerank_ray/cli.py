@@ -214,12 +214,15 @@ def main(argv=None):
 
             res = minhash_lsh_dedup(
                 rd.read_parquet(args.docs), threshold=args.threshold
-            )
-            rd.from_pandas(res).write_parquet(args.out)
+            ).materialize()
+            res.write_parquet(args.out)
+            # keep == (doc is its cluster's min id), so clusters = kept docs
+            n_docs = res.count()
+            n_kept = int(res.sum(on="keep") or 0)
             print(json.dumps({
-                "out": args.out, "docs": len(res),
-                "clusters": int(res["cluster_id"].nunique()),
-                "dropped": int((~res["keep"]).sum()),
+                "out": args.out, "docs": n_docs,
+                "clusters": n_kept,
+                "dropped": n_docs - n_kept,
             }))
         elif args.cmd == "jaccard":
             from pagerank_ray.stages.dedup import jaccard_similarity_join

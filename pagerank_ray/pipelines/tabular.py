@@ -1941,7 +1941,10 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     from pagerank_ray.stages.dedup import minhash_lsh_dedup
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_dedup(docs, threshold=0.8, concurrency=4)
+    # dedup returns a Dataset (scale contract); collect only here, at the
+    # oracle-check boundary
+    out = minhash_lsh_dedup(docs, threshold=0.8, concurrency=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:

@@ -192,12 +192,14 @@ class MinHasher:
 def _bucket_pairs(df: pd.DataFrame, cap: int) -> pd.DataFrame:
     ids = np.sort(df["doc_id"].to_numpy())
     if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"src_id": pd.Series(dtype=np.int64), "dst_id": pd.Series(dtype=np.int64)}
+        )
     if len(ids) > cap:  # cap quadratic blowup on degenerate buckets
         _warn_truncated("minhash-LSH", len(ids), cap)
         ids = ids[:cap]
     i, j = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[i], "b": ids[j]})
+    return pd.DataFrame({"src_id": ids[i], "dst_id": ids[j]})
 
 
 def minhash_lsh_dedup(
@@ -211,17 +213,20 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     bucket_cap: int = 64,
     concurrency: int = 4,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Near-duplicate clusters via MinHash-LSH.
 
-    Returns (doc_id, cluster_id, keep): cluster_id = min doc_id of the
-    verified near-dup cluster; keep = doc_id == cluster_id. Candidate pairs
-    are verified with exact shingle Jaccard ≥ threshold before clustering
-    (union-find on the driver — valid because the verified pair set is
-    orders of magnitude smaller than the corpus; bucket_cap bounds it).
-    The final relabel broadcasts the (small) parent map and rewrites ids
-    inside ``map_batches`` — the corpus never materializes on the driver.
+    Returns a DATASET of (doc_id, cluster_id, keep): cluster_id = min doc_id
+    of the verified near-dup cluster; keep = doc_id == cluster_id. Scale
+    contract (r3 verdict): nothing O(n_docs) ever reaches the driver —
+    candidate pairs stay a Dataset through the bucketed pair-dedup, the
+    exact-Jaccard verify is the distributed broadcast-CSR kernel, union-find
+    runs in ONE remote task over the verified pairs (bounded by verify
+    selectivity; bucket_cap bounds the candidate set), and the relabel
+    broadcasts the (small) parent map and rewrites ids inside
+    ``map_batches``. Callers collect or ``write_parquet`` the result.
     """
+    from pagerank_ray.stages.graph_build import dedup_pairs, distinct_values
     band_rows = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
@@ -232,56 +237,56 @@ def minhash_lsh_dedup(
         num_cpus=1,
         batch_size=1024,
     )
-    pairs = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(lambda df: _bucket_pairs(df, bucket_cap), batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    # candidate pairs stay a Dataset: a pair can surface from several bands,
+    # so run the bucketed exact pair-dedup (graph_build idiom) instead of a
+    # driver-side drop_duplicates. Materialized: consumed by the distinct-ids
+    # pass AND the verify pass.
+    cand = dedup_pairs(
+        band_rows.groupby(["band", "band_hash"]).map_groups(
+            lambda df: _bucket_pairs(df, bucket_cap), batch_format="pandas"
+        )
+    ).materialize()
+    # candidate DOC ids (bounded by LSH selectivity, orders of magnitude
+    # smaller than the corpus): one distinct pass, collected once, broadcast
+    # for the shingle pre-filter and reused by verify_pairs_jaccard
+    cand_id_rows = cand.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [t.column("src_id").combine_chunks(), t.column("dst_id").combine_chunks()]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cand_ids = np.sort(
+        joins._collect_arrow(distinct_values(cand_id_rows, "doc_id"))
+        .column("doc_id")
+        .to_numpy(zero_copy_only=False)
     )
     # verify candidates with exact shingle Jaccard — DISTRIBUTED: the shared
     # broadcast rank-space-CSR kernel (verify_pairs_jaccard). Candidate docs'
     # shingle sets are computed in map_batches and broadcast once; no driver
     # re-tokenization, no per-pair Python (r2 verdict item #1)
-    if len(pairs):
-        cand_ids = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
-        shingle_rows = docs.select_columns([id_col, text_col]).map_batches(
-            lambda t: _shingle_rows(
-                t.filter(pa.compute.is_in(t.column(id_col), value_set=pa.array(cand_ids))),
-                id_col, text_col, shingle_k,
-            ),
-            batch_format="pyarrow",
+    cand_ids_ref = ray.put(cand_ids)
+
+    def shingle_cands(t: pa.Table) -> pa.Table:
+        cids = joins.broadcast_get(cand_ids_ref, lambda v: pa.array(v), "minhash-cand-ids")
+        return _shingle_rows(
+            t.filter(pa.compute.is_in(t.column(id_col), value_set=cids)),
+            id_col, text_col, shingle_k,
         )
-        cand_ds = rd.from_pandas(
-            pd.DataFrame(
-                {
-                    "src_id": pairs["a"].to_numpy(dtype=np.int64),
-                    "dst_id": pairs["b"].to_numpy(dtype=np.int64),
-                }
-            )
-        )
-        pairs = verify_pairs_jaccard(cand_ds, shingle_rows, threshold=threshold)[["a", "b"]]
-    # union-find over verified pairs
-    parent: dict[int, int] = {}
 
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent.get(root, root)
-        while parent.get(x, x) != root:
-            parent[x], x = root, parent.get(x, x)
-        return root
-
-    for a, b in zip(pairs["a"], pairs["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    # broadcast parent map (only ids touched by verified pairs; tiny), relabel
-    # distributed — searchsorted lookup per batch, identity for unmapped ids
-    mapped = sorted({int(x) for x in parent})
-    keys = np.asarray(mapped, dtype=np.int64)
-    vals = np.asarray([find(x) for x in mapped], dtype=np.int64)
-    ref = ray.put((keys, vals))
+    shingle_rows = docs.select_columns([id_col, text_col]).map_batches(
+        shingle_cands, batch_format="pyarrow"
+    )
+    verified = verify_pairs_jaccard(
+        cand, shingle_rows, threshold=threshold, cand_ids=cand_ids, as_dataset=True
+    )
+    # union-find in ONE remote task over the verified pair blocks — the
+    # driver never touches pair lists, only the resulting (keys, vals)
+    # parent-map ObjectRef, which broadcasts straight into the relabel
+    ref = _union_find_parents.remote(verified.to_arrow_refs())
 
     def relabel(t: pa.Table) -> pa.Table:
         k, v = joins.broadcast_get(ref, lambda x: x, "minhash-parents")
@@ -299,12 +304,37 @@ def minhash_lsh_dedup(
             }
         )
 
-    out = (
-        docs.select_columns([id_col])
-        .map_batches(relabel, batch_format="pyarrow")
-        .to_pandas()
-    )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return docs.select_columns([id_col]).map_batches(relabel, batch_format="pyarrow")
+
+
+@ray.remote
+def _union_find_parents(blocks) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find over verified near-dup pair blocks → sorted (keys, vals)
+    parent map (min-id roots, fully path-compressed). One task: the pair set
+    is bounded by verify selectivity, never corpus-sized."""
+    tabs = [t for t in ray.get(list(blocks)) if t.num_rows]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent.get(root, root)
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent.get(x, x)
+        return root
+
+    for t in tabs:
+        for a, b in zip(
+            t.column("a").to_numpy(zero_copy_only=False),
+            t.column("b").to_numpy(zero_copy_only=False),
+        ):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    mapped = sorted(parent)
+    keys = np.asarray(mapped, dtype=np.int64)
+    vals = np.asarray([find(x) for x in mapped], dtype=np.int64)
+    return keys, vals
 
 
 class SimHasher:
@@ -724,7 +754,9 @@ def verify_pairs_jaccard(
     shingle_rows: rd.Dataset,
     *,
     threshold: float,
-) -> pd.DataFrame:
+    cand_ids: np.ndarray | None = None,
+    as_dataset: bool = False,
+):
     """Distributed exact-Jaccard verification of candidate pairs — the shared
     broadcast rank-space-CSR kernel (used by ``jaccard_similarity_join`` and
     the minhash-LSH verify; r2 verdict: the driver-side per-pair loop is gone).
@@ -735,29 +767,35 @@ def verify_pairs_jaccard(
     once as one CSR blob (``ray.put``); each pair batch verifies with a single
     vectorized searchsorted membership test on a rank-space composite — no
     per-pair Python, no driver-side re-tokenization. Returns (a, b, jacc)
-    pairs with jacc ≥ threshold, rounded half-away to 6."""
+    pairs with jacc ≥ threshold, rounded half-away to 6 — a sorted DataFrame,
+    or the unordered Dataset when ``as_dataset`` (scale path: the pairs then
+    flow straight into a downstream consumer, e.g. the union-find task).
+    ``cand_ids`` skips the internal distinct pass when the caller already
+    collected the sorted candidate-doc ids."""
     from pagerank_ray.stages.graph_build import distinct_values
 
-    cand_id_rows = cand.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": pa.concat_arrays(
-                    [
-                        t.column("src_id").combine_chunks(),
-                        t.column("dst_id").combine_chunks(),
-                    ]
-                )
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    cand_ids_tab = joins._collect_arrow(distinct_values(cand_id_rows, "doc_id"))
-    cand_ids = np.sort(cand_ids_tab.column("doc_id").to_numpy(zero_copy_only=False))
+    if cand_ids is None:
+        cand_id_rows = cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [
+                            t.column("src_id").combine_chunks(),
+                            t.column("dst_id").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        cand_ids_tab = joins._collect_arrow(distinct_values(cand_id_rows, "doc_id"))
+        cand_ids = np.sort(cand_ids_tab.column("doc_id").to_numpy(zero_copy_only=False))
     if not len(cand_ids):
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
              "jacc": pd.Series(dtype=np.float64)}
         )
+        return rd.from_pandas(empty) if as_dataset else empty
 
     # candidate docs' shingle sets as one broadcast CSR blob: rows of
     # `shingle_rows` are already per-doc SORTED (np.unique output order)
@@ -822,5 +860,7 @@ def verify_pairs_jaccard(
             }
         )
 
-    out = cand.map_batches(verify, batch_format="pyarrow", batch_size=8192).to_pandas()
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    out_ds = cand.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+    if as_dataset:
+        return out_ds
+    return out_ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)

@@ -103,7 +103,7 @@ def test_minhash_signature_similarity_tracks_jaccard():
 def test_minhash_lsh_finds_planted_dups(ray_session):
     df, n = _corpus()
     ds = rd.from_pandas(df)
-    out = minhash_lsh_dedup(ds, threshold=0.7, concurrency=2)
+    out = minhash_lsh_dedup(ds, threshold=0.7, concurrency=2).to_pandas()
     assert len(out) == len(df)
     # each planted pair (i, n + i//10) clusters together under min-id
     for j, i in enumerate(range(0, n, 10)):
