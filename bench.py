@@ -171,15 +171,66 @@ def scaling() -> dict:
     }
 
 
-def headline(ncpu: int) -> dict:
+# Headline queries grouped so each group runs in a FRESH process (r3 verdict:
+# a single long session degrades +15-30% by its tail on this VM — per-group
+# sessions of ~30-60 s keep per-query deltas signal). Artifact dependencies
+# (web flagship -> triangles/labelprop) stay within one group; the lineitem
+# CSR caches are content-fingerprinted on disk, so groups share builds the
+# same way a single session did.
+HEADLINE_GROUPS: dict[str, list[str]] = {
+    "pagerank": [
+        "pagerank_lineitem", "pagerank_personalized", "pagerank_weighted",
+        "pagerank_top20_profile",
+    ],
+    "graph_sym": [
+        "cc_lineitem", "bfs_levels", "sssp_weighted", "hits_lineitem",
+        "kcore_lineitem",
+    ],
+    "graph_build": [
+        "edges_dedup", "out_degree", "in_degree_topk", "nation_trade_graph",
+    ],
+    "relational": [
+        "lineitem_agg", "top_customers", "region_revenue", "pivot_returnflag",
+        "orders_percent_rank", "orders_by_month", "parts_shipped_both",
+        "parts_shipped_diff", "price_stats_by_flag", "qty_price_corr",
+    ],
+    "temporal": [
+        "events_window", "sessionize", "orders_asof", "events_hopping",
+        "top_orders_per_customer", "error_burst", "json_extract_stats",
+        "running_total", "moving_avg_events", "customers_no_recent_orders",
+    ],
+    "sketch": [
+        "approx_distinct_parts", "approx_distinct_by_flag", "bloom_semi_join",
+        "distinct_parts_by_flag", "approx_quantiles_price",
+    ],
+    "documents": [
+        "token_counts", "exact_dedup_docs", "jaccard_pairs", "ngram_topk",
+        "tfidf_topk", "stratified_sample",
+    ],
+    "web": ["web_flagship_20k_pages", "triangles_web", "labelprop_web"],
+    "superstep": ["pagerank_superstep_40m_edges"],
+}
+
+
+def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     """Driver-mode suite: timed pipelines over $GRAFT_SF_DIR + superstep
-    throughput on a mid-size synthetic graph + a small web-pages flagship."""
+    throughput on a mid-size synthetic graph + a small web-pages flagship.
+    ``selected`` restricts to one group's query names (subprocess mode)."""
     from pagerank_ray.pipelines import tabular
+
+    # untimed session warmup: spin up the streaming executor + worker pool so
+    # the group's first query doesn't absorb Ray Data startup (the cost a
+    # long single session amortized; we benchmark queries, not Ray startup)
+    import ray.data as _rd
+
+    _rd.range(10_000, override_num_blocks=ncpu).map_batches(lambda b: b).count()
 
     queries: dict[str, float] = {}
     extras: dict = {}
 
     def timed(name, fn):
+        if selected is not None and name not in selected:
+            return None
         t0 = time.perf_counter()
         out = fn()
         queries[name] = round(time.perf_counter() - t0, 3)
@@ -308,9 +359,50 @@ def headline(ncpu: int) -> dict:
     }
 
 
+def headline_grouped(ncpu: int) -> dict:
+    """Default mode: every HEADLINE_GROUPS group runs in a fresh subprocess
+    (own Ray session), results merged. A failed group is recorded under
+    ``group_errors`` instead of killing the whole suite."""
+    queries: dict[str, float] = {}
+    extras: dict = {}
+    group_errors: dict[str, str] = {}
+    for group in HEADLINE_GROUPS:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-group", group],
+            env=dict(os.environ),
+            capture_output=True,
+            text=True,
+        )
+        try:
+            if proc.returncode != 0:
+                raise RuntimeError(proc.stderr[-800:])
+            part = json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 — record and continue
+            group_errors[group] = str(e)[:800]
+            continue
+        queries.update(part["queries"])
+        extras.update({k: v for k, v in part.items()
+                       if k not in ("metric", "value", "unit", "queries", "sf", "num_cpus")})
+    out = {
+        "metric": "e2e_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": ncpu,
+        **extras,
+    }
+    if group_errors:
+        out["group_errors"] = group_errors
+    return out
+
+
 def main():
     if "--scaling" in sys.argv:
         print(json.dumps(scaling()))
+        return
+    if "--headline-group" not in sys.argv and "--superstep" not in sys.argv:
+        print(json.dumps(headline_grouped(NCPU)))
         return
     import ray
 
@@ -319,7 +411,8 @@ def main():
         if "--superstep" in sys.argv:
             out = superstep_bench(NCPU, BENCH_N, BENCH_M)
         else:
-            out = headline(NCPU)
+            group = sys.argv[sys.argv.index("--headline-group") + 1]
+            out = headline(NCPU, selected=set(HEADLINE_GROUPS[group]))
     finally:
         ray.shutdown()
     print(json.dumps(out))

@@ -1877,23 +1877,43 @@ def q_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
     )
 
 
-def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
-    """Deterministic stratified Bernoulli sample: keep a doc iff its
-    multiplicative hash u(doc_id) = (doc_id·2654435761 mod 2³²)/2³² falls
-    under its stratum's rate (en → 0.2, every other lang → 0.6). Pure int64
-    arithmetic reproduced verbatim in the DuckDB oracle — no engine-internal
-    hash — and fully vectorized per batch. (doc_id·K stays < 2⁶³ for any
-    doc_id < 3.5e9; corpora beyond that use the same formula in uint64.)"""
-    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+def stratified_sample(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+) -> rd.Dataset:
+    """Deterministic stratified Bernoulli sample as a STREAMING filter: keep
+    a row iff its multiplicative hash u(id) = (id·2654435761 mod 2³²)/2³²
+    falls under its stratum's rate. Embarrassingly parallel — one vectorized
+    map_batches, no shuffle, no driver materialization; at corpus scale the
+    output flows straight to write_parquet. (id·K stays < 2⁶³ for any
+    id < 3.5e9; corpora beyond that use the same formula in uint64.)"""
 
     def keep(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        strata = np.asarray(t.column(stratum_col).to_pylist(), dtype=object)
         h = (ids * np.int64(2654435761)) % np.int64(4294967296)
-        rate = np.where(lang == "en", 0.2, 0.6)
+        rate = np.full(len(ids), default_rate, dtype=np.float64)
+        for key, r in rates.items():
+            rate[strata == key] = r
         return t.filter(pa.array(h < rate * 4294967296.0))
 
-    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified Bernoulli sample (en → 0.2, every other
+    lang → 0.6). Pure int64 arithmetic reproduced verbatim in the DuckDB
+    oracle — no engine-internal hash. The operator itself
+    (``stratified_sample``) streams; the collect here is the query-result
+    boundary (the sample IS the result the driver hash-checks)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = stratified_sample(
+        ds, id_col="doc_id", stratum_col="lang", rates={"en": 0.2}, default_rate=0.6
+    ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
