@@ -54,6 +54,9 @@ def hits(
     n_workers: int,
     iters: int = 5,
     transport: str = "shm",
+    checkpoint_root: str | None = None,
+    checkpoint_every: int = 2,
+    resume: bool = False,
 ) -> HITSResult:
     """Run `iters` full HITS iterations; returns both score vectors.
 
@@ -61,7 +64,16 @@ def hits(
     computes the AUTHORITY update a(v) = Σ_{u→v} h(u). ``rev_csr_dir`` holds
     the reversed edges: its superstep computes the HUB update
     h(u) = Σ_{u→v} a(v). Both CSRs must cover the same n vertices.
+
+    Checkpoint/resume (same contract as ``pagerank``, resume ≡ continuous
+    bit-identically): after a checkpointed full iteration both normalized
+    vectors persist (``auth/`` from the fwd pool, ``hub/`` from the rev
+    pool). Resume restores both — the restored hub vector feeds the next
+    authority half-step; the restored authority vector matters only when the
+    checkpoint is already at ``iters`` — f64 parquet round-trips exactly and
+    the per-half-step scale factors are recomputed from identical totals.
     """
+    import os as _os
     # num_cpus: two pools coexist; split the reservation budget so neither
     # starves the other nor deadlocks concurrent Dataset work (≥1 CPU free).
     import ray
@@ -87,8 +99,16 @@ def hits(
     n = e_fwd.n
     e_fwd.init_state()  # h⁰ = 1 ∀v lives in the forward pool
     e_rev.init_state()
+    start = 0
+    if resume and checkpoint_root:
+        restored_hub = e_rev.resume(_os.path.join(checkpoint_root, "hub"))
+        if restored_hub is not None:
+            e_fwd.resume(_os.path.join(checkpoint_root, "auth"))
+            start = e_rev.iteration  # completed full iterations
+            if start < iters:
+                transfer_state(e_rev, e_fwd)  # fwd.state = h_start
     step_times = []
-    for i in range(iters):
+    for i in range(start, iters):
         t0 = time.perf_counter()
         # authority half-step: fwd pool state h → raw a, normalize in place
         _, total_a = e_fwd._superstep()
@@ -99,6 +119,17 @@ def hits(
         _, total_h = e_rev._superstep()
         if total_h > 0:
             e_rev.scale_state(n / total_h)
+        done = i + 1
+        # the driver loop owns the iteration counter (pagerank.py convention:
+        # _superstep itself never increments); checkpoint manifests and
+        # resume() both read it
+        e_fwd.iteration = e_rev.iteration = done
+        if checkpoint_root and (done % checkpoint_every == 0 or done == iters):
+            # BEFORE the transfer below: fwd still holds a_done, rev h_done
+            e_fwd._write_checkpoint(_os.path.join(checkpoint_root, "auth"),
+                                    {"hits_iter": done})
+            e_rev._write_checkpoint(_os.path.join(checkpoint_root, "hub"),
+                                    {"hits_iter": done})
         if i < iters - 1:
             transfer_state(e_rev, e_fwd)  # fwd.state = h_i for the next round
         step_times.append(time.perf_counter() - t0)

@@ -86,12 +86,36 @@ def _filter_flagged(
     return edges.map_batches(f, batch_format="pyarrow")
 
 
+def _kcore_latest_checkpoint(ckpt_root: str) -> tuple[int, str] | None:
+    """Latest complete peel-round checkpoint as (round, edges_dir) or None.
+    Completeness = MANIFEST.json present (written after the parquet lands)."""
+    import json
+    import os
+
+    if not os.path.isdir(ckpt_root):
+        return None
+    best = None
+    for name in sorted(os.listdir(ckpt_root)):
+        if not name.startswith("round_"):
+            continue
+        man = os.path.join(ckpt_root, name, "MANIFEST.json")
+        if os.path.exists(man):
+            with open(man) as f:
+                meta = json.load(f)
+            if meta.get("complete"):
+                best = (meta["round"], os.path.join(ckpt_root, name, "edges"))
+    return best
+
+
 def k_core(
     sym_edges: rd.Dataset,
     k: int,
     *,
     max_rounds: int = 50,
     tail_cutoff: int = 1_000_000,
+    checkpoint_root: str | None = None,
+    checkpoint_every: int = 2,
+    resume: bool = False,
 ) -> tuple[rd.Dataset, int]:
     """Peel ``sym_edges`` (both orientations of every distinct pair, e.g.
     ``csr.symmetrize`` output) down to the k-core.
@@ -99,12 +123,42 @@ def k_core(
     Returns ``(core_degrees, rounds)`` where ``core_degrees`` is a Dataset of
     (id, core_deg) for the k-core members (their degree inside the core) and
     ``rounds`` is the number of peel rounds executed.
+
+    Checkpoint/resume (resume ≡ continuous bit-identically: the peel is a
+    deterministic function of the surviving int64 edge set, which parquet
+    round-trips exactly): every ``checkpoint_every`` distributed rounds the
+    survivor edges persist under ``checkpoint_root/round_NNNNN/edges`` with a
+    MANIFEST committed after the parquet lands; ``resume=True`` restarts the
+    loop from the latest complete round.
     """
+    import json
+    import os
+
     from pagerank_ray.stages import joins
     from pagerank_ray.stages.graph_build import grouped_count
 
-    cur = sym_edges.materialize()
+    cur = sym_edges
     rounds = 0
+    if resume and checkpoint_root:
+        found = _kcore_latest_checkpoint(checkpoint_root)
+        if found is not None:
+            rounds, edges_dir = found
+            cur = rd.read_parquet(edges_dir)
+    cur = cur.materialize()
+
+    def _checkpoint(edges: rd.Dataset, rnd: int):
+        import shutil
+
+        it_dir = os.path.join(checkpoint_root, f"round_{rnd:05d}")
+        # clear a crashed partial write: write_parquet APPENDS uniquely-named
+        # files, so a leftover dir would otherwise double every row
+        shutil.rmtree(os.path.join(it_dir, "edges"), ignore_errors=True)
+        os.makedirs(it_dir, exist_ok=True)
+        edges.write_parquet(os.path.join(it_dir, "edges"))
+        tmp = os.path.join(it_dir, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"round": rnd, "k": k, "complete": True}, f)
+        os.replace(tmp, os.path.join(it_dir, "MANIFEST.json"))
     while True:
         # Hybrid finish: distributed rounds shrink the graph fast (round 1
         # typically drops the below-k majority); once the survivor edge set
@@ -174,6 +228,8 @@ def k_core(
             )
             cur = _filter_flagged(tagged, flag, -1, keep_matched)
         cur = cur.materialize()
+        if checkpoint_root and rounds % checkpoint_every == 0:
+            _checkpoint(cur, rounds)
     raise RuntimeError(
         f"k_core: round budget ({max_rounds}) exhausted before the fixpoint — "
         "result would not be a k-core; raise max_rounds"

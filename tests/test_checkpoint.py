@@ -91,3 +91,93 @@ def test_cc_resume_equals_continuous(ray_session, tmp_path):
     res = connected_components(d, n_workers=2, checkpoint_root=ckpt, resume=True)
     labels_res = res.result.to_pandas().sort_values("id")["label"].to_numpy()
     np.testing.assert_array_equal(labels_res, labels_full)
+
+
+def _dual_csr(tmp_path, n=300, m=2500):
+    """Forward + reversed CSR pair for HITS."""
+    rng = np.random.default_rng(33)
+    src = rng.integers(0, n, m)
+    dst = (n * rng.random(m) ** 2.5).astype(np.int64)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    fwd = str(tmp_path / "csr_fwd")
+    rev = str(tmp_path / "csr_rev")
+    prepare_csr_from_edges(
+        edges_dataset_from_arrays(pairs[:, 0], pairs[:, 1]), n, fwd, n_parts=6
+    )
+    prepare_csr_from_edges(
+        edges_dataset_from_arrays(pairs[:, 1], pairs[:, 0]), n, rev, n_parts=6
+    )
+    return fwd, rev, n
+
+
+def test_hits_resume_equals_continuous(ray_session, tmp_path):
+    """Kill HITS after iteration 2 of 5, resume → bit-identical vectors."""
+    from pagerank_ray.pipelines.hits import hits
+
+    fwd, rev, n = _dual_csr(tmp_path)
+    full = hits(fwd, rev, n_workers=2, iters=5)
+    a_full = full.authorities.to_pandas().sort_values("id")["value"].to_numpy()
+    h_full = full.hubs.to_pandas().sort_values("id")["value"].to_numpy()
+
+    ckpt = str(tmp_path / "hits_ckpt")
+    part = hits(fwd, rev, n_workers=2, iters=2, checkpoint_root=ckpt,
+                checkpoint_every=2)
+    assert part.iterations == 2
+    assert os.path.isdir(os.path.join(ckpt, "hub"))
+    assert os.path.isdir(os.path.join(ckpt, "auth"))
+    # keep a pristine copy: the resumed run writes new checkpoints into its root
+    import shutil
+
+    ckpt_b = str(tmp_path / "hits_ckpt_b")
+    shutil.copytree(ckpt, ckpt_b)
+
+    res = hits(fwd, rev, n_workers=2, iters=5, checkpoint_root=ckpt, resume=True)
+    a_res = res.authorities.to_pandas().sort_values("id")["value"].to_numpy()
+    h_res = res.hubs.to_pandas().sort_values("id")["value"].to_numpy()
+    np.testing.assert_array_equal(a_res, a_full)
+    np.testing.assert_array_equal(h_res, h_full)
+
+    # resume at a checkpoint already at iters: pure restore, still identical
+    res2 = hits(fwd, rev, n_workers=2, iters=2, checkpoint_root=ckpt_b, resume=True)
+    a_part = part.authorities.to_pandas().sort_values("id")["value"].to_numpy()
+    a_res2 = res2.authorities.to_pandas().sort_values("id")["value"].to_numpy()
+    np.testing.assert_array_equal(a_res2, a_part)
+
+
+def test_kcore_resume_equals_continuous(ray_session, tmp_path):
+    """Kill the k-core peel after 2 distributed rounds, resume → identical
+    core. tail_cutoff=0 forces every round distributed so checkpoints fire."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.kcore import k_core
+    from pagerank_ray.stages.csr import symmetrize
+
+    rng = np.random.default_rng(44)
+    n, m = 250, 1800
+    src = rng.integers(0, n, m)
+    dst = (n * rng.random(m) ** 2.0).astype(np.int64)
+    keep = src != dst
+    edges = edges_dataset_from_arrays(src[keep], dst[keep])
+    sym = symmetrize(edges).materialize()
+
+    core_full, rounds_full = k_core(sym, 4, tail_cutoff=0)
+    full_df = core_full.to_pandas().sort_values("src_id").reset_index(drop=True)
+
+    ckpt = str(tmp_path / "kcore_ckpt")
+    # interrupted: tiny round budget, checkpoint every round
+    try:
+        k_core(sym, 4, max_rounds=2, tail_cutoff=0,
+               checkpoint_root=ckpt, checkpoint_every=1)
+        interrupted = False
+    except RuntimeError:
+        interrupted = True
+    round_dirs = [d for d in os.listdir(ckpt) if d.startswith("round_")]
+    assert round_dirs, "peel checkpoint written"
+
+    core_res, rounds_res = k_core(sym, 4, tail_cutoff=0,
+                                  checkpoint_root=ckpt, resume=True)
+    res_df = core_res.to_pandas().sort_values("src_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(res_df, full_df)
+    if interrupted:
+        assert rounds_res == rounds_full  # resumed rounds count continues
