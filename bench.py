@@ -36,6 +36,10 @@ SMALL_M = int(float(os.environ.get("GRAFT_BENCH_SMALL_EDGES", 40_000_000)))
 # measures ~7% faster at 32 CPUs (bench/scaling_r3.json). Driver-mode
 # correctness queries always run the exact f64 exchange.
 XDTYPE = os.environ.get("GRAFT_EXCHANGE_DTYPE", "float32")
+# exchange transport for the superstep/scaling benches: "shm" (single-node
+# default) or "plasma" (the multi-node path — same path MODE_LABEL uses;
+# GRAFT_TRANSPORT=plasma records the cluster-transport scaling evidence)
+TRANSPORT = os.environ.get("GRAFT_TRANSPORT", "shm")
 FIXED_ITERS = 20
 BENCH_ROOT = "/tmp/pagerank_ray_bench"
 
@@ -76,7 +80,7 @@ def superstep_bench(ncpu: int, n: int, m: int) -> dict:
 
     res = pagerank_fixed_iters(
         csr_dir, n_workers=ncpu, iters=FIXED_ITERS, window=4, warmup_iters=3,
-        exchange_dtype=XDTYPE,
+        exchange_dtype=XDTYPE, transport=TRANSPORT,
     )
     eps = res.final_diff  # diagnostic
     median_step = getattr(res, "median_superstep_sec", res.mean_superstep_sec)
@@ -89,6 +93,7 @@ def superstep_bench(ncpu: int, n: int, m: int) -> dict:
         conv_sec = time.perf_counter() - t0
     return {
         "num_cpus": ncpu,
+        "transport": TRANSPORT,
         "n_vertices": manifest["n_vertices"],
         "n_edges": manifest["n_edges"],
         "gen_or_cache_sec": round(gen_sec, 3),

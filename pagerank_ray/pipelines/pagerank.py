@@ -152,6 +152,7 @@ def pagerank_fixed_iters(
     warmup_iters: int = 3,
     num_cpus_per_worker: float | None = None,
     exchange_dtype: str = "float64",
+    transport: str = "shm",
 ) -> IterativeResult:
     """Fixed-iteration PageRank with pipelined superstep submission (the
     throughput-measurement mode; semantics of /root/reference/kernel_cusparse.cu:250
@@ -169,6 +170,7 @@ def pagerank_fixed_iters(
         alpha=alpha,
         num_cpus_per_worker=num_cpus_per_worker,
         exchange_dtype=exchange_dtype,
+        transport=transport,
     )
     eng.init_state()
     window = min(window, 5)  # shm transport ring has 6 slots; keep one spare
