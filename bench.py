@@ -364,6 +364,119 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     }
 
 
+def dedup_scale(ncpu: int) -> dict:
+    """Large-corpus MinHash-LSH dedup datapoint (r3 verdict item 4): a
+    deterministic ≥100k-doc corpus with a planted 10% near-dup rate — wall
+    time, bucket-cap truncation count, recall vs planted truth, false-merge
+    count. Doc text is a pure function of the doc id (vectorized uint64
+    mixing), so the corpus is reproducible without storing it."""
+    import numpy as np
+    import ray.data as rd
+
+    from pagerank_ray.stages.dedup import MinHasher, minhash_lsh_dedup
+
+    n_base = int(float(os.environ.get("GRAFT_DEDUP_DOCS", 100_000)))
+    dup_every = 10
+    n_dups = n_base // dup_every
+    vocab = 50_000
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def _fmix(h: np.ndarray) -> np.ndarray:
+        """murmur3 fmix64 — the weak single-round mix clumped badly (half the
+        dup docs got ZERO perturbed positions, some got 25)."""
+        h = h.copy()
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+        return h
+
+    def _tokens_matrix(ids: np.ndarray, max_len: int) -> np.ndarray:
+        """token id matrix (len(ids), max_len): tok[i,t] = f(id_i, t)."""
+        a = ids[:, None].astype(np.uint64) * mix
+        b = (np.arange(max_len, dtype=np.uint64)[None, :] + np.uint64(1)) * np.uint64(
+            0xC2B2AE3D27D4EB4F
+        )
+        return (_fmix(a + b) % np.uint64(vocab)).astype(np.int64)
+
+    def make_docs(batch) -> dict:
+        ids = batch["id"].astype(np.int64)
+        base = np.where(ids < n_base, ids, (ids - n_base) * dup_every)
+        lens = 80 + (base.astype(np.uint64) * mix >> np.uint64(40)).astype(np.int64) % 70
+        max_len = int(lens.max()) if len(lens) else 0
+        toks = _tokens_matrix(base.astype(np.uint64), max_len)
+        # dup perturbation: ~5% of positions re-rolled, keyed by the DUP id
+        is_dup = ids >= n_base
+        if is_dup.any():
+            p = _fmix(
+                ids[:, None].astype(np.uint64) * np.uint64(0xD6E8FEB86659FD93)
+                + (np.arange(max_len, dtype=np.uint64)[None, :] + np.uint64(1)) * mix
+            )
+            # ~1.7% of positions (Binomial mean ≈ 2 per doc): expected
+            # shingle-Jaccard ≈ 0.90, P(J < threshold 0.7) ≈ 0.4% — recall
+            # then measures LSH+verify, not the threshold boundary
+            hit = is_dup[:, None] & ((p % np.uint64(60)) == 0)
+            toks = np.where(hit, ((p >> np.uint64(13)) % np.uint64(vocab)).astype(np.int64), toks)
+        words = np.char.add("w", np.char.zfill(toks.astype("U5"), 5))
+        texts = [" ".join(words[i, : lens[i]]) for i in range(len(ids))]
+        return {"doc_id": ids, "text": np.array(texts, dtype=object)}
+
+    docs = (
+        rd.range(n_base + n_dups, override_num_blocks=4 * ncpu)
+        .map_batches(make_docs, batch_size=2048)
+        .materialize()
+    )
+
+    threshold, bucket_cap, bands = 0.7, 64, 16
+    t0 = time.perf_counter()
+    out = minhash_lsh_dedup(
+        docs, threshold=threshold, bucket_cap=bucket_cap, bands=bands,
+        concurrency=min(8, ncpu),
+    ).materialize()
+    wall = time.perf_counter() - t0
+
+    # recall vs planted truth: dup i clusters with base (i - n_base) * 10
+    rel = out.filter(
+        lambda r: r["doc_id"] >= n_base or r["doc_id"] % dup_every == 0
+    ).to_pandas().set_index("doc_id")["cluster_id"]
+    dup_ids = np.arange(n_base, n_base + n_dups, dtype=np.int64)
+    base_ids = (dup_ids - n_base) * dup_every
+    found = (rel.loc[dup_ids].to_numpy() == rel.loc[base_ids].to_numpy()).sum()
+    recall = found / n_dups
+    # false merges: docs outside any planted pair that lost their identity
+    merged = out.to_pandas()
+    planted = set(dup_ids) | set(base_ids)
+    false_merges = int(
+        ((merged["doc_id"].to_numpy() != merged["cluster_id"].to_numpy())
+         & ~merged["doc_id"].isin(planted).to_numpy()).sum()
+    )
+    # bucket-cap truncation count: exact LSH bucket-size histogram
+    band_rows = docs.map_batches(
+        MinHasher, fn_constructor_kwargs=dict(), batch_format="pyarrow",
+        concurrency=min(8, ncpu), num_cpus=1, batch_size=1024,
+    )
+    comp = band_rows.map_batches(
+        lambda b: {"k": (b["band"].astype(np.uint64) << np.uint64(48))
+                        ^ b["band_hash"].astype(np.uint64)},
+    ).to_pandas()["k"].to_numpy()
+    _, counts = np.unique(comp, return_counts=True)
+    return {
+        "metric": "minhash_dedup_100k_sec",
+        "value": round(wall, 2),
+        "unit": "sec",
+        "num_cpus": ncpu,
+        "n_docs": n_base + n_dups,
+        "n_planted_pairs": int(n_dups),
+        "threshold": threshold,
+        "recall_planted": round(float(recall), 4),
+        "false_merges": false_merges,
+        "buckets_over_cap": int((counts > bucket_cap).sum()),
+        "max_bucket": int(counts.max()),
+        "docs_per_sec": round((n_base + n_dups) / wall),
+    }
+
+
 def headline_grouped(ncpu: int) -> dict:
     """Default mode: every HEADLINE_GROUPS group runs in a fresh subprocess
     (own Ray session), results merged. A failed group is recorded under
@@ -406,7 +519,7 @@ def main():
     if "--scaling" in sys.argv:
         print(json.dumps(scaling()))
         return
-    if "--headline-group" not in sys.argv and "--superstep" not in sys.argv:
+    if not any(f in sys.argv for f in ("--headline-group", "--superstep", "--dedup-scale")):
         print(json.dumps(headline_grouped(NCPU)))
         return
     import ray
@@ -415,6 +528,8 @@ def main():
     try:
         if "--superstep" in sys.argv:
             out = superstep_bench(NCPU, BENCH_N, BENCH_M)
+        elif "--dedup-scale" in sys.argv:
+            out = dedup_scale(NCPU)
         else:
             group = sys.argv[sys.argv.index("--headline-group") + 1]
             out = headline(NCPU, selected=set(HEADLINE_GROUPS[group]))
