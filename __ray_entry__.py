@@ -420,6 +420,87 @@ SELECT doc_id, pred_lang,
 FROM c ORDER BY doc_id"""
 
 
+_DOC_WORDS_CTE = r"""d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+  FROM documents)"""
+
+
+def _gopher_sql() -> str:
+    """The identical Gopher rules as functions/text.py:gopher_stats_batch —
+    whitespace tokens, integer word-char totals, the EXACT integer band test
+    3·n_words ≤ word_chars ≤ 10·n_words (no float boundary on either side)."""
+    from pagerank_ray.functions.text import _STOP_EN
+
+    en = ",".join(f"'{w}'" for w in sorted(_STOP_EN))
+    return rf"""
+WITH {_DOC_WORDS_CTE},
+dc AS (
+  SELECT doc_id, arr,
+         length(regexp_replace(trim(text), '\s+', '', 'g'))::BIGINT AS word_chars
+  FROM documents JOIN d USING (doc_id)),
+w AS (SELECT doc_id, unnest(arr) AS tok FROM dc),
+sc AS (SELECT doc_id, COUNT(*)::BIGINT AS stop_count FROM w
+       WHERE lower(tok) IN ({en}) GROUP BY doc_id)
+SELECT dc.doc_id,
+       len(dc.arr)::BIGINT AS n_words,
+       dc.word_chars,
+       CASE WHEN len(dc.arr) = 0 THEN 0.0
+            ELSE ROUND(dc.word_chars / len(dc.arr), 6) END AS mean_word_len,
+       COALESCE(sc.stop_count, 0)::BIGINT AS stop_count,
+       (len(dc.arr) >= 50 AND len(dc.arr) <= 100000
+        AND 3 * len(dc.arr) <= dc.word_chars
+        AND dc.word_chars <= 10 * len(dc.arr)
+        AND COALESCE(sc.stop_count, 0) >= 2)::BIGINT AS gopher_pass
+FROM dc LEFT JOIN sc ON dc.doc_id = sc.doc_id ORDER BY dc.doc_id"""
+
+
+def _repetition_sql() -> str:
+    """Gopher repetition ratios mirroring repetition_stats_batch: exact
+    integer ratios; adjacent bigrams built positionally via list_transform
+    over range(1, len) with the engine's NUL joiner."""
+    return rf"""
+WITH {_DOC_WORDS_CTE},
+w AS (SELECT doc_id, unnest(arr) AS tok FROM d),
+wc AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS c FROM w GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_distinct, MAX(c) AS top_word
+        FROM wc GROUP BY doc_id),
+bg AS (SELECT doc_id,
+         unnest(list_transform(range(1, len(arr)),
+                               i -> arr[i] || chr(0) || arr[i+1])) AS g
+       FROM d WHERE len(arr) >= 2),
+bgc AS (SELECT doc_id, g, COUNT(*)::BIGINT AS c FROM bg GROUP BY doc_id, g),
+bagg AS (SELECT doc_id, MAX(c) AS top_bigram FROM bgc GROUP BY doc_id)
+SELECT d.doc_id, len(d.arr)::BIGINT AS n_words,
+  CASE WHEN len(d.arr) = 0 THEN 0.0
+       ELSE ROUND((len(d.arr) - COALESCE(agg.n_distinct, 0)) / len(d.arr), 6)
+       END AS dup_word_frac,
+  CASE WHEN len(d.arr) = 0 THEN 0.0
+       ELSE ROUND(COALESCE(agg.top_word, 0) / len(d.arr), 6) END AS top_word_frac,
+  CASE WHEN len(d.arr) < 2 THEN 0.0
+       ELSE ROUND(COALESCE(bagg.top_bigram, 0) / (len(d.arr) - 1), 6)
+       END AS top_bigram_frac
+FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+LEFT JOIN bagg ON d.doc_id = bagg.doc_id ORDER BY d.doc_id"""
+
+
+def _entropy_sql() -> str:
+    """Unigram word entropy H = log2(n) − Σc·log2(c)/n — the exact
+    parenthesization of functions/text.py:entropy_batch (both engines call
+    the platform libm log2 on small integers)."""
+    return rf"""
+WITH {_DOC_WORDS_CTE},
+w AS (SELECT doc_id, unnest(arr) AS tok FROM d),
+wc AS (SELECT doc_id, tok, COUNT(*)::DOUBLE AS c FROM w GROUP BY doc_id, tok),
+s AS (SELECT doc_id, SUM(c * LOG2(c)) AS clogc FROM wc GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN len(d.arr) = 0 THEN 0.0
+       ELSE ROUND(LOG2(len(d.arr)::DOUBLE) - COALESCE(s.clogc, 0) / len(d.arr), 6)
+       END AS entropy
+FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"""
+
+
 def _jaccard_sql(threshold: float = 0.5) -> str:
     """All-pairs word-3-gram Jaccard ≥ threshold on shingle STRINGS — the
     engine computes the identical sets as collision-free 64-bit hashes of
@@ -863,6 +944,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": tabular.q_knn_ivf,  # SQL-oracled (nprobe = nlist ⇒ exact)
         "embedding_near_dups": tabular.q_embedding_near_dups,  # SQL-oracled (exact path)
         "multimodal_image_features": tabular.q_multimodal_features,
+        # --- new in r4 (must be driver-checked this round) ---
+        "gopher_quality": tabular.q_gopher_quality,  # SQL-oracled (_gopher_sql)
+        "repetition_stats": tabular.q_repetition_stats,  # SQL-oracled
+        "doc_entropy": tabular.q_doc_entropy,  # SQL-oracled
         # graph build operators (SURVEY.md §2.2/§2.5/§2.7)
         "edges_dedup": tabular.q_edges_dedup,
         "out_degree": tabular.q_out_degree,
@@ -1239,6 +1324,9 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY q"
         ),
         "doc_quality": _doc_quality_sql(),
+        "gopher_quality": _gopher_sql(),
+        "repetition_stats": _repetition_sql(),
+        "doc_entropy": _entropy_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "minhash_dedup_docs": _minhash_sql(),

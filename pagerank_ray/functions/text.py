@@ -212,3 +212,136 @@ def md5_hex(texts: pd.Series) -> pd.Series:
     import hashlib
 
     return texts.fillna("").map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules + repetition ratios + unigram entropy
+# (published corpus-filter heuristics: Rae et al. 2021 "Scaling Language
+# Models: ... Gopher" §A1.1; all semantics pinned to be exactly
+# SQL-reproducible so the driver hash-checks them against DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+
+def _tokens_flat(texts: pd.Series) -> tuple[pd.Series, np.ndarray, np.ndarray]:
+    """Whitespace tokens of the trimmed texts, flattened batch-wide:
+    returns (flat_token_series, doc_index_per_token, n_words_per_doc).
+    Empty/whitespace-only docs contribute 0 tokens."""
+    stripped = texts.fillna("").str.strip()
+    tokens = stripped.str.split()
+    n_words = tokens.str.len().fillna(0).to_numpy(dtype=np.int64)
+    n_words = np.where(stripped.str.len().to_numpy(dtype=np.int64) == 0, 0, n_words)
+    flat = tokens.explode(ignore_index=True)  # empty lists emit one NaN row
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), np.maximum(n_words, 1))
+    keep = flat.notna().to_numpy()
+    return flat[keep].reset_index(drop=True), doc_idx[keep], n_words
+
+
+def gopher_stats_batch(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc Gopher quality signals: word count, total word chars, mean
+    word length, stopword count, and the pass flag
+
+        50 <= n_words <= 100000
+        AND 3 <= mean_word_len <= 10   (tested as the EXACT integer
+                                        inequality 3*n_words <= word_chars
+                                        <= 10*n_words — no float boundary)
+        AND stop_count >= 2
+
+    mean_word_len is additionally reported rounded half-away to 6.
+    """
+    n = len(texts)
+    stripped = texts.fillna("").str.strip()
+    word_chars = (
+        stripped.str.replace(r"\s+", "", regex=True).str.len().to_numpy(dtype=np.int64)
+    )
+    flat, doc_idx, n_words = _tokens_flat(texts)
+    (stop_count,) = (
+        [np.zeros(n, dtype=np.int64)]
+        if len(flat) == 0
+        else [
+            np.bincount(
+                doc_idx[flat.str.lower().isin(_STOP_EN).to_numpy()], minlength=n
+            ).astype(np.int64)
+        ]
+    )
+    nw = np.maximum(n_words, 1)
+    mean_wl = word_chars / nw
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (3 * n_words <= word_chars)
+        & (word_chars <= 10 * n_words)
+        & (stop_count >= 2)
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "n_words": n_words,
+            "word_chars": word_chars,
+            "mean_word_len": mean_wl,
+            "stop_count": stop_count,
+            "gopher_pass": gopher_pass,
+        }
+    )
+
+
+def repetition_stats_batch(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc repetition ratios (the Gopher dedup-adjacent signals):
+
+      dup_word_frac  = (n_words - n_distinct_words) / n_words
+      top_word_n     = occurrences of the most frequent word
+      top_bigram_n   = occurrences of the most frequent adjacent word pair
+
+    Fractions are exact integer ratios; 0 when the denominator is 0.
+    One C-level pandas groupby over the exploded batch — no per-doc loop.
+    """
+    n = len(texts)
+    flat, doc_idx, n_words = _tokens_flat(texts)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top_word = np.zeros(n, dtype=np.int64)
+    top_bigram = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        df = pd.DataFrame({"d": doc_idx, "w": flat})
+        per = df.groupby(["d", "w"], sort=False).size()
+        agg = per.groupby(level=0).agg(["size", "max"])
+        d = agg.index.to_numpy(dtype=np.int64)
+        n_distinct[d] = agg["size"].to_numpy(dtype=np.int64)
+        top_word[d] = agg["max"].to_numpy(dtype=np.int64)
+        # adjacent bigrams: pair token i with token i+1 of the SAME doc
+        same = doc_idx[1:] == doc_idx[:-1]
+        if same.any():
+            lead = flat.shift(-1)
+            big = (flat.str.cat(lead, sep="\x00"))[:-1][same]
+            bdf = pd.DataFrame({"d": doc_idx[:-1][same], "g": big})
+            bper = bdf.groupby(["d", "g"], sort=False).size().groupby(level=0).max()
+            top_bigram[bper.index.to_numpy(dtype=np.int64)] = bper.to_numpy(
+                dtype=np.int64
+            )
+    nw = np.maximum(n_words, 1)
+    return pd.DataFrame(
+        {
+            "n_words": n_words,
+            "dup_word_frac": (n_words - n_distinct) / nw,
+            "top_word_frac": top_word / nw,
+            "top_bigram_frac": top_bigram / np.maximum(n_words - 1, 1),
+        }
+    )
+
+
+def entropy_batch(texts: pd.Series) -> np.ndarray:
+    """Per-doc unigram (word) Shannon entropy in bits:
+
+        H = log2(n) - (Σ_w c_w * log2(c_w)) / n
+
+    — that exact parenthesization on both engines (the DuckDB oracle mirrors
+    it term for term), 0 for empty docs."""
+    n = len(texts)
+    flat, doc_idx, n_words = _tokens_flat(texts)
+    ent = np.zeros(n, dtype=np.float64)
+    if len(flat):
+        per = pd.DataFrame({"d": doc_idx, "w": flat}).groupby(["d", "w"], sort=False).size()
+        c = per.to_numpy(dtype=np.float64)
+        d = per.index.get_level_values(0).to_numpy(dtype=np.int64)
+        s = np.zeros(n, dtype=np.float64)
+        np.add.at(s, d, c * np.log2(c))
+        nz = n_words > 0
+        ent[nz] = np.log2(n_words[nz].astype(np.float64)) - s[nz] / n_words[nz]
+    return ent

@@ -2106,3 +2106,78 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     out = image_features(media, embed_dim=32, concurrency=4).to_pandas()
     out["embedding"] = out["embedding"].map(lambda v: [round(float(x), 6) for x in v])
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus-filter heuristics (Gopher rules, repetition ratios, entropy) — r4
+# ---------------------------------------------------------------------------
+
+def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 adapted to
+    this corpus): word count bounds, mean-word-length band tested as the
+    EXACT integer inequality (no float boundary), stopword floor. One
+    vectorized pass (functions.text.gopher_stats_batch); hash-checked
+    against a DuckDB oracle computing the identical integers."""
+    from pagerank_ray.functions.text import gopher_stats_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        out = gopher_stats_batch(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        out["mean_word_len"] = _round_half_away(out["mean_word_len"], 6)
+        return out
+
+    return (
+        docs.map_batches(stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher repetition ratios per document: duplicate-word fraction, top
+    word fraction, top adjacent-bigram fraction — exact integer ratios
+    rounded half-away to 6, hash-checked against a DuckDB unnest+window
+    oracle with identical tie-free max-count semantics."""
+    from pagerank_ray.functions.text import repetition_stats_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        out = repetition_stats_batch(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        for c in ("dup_word_frac", "top_word_frac", "top_bigram_frac"):
+            out[c] = _round_half_away(out[c], 6)
+        return out
+
+    return (
+        docs.map_batches(stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_doc_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document unigram Shannon entropy (bits), H = log2(n) - Σc·log2(c)/n
+    with that exact parenthesization mirrored in the DuckDB oracle."""
+    from pagerank_ray.functions.text import entropy_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "entropy": _round_half_away(entropy_batch(df["text"]), 6),
+            }
+        )
+
+    return (
+        docs.map_batches(ent, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
