@@ -881,6 +881,28 @@ def _bloom_sql(mod: int = 7, m_bits: int = 4096) -> str:
     )
 
 
+def _cms_sql(width: int = 512, k: int = 25) -> str:
+    """DuckDB reimplementation of the Count-Min heavy hitters
+    (tabular.q_cms_heavy_hitters): identical fmix64 per key, row-0 slot
+    h % width, row-1 slot (h >> 32) % width, counters = per-slot row counts,
+    estimate = LEAST of the key's two counters — so the top-k INCLUDING the
+    sketch's deterministic overestimates hash-matches."""
+    return (
+        "WITH lv AS (SELECT l_partkey AS k, l_partkey::UBIGINT AS x FROM lineitem), "
+        + _fmix_chain_sql("c", "lv")
+        + ", "
+        f"pos AS (SELECT k, (h % {width})::BIGINT AS s0, "
+        f"((h >> 32) % {width})::BIGINT AS s1 FROM chv), "
+        "c0 AS (SELECT s0, COUNT(*)::BIGINT AS n FROM pos GROUP BY s0), "
+        "c1 AS (SELECT s1, COUNT(*)::BIGINT AS n FROM pos GROUP BY s1), "
+        "keys AS (SELECT k, s0, s1, COUNT(*)::BIGINT AS true_count "
+        "FROM pos GROUP BY k, s0, s1) "
+        "SELECT keys.k AS l_partkey, LEAST(c0.n, c1.n) AS cms_est, true_count "
+        "FROM keys JOIN c0 USING (s0) JOIN c1 USING (s1) "
+        f"ORDER BY cms_est DESC, keys.k LIMIT {k}"
+    )
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """DuckDB reimplementation of ``simhash_near_dups``: per-doc 64-bit
     SimHash (per-bit token votes, tie → 0, empty doc → 0) then ALL-PAIRS
@@ -948,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": tabular.q_gopher_quality,  # SQL-oracled (_gopher_sql)
         "repetition_stats": tabular.q_repetition_stats,  # SQL-oracled
         "doc_entropy": tabular.q_doc_entropy,  # SQL-oracled
+        "cms_heavy_hitters": tabular.q_cms_heavy_hitters,  # SQL-oracled (_cms_sql)
         # graph build operators (SURVEY.md §2.2/§2.5/§2.7)
         "edges_dedup": tabular.q_edges_dedup,
         "out_degree": tabular.q_out_degree,
@@ -1327,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_sql(),
         "repetition_stats": _repetition_sql(),
         "doc_entropy": _entropy_sql(),
+        "cms_heavy_hitters": _cms_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "minhash_dedup_docs": _minhash_sql(),

@@ -2181,3 +2181,38 @@ def q_doc_entropy(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def q_cms_heavy_hitters(sf_dir: str, width: int = 512, k: int = 25) -> pd.DataFrame:
+    """Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
+    frequency companion of the HLL/Bloom sketch family: a 2×``width`` CMS is
+    built over every lineitem part key (per-batch bincount pre-aggregation,
+    counter rows — never keys — shuffle), then the exact per-key counts (an
+    ordinary grouped count) are annotated with their CMS point estimate from
+    the broadcast counters and the top ``k`` by (estimate DESC, key) are
+    reported WITH the exact count — the sketch's deterministic overestimate
+    is part of the hash-checked output (__ray_entry__._cms_sql)."""
+    from pagerank_ray.stages.graph_build import grouped_count
+    from pagerank_ray.stages.sketch import cms_build, cms_estimate
+
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    counters = cms_build(li, "l_partkey", width=width)
+
+    counts = grouped_count(li, "l_partkey", "true_count")
+
+    import ray
+
+    ctr_ref = ray.put(counters)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        ctr = ray.get(ctr_ref)
+        keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        return t.append_column("cms_est", pa.array(cms_estimate(keys, ctr)))
+
+    top = (
+        counts.map_batches(annotate, batch_format="pyarrow")
+        .sort(["cms_est", "l_partkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return top[["l_partkey", "cms_est", "true_count"]].reset_index(drop=True)

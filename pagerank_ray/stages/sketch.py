@@ -194,3 +194,50 @@ def bloom_filter_keys(
         return t.filter(pa.array(b[b1] & b[b2]))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — SQL-reproducible frequency sketch (heavy hitters)
+# (Cormode & Muthukrishnan, J. Algorithms 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_build(ds: rd.Dataset, col: str, *, width: int = 512) -> np.ndarray:
+    """Distributed Count-Min build (depth 2 × ``width``) over an int key
+    column: both row positions come from ONE shared fmix64 per key (low bits
+    and bits ≥ 32 — the same double-hashing split as the Bloom filter), each
+    batch pre-aggregates its slot counts locally (np.bincount), and a
+    groupby-sum over ≤ 2·width slot rows combines them — the counters, never
+    the keys, shuffle. Exactly SQL-reproducible (__ray_entry__._cms_sql)."""
+
+    def slots(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = fmix64(vals)
+        s0 = (h % np.uint64(width)).astype(np.int64)
+        s1 = (h >> np.uint64(32)) % np.uint64(width) + np.uint64(width)
+        flat = np.concatenate([s0, s1.astype(np.int64)])
+        cnt = np.bincount(flat, minlength=2 * width)
+        idx = np.flatnonzero(cnt)
+        return pa.table({"slot": pa.array(idx), "n": pa.array(cnt[idx])})
+
+    final = (
+        ds.select_columns([col])
+        .map_batches(slots, batch_format="pyarrow")
+        .groupby("slot")
+        .sum("n")
+        .to_pandas()
+    )
+    counters = np.zeros(2 * width, dtype=np.int64)
+    if len(final):
+        counters[final["slot"].to_numpy(np.int64)] = final["sum(n)"].to_numpy(np.int64)
+    return counters.reshape(2, width)
+
+
+def cms_estimate(keys: np.ndarray, counters: np.ndarray) -> np.ndarray:
+    """Point estimates: min over the sketch rows at the key's two positions
+    (never underestimates; overestimation is deterministic given the hash)."""
+    width = counters.shape[1]
+    h = fmix64(keys.astype(np.uint64))
+    e0 = counters[0][(h % np.uint64(width)).astype(np.int64)]
+    e1 = counters[1][((h >> np.uint64(32)) % np.uint64(width)).astype(np.int64)]
+    return np.minimum(e0, e1)
