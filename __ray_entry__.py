@@ -294,6 +294,48 @@ def _sssp_sql(mod: int = 1009, rounds: int = 16) -> str:
     )
 
 
+def _salsa_sql(iters: int = 5) -> str:
+    """Unrolled SALSA (tabular.q_salsa): HITS with degree-normalized sums —
+    each contribution is ``x * (1.0/deg)``, the exact arithmetic of the
+    engine's stored row-normalized unit weights (csr.build_shard_table
+    computes 1.0/out_deg with one division, the gather multiplies), then the
+    same raw-sum-then-L1-scale-to-n as _hits_sql."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        "od AS MATERIALIZED (SELECT s AS id, COUNT(*)::DOUBLE AS deg FROM e GROUP BY s),",
+        "idg AS MATERIALIZED (SELECT d AS id, COUNT(*)::DOUBLE AS deg FROM e GROUP BY d),",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+        "h0 AS (SELECT id, 1.0::DOUBLE AS x FROM v),",
+    ]
+    for i in range(iters):
+        p.append(
+            f"ar{i} AS MATERIALIZED (SELECT v.id, COALESCE(t.sm, 0)::DOUBLE AS x "
+            f"FROM v LEFT JOIN (SELECT e.d AS id, SUM(h.x * (1.0 / od.deg)) AS sm "
+            f"FROM e JOIN h{i} h ON h.id = e.s JOIN od ON od.id = e.s "
+            f"GROUP BY e.d) t ON t.id = v.id),"
+        )
+        p.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT id, "
+            f"x * ((SELECT n FROM nn) / (SELECT SUM(x) FROM ar{i})) AS x FROM ar{i}),"
+        )
+        p.append(
+            f"hr{i} AS MATERIALIZED (SELECT v.id, COALESCE(t.sm, 0)::DOUBLE AS x "
+            f"FROM v LEFT JOIN (SELECT e.s AS id, SUM(a.x * (1.0 / idg.deg)) AS sm "
+            f"FROM e JOIN a{i + 1} a ON a.id = e.d JOIN idg ON idg.id = e.d "
+            f"GROUP BY e.s) t ON t.id = v.id),"
+        )
+        p.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT id, "
+            f"x * ((SELECT n FROM nn) / (SELECT SUM(x) FROM hr{i})) AS x FROM hr{i}),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + (
+        f"\nSELECT a.id, ROUND(a.x, 6) AS auth, ROUND(h.x, 6) AS hub "
+        f"FROM a{iters} a JOIN h{iters} h ON h.id = a.id ORDER BY a.id"
+    )
+
+
 def _kcore_sql(k: int = 7, rounds: int = 10) -> str:
     """Fixed-unroll k-core peel (pipelines/kcore.py): over the symmetrized
     pair-deduped edge set, each round drops every vertex whose degree < k and
@@ -971,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": tabular.q_repetition_stats,  # SQL-oracled
         "doc_entropy": tabular.q_doc_entropy,  # SQL-oracled
         "cms_heavy_hitters": tabular.q_cms_heavy_hitters,  # SQL-oracled (_cms_sql)
+        "salsa": tabular.q_salsa,  # SQL-oracled (_salsa_sql)
         # graph build operators (SURVEY.md §2.2/§2.5/§2.7)
         "edges_dedup": tabular.q_edges_dedup,
         "out_degree": tabular.q_out_degree,
@@ -1351,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_sql(),
         "doc_entropy": _entropy_sql(),
         "cms_heavy_hitters": _cms_sql(),
+        "salsa": _salsa_sql(iters=5),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "minhash_dedup_docs": _minhash_sql(),

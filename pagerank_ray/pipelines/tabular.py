@@ -2216,3 +2216,66 @@ def q_cms_heavy_hitters(sf_dir: str, width: int = 512, k: int = 25) -> pd.DataFr
         .to_pandas()
     )
     return top[["l_partkey", "cms_est", "true_count"]].reset_index(drop=True)
+
+
+def q_salsa(sf_dir: str, n_workers: int = 4, iters: int = 5) -> pd.DataFrame:
+    """SALSA (Lempel & Moran, WWW 2000) — the stochastic cousin of HITS: the
+    alternating neighbor sums use DEGREE-NORMALIZED contributions,
+    a(v) = Σ_{u→v} h(u)/out(u) and h(u) = Σ_{u→v} a(v)/in(v), i.e. the HITS
+    recurrence over row-stochastic matrices both ways. Runs on the identical
+    dual-CSR MODE_SUM machinery as q_hits, but both CSRs are built WEIGHTED
+    with unit weights row-normalized at build (csr.build_shard_table stores
+    exactly 1.0/out_deg per edge — one division, mirrored term-for-term by
+    the oracle's ``x * (1.0/od)``). L1-scaled to Σ = n each half-step like
+    HITS; hash-checked against the unrolled DuckDB oracle
+    (__ray_entry__._salsa_sql)."""
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    from pagerank_ray.pipelines.hits import hits
+    from pagerank_ray.stages import joins
+
+    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
+    dense_edges = dense_edges.materialize()  # feeds both weighted CSR builds
+
+    def unit_w(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "weight", pa.array(np.ones(t.num_rows, dtype=np.float64))
+        )
+
+    def swap_w(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_id": t.column("dst_id"),
+                "dst_id": t.column("src_id"),
+                "weight": pa.array(np.ones(t.num_rows, dtype=np.float64)),
+            }
+        )
+
+    csr_fwd = os.path.join(_graph_workdir(sf_dir, "salsafwd"), "csr")
+    csr_rev = os.path.join(_graph_workdir(sf_dir, "salsarev"), "csr")
+    prepare_csr_from_edges(
+        dense_edges.map_batches(unit_w, batch_format="pyarrow"),
+        n, csr_fwd, n_parts=4 * n_workers,
+    )
+    prepare_csr_from_edges(
+        dense_edges.map_batches(swap_w, batch_format="pyarrow"),
+        n, csr_rev, n_parts=4 * n_workers,
+    )
+    res = hits(csr_fwd, csr_rev, n_workers=n_workers, iters=iters)
+
+    def name_auth(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t.column("id"), "auth": t.column("value")})
+
+    merged = joins.attach_column(
+        res.authorities.map_batches(name_auth, batch_format="pyarrow"),
+        res.hubs,
+        probe_col="id",
+        build_key="id",
+        build_val="value",
+        out_col="hub",
+        build_count=n,
+    )
+    df = _attach_orig(merged, id_map, n, ["id"])
+    df = df.sort_values("id").reset_index(drop=True)
+    df["auth"] = _round_half_away(df["auth"], 6)
+    df["hub"] = _round_half_away(df["hub"], 6)
+    return df[["id", "auth", "hub"]]

@@ -469,16 +469,21 @@ class ShardWorker:
                 return seq, d_local
             return out, d_local
         if self.mode == MODE_SUM:
-            # unit edge weight, no teleport/damping: the raw Σ_{u→v} state(u)
+            # no teleport/damping: the raw Σ_{u→v} w_uv·state(u) (unit edge
+            # weight when the CSR stores none — HITS; stored row-normalized
+            # weights when it does — SALSA)
             contrib = np.asarray(self.state, dtype=self.xdtype)
             if self.transport == "shm":
                 out = self.shm_views[self.iter_seq % self.n_buffers]
             else:
                 out = np.empty(self.out_len, dtype=self.xdtype)
-            for s_lo, src_by_dst_s, gs, off, _, _ in self.shards:
+            for s_lo, src_by_dst_s, gs, off, _, w_s in self.shards:
                 if len(gs) == 0:
                     continue
-                _gather_reduce(contrib[s_lo:] if s_lo else contrib, src_by_dst_s, gs, out, off)
+                _gather_reduce(
+                    contrib[s_lo:] if s_lo else contrib, src_by_dst_s, gs, out, off,
+                    w=w_s if self.weighted else None,
+                )
             if self.transport == "shm":
                 seq = self.iter_seq
                 self.iter_seq += 1
@@ -766,6 +771,11 @@ class BSPEngine:
                 f"weighted MODE_PAGERANK requires a row-normalized CSR; "
                 f"{csr_dir} stores raw weights (normalize_weights=False) — "
                 "the transition matrix would not be stochastic"
+            )
+        if mode == MODE_SUM and weighted and not norm_w:
+            raise ValueError(
+                f"weighted MODE_SUM (SALSA) requires a row-normalized CSR; "
+                f"{csr_dir} stores raw weights (normalize_weights=False)"
             )
         groups = assign_parts_to_workers(self.manifest, n_workers)
         self.n_workers = len(groups)

@@ -370,6 +370,61 @@ def test_mode_weight_semantics_rejected(ray_session, tmp_path):
     BSPEngine(norm_csr, n_workers=2, mode=MODE_PAGERANK)
     BSPEngine(raw_csr, n_workers=2, mode=MODE_DISTW)
 
+    # weighted MODE_SUM (SALSA) follows the PageRank rule: normalized only
+    from pagerank_ray.state.superstep import MODE_SUM
+
+    with pytest.raises(ValueError, match="SALSA"):
+        BSPEngine(raw_csr, n_workers=2, mode=MODE_SUM)
+    BSPEngine(norm_csr, n_workers=2, mode=MODE_SUM)
+
+
+def test_salsa_matches_numpy_oracle(ray_session, tmp_path):
+    """SALSA recurrence against a dense NumPy oracle: row-stochastic W_out
+    forward, W_in backward, L1-scale to n each half-step — independent of
+    the SQL oracle path."""
+    from pagerank_ray.pipelines.hits import hits
+
+    rng = np.random.default_rng(11)
+    n = 40
+    src, dst = [], []
+    for u in range(n):
+        for v in sorted(set(rng.integers(0, n, size=3).tolist()) - {u}):
+            src.append(u)
+            dst.append(v)
+    src = np.array(src, np.int64)
+    dst = np.array(dst, np.int64)
+    fwd = str(tmp_path / "sfwd")
+    rev = str(tmp_path / "srev")
+    ones = np.ones(len(src), np.float64)
+    import pyarrow as pa
+    import ray.data as rd
+
+    prepare_csr_from_edges(
+        rd.from_arrow(pa.table({"src_id": src, "dst_id": dst, "weight": ones})),
+        n, fwd, n_parts=3)
+    prepare_csr_from_edges(
+        rd.from_arrow(pa.table({"src_id": dst, "dst_id": src, "weight": ones})),
+        n, rev, n_parts=3)
+    res = hits(fwd, rev, n_workers=2, iters=4)
+
+    # dense oracle
+    A = np.zeros((n, n))
+    A[src, dst] = 1.0
+    outd = A.sum(axis=1)
+    ind = A.sum(axis=0)
+    Wf = A * np.divide(1.0, outd, out=np.zeros(n), where=outd > 0)[:, None]
+    Wb = A * np.divide(1.0, ind, out=np.zeros(n), where=ind > 0)[None, :]
+    h = np.ones(n)
+    for _ in range(4):
+        a = Wf.T @ h
+        a *= n / a.sum()
+        h = Wb @ a
+        h *= n / h.sum()
+    got_a = res.authorities.to_pandas().sort_values("id")["value"].to_numpy()
+    got_h = res.hubs.to_pandas().sort_values("id")["value"].to_numpy()
+    np.testing.assert_allclose(got_a, a, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(got_h, h, rtol=1e-10, atol=1e-12)
+
 
 def test_build_graph_rejects_bad_dedup_stage(ray_session, tmp_path):
     import ray.data as rd
