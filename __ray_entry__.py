@@ -261,6 +261,45 @@ def _bfs_sql(mod: int = 1009, rounds: int = 10) -> str:
     )
 
 
+def _ecc_sql(mod: int = 577, n_seeds: int = 4, rounds: int = 16) -> str:
+    """Fixed-unroll PER-SEED min-plus (tabular.q_graph_eccentricity): state
+    keyed (seed, id) so each seed's BFS runs independently in one unroll;
+    the final aggregate mirrors the engine's histogram pass — ecc = max
+    finite dist, n_reached incl. the seed, p90 = min d with cumulative
+    count >= CEIL(0.9 * n_reached) computed over the double product."""
+    inf = 1 << 62
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "es AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        f"seeds AS MATERIALIZED (SELECT id AS seed FROM v WHERE id % {mod} = 0 "
+        f"ORDER BY id LIMIT {n_seeds}),",
+        f"b0 AS (SELECT seed, id, CASE WHEN id = seed THEN 0 "
+        f"ELSE {inf} END::BIGINT AS dist FROM seeds, v),",
+    ]
+    for i in range(rounds):
+        p.append(
+            f"b{i + 1} AS MATERIALIZED (SELECT cur.seed, cur.id, "
+            f"LEAST(cur.dist, COALESCE(inc.m, {inf})) AS dist "
+            f"FROM b{i} cur LEFT JOIN "
+            f"(SELECT c.seed, es.d AS id, MIN(c.dist + 1) AS m FROM es "
+            f"JOIN b{i} c ON c.id = es.s GROUP BY c.seed, es.d) inc "
+            f"ON inc.seed = cur.seed AND inc.id = cur.id),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + f"""
+, fin AS (SELECT seed, dist, COUNT(*)::BIGINT AS cnt FROM b{rounds}
+          WHERE dist < {inf} GROUP BY seed, dist),
+agg AS (SELECT seed, MAX(dist)::BIGINT AS ecc, SUM(cnt)::BIGINT AS n_reached
+        FROM fin GROUP BY seed),
+cum AS (SELECT seed, dist, SUM(cnt) OVER (PARTITION BY seed ORDER BY dist) AS cum
+        FROM fin)
+SELECT agg.seed, agg.ecc, agg.n_reached,
+       (SELECT MIN(dist) FROM cum WHERE cum.seed = agg.seed
+        AND cum.cum >= CEIL(0.9 * agg.n_reached::DOUBLE))::BIGINT AS p90_dist
+FROM agg ORDER BY agg.seed"""
+
+
 def _sssp_sql(mod: int = 1009, rounds: int = 16) -> str:
     """Fixed-unroll weighted SSSP (tabular.q_sssp_weighted): symmetric edge
     weight = Σ l_quantity over both directions of each pair; d⁰ = 0 on seeds
@@ -1014,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": tabular.q_doc_entropy,  # SQL-oracled
         "cms_heavy_hitters": tabular.q_cms_heavy_hitters,  # SQL-oracled (_cms_sql)
         "salsa": tabular.q_salsa,  # SQL-oracled (_salsa_sql)
+        "graph_eccentricity": tabular.q_graph_eccentricity,  # SQL-oracled (_ecc_sql)
         # graph build operators (SURVEY.md §2.2/§2.5/§2.7)
         "edges_dedup": tabular.q_edges_dedup,
         "out_degree": tabular.q_out_degree,
@@ -1395,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_entropy": _entropy_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "salsa": _salsa_sql(iters=5),
+        "graph_eccentricity": _ecc_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "minhash_dedup_docs": _minhash_sql(),

@@ -2279,3 +2279,48 @@ def q_salsa(sf_dir: str, n_workers: int = 4, iters: int = 5) -> pd.DataFrame:
     df["auth"] = _round_half_away(df["auth"], 6)
     df["hub"] = _round_half_away(df["hub"], 6)
     return df[["id", "auth", "hub"]]
+
+
+def q_graph_eccentricity(
+    sf_dir: str, n_workers: int = 4, mod: int = 577, n_seeds: int = 4, unroll: int = 16
+) -> pd.DataFrame:
+    """Per-seed eccentricity / effective-diameter probe (the standard
+    multi-BFS diameter estimate, Palmer et al. KDD'02 family): for each of
+    the ``n_seeds`` smallest vertices with id % mod == 0, one single-source
+    MODE_DIST BFS over the symmetrized lineitem graph reports
+
+      ecc        max finite distance from the seed
+      n_reached  vertices at finite distance (incl. the seed)
+      p90_dist   min d with cumulative reached >= CEIL(0.9 * n_reached)
+                 (CEIL over the double product on both engines)
+
+    Only the per-level distance HISTOGRAM leaves the cluster (≤ ecc rows per
+    seed — never the distance vector); hash-checked against a fixed-unroll
+    multi-seed min-plus DuckDB oracle (__ray_entry__._ecc_sql)."""
+    from pagerank_ray.pipelines.cc import bfs_levels
+    from pagerank_ray.stages.graph_build import grouped_count
+
+    csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=True)
+    im = id_map.to_pandas()
+    cand = np.sort(im.loc[im["orig"] % mod == 0, "orig"].to_numpy(np.int64))[:n_seeds]
+    inf = np.int64(1) << 62
+    rows = []
+    for so in cand:
+        dense = int(im.loc[im["orig"] == so, "dense"].iloc[0])
+        res = bfs_levels(csr, [dense], n_workers=n_workers)
+        if not res.converged:
+            raise RuntimeError("eccentricity BFS did not converge")
+        if res.iterations - 1 > unroll:
+            raise RuntimeError(
+                f"BFS depth {res.iterations - 1} exceeds the {unroll}-round oracle unroll"
+            )
+        hist = grouped_count(res.result, "dist", "cnt").to_pandas()
+        hist = hist[hist["dist"] < inf].sort_values("dist")
+        n_reached = int(hist["cnt"].sum())
+        ecc = int(hist["dist"].max())
+        need = np.ceil(0.9 * float(n_reached))
+        p90 = int(hist.loc[hist["cnt"].cumsum() >= need, "dist"].iloc[0])
+        rows.append((int(so), ecc, n_reached, p90))
+    return pd.DataFrame(
+        rows, columns=["seed", "ecc", "n_reached", "p90_dist"]
+    ).astype(np.int64)
