@@ -333,6 +333,34 @@ def _sssp_sql(mod: int = 1009, rounds: int = 16) -> str:
     )
 
 
+_PARTFLOW = (
+    "(SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d "
+    "FROM lineitem a JOIN lineitem b ON b.l_orderkey = a.l_orderkey "
+    "AND b.l_linenumber = a.l_linenumber + 1)"
+)
+
+
+def _scc_sql() -> str:
+    """SCC oracle over the part-flow graph (tabular.partflow_edges): full
+    reachability closure via a recursive CTE, then scc(v) = min over the
+    mutually-reachable set ∪ {v} — O(V²) pairs, viable at the sf0.01 oracle
+    scale (the engine runs the distributed FW-BW coloring instead)."""
+    return f"""
+WITH RECURSIVE pe AS MATERIALIZED {_PARTFLOW},
+v AS MATERIALIZED (SELECT s AS id FROM pe UNION SELECT d FROM pe),
+r AS (
+  SELECT s AS a, d AS b FROM pe
+  UNION
+  SELECT r.a, pe.d FROM r JOIN pe ON pe.s = r.b
+),
+m AS (
+  SELECT id, id AS w FROM v
+  UNION
+  SELECT r1.a AS id, r1.b AS w FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT id, MIN(w)::BIGINT AS scc FROM m GROUP BY id ORDER BY id"""
+
+
 def _salsa_sql(iters: int = 5) -> str:
     """Unrolled SALSA (tabular.q_salsa): HITS with degree-normalized sums —
     each contribution is ``x * (1.0/deg)``, the exact arithmetic of the
@@ -1054,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": tabular.q_cms_heavy_hitters,  # SQL-oracled (_cms_sql)
         "salsa": tabular.q_salsa,  # SQL-oracled (_salsa_sql)
         "graph_eccentricity": tabular.q_graph_eccentricity,  # SQL-oracled (_ecc_sql)
+        "scc": tabular.q_scc,  # SQL-oracled (_scc_sql reachability closure)
         # graph build operators (SURVEY.md §2.2/§2.5/§2.7)
         "edges_dedup": tabular.q_edges_dedup,
         "out_degree": tabular.q_out_degree,
@@ -1436,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _cms_sql(),
         "salsa": _salsa_sql(iters=5),
         "graph_eccentricity": _ecc_sql(),
+        "scc": _scc_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "minhash_dedup_docs": _minhash_sql(),

@@ -1,0 +1,236 @@
+"""Strongly connected components — distributed forward-backward coloring.
+
+The classic FW-BW / coloring scheme (Fleischer et al. IPDPS 2000; Orzan 2004;
+Slota et al. "MultiStep" IPDPS 2014) composed ENTIRELY from engine pieces that
+already exist — no new superstep mode:
+
+per round, over the remaining active subgraph:
+
+  1. vertices with no remaining edge settle immediately as singleton SCCs
+     (they cannot co-cycle with anyone);
+  2. F = hash-min propagation along FORWARD edges to the fixpoint
+     (MODE_MIN over the forward CSR): F(v) = min id over {v} ∪ ancestors(v).
+     Every vertex on any path from the color root c = F(v) to v carries the
+     same color c (min-ancestor is monotone along edges), so
+  3. edges are filtered to SAME-COLOR pairs F(src) == F(dst) — an SCC can
+     never span two colors — and
+  4. B = hash-min along the REVERSED same-color edges:
+     B(v) = min id over {v} ∪ same-color descendants(v). All ids in color c
+     are ≥ c, so B(v) == F(v) == c  ⇔  v reaches c inside the color ⇔
+     v ∈ SCC(c)  (c reaches every v it colors, per 2).
+  5. Settled vertices and their SCCs leave the active set; surviving edges
+     are the same-color pairs with both endpoints still active.
+
+Each round settles at least the SCC of every color root, so the active set
+shrinks every round (the giant SCC and the trimmed periphery of a web-style
+graph go in the first rounds); a ``max_rounds`` guard raises rather than
+spinning on an adversarial chain.
+
+Scale shape: labels/edges move only through Dataset joins
+(broadcast-or-hash, stages/joins.py) and the O(W)-exchange MODE_MIN
+supersteps; the driver sees only per-round counts. Per-round CSR rebuilds
+are the documented cost — the active set shrinks geometrically in practice,
+and rebuilding beats masking settled vertices inside the kernel.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from pagerank_ray.pipelines.cc import _run_label_loop
+from pagerank_ray.state.superstep import BSPEngine, MODE_MIN
+
+
+@dataclass
+class SCCResult:
+    result: rd.Dataset  # (id, scc) — scc = min member id of the component
+    rounds: int
+    n_vertices: int
+
+
+def _min_labels(
+    edges: rd.Dataset, n: int, csr_dir: str, n_workers: int
+) -> rd.Dataset:
+    """Hash-min propagation to the fixpoint over a CSR built from ``edges``
+    (isolated ids in 0..n-1 keep their own id)."""
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+
+    prepare_csr_from_edges(edges, n, csr_dir, n_parts=4 * n_workers)
+    eng = BSPEngine(csr_dir, n_workers=n_workers, mode=MODE_MIN)
+    res = _run_label_loop(eng, max_iters=500, checkpoint_root=None,
+                          checkpoint_every=10**9, resume=False)
+    if not res.converged:
+        raise RuntimeError("hash-min propagation did not converge in 500 supersteps")
+    return res.result  # (id, label)
+
+
+def _attach_label(
+    edges: rd.Dataset, labels: rd.Dataset, col: str, out: str, n: int
+) -> rd.Dataset:
+    from pagerank_ray.stages import joins
+
+    return joins.attach_column(
+        edges, labels, probe_col=col, build_key="id", build_val="label",
+        out_col=out, build_count=n,
+    )
+
+
+def strongly_connected_components(
+    edges: rd.Dataset,
+    n: int,
+    work_dir: str,
+    *,
+    n_workers: int,
+    max_rounds: int = 30,
+) -> SCCResult:
+    """``edges``: directed (src_id, dst_id) in dense 0..n-1 id space (dense
+    ids sorted by original id, so min-label semantics survive the mapping).
+    Returns every vertex with the min member id of its SCC."""
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.graph_build import distinct_values
+
+    def endpoints_of(e: rd.Dataset) -> rd.Dataset:
+        def mentions(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            merged = pa.concat_arrays([
+                t.column("src_id").combine_chunks().cast(pa.int64()),
+                t.column("dst_id").combine_chunks().cast(pa.int64()),
+            ])
+            return pa.table({"id": pc.unique(merged)})
+
+        return distinct_values(e.map_batches(mentions, batch_format="pyarrow"), "id")
+
+    active_v = rd.range(n).map_batches(
+        lambda t: pa.table({"id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    e = edges
+    settled_parts: list[rd.Dataset] = []
+    rounds = 0
+    n_active = n
+    while n_active > 0:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"SCC did not finish within {max_rounds} rounds "
+                f"({n_active} vertices still active)"
+            )
+        rounds += 1
+        ep = endpoints_of(e).materialize()
+
+        # 1. active vertices with no remaining edge → singleton SCCs
+        flagged = joins.attach_with_default(
+            active_v, ep.map_batches(
+                lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
+                batch_format="pyarrow"),
+            probe_col="id", build_key="id", build_val="one", out_col="has_edge",
+            default=0, build_count=n,
+        )
+        def pick_singles(t: pa.Table) -> pa.Table:
+            ids = t.column("id").filter(pa.compute.equal(t.column("has_edge"), 0))
+            return pa.table({"id": ids, "scc": ids})
+
+        settled_parts.append(
+            flagged.map_batches(pick_singles, batch_format="pyarrow").materialize()
+        )
+
+        if ep.count() == 0:
+            break
+
+        # 2. forward colors
+        fwd_dir = os.path.join(work_dir, f"r{rounds}_fwd", "csr")
+        labels_f = _min_labels(e, n, fwd_dir, n_workers).materialize()
+
+        # 3. same-color edges only (an SCC never spans two colors)
+        ef = _attach_label(e, labels_f, "src_id", "f_src", n)
+        ef = _attach_label(ef, labels_f, "dst_id", "f_dst", n)
+        e_same = ef.map_batches(
+            lambda t: t.filter(pa.compute.equal(t.column("f_src"), t.column("f_dst")))
+            .select(["src_id", "dst_id"]),
+            batch_format="pyarrow",
+        ).materialize()
+
+        # 4. backward min within color
+        rev_dir = os.path.join(work_dir, f"r{rounds}_rev", "csr")
+        rev = e_same.map_batches(
+            lambda t: pa.table({"src_id": t.column("dst_id"), "dst_id": t.column("src_id")}),
+            batch_format="pyarrow",
+        )
+        labels_b = _min_labels(rev, n, rev_dir, n_workers)
+
+        # 5. settle F == B among this round's edge endpoints
+        fb = _attach_label(
+            labels_f.map_batches(
+                lambda t: pa.table({"id": t.column("id"), "f": t.column("label")}),
+                batch_format="pyarrow"),
+            labels_b, "id", "b", n,
+        )
+        ep_flag = joins.attach_with_default(
+            fb, ep.map_batches(
+                lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
+                batch_format="pyarrow"),
+            probe_col="id", build_key="id", build_val="one", out_col="is_ep",
+            default=0, build_count=n,
+        )
+        def pick_done(t: pa.Table) -> pa.Table:
+            m = pa.compute.and_(
+                pa.compute.equal(t.column("f"), t.column("b")),
+                pa.compute.equal(t.column("is_ep"), 1),
+            )
+            return pa.table(
+                {"id": t.column("id").filter(m), "scc": t.column("f").filter(m)}
+            )
+
+        done = ep_flag.map_batches(pick_done, batch_format="pyarrow").materialize()
+        settled_parts.append(done)
+
+        # 6. shrink: active vertices = endpoints not settled; edges =
+        # same-color pairs with both endpoints still active
+        done_flagged = joins.attach_with_default(
+            ep, done.map_batches(
+                lambda t: pa.table({"id": t.column("id"),
+                                    "one": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            probe_col="id", build_key="id", build_val="one", out_col="is_done",
+            default=0, build_count=n,
+        )
+        active_v = done_flagged.map_batches(
+            lambda t: pa.table({"id": t.column("id").filter(
+                pa.compute.equal(t.column("is_done"), 0))}),
+            batch_format="pyarrow",
+        ).materialize()
+        n_active = active_v.count()
+        if n_active == 0:
+            break
+        ea = joins.attach_with_default(
+            e_same, done.map_batches(
+                lambda t: pa.table({"id": t.column("id"),
+                                    "one": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            probe_col="src_id", build_key="id", build_val="one", out_col="sd",
+            default=0, build_count=n,
+        )
+        ea = joins.attach_with_default(
+            ea, done.map_batches(
+                lambda t: pa.table({"id": t.column("id"),
+                                    "one": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            probe_col="dst_id", build_key="id", build_val="one", out_col="dd",
+            default=0, build_count=n,
+        )
+        e = ea.map_batches(
+            lambda t: t.filter(pa.compute.and_(
+                pa.compute.equal(t.column("sd"), 0),
+                pa.compute.equal(t.column("dd"), 0)))
+            .select(["src_id", "dst_id"]),
+            batch_format="pyarrow",
+        ).materialize()
+
+    out = settled_parts[0]
+    for part in settled_parts[1:]:
+        out = out.union(part)
+    return SCCResult(result=out, rounds=rounds, n_vertices=n)

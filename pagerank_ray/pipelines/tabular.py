@@ -2324,3 +2324,56 @@ def q_graph_eccentricity(
     return pd.DataFrame(
         rows, columns=["seed", "ecc", "n_reached", "p90_dist"]
     ).astype(np.int64)
+
+
+def partflow_edges(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
+    """Directed CYCLIC graph over parts: an edge a→b for every order whose
+    line item with linenumber i+1 for part b directly follows the line item
+    with linenumber i for part a. Co-partitioned by order bucket (one
+    shuffle), pairs formed with a vectorized sort+shift inside each bucket,
+    then the standard bucketed pair dedup — the same shape as the
+    warc-page→edges build, but producing cycles (parts recur across orders
+    in different positions), which is what SCC needs."""
+    from pagerank_ray.stages.graph_build import dedup_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("b", pa.array((ok % n_buckets).astype(np.int64)))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # linenumbers are NOT unique per order in this corpus: the pair rule
+        # is the full cross product per consecutive linenumber pair (the SQL
+        # self-join semantics), via one C-level self-merge per bucket
+        a = df[["l_orderkey", "l_linenumber", "l_partkey"]].rename(
+            columns={"l_partkey": "src_id"}
+        )
+        b = df[["l_orderkey", "l_linenumber", "l_partkey"]].copy()
+        b["l_linenumber"] = b["l_linenumber"] - 1
+        b = b.rename(columns={"l_partkey": "dst_id"})
+        out = a.merge(b, on=["l_orderkey", "l_linenumber"])
+        return out[["src_id", "dst_id"]]
+
+    raw = (
+        li.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return dedup_pairs(raw)
+
+
+def q_scc(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
+    """Strongly connected components (pipelines/scc.py — distributed FW-BW
+    coloring, no new superstep mode) over the cyclic part-flow graph;
+    scc = min original member id. Hash-checked against a DuckDB
+    reachability-closure oracle (recursive CTE) on the same edges."""
+    from pagerank_ray.pipelines.scc import strongly_connected_components
+
+    dense_edges, n, id_map = _compact_ids(partflow_edges(sf_dir))
+    work = _graph_workdir(sf_dir, "sccwork")
+    res = strongly_connected_components(
+        dense_edges.materialize(), n, work, n_workers=n_workers
+    )
+    df = _attach_orig(res.result, id_map, n, ["id", "scc"])
+    return df[["id", "scc"]].sort_values("id").reset_index(drop=True)

@@ -434,3 +434,39 @@ def test_build_graph_rejects_bad_dedup_stage(ray_session, tmp_path):
     with pytest.raises(ValueError, match="dedup_stage"):
         build_graph(rd.from_items([]), str(tmp_path / "w"), n_parts=2,
                     dedup_stage="extract")
+
+
+def test_scc_random_graph_matches_closure_oracle(ray_session, tmp_path):
+    """FW-BW coloring SCC vs a dense boolean-closure oracle on a random
+    directed graph with real multi-vertex SCCs and singletons."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.scc import strongly_connected_components
+
+    rng = np.random.default_rng(3)
+    n, m = 60, 110
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+    src, dst = pairs[:, 0].copy(), pairs[:, 1].copy()
+
+    edges = rd.from_arrow(pa.table({"src_id": src, "dst_id": dst}))
+    res = strongly_connected_components(
+        edges, n, str(tmp_path / "scc"), n_workers=2
+    )
+    got = res.result.to_pandas().sort_values("id").reset_index(drop=True)
+
+    R = np.eye(n, dtype=bool)
+    A = np.zeros((n, n), bool)
+    A[src, dst] = True
+    nxt = R | A
+    while (nxt != R).any():
+        R = nxt
+        nxt = R | (R @ A)
+    both = R & R.T
+    oracle = np.array([np.flatnonzero(both[v]).min() for v in range(n)])
+    assert len(got) == n
+    np.testing.assert_array_equal(got["scc"].to_numpy(), oracle)
+    assert got["scc"].nunique() > 1  # multi-SCC graph, not a trivial case
