@@ -333,6 +333,41 @@ def _sssp_sql(mod: int = 1009, rounds: int = 16) -> str:
     )
 
 
+def _walks_sql(mod: int = 499, length: int = 8) -> str:
+    """Unrolled deterministic random walks (tabular.q_random_walks): per
+    step t the walker at cur moves to the neighbor with dst-sorted rank
+    fmix64(walk·1000003 + t) mod deg(cur) over the symmetrized edge set —
+    the identical hash (shared _fmix_chain_sql) and the identical rank
+    (dense ids preserve original order, so the engine's CSR position is
+    this ORDER BY d row number)."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "es AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        "deg AS MATERIALIZED (SELECT s, COUNT(*)::UBIGINT AS dg FROM es GROUP BY s),",
+        "nbr AS MATERIALIZED (SELECT s, d, (ROW_NUMBER() OVER "
+        "(PARTITION BY s ORDER BY d) - 1)::UBIGINT AS rnk FROM es),",
+        f"w0 AS (SELECT id AS walk, id AS cur FROM v WHERE id % {mod} = 0),",
+    ]
+    for t in range(1, length + 1):
+        p.append(
+            f"x{t} AS (SELECT walk, cur, "
+            f"(walk::UBIGINT * 1000003 + {t})::UBIGINT AS x FROM w{t - 1}),"
+        )
+        p.append(_fmix_chain_sql(f"s{t}", f"x{t}", carry="walk, cur, ") + ",")
+        p.append(
+            f"w{t} AS (SELECT h.walk, nbr.d AS cur FROM s{t}hv h "
+            f"JOIN deg ON deg.s = h.cur "
+            f"JOIN nbr ON nbr.s = h.cur AND nbr.rnk = (h.h % deg.dg)),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    sel = " UNION ALL ".join(
+        f"SELECT walk AS walk_id, {t}::BIGINT AS step, cur AS vertex FROM w{t}"
+        for t in range(length + 1)
+    )
+    return body + f"\n{sel} ORDER BY walk_id, step"
+
+
 _PARTFLOW = (
     "(SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d "
     "FROM lineitem a JOIN lineitem b ON b.l_orderkey = a.l_orderkey "
@@ -1083,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa": tabular.q_salsa,  # SQL-oracled (_salsa_sql)
         "graph_eccentricity": tabular.q_graph_eccentricity,  # SQL-oracled (_ecc_sql)
         "scc": tabular.q_scc,  # SQL-oracled (_scc_sql reachability closure)
+        "random_walks": tabular.q_random_walks,  # SQL-oracled (_walks_sql)
         # graph build operators (SURVEY.md §2.2/§2.5/§2.7)
         "edges_dedup": tabular.q_edges_dedup,
         "out_degree": tabular.q_out_degree,
@@ -1466,6 +1502,7 @@ def oracle_sql() -> dict[str, str]:
         "salsa": _salsa_sql(iters=5),
         "graph_eccentricity": _ecc_sql(),
         "scc": _scc_sql(),
+        "random_walks": _walks_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "minhash_dedup_docs": _minhash_sql(),

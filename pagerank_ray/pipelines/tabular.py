@@ -2377,3 +2377,34 @@ def q_scc(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
     )
     df = _attach_orig(res.result, id_map, n, ["id", "scc"])
     return df[["id", "scc"]].sort_values("id").reset_index(drop=True)
+
+
+def q_random_walks(
+    sf_dir: str, n_workers: int = 4, mod: int = 499, length: int = 8
+) -> pd.DataFrame:
+    """Deterministic random-walk corpus sampling (DeepWalk, Perozzi KDD'14)
+    over the symmetrized lineitem graph: one walker per seed
+    {id % mod == 0}, ``length`` steps, step t moving to the fmix64-chosen
+    rank of the dst-sorted adjacency (pipelines/walks.py — resident
+    shard-actor adjacency, O(n_walks) driver traffic per step). Returns
+    (walk_id, step, vertex) on original ids, hash-checked against an
+    unrolled DuckDB oracle making the identical hash choices
+    (__ray_entry__._walks_sql)."""
+    from pagerank_ray.pipelines.walks import random_walks
+
+    csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=True)
+    im = id_map.to_pandas()
+    sel = im.loc[im["orig"] % mod == 0].sort_values("orig")
+    dense = sel["dense"].to_numpy(np.int64)
+    orig = sel["orig"].to_numpy(np.int64)
+    traj = random_walks(csr, dense, orig, length=length, n_workers=n_workers)
+    orig_of = np.empty(n, np.int64)
+    orig_of[im["dense"].to_numpy(np.int64)] = im["orig"].to_numpy(np.int64)
+    n_walks = len(orig)
+    return pd.DataFrame(
+        {
+            "walk_id": np.repeat(orig, length + 1),
+            "step": np.tile(np.arange(length + 1, dtype=np.int64), n_walks),
+            "vertex": orig_of[traj].reshape(-1),
+        }
+    )
