@@ -213,6 +213,10 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
         "tfidf_topk", "stratified_sample",
     ],
     "web": ["web_flagship_20k_pages", "triangles_web", "labelprop_web"],
+    "graph_r4": ["scc_partflow", "salsa", "random_walks", "graph_eccentricity"],
+    "corpus_r4": [
+        "cms_heavy_hitters", "gopher_quality", "repetition_stats", "doc_entropy",
+    ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
 
@@ -289,6 +293,15 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("tfidf_topk", lambda: tabular.q_tfidf_topk(SF_DIR))
     timed("stratified_sample", lambda: tabular.q_stratified_sample(SF_DIR))
     timed("pagerank_top20_profile", lambda: tabular.q_pagerank_top20_profile(SF_DIR))
+    # r4 graph + corpus additions
+    timed("scc_partflow", lambda: tabular.q_scc(SF_DIR, n_workers=min(8, ncpu)))
+    timed("salsa", lambda: tabular.q_salsa(SF_DIR))
+    timed("random_walks", lambda: tabular.q_random_walks(SF_DIR))
+    timed("graph_eccentricity", lambda: tabular.q_graph_eccentricity(SF_DIR))
+    timed("cms_heavy_hitters", lambda: tabular.q_cms_heavy_hitters(SF_DIR))
+    timed("gopher_quality", lambda: tabular.q_gopher_quality(SF_DIR))
+    timed("repetition_stats", lambda: tabular.q_repetition_stats(SF_DIR))
+    timed("doc_entropy", lambda: tabular.q_doc_entropy(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():
