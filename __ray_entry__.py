@@ -529,6 +529,52 @@ SELECT v.id, COALESCE(cnt.c, 0)::BIGINT AS tri_count
 FROM v LEFT JOIN cnt ON cnt.id = v.id ORDER BY v.id"""
 
 
+def _clustering_sql() -> str:
+    """Local clustering coefficient (tabular.q_clustering_coeff) — the
+    triangle oracle extended with the undirected simple degree and the
+    identical ratio (2.0·tri)/(deg·(deg−1)), 0 for deg < 2."""
+    return f"""
+WITH e0 AS MATERIALIZED {_EDGES},
+v AS (SELECT s AS id FROM e0 UNION SELECT d FROM e0),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(s,d) AS a, GREATEST(s,d) AS b FROM e0 WHERE s <> d),
+deg AS MATERIALIZED (SELECT x AS vv, COUNT(*) AS dg FROM
+  (SELECT a AS x FROM und UNION ALL SELECT b FROM und) t GROUP BY x),
+o AS MATERIALIZED (SELECT
+  CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b) THEN u.a ELSE u.b END AS src,
+  CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b) THEN u.b ELSE u.a END AS dst
+  FROM und u JOIN deg da ON da.vv = u.a JOIN deg db ON db.vv = u.b),
+tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM o e1 JOIN o e2 ON e2.src = e1.dst JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+cnt AS (SELECT id, COUNT(*)::BIGINT AS c FROM corners GROUP BY id)
+SELECT v.id, COALESCE(deg.dg, 0)::BIGINT AS deg, COALESCE(cnt.c, 0)::BIGINT AS tri_count,
+  CASE WHEN COALESCE(deg.dg, 0) < 2 THEN 0.0
+       ELSE ROUND((2.0 * COALESCE(cnt.c, 0)) / (deg.dg * (deg.dg - 1.0)), 6)
+       END AS clustering
+FROM v LEFT JOIN deg ON deg.vv = v.id LEFT JOIN cnt ON cnt.id = v.id ORDER BY v.id"""
+
+
+def _assortativity_sql() -> str:
+    """Degree assortativity (tabular.q_assortativity): exact integer moments
+    over both orientations of the undirected simple edges; final float
+    expression mirrors the engine's qty_price_corr parenthesization."""
+    return f"""
+WITH e0 AS MATERIALIZED {_EDGES},
+und AS MATERIALIZED (SELECT DISTINCT LEAST(s,d) AS a, GREATEST(s,d) AS b FROM e0 WHERE s <> d),
+deg AS MATERIALIZED (SELECT x AS vv, COUNT(*) AS dg FROM
+  (SELECT a AS x FROM und UNION ALL SELECT b FROM und) t GROUP BY x),
+es AS (SELECT a AS s, b AS d FROM und UNION ALL SELECT b, a FROM und),
+m AS (SELECT COUNT(*)::DOUBLE AS n,
+  SUM(da.dg)::DOUBLE AS sx, SUM(db.dg)::DOUBLE AS sy,
+  SUM(da.dg * da.dg)::DOUBLE AS sxx, SUM(db.dg * db.dg)::DOUBLE AS syy,
+  SUM(da.dg * db.dg)::DOUBLE AS sxy
+  FROM es JOIN deg da ON da.vv = es.s JOIN deg db ON db.vv = es.d)
+SELECT n::BIGINT AS n_pairs,
+  ROUND((sxy - (sx * sy) / n) / SQRT((sxx - (sx * sx) / n)
+        * (syy - (sy * sy) / n)), 6) AS assortativity
+FROM m"""
+
+
 def _doc_quality_sql() -> str:
     """The identical quality heuristics as functions/text.py, in DuckDB: RE2
     unicode classes mirror Python's unicode \\w for the punct ratio; stopword
@@ -1119,6 +1165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_eccentricity": tabular.q_graph_eccentricity,  # SQL-oracled (_ecc_sql)
         "scc": tabular.q_scc,  # SQL-oracled (_scc_sql reachability closure)
         "random_walks": tabular.q_random_walks,  # SQL-oracled (_walks_sql)
+        "clustering_coeff": tabular.q_clustering_coeff,  # SQL-oracled
+        "assortativity": tabular.q_assortativity,  # SQL-oracled
         # graph build operators (SURVEY.md §2.2/§2.5/§2.7)
         "edges_dedup": tabular.q_edges_dedup,
         "out_degree": tabular.q_out_degree,
@@ -1503,6 +1551,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_eccentricity": _ecc_sql(),
         "scc": _scc_sql(),
         "random_walks": _walks_sql(),
+        "clustering_coeff": _clustering_sql(),
+        "assortativity": _assortativity_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "minhash_dedup_docs": _minhash_sql(),

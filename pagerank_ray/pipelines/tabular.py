@@ -2408,3 +2408,147 @@ def q_random_walks(
             "vertex": orig_of[traj].reshape(-1),
         }
     )
+
+
+def _undirected_simple(dense_edges: rd.Dataset) -> rd.Dataset:
+    """Canonical (min,max) distinct pairs, self-loops dropped — the
+    undirected simple graph the triangle/clustering/assortativity metrics
+    are defined on (same semantics as pipelines/triangles.py)."""
+    from pagerank_ray.stages.graph_build import dedup_pairs
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table(
+            {
+                "src_id": pa.array(np.minimum(s, d)[keep]),
+                "dst_id": pa.array(np.maximum(s, d)[keep]),
+            }
+        )
+
+    return dedup_pairs(dense_edges.map_batches(canon, batch_format="pyarrow"))
+
+
+def q_clustering_coeff(sf_dir: str) -> pd.DataFrame:
+    """Local clustering coefficient c(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    on the undirected simple lineitem graph (Watts-Strogatz) — composes the
+    existing oriented-wedge triangle counts with a bucketed degree count;
+    0 for deg < 2. Hash-checked against the triangle oracle extended with
+    the identical ratio."""
+    from pagerank_ray.pipelines.triangles import triangle_counts
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.graph_build import grouped_count
+
+    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
+    dense_edges = dense_edges.materialize()
+    tri = triangle_counts(dense_edges, n)
+    und = _undirected_simple(dense_edges)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [
+                        t.column("src_id").combine_chunks().cast(pa.int64()),
+                        t.column("dst_id").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    degs = grouped_count(und.map_batches(endpoints, batch_format="pyarrow"), "id", "deg")
+    merged = joins.attach_with_default(
+        tri, degs, probe_col="id", build_key="id", build_val="deg",
+        out_col="deg", default=0, build_count=n,
+    )
+    df = _attach_orig(merged, id_map, n, ["id"]).sort_values("id").reset_index(drop=True)
+    d = df["deg"].to_numpy(np.float64)
+    t = df["tri_count"].to_numpy(np.float64)
+    cc = np.zeros(len(df))
+    m = d >= 2
+    cc[m] = (2.0 * t[m]) / (d[m] * (d[m] - 1.0))
+    df["clustering"] = _round_half_away(cc, 6)
+    df["deg"] = df["deg"].astype(np.int64)
+    return df[["id", "deg", "tri_count", "clustering"]]
+
+
+def q_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    (deg(u), deg(v)) over both orientations of every undirected simple edge.
+    All moments are exact integer sums (< 2^53, so distributed summation
+    order cannot change them); the one float expression mirrors the
+    qty_price_corr parenthesization on both engines."""
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.graph_build import grouped_count
+    from ray.data.aggregate import Sum
+
+    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
+    und = _undirected_simple(dense_edges).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [
+                        t.column("src_id").combine_chunks().cast(pa.int64()),
+                        t.column("dst_id").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    degs = grouped_count(und.map_batches(endpoints, batch_format="pyarrow"), "id", "deg")
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").combine_chunks().cast(pa.int64())
+        d = t.column("dst_id").combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "s": pa.concat_arrays([s, d]),
+                "d": pa.concat_arrays([d, s]),
+            }
+        )
+
+    es = und.map_batches(both_dirs, batch_format="pyarrow")
+    es = joins.attach_column(es, degs, probe_col="s", build_key="id",
+                             build_val="deg", out_col="dx", build_count=n)
+    es = joins.attach_column(es, degs, probe_col="d", build_key="id",
+                             build_val="deg", out_col="dy", build_count=n)
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("dx").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column("dy").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n": pa.array([float(len(x))]),
+                "sx": pa.array([x.sum()]),
+                "sy": pa.array([y.sum()]),
+                "sxx": pa.array([(x * x).sum()]),
+                "syy": pa.array([(y * y).sum()]),
+                "sxy": pa.array([(x * y).sum()]),
+            }
+        )
+
+    out = (
+        es.map_batches(moments, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    nn = float(out["n"].iloc[0])
+    sx, sy = float(out["sx"].iloc[0]), float(out["sy"].iloc[0])
+    sxx, syy, sxy = (float(out["sxx"].iloc[0]), float(out["syy"].iloc[0]),
+                     float(out["sxy"].iloc[0]))
+    r = (sxy - (sx * sy) / nn) / np.sqrt(
+        (sxx - (sx * sx) / nn) * (syy - (sy * sy) / nn)
+    )
+    return pd.DataFrame(
+        {"n_pairs": np.array([int(nn)], np.int64),
+         "assortativity": _round_half_away(np.array([r]), 6)}
+    )
