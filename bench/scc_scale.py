@@ -1,0 +1,96 @@
+"""SCC scale datapoint (BASELINE.md §4): FW-BW coloring over a synthetic
+directed power-law graph with a web-like bowtie shape — a giant cycle-rich
+core plus DAG periphery — far beyond the sf correctness graphs.
+
+Graph (deterministic, hash-generated per block, never materialized on the
+driver): n vertices; 85% of edges land src,dst in the core (first n/2 ids,
+power-law dst) creating the giant SCC; 15% point periphery→core or
+core→periphery (DAG edges → trivial SCCs + trims).
+
+Run:  python bench/scc_scale.py [n_vertices] [n_edges] [n_workers]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+
+N = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2_000_000
+M = int(float(sys.argv[2])) if len(sys.argv) > 2 else 20_000_000
+W = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+
+def gen_block(t: pa.Table) -> pa.Table:
+    import numpy as np
+
+    from pagerank_ray.functions.text import fmix64
+
+    ids = t.column("id").to_numpy().astype(np.uint64)
+    h1 = fmix64(ids * np.uint64(2654435761) + np.uint64(1))
+    h2 = fmix64(ids * np.uint64(2654435761) + np.uint64(2))
+    h3 = fmix64(ids * np.uint64(2654435761) + np.uint64(3))
+    core = N // 2
+    u = (h1 % np.uint64(100)).astype(np.int64)
+    # power-law-ish dst inside the core: rank = floor(core * r^2.2)
+    r = (h2 % np.uint64(1 << 30)).astype(np.float64) / float(1 << 30)
+    dst_core = np.minimum((core * r ** 2.2).astype(np.int64), core - 1)
+    src_core = (h3 % np.uint64(core)).astype(np.int64)
+    src_any = (h3 % np.uint64(N)).astype(np.int64)
+    dst_any = (h2 % np.uint64(N)).astype(np.int64)
+    in_core = u < 85
+    src = np.where(in_core, src_core, src_any)
+    dst = np.where(in_core, dst_core, dst_any)
+    return pa.table({"src_id": pa.array(src), "dst_id": pa.array(dst)})
+
+
+def main():
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from pagerank_ray.pipelines.scc import strongly_connected_components
+
+    edges = (
+        rd.range(M, override_num_blocks=256)
+        .map_batches(gen_block, batch_format="pyarrow")
+        .materialize()
+    )
+    work = f"/tmp/pagerank_ray_bench/scc_scale_n{N}_m{M}"
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = strongly_connected_components(edges, N, work, n_workers=W)
+    wall = time.perf_counter() - t0
+    import pyarrow.compute as pc
+
+    # giant-SCC size without a driver materialization: count label==min
+    parts = res.result.map_batches(
+        lambda t: pa.table({"g": pa.array([int(pc.sum(pc.equal(t.column("scc"), pc.min(t.column("scc")).cast(pa.int64()))).as_py() or 0)])}),
+        batch_format="pyarrow",
+    )
+    n_rows = res.result.count()
+    out = {
+        "metric": "scc_scale",
+        "n_vertices": N,
+        "n_edges_generated": M,
+        "n_workers": W,
+        "rounds": res.rounds,
+        "rows_labeled": n_rows,
+        "wall_sec": round(wall, 1),
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
