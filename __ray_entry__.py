@@ -368,6 +368,60 @@ def _walks_sql(mod: int = 499, length: int = 8) -> str:
     return body + f"\n{sel} ORDER BY walk_id, step"
 
 
+def _node2vec_sql(mod: int = 499, length: int = 6) -> str:
+    """Unrolled node2vec walks (tabular.q_node2vec_walks): step 1 = the
+    first-order uniform-rank rule with salt 7368787; steps ≥ 2 weight each
+    dst-sorted candidate CASE d = prev → 1, d ∈ N(prev) → 4, else 2 END and
+    pick the first whose running weight sum exceeds
+    fmix64(walk·7368787 + t) mod total — the engine's exact integer
+    arithmetic (pipelines/walks.py W_RET/W_TRI/W_OTH)."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "es AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        "deg AS MATERIALIZED (SELECT s, COUNT(*)::UBIGINT AS dg FROM es GROUP BY s),",
+        "nbr AS MATERIALIZED (SELECT s, d, (ROW_NUMBER() OVER "
+        "(PARTITION BY s ORDER BY d) - 1)::UBIGINT AS rnk FROM es),",
+        f"w0 AS (SELECT id AS walk, id AS cur FROM v WHERE id % {mod} = 0),",
+        # step 1: first-order uniform rank (same rule as random_walks, salt2)
+        "x1 AS (SELECT walk, cur, (walk::UBIGINT * 7368787 + 1)::UBIGINT AS x FROM w0),",
+        _fmix_chain_sql("n1", "x1", carry="walk, cur, ") + ",",
+        "w1 AS (SELECT h.walk, h.cur AS prev, nbr.d AS cur FROM n1hv h "
+        "JOIN deg ON deg.s = h.cur "
+        "JOIN nbr ON nbr.s = h.cur AND nbr.rnk = (h.h % deg.dg)),",
+    ]
+    for t in range(2, length + 1):
+        p.append(
+            f"x{t} AS (SELECT walk, prev, cur, "
+            f"(walk::UBIGINT * 7368787 + {t})::UBIGINT AS x FROM w{t - 1}),"
+        )
+        p.append(_fmix_chain_sql(f"n{t}", f"x{t}", carry="walk, prev, cur, ") + ",")
+        p.append(
+            f"c{t} AS (SELECT h.walk, h.cur, h.h, nbr.d, nbr.rnk, "
+            f"CASE WHEN nbr.d = h.prev THEN 1 "
+            f"WHEN m.s IS NOT NULL THEN 4 ELSE 2 END::BIGINT AS w "
+            f"FROM n{t}hv h JOIN nbr ON nbr.s = h.cur "
+            f"LEFT JOIN es m ON m.s = h.prev AND m.d = nbr.d),"
+        )
+        p.append(
+            f"a{t} AS (SELECT walk, cur, h, d, rnk, "
+            f"SUM(w) OVER (PARTITION BY walk ORDER BY rnk "
+            f"ROWS UNBOUNDED PRECEDING) AS cum, "
+            f"SUM(w) OVER (PARTITION BY walk) AS tot FROM c{t}),"
+        )
+        p.append(
+            f"w{t} AS (SELECT walk, cur AS prev, d AS cur FROM a{t} "
+            f"WHERE cum > (h % tot::UBIGINT)::BIGINT "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY walk ORDER BY rnk) = 1),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    sel = ["SELECT walk AS walk_id, 0::BIGINT AS step, cur AS vertex FROM w0"]
+    sel += [
+        f"SELECT walk, {t}::BIGINT, cur FROM w{t}" for t in range(1, length + 1)
+    ]
+    return body + "\n" + " UNION ALL ".join(sel) + " ORDER BY walk_id, step"
+
+
 _PARTFLOW = (
     "(SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d "
     "FROM lineitem a JOIN lineitem b ON b.l_orderkey = a.l_orderkey "
@@ -1165,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_eccentricity": tabular.q_graph_eccentricity,  # SQL-oracled (_ecc_sql)
         "scc": tabular.q_scc,  # SQL-oracled (_scc_sql reachability closure)
         "random_walks": tabular.q_random_walks,  # SQL-oracled (_walks_sql)
+        "node2vec_walks": tabular.q_node2vec_walks,  # SQL-oracled (_node2vec_sql)
         "clustering_coeff": tabular.q_clustering_coeff,  # SQL-oracled
         "assortativity": tabular.q_assortativity,  # SQL-oracled
         # graph build operators (SURVEY.md §2.2/§2.5/§2.7)
@@ -1551,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_eccentricity": _ecc_sql(),
         "scc": _scc_sql(),
         "random_walks": _walks_sql(),
+        "node2vec_walks": _node2vec_sql(),
         "clustering_coeff": _clustering_sql(),
         "assortativity": _assortativity_sql(),
         "doc_fingerprint": _fingerprint_sql(),

@@ -2552,3 +2552,34 @@ def q_assortativity(sf_dir: str) -> pd.DataFrame:
         {"n_pairs": np.array([int(nn)], np.int64),
          "assortativity": _round_half_away(np.array([r]), 6)}
     )
+
+
+def q_node2vec_walks(
+    sf_dir: str, n_workers: int = 4, mod: int = 499, length: int = 6
+) -> pd.DataFrame:
+    """node2vec second-order biased walks (Grover & Leskovec KDD'16) over the
+    symmetrized lineitem graph — pinned integer bias weights (return 1 /
+    triangle 4 / explore 2, i.e. p=4, q=2 in node2vec terms) so the choice
+    arithmetic is exactly SQL-reproducible; step 1 is the first-order
+    uniform-rank rule. The adjacency membership test runs on the fly against
+    the carried prev-neighbor array (pipelines/walks.py:_BiasedWalkShard) —
+    no per-edge alias tables. Hash-checked against the unrolled DuckDB
+    oracle (__ray_entry__._node2vec_sql)."""
+    from pagerank_ray.pipelines.walks import node2vec_walks
+
+    csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=True)
+    im = id_map.to_pandas()
+    sel = im.loc[im["orig"] % mod == 0].sort_values("orig")
+    dense = sel["dense"].to_numpy(np.int64)
+    orig = sel["orig"].to_numpy(np.int64)
+    traj = node2vec_walks(csr, dense, orig, length=length, n_workers=n_workers)
+    orig_of = np.empty(n, np.int64)
+    orig_of[im["dense"].to_numpy(np.int64)] = im["orig"].to_numpy(np.int64)
+    n_walks = len(orig)
+    return pd.DataFrame(
+        {
+            "walk_id": np.repeat(orig, length + 1),
+            "step": np.tile(np.arange(length + 1, dtype=np.int64), n_walks),
+            "vertex": orig_of[traj].reshape(-1),
+        }
+    )

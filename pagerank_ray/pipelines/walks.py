@@ -107,3 +107,157 @@ def random_walks(
     for a in actors:
         ray.kill(a)
     return traj
+
+
+# ---------------------------------------------------------------------------
+# node2vec biased second-order walks (Grover & Leskovec, KDD 2016)
+# ---------------------------------------------------------------------------
+
+# pinned integer bias weights (exactly SQL-reproducible — no float alias
+# tables): return to prev = W_RET, candidate adjacent to prev (distance 1,
+# "stay local") = W_TRI, otherwise (distance 2, "explore") = W_OTH.
+# Corresponds to node2vec p = W_TRI/W_RET, q = W_TRI/W_OTH.
+W_RET = np.int64(1)
+W_TRI = np.int64(4)
+W_OTH = np.int64(2)
+SALT2 = np.uint64(7_368_787)
+
+
+@ray.remote(num_cpus=0.5)
+class _BiasedWalkShard:
+    """Adjacency shard for second-order steps: given each walker's current
+    vertex (owned by this range) and its PREVIOUS vertex's sorted neighbor
+    array (computed by the prior step's owner and carried with the walker),
+    picks the bias-weighted neighbor and returns it together with the
+    current vertex's neighbor array — the carry for the next step.
+
+    The carried payload is O(deg(prev)) per walker — the walk frontier is
+    parameter-bounded (like a top-k), and this on-the-fly membership test
+    replaces the classic per-EDGE alias tables (O(Σ deg·deg) memory) that
+    make precomputed node2vec notorious at scale."""
+
+    def __init__(self, paths: list[str]):
+        parts = [_load_shard_arrays(p) for p in paths]
+        parts.sort(key=lambda x: x[0])
+        self.lo = parts[0][0]
+        self.hi = parts[-1][1]
+        indptr = np.zeros(self.hi - self.lo + 1, dtype=np.int64)
+        chunks = []
+        base = 0
+        for lo, hi, ip, dst, _w in parts:
+            indptr[lo - self.lo : hi - self.lo + 1] = ip + base
+            base += len(dst)
+            chunks.append(dst)
+        self.indptr = indptr
+        self.dst = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+
+    def neighbors(self, cur: np.ndarray) -> list[np.ndarray]:
+        local = cur - self.lo
+        return [
+            self.dst[self.indptr[c] : self.indptr[c + 1]] for c in local
+        ]
+
+    def step(
+        self,
+        cur: np.ndarray,
+        prev: np.ndarray,
+        prev_nbrs: list[np.ndarray],
+        h: np.ndarray,
+    ) -> tuple[np.ndarray, list[np.ndarray]]:
+        local = cur - self.lo
+        nxt = cur.copy()
+        carry: list[np.ndarray] = []
+        for i in range(len(cur)):
+            cand = self.dst[self.indptr[local[i]] : self.indptr[local[i] + 1]]
+            if len(cand) == 0:
+                carry.append(np.empty(0, np.int64))
+                continue
+            pn = prev_nbrs[i]
+            pos = np.searchsorted(pn, cand)
+            pos[pos >= len(pn)] = max(len(pn) - 1, 0)
+            member = (pn[pos] == cand) if len(pn) else np.zeros(len(cand), bool)
+            w = np.where(cand == prev[i], W_RET, np.where(member, W_TRI, W_OTH))
+            cum = np.cumsum(w.astype(np.int64))
+            r = np.int64(h[i] % np.uint64(cum[-1]))
+            k = int(np.searchsorted(cum, r, side="right"))
+            nxt[i] = cand[k]
+            carry.append(cand)
+        return nxt, carry
+
+
+def node2vec_walks(
+    csr_dir: str,
+    seeds: np.ndarray,
+    walk_ids: np.ndarray,
+    *,
+    length: int,
+    n_workers: int,
+) -> np.ndarray:
+    """Second-order biased walks: step 1 is the first-order uniform-rank
+    choice (same rule as ``random_walks``); steps ≥ 2 weight each candidate
+    by (W_RET return / W_TRI triangle / W_OTH explore) and pick the first
+    dst-sorted neighbor whose cumulative weight exceeds
+    fmix64(walk·SALT2 + t) mod total."""
+    manifest = read_manifest(csr_dir)
+    groups = assign_parts_to_workers(manifest, n_workers)
+    actors = [
+        _BiasedWalkShard.remote([shard_path(csr_dir, p) for p in g]) for g in groups
+    ]
+    cuts = np.asarray(manifest["cuts"], dtype=np.int64)
+    part_lo = np.concatenate([[0], cuts])
+    group_lo = np.array([part_lo[g[0]] for g in groups], dtype=np.int64)
+
+    cur = np.asarray(seeds, dtype=np.int64).copy()
+    wid = np.asarray(walk_ids, dtype=np.uint64)
+    nw = len(cur)
+    traj = np.empty((nw, length + 1), dtype=np.int64)
+    traj[:, 0] = cur
+
+    def route(vals: np.ndarray):
+        return np.searchsorted(group_lo, vals, side="right") - 1
+
+    # step 1: first-order (uniform rank) + fetch the seeds' neighbor arrays
+    with np.errstate(over="ignore"):
+        h1 = fmix64(wid * SALT2 + np.uint64(1))
+    owner = route(cur)
+    nbrs: list[np.ndarray] = [None] * nw
+    for i, a in enumerate(actors):
+        m = np.flatnonzero(owner == i)
+        if len(m):
+            got = ray.get(a.neighbors.remote(cur[m]))
+            for j, g in zip(m, got):
+                nbrs[j] = g
+    prev = cur.copy()
+    nxt = cur.copy()
+    for i in range(nw):
+        cand = nbrs[i]
+        if len(cand):
+            nxt[i] = cand[int(h1[i] % np.uint64(len(cand)))]
+    cur = nxt
+    traj[:, 1] = cur
+
+    for t in range(2, length + 1):
+        with np.errstate(over="ignore"):
+            h = fmix64(wid * SALT2 + np.uint64(t))
+        owner = route(cur)
+        nxt = cur.copy()
+        new_nbrs: list[np.ndarray] = [None] * nw
+        futs, idxs = [], []
+        for i, a in enumerate(actors):
+            m = np.flatnonzero(owner == i)
+            if len(m):
+                futs.append(
+                    a.step.remote(cur[m], prev[m], [nbrs[j] for j in m], h[m])
+                )
+                idxs.append(m)
+        for m, (nx, carry) in zip(idxs, ray.get(futs)):
+            nxt[m] = nx
+            for j, c in zip(m, carry):
+                new_nbrs[j] = c
+        prev = cur
+        cur = nxt
+        nbrs = new_nbrs
+        traj[:, t] = cur
+    for a in actors:
+        ray.kill(a)
+    return traj

@@ -470,3 +470,57 @@ def test_scc_random_graph_matches_closure_oracle(ray_session, tmp_path):
     assert len(got) == n
     np.testing.assert_array_equal(got["scc"].to_numpy(), oracle)
     assert got["scc"].nunique() > 1  # multi-SCC graph, not a trivial case
+
+
+def test_node2vec_walks_match_numpy_oracle(ray_session, tmp_path):
+    """Second-order biased walks vs a direct NumPy replication of the pinned
+    choice rule (return 1 / triangle 4 / explore 2, fmix64 ranks)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.functions.text import fmix64
+    from pagerank_ray.pipelines.walks import SALT2, W_OTH, W_RET, W_TRI, node2vec_walks
+    from pagerank_ray.stages.csr import symmetrize
+
+    rng = np.random.default_rng(17)
+    n, m = 80, 220
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src_id": src, "dst_id": dst}))
+    sym = symmetrize(edges).to_pandas()
+    adj = {}
+    for a, b in zip(sym["src_id"], sym["dst_id"]):
+        adj.setdefault(int(a), []).append(int(b))
+    adj = {k: np.array(sorted(v), np.int64) for k, v in adj.items()}
+
+    d = str(tmp_path / "csr")
+    prepare_csr_from_edges(edges, n, d, n_parts=4, symmetrize=True)
+    seeds = np.arange(0, n, 7, dtype=np.int64)
+    L = 6
+    traj = node2vec_walks(d, seeds, seeds, length=L, n_workers=2)
+
+    for wi, s in enumerate(seeds):
+        cur, prev = int(s), int(s)
+        path = [cur]
+        for t in range(1, L + 1):
+            h = int(fmix64(np.array([np.uint64(s) * SALT2 + np.uint64(t)]))[0])
+            cand = adj.get(cur, np.empty(0, np.int64))
+            if len(cand) == 0:
+                path.append(cur)
+                continue
+            if t == 1:
+                nxt = int(cand[h % len(cand)])
+            else:
+                pn = adj.get(prev, np.empty(0, np.int64))
+                w = [
+                    int(W_RET) if c == prev
+                    else int(W_TRI) if c in set(pn.tolist())
+                    else int(W_OTH)
+                    for c in cand
+                ]
+                cum = np.cumsum(w)
+                r = h % int(cum[-1])
+                nxt = int(cand[int(np.searchsorted(cum, r, side="right"))])
+            prev, cur = cur, nxt
+            path.append(cur)
+        np.testing.assert_array_equal(traj[wi], np.array(path))
