@@ -1222,6 +1222,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks": tabular.q_node2vec_walks,  # SQL-oracled (_node2vec_sql)
         "clustering_coeff": tabular.q_clustering_coeff,  # SQL-oracled
         "assortativity": tabular.q_assortativity,  # SQL-oracled
+        # rewritten after their last green driver row (r3) - must re-check
+        "ngram_topk": tabular.q_ngram_topk,  # SQL-oracled (unnest bigrams)
+        "tfidf_topk": tabular.q_tfidf_topk,  # SQL-oracled (per-doc tf-idf top terms)
+        "minhash_dedup_docs": tabular.q_minhash_dedup,  # SQL-oracled (_minhash_sql)
+        "running_total": tabular.q_running_total,  # SQL-oracled (windowed SUM)
+        "moving_avg_events": tabular.q_moving_avg_events,  # SQL-oracled (ROWS k PRECEDING)
         # graph build operators (SURVEY.md §2.2/§2.5/§2.7)
         "edges_dedup": tabular.q_edges_dedup,
         "out_degree": tabular.q_out_degree,
@@ -1247,12 +1253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": tabular.q_events_window,
         "sessionize": tabular.q_sessionize,  # SQL-oracled (LAG/cumsum window)
         "orders_asof": tabular.q_orders_asof,  # SQL-oracled (native ASOF JOIN)
-        "running_total": tabular.q_running_total,  # SQL-oracled (windowed SUM)
         "approx_distinct_parts": tabular.q_approx_distinct_parts,  # SQL-oracled (_hll_sql)
         "approx_distinct_by_flag": tabular.q_approx_distinct_by_flag,  # SQL-oracled (grouped HLL)
         "bloom_semi_join": tabular.q_bloom_semi_join,  # SQL-oracled (exact-FP bloom)
         "distinct_parts_by_flag": tabular.q_distinct_parts_by_flag,  # SQL-oracled (exact)
-        "moving_avg_events": tabular.q_moving_avg_events,  # SQL-oracled (ROWS k PRECEDING)
         "customers_no_recent_orders": tabular.q_customers_no_recent_orders,  # SQL-oracled (anti-join)
         "events_hopping": tabular.q_events_hopping,  # SQL-oracled (explode windows)
         "top_orders_per_customer": tabular.q_top_orders_per_customer,  # SQL-oracled (QUALIFY)
@@ -1270,12 +1274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents: text analysis + dedup
         "token_counts": tabular.q_token_counts,
         "lang_distribution": tabular.q_lang_distribution,
-        "ngram_topk": tabular.q_ngram_topk,  # SQL-oracled (unnest bigrams)
-        "tfidf_topk": tabular.q_tfidf_topk,  # SQL-oracled (per-doc tf-idf top terms)
         "stratified_sample": tabular.q_stratified_sample,  # SQL-oracled (shared hash arithmetic)
         "exact_dedup_docs": tabular.q_exact_dedup_docs,
         # training-data ops (near-dup suite, similarity search, quality, multimodal)
-        "minhash_dedup_docs": tabular.q_minhash_dedup,  # SQL-oracled (_minhash_sql)
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
     }
 
