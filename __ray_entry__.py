@@ -290,13 +290,17 @@ def _ecc_sql(mod: int = 577, n_seeds: int = 4, rounds: int = 16) -> str:
     return body + f"""
 , fin AS (SELECT seed, dist, COUNT(*)::BIGINT AS cnt FROM b{rounds}
           WHERE dist < {inf} GROUP BY seed, dist),
-agg AS (SELECT seed, MAX(dist)::BIGINT AS ecc, SUM(cnt)::BIGINT AS n_reached
-        FROM fin GROUP BY seed),
+agg AS (SELECT seed, MAX(dist)::BIGINT AS ecc, SUM(cnt)::BIGINT AS n_reached,
+        SUM(dist * cnt)::BIGINT AS sum_dist FROM fin GROUP BY seed),
 cum AS (SELECT seed, dist, SUM(cnt) OVER (PARTITION BY seed ORDER BY dist) AS cum
         FROM fin)
 SELECT agg.seed, agg.ecc, agg.n_reached,
        (SELECT MIN(dist) FROM cum WHERE cum.seed = agg.seed
-        AND cum.cum >= CEIL(0.9 * agg.n_reached::DOUBLE))::BIGINT AS p90_dist
+        AND cum.cum >= CEIL(0.9 * agg.n_reached::DOUBLE))::BIGINT AS p90_dist,
+       agg.sum_dist,
+       CASE WHEN agg.sum_dist = 0 THEN 0.0
+            ELSE ROUND((agg.n_reached - 1) / agg.sum_dist::DOUBLE, 6)
+            END AS closeness
 FROM agg ORDER BY agg.seed"""
 
 

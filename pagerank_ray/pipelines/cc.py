@@ -144,6 +144,60 @@ def bfs_levels(
     )
 
 
+def bfs_levels_multi(
+    sym_csr_dir: str,
+    seed_groups: list,
+    *,
+    n_workers: int,
+    max_iters: int = 200,
+    transport: str = "shm",
+) -> list[IterativeResult]:
+    """Run one BFS per seed group over a SINGLE resident engine (the CSR
+    loads and the actor pool spin up once, not per seed) — the per-seed
+    eccentricity/centrality probes' path. Each run resets the state
+    (init_state) and replants seeds; results are collected without killing
+    the pool until the last group finishes."""
+    import numpy as np
+    import ray
+
+    eng = BSPEngine(sym_csr_dir, n_workers=n_workers, mode=MODE_DIST,
+                    transport=transport)
+    out: list[IterativeResult] = []
+    try:
+        for seeds in seed_groups:
+            eng.init_state()
+            seeds = np.asarray(seeds, dtype=np.int64)
+            planted = sum(ray.get([w.set_values.remote(seeds, 0) for w in eng.workers]))
+            if planted == 0:
+                raise ValueError("no BFS seed falls inside the graph's vertex range")
+            changed, converged, step_times = -1, False, []
+            while eng.iteration < max_iters:
+                t0 = time.perf_counter()
+                changed, _ = eng._superstep()
+                step_times.append(time.perf_counter() - t0)
+                eng.iteration += 1
+                if changed == 0:
+                    converged = True
+                    break
+            out.append(
+                IterativeResult(
+                    result=eng.collect_result(),
+                    iterations=eng.iteration,
+                    converged=converged,
+                    final_diff=float(changed),
+                    n_vertices=eng.n,
+                    n_edges=eng.n_edges,
+                    metrics=[],
+                    mean_superstep_sec=(
+                        sum(step_times) / len(step_times) if step_times else 0.0
+                    ),
+                )
+            )
+    finally:
+        eng.shutdown()
+    return out
+
+
 def label_propagation(
     sym_csr_dir: str,
     *,

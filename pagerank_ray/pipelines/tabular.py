@@ -2297,17 +2297,19 @@ def q_graph_eccentricity(
     Only the per-level distance HISTOGRAM leaves the cluster (≤ ecc rows per
     seed — never the distance vector); hash-checked against a fixed-unroll
     multi-seed min-plus DuckDB oracle (__ray_entry__._ecc_sql)."""
-    from pagerank_ray.pipelines.cc import bfs_levels
+    from pagerank_ray.pipelines.cc import bfs_levels_multi
     from pagerank_ray.stages.graph_build import grouped_count
 
     csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=True)
     im = id_map.to_pandas()
     cand = np.sort(im.loc[im["orig"] % mod == 0, "orig"].to_numpy(np.int64))[:n_seeds]
+    dense = [
+        [int(im.loc[im["orig"] == so, "dense"].iloc[0])] for so in cand
+    ]
     inf = np.int64(1) << 62
+    results = bfs_levels_multi(csr, dense, n_workers=n_workers)
     rows = []
-    for so in cand:
-        dense = int(im.loc[im["orig"] == so, "dense"].iloc[0])
-        res = bfs_levels(csr, [dense], n_workers=n_workers)
+    for so, res in zip(cand, results):
         if not res.converged:
             raise RuntimeError("eccentricity BFS did not converge")
         if res.iterations - 1 > unroll:
@@ -2320,10 +2322,19 @@ def q_graph_eccentricity(
         ecc = int(hist["dist"].max())
         need = np.ceil(0.9 * float(n_reached))
         p90 = int(hist.loc[hist["cnt"].cumsum() >= need, "dist"].iloc[0])
-        rows.append((int(so), ecc, n_reached, p90))
-    return pd.DataFrame(
-        rows, columns=["seed", "ecc", "n_reached", "p90_dist"]
-    ).astype(np.int64)
+        # closeness = (n_reached - 1) / Σ dist: both factors exact integers,
+        # one double division on both engines — no rounding dependence
+        sum_dist = int((hist["dist"] * hist["cnt"]).sum())
+        closeness = (n_reached - 1) / sum_dist if sum_dist else 0.0
+        rows.append((int(so), ecc, n_reached, p90, sum_dist, closeness))
+    out = pd.DataFrame(
+        rows,
+        columns=["seed", "ecc", "n_reached", "p90_dist", "sum_dist", "closeness"],
+    )
+    for c in ("seed", "ecc", "n_reached", "p90_dist", "sum_dist"):
+        out[c] = out[c].astype(np.int64)
+    out["closeness"] = _round_half_away(out["closeness"].to_numpy(), 6)
+    return out
 
 
 def partflow_edges(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:

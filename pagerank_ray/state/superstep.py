@@ -828,6 +828,16 @@ class BSPEngine:
         self.history = []
         return float(sum(d))
 
+    def collect_result(self):
+        """Materialize per-worker state tables WITHOUT killing the pool —
+        for callers that reset (init_state + set_values) and run again on
+        the same resident CSR (e.g. per-seed BFS probes)."""
+        import ray.data as rd
+
+        refs = [w.state_table.remote() for w in self.workers]
+        ray.wait(refs, num_returns=len(refs))
+        return rd.from_arrow_refs(refs)
+
     def collect_result_and_shutdown(self):
         """Materialize per-worker state tables, then kill the actors so their
         CPU reservations free immediately (a successor engine would otherwise
