@@ -31,6 +31,11 @@ Scale shape: labels/edges move only through Dataset joins
 supersteps; the driver sees only per-round counts. Per-round CSR rebuilds
 are the documented cost — the active set shrinks geometrically in practice,
 and rebuilding beats masking settled vertices inside the kernel.
+
+Resumable: each completed round checkpoints its settled labels and the next
+round's inputs under work_dir/ckpt_r{k} (marker written last, so a torn
+round recomputes); the algorithm is deterministic, so resume ≡ continuous
+(pinned by tests/test_graph_algos.py::test_scc_checkpoint_resume...).
 """
 
 from __future__ import annotations
@@ -113,6 +118,27 @@ def strongly_connected_components(
     settled_parts: list[rd.Dataset] = []
     rounds = 0
     n_active = n
+
+    def _write_ckpt(rdir: str, settled_r, finished: bool,
+                    nxt_active, nxt_edges, nxt_n_active: int) -> None:
+        """Round checkpoint: the settled labels + (if continuing) the next
+        round's inputs, marker written LAST so a torn round is recomputed."""
+        import json
+
+        os.makedirs(rdir, exist_ok=True)
+        n_settled = settled_r.count()
+        if n_settled:
+            settled_r.write_parquet(os.path.join(rdir, "settled"))
+        if not finished:
+            nxt_active.write_parquet(os.path.join(rdir, "active"))
+            nxt_edges.write_parquet(os.path.join(rdir, "edges"))
+        meta = {"settled_rows": n_settled, "finished": finished,
+                "n_active": nxt_n_active}
+        tmp = os.path.join(rdir, "done.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(rdir, "done.json"))
+
     while n_active > 0:
         if rounds >= max_rounds:
             raise RuntimeError(
@@ -120,9 +146,36 @@ def strongly_connected_components(
                 f"({n_active} vertices still active)"
             )
         rounds += 1
+        rdir = os.path.join(work_dir, f"ckpt_r{rounds}")
+        marker = os.path.join(rdir, "done.json")
+        if os.path.exists(marker):
+            # resume: the algorithm is deterministic, so a completed round's
+            # outputs ARE the continuous run's outputs — skip the compute
+            import json
+
+            with open(marker) as f:
+                meta = json.load(f)
+            if meta["settled_rows"]:
+                settled_parts.append(rd.read_parquet(os.path.join(rdir, "settled")))
+            if meta["finished"]:
+                break
+            def _read_or_empty(sub: str) -> rd.Dataset:
+                # write_parquet of an EMPTY dataset writes no files at all
+                path = os.path.join(rdir, sub)
+                if os.path.isdir(path) and any(os.scandir(path)):
+                    return rd.read_parquet(path).materialize()
+                return rd.from_arrow(pa.table({
+                    "src_id" if sub == "edges" else "id": pa.array([], pa.int64()),
+                    **({"dst_id": pa.array([], pa.int64())} if sub == "edges" else {}),
+                }))
+
+            active_v = _read_or_empty("active")
+            e = _read_or_empty("edges")
+            n_active = meta["n_active"]
+            continue
         ep = endpoints_of(e).materialize()
 
-        # 1. active vertices with no remaining edge → singleton SCCs
+        # 1. active vertices with no remaining edge -> singleton SCCs
         flagged = joins.attach_with_default(
             active_v, ep.map_batches(
                 lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
@@ -130,15 +183,16 @@ def strongly_connected_components(
             probe_col="id", build_key="id", build_val="one", out_col="has_edge",
             default=0, build_count=n,
         )
+
         def pick_singles(t: pa.Table) -> pa.Table:
             ids = t.column("id").filter(pa.compute.equal(t.column("has_edge"), 0))
             return pa.table({"id": ids, "scc": ids})
 
-        settled_parts.append(
-            flagged.map_batches(pick_singles, batch_format="pyarrow").materialize()
-        )
+        singles = flagged.map_batches(pick_singles, batch_format="pyarrow").materialize()
 
         if ep.count() == 0:
+            settled_parts.append(singles)
+            _write_ckpt(rdir, singles, True, None, None, 0)
             break
 
         # 2. forward colors
@@ -176,6 +230,7 @@ def strongly_connected_components(
             probe_col="id", build_key="id", build_val="one", out_col="is_ep",
             default=0, build_count=n,
         )
+
         def pick_done(t: pa.Table) -> pa.Table:
             m = pa.compute.and_(
                 pa.compute.equal(t.column("f"), t.column("b")),
@@ -186,7 +241,8 @@ def strongly_connected_components(
             )
 
         done = ep_flag.map_batches(pick_done, batch_format="pyarrow").materialize()
-        settled_parts.append(done)
+        settled_r = singles.union(done).materialize()
+        settled_parts.append(settled_r)
 
         # 6. shrink: active vertices = endpoints not settled; edges =
         # same-color pairs with both endpoints still active
@@ -205,6 +261,7 @@ def strongly_connected_components(
         ).materialize()
         n_active = active_v.count()
         if n_active == 0:
+            _write_ckpt(rdir, settled_r, True, None, None, 0)
             break
         ea = joins.attach_with_default(
             e_same, done.map_batches(
@@ -229,6 +286,7 @@ def strongly_connected_components(
             .select(["src_id", "dst_id"]),
             batch_format="pyarrow",
         ).materialize()
+        _write_ckpt(rdir, settled_r, False, active_v, e, n_active)
 
     out = settled_parts[0]
     for part in settled_parts[1:]:

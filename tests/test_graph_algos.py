@@ -524,3 +524,43 @@ def test_node2vec_walks_match_numpy_oracle(ray_session, tmp_path):
             prev, cur = cur, nxt
             path.append(cur)
         np.testing.assert_array_equal(traj[wi], np.array(path))
+
+
+def test_scc_checkpoint_resume_equals_continuous(ray_session, tmp_path):
+    """SCC round checkpoints: a rerun over the same work_dir replays the
+    recorded rounds (no recompute) and a PARTIAL checkpoint prefix (later
+    rounds deleted) resumes to the identical labeling."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.scc import strongly_connected_components
+
+    rng = np.random.default_rng(9)
+    n, m = 70, 130
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+    edges = rd.from_arrow(pa.table({"src_id": pairs[:, 0].copy(),
+                                    "dst_id": pairs[:, 1].copy()}))
+    work = str(tmp_path / "scc")
+    r1 = strongly_connected_components(edges, n, work, n_workers=2)
+    g1 = r1.result.to_pandas().sort_values("id").reset_index(drop=True)
+
+    # full replay from checkpoints
+    r2 = strongly_connected_components(edges, n, work, n_workers=2)
+    g2 = r2.result.to_pandas().sort_values("id").reset_index(drop=True)
+    assert r2.rounds == r1.rounds
+    np.testing.assert_array_equal(g1["scc"].to_numpy(), g2["scc"].to_numpy())
+
+    # partial resume: drop the ckpt markers (and CSR caches) after round 1
+    for r in range(2, r1.rounds + 1):
+        shutil.rmtree(f"{work}/ckpt_r{r}", ignore_errors=True)
+        shutil.rmtree(f"{work}/r{r}_fwd", ignore_errors=True)
+        shutil.rmtree(f"{work}/r{r}_rev", ignore_errors=True)
+    r3 = strongly_connected_components(edges, n, work, n_workers=2)
+    g3 = r3.result.to_pandas().sort_values("id").reset_index(drop=True)
+    assert r3.rounds == r1.rounds
+    np.testing.assert_array_equal(g1["scc"].to_numpy(), g3["scc"].to_numpy())
