@@ -212,6 +212,13 @@ def _lp_sql(iters: int = 10) -> str:
     SQL matches the early-stopped engine exactly. Labels are compared on
     original ids: the dense-id map is sorted (graph_build.assign_dense_ids),
     so frequency ties break identically in either id space."""
+    body = _lp_ctes(iters)
+    return body + f"\nSELECT v AS id, l AS label FROM l{iters} ORDER BY id"
+
+
+def _lp_ctes(iters: int) -> str:
+    """The shared unrolled-LP CTE chain (ends at ``l{iters}``, comma already
+    stripped) — used by both the LP oracle and the modularity oracle."""
     p = [
         f"WITH e AS MATERIALIZED {_EDGES},",
         "es AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),",
@@ -226,8 +233,33 @@ def _lp_sql(iters: int = 10) -> str:
             f"l{i + 1} AS MATERIALIZED (SELECT cur.v, COALESCE(w{i}.l, cur.l) AS l "
             f"FROM l{i} cur LEFT JOIN w{i} ON w{i}.v = cur.v),"
         )
-    body = "\n".join(p).rstrip()[:-1]
-    return body + f"\nSELECT v AS id, l AS label FROM l{iters} ORDER BY id"
+    return "\n".join(p).rstrip()[:-1]
+
+
+def _modularity_sql(iters: int = 3) -> str:
+    """Modularity of the LP({iters}) communities (tabular.q_lp_modularity):
+    Q = A/m - B/(4.0*m*m) with exact-integer A (same-label undirected simple
+    edges), B (sum of squared community degree sums, HUGEINT) and m - the
+    engine computes the identical two divisions and subtraction."""
+    body = _lp_ctes(iters)
+    return body + f"""
+, lab AS MATERIALIZED (SELECT v AS id, l AS label FROM l{iters}),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+                     FROM e WHERE s <> d),
+mm AS (SELECT COUNT(*)::BIGINT AS m FROM und),
+acnt AS (SELECT COUNT(*)::BIGINT AS a FROM und
+         JOIN lab x ON x.id = und.a JOIN lab y ON y.id = und.b
+         WHERE x.label = y.label),
+deg AS (SELECT v, COUNT(*)::BIGINT AS dg FROM
+        (SELECT a AS v FROM und UNION ALL SELECT b FROM und) t GROUP BY v),
+dc AS (SELECT lab.label, SUM(deg.dg)::HUGEINT AS s FROM deg
+       JOIN lab ON lab.id = deg.v GROUP BY lab.label),
+bb AS (SELECT SUM(s * s) AS b FROM dc),
+nc AS (SELECT COUNT(DISTINCT label)::BIGINT AS n_communities FROM lab)
+SELECT nc.n_communities, mm.m AS m_edges,
+       ROUND(acnt.a::DOUBLE / mm.m
+             - bb.b::DOUBLE / (4.0 * mm.m * mm.m), 6) AS modularity
+FROM nc, mm, acnt, bb"""
 
 
 def _bfs_sql(mod: int = 1009, rounds: int = 10) -> str:
@@ -1226,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks": tabular.q_node2vec_walks,  # SQL-oracled (_node2vec_sql)
         "clustering_coeff": tabular.q_clustering_coeff,  # SQL-oracled
         "assortativity": tabular.q_assortativity,  # SQL-oracled
+        "lp_modularity": tabular.q_lp_modularity,  # SQL-oracled (LP ∘ modularity)
         # rewritten after their last green driver row (r3) - must re-check
         "ngram_topk": tabular.q_ngram_topk,  # SQL-oracled (unnest bigrams)
         "tfidf_topk": tabular.q_tfidf_topk,  # SQL-oracled (per-doc tf-idf top terms)
@@ -1614,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_walks": _node2vec_sql(),
         "clustering_coeff": _clustering_sql(),
         "assortativity": _assortativity_sql(),
+        "lp_modularity": _modularity_sql(iters=3),
         "doc_fingerprint": _fingerprint_sql(),
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "minhash_dedup_docs": _minhash_sql(),

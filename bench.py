@@ -214,7 +214,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     ],
     "web": ["web_flagship_20k_pages", "triangles_web", "labelprop_web"],
     "graph_r4": ["scc_partflow", "salsa", "random_walks", "graph_eccentricity",
-                 "clustering_coeff", "assortativity", "node2vec_walks"],
+                 "clustering_coeff", "assortativity", "node2vec_walks", "lp_modularity"],
     "corpus_r4": [
         "cms_heavy_hitters", "gopher_quality", "repetition_stats", "doc_entropy",
     ],
@@ -302,6 +302,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("clustering_coeff", lambda: tabular.q_clustering_coeff(SF_DIR))
     timed("assortativity", lambda: tabular.q_assortativity(SF_DIR))
     timed("node2vec_walks", lambda: tabular.q_node2vec_walks(SF_DIR))
+    timed("lp_modularity", lambda: tabular.q_lp_modularity(SF_DIR))
     timed("cms_heavy_hitters", lambda: tabular.q_cms_heavy_hitters(SF_DIR))
     timed("gopher_quality", lambda: tabular.q_gopher_quality(SF_DIR))
     timed("repetition_stats", lambda: tabular.q_repetition_stats(SF_DIR))

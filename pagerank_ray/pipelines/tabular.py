@@ -2594,3 +2594,74 @@ def q_node2vec_walks(
             "vertex": orig_of[traj].reshape(-1),
         }
     )
+
+
+def q_lp_modularity(sf_dir: str, n_workers: int = 4, lp_iters: int = 3) -> pd.DataFrame:
+    """Newman modularity of the 3-iteration label-propagation communities —
+    the quality metric composed on top of q_label_propagation:
+
+        Q = A/m − B/(4·m²),  A = same-label undirected simple edges,
+                             B = Σ_c (Σ_{v∈c} deg(v))²,  m = |edges|
+
+    A, B, m are exact integers (distributed bucketed counts; B's community
+    sums collect ≤ n_communities rows), so Q is two divisions and one
+    subtraction — identical floats on both engines, no rounding dependence
+    beyond the final ROUND 6. Self-loops are excluded from the modularity
+    graph (standard definition); LP itself runs on the same symmetrized CSR
+    as q_label_propagation."""
+    from pagerank_ray.pipelines.cc import label_propagation
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.graph_build import distinct_values, grouped_count
+
+    csr, n, id_map, dense_edges = _lineitem_csr(
+        sf_dir, n_workers=n_workers, symmetrize=True, return_edges=True
+    )
+    labels = label_propagation(csr, n_workers=n_workers, max_iters=lp_iters).result
+    labels = labels.materialize()
+    und = _undirected_simple(dense_edges).materialize()
+
+    m_edges = und.count()
+    ea = joins.attach_column(und, labels, probe_col="src_id", build_key="id",
+                             build_val="label", out_col="la", build_count=n)
+    ea = joins.attach_column(ea, labels, probe_col="dst_id", build_key="id",
+                             build_val="label", out_col="lb", build_count=n)
+    a_cnt = ea.map_batches(
+        lambda t: pa.table({"one": pa.array(
+            [int(pa.compute.sum(pa.compute.equal(t.column("la"), t.column("lb")).cast(pa.int8())).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow",
+    ).to_pandas()["one"].sum()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": pa.concat_arrays([
+                t.column("src_id").combine_chunks().cast(pa.int64()),
+                t.column("dst_id").combine_chunks().cast(pa.int64()),
+            ])}
+        )
+
+    degs = grouped_count(und.map_batches(endpoints, batch_format="pyarrow"), "id", "deg")
+    dl = joins.attach_column(degs, labels, probe_col="id", build_key="id",
+                             build_val="label", out_col="label", build_count=n)
+    percomm = (
+        dl.map_batches(
+            lambda df: df.groupby("label", sort=False)["deg"].sum().reset_index(name="dc"),
+            batch_format="pandas",
+        )
+        .groupby("label")
+        .sum("dc")
+        .to_pandas()
+    )
+    b_sum = int((percomm["sum(dc)"].astype(object) ** 2).sum())  # exact Python ints
+    n_comm = distinct_values(
+        labels.map_batches(lambda t: pa.table({"label": t.column("label")}),
+                           batch_format="pyarrow"),
+        "label",
+    ).count()
+    q = int(a_cnt) / m_edges - b_sum / (4.0 * m_edges * m_edges)
+    return pd.DataFrame(
+        {
+            "n_communities": np.array([n_comm], np.int64),
+            "m_edges": np.array([m_edges], np.int64),
+            "modularity": _round_half_away(np.array([q]), 6),
+        }
+    )
