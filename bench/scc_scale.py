@@ -71,13 +71,11 @@ def main():
     t0 = time.perf_counter()
     res = strongly_connected_components(edges, N, work, n_workers=W)
     wall = time.perf_counter() - t0
-    import pyarrow.compute as pc
+    # giant-SCC size: distributed label histogram (<= n_labels rows), max
+    from pagerank_ray.stages.graph_build import grouped_count
 
-    # giant-SCC size without a driver materialization: count label==min
-    parts = res.result.map_batches(
-        lambda t: pa.table({"g": pa.array([int(pc.sum(pc.equal(t.column("scc"), pc.min(t.column("scc")).cast(pa.int64()))).as_py() or 0)])}),
-        batch_format="pyarrow",
-    )
+    hist = grouped_count(res.result, "scc", "sz")
+    giant = int(hist.max("sz"))
     n_rows = res.result.count()
     out = {
         "metric": "scc_scale",
@@ -86,6 +84,7 @@ def main():
         "n_workers": W,
         "rounds": res.rounds,
         "rows_labeled": n_rows,
+        "giant_scc": giant,
         "wall_sec": round(wall, 1),
     }
     print(json.dumps(out))

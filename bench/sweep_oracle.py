@@ -41,7 +41,14 @@ def duck():
 
 def canon(df):
     df = df[sorted(df.columns)]
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    # sort rows by the integer/string key columns FIRST: a float score as the
+    # primary sort key lets 1-ulp engine-vs-oracle noise (inside the compare
+    # tolerance) reorder rows differently on each side and misalign the
+    # row-wise compare (r4 review finding)
+    keys = [c for c in df.columns if df[c].dtype.kind in "iuO"] + [
+        c for c in df.columns if df[c].dtype.kind not in "iuO"
+    ]
+    return df.sort_values(keys).reset_index(drop=True)
 
 
 qs = entry.queries()

@@ -254,15 +254,12 @@ def gopher_stats_batch(texts: pd.Series) -> pd.DataFrame:
         stripped.str.replace(r"\s+", "", regex=True).str.len().to_numpy(dtype=np.int64)
     )
     flat, doc_idx, n_words = _tokens_flat(texts)
-    (stop_count,) = (
-        [np.zeros(n, dtype=np.int64)]
-        if len(flat) == 0
-        else [
-            np.bincount(
-                doc_idx[flat.str.lower().isin(_STOP_EN).to_numpy()], minlength=n
-            ).astype(np.int64)
-        ]
-    )
+    if len(flat) == 0:
+        stop_count = np.zeros(n, dtype=np.int64)
+    else:
+        stop_count = np.bincount(
+            doc_idx[flat.str.lower().isin(_STOP_EN).to_numpy()], minlength=n
+        ).astype(np.int64)
     nw = np.maximum(n_words, 1)
     mean_wl = word_chars / nw
     gopher_pass = (

@@ -110,6 +110,12 @@ def strongly_connected_components(
 
         return distinct_values(e.map_batches(mentions, batch_format="pyarrow"), "id")
 
+    if n == 0:
+        empty = rd.from_arrow(
+            pa.table({"id": pa.array([], pa.int64()), "scc": pa.array([], pa.int64())})
+        )
+        return SCCResult(result=empty, rounds=0, n_vertices=0)
+
     active_v = rd.range(n).map_batches(
         lambda t: pa.table({"id": t.column("id").cast(pa.int64())}),
         batch_format="pyarrow",
@@ -124,7 +130,14 @@ def strongly_connected_components(
         """Round checkpoint: the settled labels + (if continuing) the next
         round's inputs, marker written LAST so a torn round is recomputed."""
         import json
+        import shutil
 
+        # clean-before-write: a torn previous attempt may have left partial
+        # parquet files (no marker) — write_parquet APPENDS uniquely-named
+        # files, so stale partials would merge into the real outputs on
+        # resume (same invariant as BSPEngine._write_checkpoint)
+        for sub in ("settled", "active", "edges"):
+            shutil.rmtree(os.path.join(rdir, sub), ignore_errors=True)
         os.makedirs(rdir, exist_ok=True)
         n_settled = settled_r.count()
         if n_settled:

@@ -2382,7 +2382,11 @@ def q_scc(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
     from pagerank_ray.pipelines.scc import strongly_connected_components
 
     dense_edges, n, id_map = _compact_ids(partflow_edges(sf_dir))
-    work = _graph_workdir(sf_dir, "sccwork")
+    # FRESH work dir per invocation: the round checkpoints are a resume
+    # feature for long jobs, NOT a cross-run result cache — a persistent dir
+    # would replay recorded labels after code changes and make warm-cache
+    # benchmarks time the replay path (r4 review finding)
+    work = tempfile.mkdtemp(prefix="sccq_")
     res = strongly_connected_components(
         dense_edges.materialize(), n, work, n_workers=n_workers
     )
@@ -2449,28 +2453,15 @@ def q_clustering_coeff(sf_dir: str) -> pd.DataFrame:
     the identical ratio."""
     from pagerank_ray.pipelines.triangles import triangle_counts
     from pagerank_ray.stages import joins
-    from pagerank_ray.stages.graph_build import grouped_count
 
     dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
     dense_edges = dense_edges.materialize()
-    tri = triangle_counts(dense_edges, n)
-    und = _undirected_simple(dense_edges)
-
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "id": pa.concat_arrays(
-                    [
-                        t.column("src_id").combine_chunks().cast(pa.int64()),
-                        t.column("dst_id").combine_chunks().cast(pa.int64()),
-                    ]
-                )
-            }
-        )
-
-    degs = grouped_count(und.map_batches(endpoints, batch_format="pyarrow"), "id", "deg")
+    # reuse the degree table the triangle orientation already computed — a
+    # second canonical-dedup shuffle + degree count would double the two most
+    # expensive stages of this query (r4 review finding)
+    tri, degs = triangle_counts(dense_edges, n, return_degrees=True)
     merged = joins.attach_with_default(
-        tri, degs, probe_col="id", build_key="id", build_val="deg",
+        tri, degs, probe_col="id", build_key="v", build_val="deg",
         out_col="deg", default=0, build_count=n,
     )
     df = _attach_orig(merged, id_map, n, ["id"]).sort_values("id").reset_index(drop=True)

@@ -87,8 +87,12 @@ def triangle_counts(
     *,
     num_partitions: int = 32,
     n_buckets: int | None = None,
+    return_degrees: bool = False,
 ) -> rd.Dataset:
-    """edges (src_id, dst_id, directed, deduped) → (id, tri_count) for all vertices."""
+    """edges (src_id, dst_id, directed, deduped) → (id, tri_count) for all
+    vertices. ``return_degrees=True`` additionally returns the undirected
+    simple-degree table (v, deg) the orientation already computed — callers
+    composing on it (clustering coefficient) skip a second dedup shuffle."""
     # undirected simple edge set, canonical (a < b)
     from pagerank_ray.stages.graph_build import dedup_pairs
 
@@ -226,7 +230,7 @@ def triangle_counts(
     # counts the build side to pick its strategy — counting a lazy chain would
     # re-execute the whole wedge pipeline.
     counts = counts.materialize()
-    return joins.attach_with_default(
+    out = joins.attach_with_default(
         rd.range(n_vertices),
         counts,
         probe_col="id",
@@ -235,3 +239,6 @@ def triangle_counts(
         out_col="tri_count",
         default=0,
     )
+    if return_degrees:
+        return out, deg
+    return out

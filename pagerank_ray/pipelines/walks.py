@@ -89,23 +89,27 @@ def random_walks(
     wid = np.asarray(walk_ids, dtype=np.uint64)
     traj = np.empty((len(cur), length + 1), dtype=np.int64)
     traj[:, 0] = cur
-    for t in range(1, length + 1):
-        with np.errstate(over="ignore"):
-            h = fmix64(wid * SALT + np.uint64(t))
-        owner = np.searchsorted(group_lo, cur, side="right") - 1
-        nxt = np.empty_like(cur)
-        futs, masks = [], []
-        for i, a in enumerate(actors):
-            m = owner == i
-            if m.any():
-                futs.append(a.step.remote(cur[m], h[m]))
-                masks.append(m)
-        for m, r in zip(masks, ray.get(futs)):
-            nxt[m] = r
-        cur = nxt
-        traj[:, t] = cur
-    for a in actors:
-        ray.kill(a)
+    try:
+        for t in range(1, length + 1):
+            with np.errstate(over="ignore"):
+                h = fmix64(wid * SALT + np.uint64(t))
+            owner = np.searchsorted(group_lo, cur, side="right") - 1
+            nxt = np.empty_like(cur)
+            futs, masks = [], []
+            for i, a in enumerate(actors):
+                m = owner == i
+                if m.any():
+                    futs.append(a.step.remote(cur[m], h[m]))
+                    masks.append(m)
+            for m, r in zip(masks, ray.get(futs)):
+                nxt[m] = r
+            cur = nxt
+            traj[:, t] = cur
+    finally:
+        # a mid-walk failure must not leak resident 0.5-CPU actors (they
+        # would starve later Dataset work — see joins.pool_size rationale)
+        for a in actors:
+            ray.kill(a)
     return traj
 
 
@@ -216,48 +220,51 @@ def node2vec_walks(
     def route(vals: np.ndarray):
         return np.searchsorted(group_lo, vals, side="right") - 1
 
-    # step 1: first-order (uniform rank) + fetch the seeds' neighbor arrays
-    with np.errstate(over="ignore"):
-        h1 = fmix64(wid * SALT2 + np.uint64(1))
-    owner = route(cur)
-    nbrs: list[np.ndarray] = [None] * nw
-    for i, a in enumerate(actors):
-        m = np.flatnonzero(owner == i)
-        if len(m):
-            got = ray.get(a.neighbors.remote(cur[m]))
-            for j, g in zip(m, got):
-                nbrs[j] = g
-    prev = cur.copy()
-    nxt = cur.copy()
-    for i in range(nw):
-        cand = nbrs[i]
-        if len(cand):
-            nxt[i] = cand[int(h1[i] % np.uint64(len(cand)))]
-    cur = nxt
-    traj[:, 1] = cur
-
-    for t in range(2, length + 1):
+    try:
+        # step 1: first-order (uniform rank) + fetch the seeds' neighbor arrays
         with np.errstate(over="ignore"):
-            h = fmix64(wid * SALT2 + np.uint64(t))
+            h1 = fmix64(wid * SALT2 + np.uint64(1))
         owner = route(cur)
-        nxt = cur.copy()
-        new_nbrs: list[np.ndarray] = [None] * nw
-        futs, idxs = [], []
+        nbrs: list[np.ndarray] = [None] * nw
         for i, a in enumerate(actors):
             m = np.flatnonzero(owner == i)
             if len(m):
-                futs.append(
-                    a.step.remote(cur[m], prev[m], [nbrs[j] for j in m], h[m])
-                )
-                idxs.append(m)
-        for m, (nx, carry) in zip(idxs, ray.get(futs)):
-            nxt[m] = nx
-            for j, c in zip(m, carry):
-                new_nbrs[j] = c
-        prev = cur
+                got = ray.get(a.neighbors.remote(cur[m]))
+                for j, g in zip(m, got):
+                    nbrs[j] = g
+        prev = cur.copy()
+        nxt = cur.copy()
+        for i in range(nw):
+            cand = nbrs[i]
+            if len(cand):
+                nxt[i] = cand[int(h1[i] % np.uint64(len(cand)))]
         cur = nxt
-        nbrs = new_nbrs
-        traj[:, t] = cur
-    for a in actors:
-        ray.kill(a)
+        traj[:, 1] = cur
+
+        for t in range(2, length + 1):
+            with np.errstate(over="ignore"):
+                h = fmix64(wid * SALT2 + np.uint64(t))
+            owner = route(cur)
+            nxt = cur.copy()
+            new_nbrs: list[np.ndarray] = [None] * nw
+            futs, idxs = [], []
+            for i, a in enumerate(actors):
+                m = np.flatnonzero(owner == i)
+                if len(m):
+                    futs.append(
+                        a.step.remote(cur[m], prev[m], [nbrs[j] for j in m], h[m])
+                    )
+                    idxs.append(m)
+            for m, (nx, carry) in zip(idxs, ray.get(futs)):
+                nxt[m] = nx
+                for j, c in zip(m, carry):
+                    new_nbrs[j] = c
+            prev = cur
+            cur = nxt
+            nbrs = new_nbrs
+            traj[:, t] = cur
+    finally:
+        # mid-walk failures must not leak the resident actors (cf. random_walks)
+        for a in actors:
+            ray.kill(a)
     return traj
