@@ -187,6 +187,12 @@ def strongly_connected_components(
             n_active = meta["n_active"]
             continue
         ep = endpoints_of(e).materialize()
+        # adaptive round sizing: late rounds run on small remnants — spawning
+        # the full pool (and 4*W CSR parts) per round is pure fixed latency.
+        # ~250k edges per worker keeps round 1 at full width and shrinks the
+        # tail rounds to a couple of actors.
+        m_edges = e.count()
+        w_r = max(2, min(n_workers, m_edges // 250_000 + 2))
 
         # 1. active vertices with no remaining edge -> singleton SCCs
         flagged = joins.attach_with_default(
@@ -210,7 +216,7 @@ def strongly_connected_components(
 
         # 2. forward colors
         fwd_dir = os.path.join(work_dir, f"r{rounds}_fwd", "csr")
-        labels_f = _min_labels(e, n, fwd_dir, n_workers).materialize()
+        labels_f = _min_labels(e, n, fwd_dir, w_r).materialize()
 
         # 3. same-color edges only (an SCC never spans two colors)
         ef = _attach_label(e, labels_f, "src_id", "f_src", n)
@@ -227,7 +233,7 @@ def strongly_connected_components(
             lambda t: pa.table({"src_id": t.column("dst_id"), "dst_id": t.column("src_id")}),
             batch_format="pyarrow",
         )
-        labels_b = _min_labels(rev, n, rev_dir, n_workers)
+        labels_b = _min_labels(rev, n, rev_dir, w_r)
 
         # 5. settle F == B among this round's edge endpoints
         fb = _attach_label(
@@ -253,25 +259,22 @@ def strongly_connected_components(
                 {"id": t.column("id").filter(m), "scc": t.column("f").filter(m)}
             )
 
+        ep_flag = ep_flag.materialize()
         done = ep_flag.map_batches(pick_done, batch_format="pyarrow").materialize()
         settled_r = singles.union(done).materialize()
         settled_parts.append(settled_r)
 
-        # 6. shrink: active vertices = endpoints not settled; edges =
-        # same-color pairs with both endpoints still active
-        done_flagged = joins.attach_with_default(
-            ep, done.map_batches(
-                lambda t: pa.table({"id": t.column("id"),
-                                    "one": pa.array(np.ones(t.num_rows, np.int64))}),
-                batch_format="pyarrow"),
-            probe_col="id", build_key="id", build_val="one", out_col="is_done",
-            default=0, build_count=n,
-        )
-        active_v = done_flagged.map_batches(
-            lambda t: pa.table({"id": t.column("id").filter(
-                pa.compute.equal(t.column("is_done"), 0))}),
-            batch_format="pyarrow",
-        ).materialize()
+        # 6. shrink: active vertices = the OTHER half of the same ep_flag
+        # pass (endpoint, F != B) — no extra join needed; edges = same-color
+        # pairs with both endpoints still active
+        def pick_active(t: pa.Table) -> pa.Table:
+            m = pa.compute.and_(
+                pa.compute.invert(pa.compute.equal(t.column("f"), t.column("b"))),
+                pa.compute.equal(t.column("is_ep"), 1),
+            )
+            return pa.table({"id": t.column("id").filter(m)})
+
+        active_v = ep_flag.map_batches(pick_active, batch_format="pyarrow").materialize()
         n_active = active_v.count()
         if n_active == 0:
             _write_ckpt(rdir, settled_r, True, None, None, 0)
