@@ -107,3 +107,67 @@ def test_gif_roundtrip_property(h, w, seed):
 
     img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
     assert (decode_gif(encode_gif(img)) == _PALETTE[quantize_662(img)]).all()
+
+
+@given(
+    st.lists(st.text(alphabet="ab the cat x", min_size=0, max_size=60), min_size=1, max_size=20)
+)
+@settings(max_examples=40, deadline=None)
+def test_gopher_and_repetition_match_python_reference(texts):
+    """The vectorized gopher/repetition kernels agree with a direct per-doc
+    Python implementation of the pinned rules on arbitrary text."""
+    import pandas as pd
+
+    from pagerank_ray.functions.text import (
+        _STOP_EN,
+        gopher_stats_batch,
+        repetition_stats_batch,
+    )
+
+    s = pd.Series(texts)
+    g = gopher_stats_batch(s)
+    r = repetition_stats_batch(s)
+    for i, t in enumerate(texts):
+        toks = t.strip().split()
+        nw = len(toks)
+        wc = sum(len(w) for w in toks)
+        stop = sum(1 for w in toks if w.lower() in _STOP_EN)
+        assert g["n_words"][i] == nw
+        assert g["word_chars"][i] == wc
+        assert g["stop_count"][i] == stop
+        expected_pass = int(
+            50 <= nw <= 100000 and 3 * nw <= wc <= 10 * nw and stop >= 2
+        )
+        assert g["gopher_pass"][i] == expected_pass
+        if nw:
+            from collections import Counter
+
+            c = Counter(toks)
+            assert abs(r["dup_word_frac"][i] - (nw - len(c)) / nw) < 1e-12
+            assert abs(r["top_word_frac"][i] - max(c.values()) / nw) < 1e-12
+            if nw >= 2:
+                bg = Counter(zip(toks, toks[1:]))
+                assert abs(r["top_bigram_frac"][i] - max(bg.values()) / (nw - 1)) < 1e-12
+        else:
+            assert r["dup_word_frac"][i] == 0.0
+
+
+@given(st.integers(0, 2**31), st.integers(1, 400))
+@settings(max_examples=20, deadline=None)
+def test_cms_never_underestimates(seed, nkeys):
+    """Count-Min point estimates are lower-bounded by the true count for
+    every key (the sketch's one-sided error guarantee), on any key set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.stages.sketch import cms_build, cms_estimate
+
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, max(nkeys // 3, 1), size=nkeys).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys}))
+    counters = cms_build(ds, "k", width=64)
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms_estimate(uniq, counters)
+    assert (est >= true).all()
+    assert counters.sum() == 2 * nkeys  # each occurrence hits one slot per row
