@@ -332,7 +332,10 @@ SELECT agg.seed, agg.ecc, agg.n_reached,
        agg.sum_dist,
        CASE WHEN agg.sum_dist = 0 THEN 0.0
             ELSE ROUND((agg.n_reached - 1) / agg.sum_dist::DOUBLE, 6)
-            END AS closeness
+            END AS closeness,
+       ROUND((SELECT COALESCE(SUM(cnt * (720720 // dist)), 0) FROM fin
+              WHERE fin.seed = agg.seed AND fin.dist > 0)::DOUBLE
+             / 720720.0, 6) AS harmonic
 FROM agg ORDER BY agg.seed"""
 
 

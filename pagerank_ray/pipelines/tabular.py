@@ -2326,13 +2326,22 @@ def q_graph_eccentricity(
         # one double division on both engines — no rounding dependence
         sum_dist = int((hist["dist"] * hist["cnt"]).sum())
         closeness = (n_reached - 1) / sum_dist if sum_dist else 0.0
-        rows.append((int(so), ecc, n_reached, p90, sum_dist, closeness))
+        # harmonic centrality Σ_{d>0} cnt_d / d as an EXACT rational: with
+        # ecc ≤ 16 (enforced by the unroll guard) the common denominator
+        # LCM(1..16) = 720720 makes the numerator an exact integer on both
+        # engines — one division, no float-sum-order dependence
+        hd = hist[hist["dist"] > 0]
+        hnum = int((hd["cnt"] * (720720 // hd["dist"])).sum())
+        harmonic = hnum / 720720.0
+        rows.append((int(so), ecc, n_reached, p90, sum_dist, closeness, harmonic))
     out = pd.DataFrame(
         rows,
-        columns=["seed", "ecc", "n_reached", "p90_dist", "sum_dist", "closeness"],
+        columns=["seed", "ecc", "n_reached", "p90_dist", "sum_dist",
+                 "closeness", "harmonic"],
     )
     for c in ("seed", "ecc", "n_reached", "p90_dist", "sum_dist"):
         out[c] = out[c].astype(np.int64)
+    out["harmonic"] = _round_half_away(out["harmonic"].to_numpy(), 6)
     out["closeness"] = _round_half_away(out["closeness"].to_numpy(), 6)
     return out
 
