@@ -71,6 +71,13 @@ def main(argv=None):
     bf.add_argument("--n-workers", type=int, default=8)
     bf.add_argument("--out", default=None)
 
+    sc = sub.add_parser("scc", help="strongly connected components (FW-BW coloring) over built graph artifacts")
+    sc.add_argument("--work-dir", required=True)
+    sc.add_argument("--out")
+    sc.add_argument("--n-workers", type=int, default=8)
+    sc.add_argument("--fresh", action="store_true",
+                    help="discard round checkpoints from a previous run (default: resume them)")
+
     d = sub.add_parser("dedup", help="MinHash-LSH near-dup clusters over a documents parquet")
     d.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
     d.add_argument("--out", required=True)
@@ -170,6 +177,25 @@ def main(argv=None):
                 "out": out, "iterations": res.iterations,
                 "n_vertices": res.n_vertices, "n_edges": res.n_edges,
                 "mean_iter_sec": round(res.mean_superstep_sec, 4),
+            }))
+        elif args.cmd == "scc":
+            import shutil as _shutil
+
+            from pagerank_ray.pipelines.scc import strongly_connected_components
+
+            edges = rd.read_parquet(os.path.join(args.work_dir, "edges"))
+            n = rd.read_parquet(os.path.join(args.work_dir, "id_map")).count()
+            scc_work = os.path.join(args.work_dir, "scc_work")
+            if args.fresh:
+                _shutil.rmtree(scc_work, ignore_errors=True)
+            res = strongly_connected_components(
+                edges.materialize(), n, scc_work, n_workers=args.n_workers
+            )
+            out = args.out or os.path.join(args.work_dir, "scc")
+            _shutil.rmtree(out, ignore_errors=True)
+            res.result.write_parquet(out)
+            print(json.dumps({
+                "out": out, "rounds": res.rounds, "n_vertices": res.n_vertices,
             }))
         elif args.cmd == "bfs":
             from pagerank_ray.pipelines.cc import bfs_levels

@@ -107,3 +107,35 @@ def test_cli_bfs(tmp_path):
 
     dist = pq.read_table(b["out"]).column("dist").to_numpy()
     assert int(dist.max()) < (1 << 62) and int(dist.min()) >= -1
+
+
+def test_cli_scc(tmp_path):
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    pages = str(tmp_path / "pages")
+    work = str(tmp_path / "work")
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "pagerank_ray.cli", "--num-cpus", "4", *args],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    run("gen-pages", "--out", pages, "--n-pages", "300")
+    run("build", "--pages", pages, "--work-dir", work, "--n-parts", "8")
+    s = run("scc", "--work-dir", work, "--n-workers", "2")
+    assert s["rounds"] >= 1 and os.path.isdir(s["out"])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(s["out"])
+    assert t.num_rows == s["n_vertices"]
+    # second invocation resumes the recorded rounds and reproduces the labels
+    s2 = run("scc", "--work-dir", work, "--n-workers", "2")
+    t2 = pq.read_table(s2["out"])
+    import numpy as np
+
+    a = t.to_pandas().sort_values("id")["scc"].to_numpy()
+    b = t2.to_pandas().sort_values("id")["scc"].to_numpy()
+    np.testing.assert_array_equal(a, b)
+    assert s2["rounds"] == s["rounds"]
