@@ -1236,9 +1236,36 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- never-driver-checked in r1-r3 FIRST (VERDICT r3 item 1): the
-        # driver checks ~50 queries per round in dict order, so these ten
-        # must lead to finally get green CORRECTNESS rows. ---
+        # --- r3-tail rotation (VERDICT r4 item 1): the driver checks ~50
+        # queries per round in dict order; these 22 carry green rows only
+        # from r3 and must lead to get fresh CORRECTNESS_r05 rows.
+        # jaccard_pairs leads: its shared verify kernel's signature changed
+        # since its last green row (only minhash re-verified it in r4). ---
+        "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
+        "token_counts": tabular.q_token_counts,
+        "lang_distribution": tabular.q_lang_distribution,
+        "stratified_sample": tabular.q_stratified_sample,  # SQL-oracled (shared hash arithmetic)
+        "exact_dedup_docs": tabular.q_exact_dedup_docs,
+        "approx_distinct_by_flag": tabular.q_approx_distinct_by_flag,  # SQL-oracled (grouped HLL)
+        "bloom_semi_join": tabular.q_bloom_semi_join,  # SQL-oracled (exact-FP bloom)
+        "distinct_parts_by_flag": tabular.q_distinct_parts_by_flag,  # SQL-oracled (exact)
+        "customers_no_recent_orders": tabular.q_customers_no_recent_orders,  # SQL-oracled (anti-join)
+        "events_hopping": tabular.q_events_hopping,  # SQL-oracled (explode windows)
+        "top_orders_per_customer": tabular.q_top_orders_per_customer,  # SQL-oracled (QUALIFY)
+        "error_burst": tabular.q_error_burst,  # SQL-oracled (range join)
+        "json_extract_stats": tabular.q_json_extract_stats,  # SQL-oracled (json field agg)
+        "nation_trade_graph": tabular.q_nation_trade_graph,  # SQL-oracled (quotient graph)
+        "pivot_returnflag": tabular.q_pivot_returnflag,  # SQL-oracled (wide cond. agg)
+        "orders_percent_rank": tabular.q_orders_percent_rank,  # SQL-oracled (window)
+        "parts_shipped_both": tabular.q_parts_shipped_both,  # SQL-oracled (full outer)
+        "qty_price_corr": tabular.q_qty_price_corr,  # SQL-oracled (grouped Pearson)
+        "price_stats_by_flag": tabular.q_price_stats_by_flag,  # SQL-oracled (stddev)
+        "orders_by_month": tabular.q_orders_by_month,  # SQL-oracled (date parts)
+        "parts_shipped_diff": tabular.q_parts_shipped_diff,  # SQL-oracled (EXCEPT)
+        "pagerank_top20_profile": tabular.q_pagerank_top20_profile,  # SQL-oracled (composition)
+        # --- new in r5 (must be driver-checked this round) ---
+        "multimodal_image_features": tabular.q_multimodal_features,
+        # --- r4-green entries below (byte-unchanged unless noted) ---
         "simhash_pairs": tabular.q_simhash_pairs,  # SQL-oracled (_simhash_sql)
         "doc_fingerprint": tabular.q_doc_fingerprint,  # SQL-oracled (_fingerprint_sql)
         "doc_quality": tabular.q_doc_quality,  # SQL-oracled
@@ -1248,8 +1275,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": tabular.q_knn_bruteforce,
         "knn_ivf": tabular.q_knn_ivf,  # SQL-oracled (nprobe = nlist ⇒ exact)
         "embedding_near_dups": tabular.q_embedding_near_dups,  # SQL-oracled (exact path)
-        "multimodal_image_features": tabular.q_multimodal_features,
-        # --- new in r4 (must be driver-checked this round) ---
         "gopher_quality": tabular.q_gopher_quality,  # SQL-oracled (_gopher_sql)
         "repetition_stats": tabular.q_repetition_stats,  # SQL-oracled
         "doc_entropy": tabular.q_doc_entropy,  # SQL-oracled
@@ -1262,7 +1287,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": tabular.q_clustering_coeff,  # SQL-oracled
         "assortativity": tabular.q_assortativity,  # SQL-oracled
         "lp_modularity": tabular.q_lp_modularity,  # SQL-oracled (LP ∘ modularity)
-        # rewritten after their last green driver row (r3) - must re-check
         "ngram_topk": tabular.q_ngram_topk,  # SQL-oracled (unnest bigrams)
         "tfidf_topk": tabular.q_tfidf_topk,  # SQL-oracled (per-doc tf-idf top terms)
         "minhash_dedup_docs": tabular.q_minhash_dedup,  # SQL-oracled (_minhash_sql)
@@ -1294,30 +1318,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": tabular.q_sessionize,  # SQL-oracled (LAG/cumsum window)
         "orders_asof": tabular.q_orders_asof,  # SQL-oracled (native ASOF JOIN)
         "approx_distinct_parts": tabular.q_approx_distinct_parts,  # SQL-oracled (_hll_sql)
-        "approx_distinct_by_flag": tabular.q_approx_distinct_by_flag,  # SQL-oracled (grouped HLL)
-        "bloom_semi_join": tabular.q_bloom_semi_join,  # SQL-oracled (exact-FP bloom)
-        "distinct_parts_by_flag": tabular.q_distinct_parts_by_flag,  # SQL-oracled (exact)
-        "customers_no_recent_orders": tabular.q_customers_no_recent_orders,  # SQL-oracled (anti-join)
-        "events_hopping": tabular.q_events_hopping,  # SQL-oracled (explode windows)
-        "top_orders_per_customer": tabular.q_top_orders_per_customer,  # SQL-oracled (QUALIFY)
-        "error_burst": tabular.q_error_burst,  # SQL-oracled (range join)
-        "json_extract_stats": tabular.q_json_extract_stats,  # SQL-oracled (json field agg)
-        "nation_trade_graph": tabular.q_nation_trade_graph,  # SQL-oracled (quotient graph)
-        "pivot_returnflag": tabular.q_pivot_returnflag,  # SQL-oracled (wide cond. agg)
-        "orders_percent_rank": tabular.q_orders_percent_rank,  # SQL-oracled (window)
-        "parts_shipped_both": tabular.q_parts_shipped_both,  # SQL-oracled (full outer)
-        "qty_price_corr": tabular.q_qty_price_corr,  # SQL-oracled (grouped Pearson)
-        "price_stats_by_flag": tabular.q_price_stats_by_flag,  # SQL-oracled (stddev)
-        "orders_by_month": tabular.q_orders_by_month,  # SQL-oracled (date parts)
-        "parts_shipped_diff": tabular.q_parts_shipped_diff,  # SQL-oracled (EXCEPT)
-        "pagerank_top20_profile": tabular.q_pagerank_top20_profile,  # SQL-oracled (composition)
-        # documents: text analysis + dedup
-        "token_counts": tabular.q_token_counts,
-        "lang_distribution": tabular.q_lang_distribution,
-        "stratified_sample": tabular.q_stratified_sample,  # SQL-oracled (shared hash arithmetic)
-        "exact_dedup_docs": tabular.q_exact_dedup_docs,
-        # training-data ops (near-dup suite, similarity search, quality, multimodal)
-        "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
     }
 
 
