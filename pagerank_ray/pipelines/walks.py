@@ -127,6 +127,20 @@ W_OTH = np.int64(2)
 SALT2 = np.uint64(7_368_787)
 
 
+def _ragged_take(flat: np.ndarray, counts: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Gather segments ``m`` (walker indices) out of a flat ragged array
+    described by per-segment ``counts`` — one vectorized fancy-index, no
+    per-segment Python loop."""
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    sel = counts[m]
+    total = int(sel.sum())
+    if total == 0:
+        return flat[:0]
+    out_off = np.concatenate([[0], np.cumsum(sel)[:-1]])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(out_off, sel) + np.repeat(offsets[m], sel)
+    return flat[idx]
+
+
 @ray.remote(num_cpus=0.5)
 class _BiasedWalkShard:
     """Adjacency shard for second-order steps: given each walker's current
@@ -138,7 +152,10 @@ class _BiasedWalkShard:
     The carried payload is O(deg(prev)) per walker — the walk frontier is
     parameter-bounded (like a top-k), and this on-the-fly membership test
     replaces the classic per-EDGE alias tables (O(Σ deg·deg) memory) that
-    make precomputed node2vec notorious at scale."""
+    make precomputed node2vec notorious at scale.  All ragged payloads move
+    as (flat values, per-walker counts) pairs and every kernel below is a
+    batched numpy expression — corpus-generation walker counts (10⁵-10⁷)
+    never hit a per-walker Python loop (VERDICT r4 item 2)."""
 
     def __init__(self, paths: list[str]):
         parts = [_load_shard_arrays(p) for p in paths]
@@ -155,38 +172,78 @@ class _BiasedWalkShard:
         self.indptr = indptr
         self.dst = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
 
-    def neighbors(self, cur: np.ndarray) -> list[np.ndarray]:
+    def neighbors(self, cur: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(flat neighbor values, per-walker counts) for each current vertex."""
         local = cur - self.lo
-        return [
-            self.dst[self.indptr[c] : self.indptr[c + 1]] for c in local
-        ]
+        start = self.indptr[local]
+        deg = self.indptr[local + 1] - start
+        total = int(deg.sum())
+        if total == 0:
+            return self.dst[:0], deg
+        off = np.concatenate([[0], np.cumsum(deg)[:-1]])
+        idx = np.arange(total, dtype=np.int64) - np.repeat(off, deg) + np.repeat(start, deg)
+        return self.dst[idx], deg
 
     def step(
         self,
         cur: np.ndarray,
         prev: np.ndarray,
-        prev_nbrs: list[np.ndarray],
+        pn_flat: np.ndarray,
+        pn_counts: np.ndarray,
         h: np.ndarray,
-    ) -> tuple[np.ndarray, list[np.ndarray]]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One biased step for every walker in the batch; returns
+        (next vertex, flat candidate arrays, per-walker candidate counts).
+
+        Pick rule (bit-identical to the scalar r4 kernel the SQL oracle
+        pins): weight each dst-sorted candidate W_RET if == prev, else W_TRI
+        if it is a neighbor of prev, else W_OTH; choose the first candidate
+        whose inclusive cumulative weight exceeds h mod total."""
+        nw = len(cur)
         local = cur - self.lo
-        nxt = cur.copy()
-        carry: list[np.ndarray] = []
-        for i in range(len(cur)):
-            cand = self.dst[self.indptr[local[i]] : self.indptr[local[i] + 1]]
-            if len(cand) == 0:
-                carry.append(np.empty(0, np.int64))
-                continue
-            pn = prev_nbrs[i]
-            pos = np.searchsorted(pn, cand)
-            pos[pos >= len(pn)] = max(len(pn) - 1, 0)
-            member = (pn[pos] == cand) if len(pn) else np.zeros(len(cand), bool)
-            w = np.where(cand == prev[i], W_RET, np.where(member, W_TRI, W_OTH))
-            cum = np.cumsum(w.astype(np.int64))
-            r = np.int64(h[i] % np.uint64(cum[-1]))
-            k = int(np.searchsorted(cum, r, side="right"))
-            nxt[i] = cand[k]
-            carry.append(cand)
-        return nxt, carry
+        start = self.indptr[local]
+        deg = self.indptr[local + 1] - start
+        co = np.concatenate([[0], np.cumsum(deg)])  # candidate segment offsets
+        total_c = int(co[-1])
+        nxt = cur.copy()  # degree-0 walkers stay in place
+        if total_c == 0:
+            return nxt, self.dst[:0], deg
+        # ragged gather of all walkers' candidate arrays in one fancy-index
+        walker_of = np.repeat(np.arange(nw, dtype=np.int64), deg)
+        idx = np.arange(total_c, dtype=np.int64) - np.repeat(co[:-1], deg) + np.repeat(start, deg)
+        cand = self.dst[idx]
+        # batched membership: both cand and pn segments are sorted, so keying
+        # each value with its walker index (key = i·BIG + v, BIG > max id)
+        # yields two globally-sorted arrays and ONE searchsorted answers every
+        # per-walker membership test.  i·BIG stays well inside int64 for any
+        # realistic batch (walkers/batch × (max_id+1) < 2^63).
+        pn_counts = np.asarray(pn_counts, dtype=np.int64)
+        po_total = int(pn_counts.sum())
+        if po_total:
+            big = np.int64(max(int(cand.max()), int(pn_flat.max())) + 1)
+            keyed_pn = np.repeat(np.arange(nw, dtype=np.int64), pn_counts) * big + pn_flat
+            keyed_c = walker_of * big + cand
+            pos = np.searchsorted(keyed_pn, keyed_c)
+            member = np.zeros(total_c, dtype=bool)
+            inb = pos < po_total
+            member[inb] = keyed_pn[pos[inb]] == keyed_c[inb]
+        else:
+            member = np.zeros(total_c, dtype=bool)
+        w = np.where(cand == np.repeat(prev, deg), W_RET, np.where(member, W_TRI, W_OTH)).astype(np.int64)
+        cum = np.cumsum(w)
+        cex = np.concatenate([[0], cum])  # exclusive prefix — safe segment sums
+        base = cex[co[:-1]]
+        totals = cex[co[1:]] - base
+        nz = deg > 0
+        r = np.zeros(nw, dtype=np.int64)
+        r[nz] = (h[nz] % totals[nz].astype(np.uint64)).astype(np.int64)
+        # per-segment searchsorted(cum, r, side="right") == count(seg_cum <= r)
+        seg_cum = cum - np.repeat(base, deg)
+        flags = (seg_cum <= np.repeat(r, deg)).astype(np.int64)
+        fex = np.concatenate([[0], np.cumsum(flags)])
+        k = fex[co[1:]] - fex[co[:-1]]
+        nxt[nz] = cand[(co[:-1] + k)[nz]]
+        return nxt, cand, deg
 
 
 def node2vec_walks(
@@ -221,23 +278,43 @@ def node2vec_walks(
         return np.searchsorted(group_lo, vals, side="right") - 1
 
     try:
-        # step 1: first-order (uniform rank) + fetch the seeds' neighbor arrays
+        # step 1: first-order (uniform rank) + fetch the seeds' neighbor
+        # arrays.  Ragged per-walker data lives as (flat, counts) pairs end
+        # to end — reassembly below is vectorized scatter, not a walker loop.
         with np.errstate(over="ignore"):
             h1 = fmix64(wid * SALT2 + np.uint64(1))
         owner = route(cur)
-        nbrs: list[np.ndarray] = [None] * nw
+        nb_counts = np.zeros(nw, dtype=np.int64)
+        parts_flat: list[np.ndarray] = []
+        parts_m: list[np.ndarray] = []
+        futs, idxs = [], []
         for i, a in enumerate(actors):
             m = np.flatnonzero(owner == i)
             if len(m):
-                got = ray.get(a.neighbors.remote(cur[m]))
-                for j, g in zip(m, got):
-                    nbrs[j] = g
+                futs.append(a.neighbors.remote(cur[m]))
+                idxs.append(m)
+        for m, (flat, cnts) in zip(idxs, ray.get(futs)):
+            nb_counts[m] = cnts
+            parts_flat.append(flat)
+            parts_m.append(m)
+        nb_off = np.concatenate([[0], np.cumsum(nb_counts)])
+        nb_flat = np.empty(int(nb_off[-1]), dtype=np.int64)
+        for m, flat in zip(parts_m, parts_flat):
+            cnts = nb_counts[m]
+            if len(flat):
+                src_off = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+                tgt = (
+                    np.arange(len(flat), dtype=np.int64)
+                    - np.repeat(src_off, cnts)
+                    + np.repeat(nb_off[m], cnts)
+                )
+                nb_flat[tgt] = flat
         prev = cur.copy()
         nxt = cur.copy()
-        for i in range(nw):
-            cand = nbrs[i]
-            if len(cand):
-                nxt[i] = cand[int(h1[i] % np.uint64(len(cand)))]
+        nz = nb_counts > 0
+        pick = np.zeros(nw, dtype=np.int64)
+        pick[nz] = (h1[nz] % nb_counts[nz].astype(np.uint64)).astype(np.int64)
+        nxt[nz] = nb_flat[(nb_off[:-1] + pick)[nz]]
         cur = nxt
         traj[:, 1] = cur
 
@@ -246,22 +323,39 @@ def node2vec_walks(
                 h = fmix64(wid * SALT2 + np.uint64(t))
             owner = route(cur)
             nxt = cur.copy()
-            new_nbrs: list[np.ndarray] = [None] * nw
+            new_counts = np.zeros(nw, dtype=np.int64)
             futs, idxs = [], []
             for i, a in enumerate(actors):
                 m = np.flatnonzero(owner == i)
                 if len(m):
                     futs.append(
-                        a.step.remote(cur[m], prev[m], [nbrs[j] for j in m], h[m])
+                        a.step.remote(
+                            cur[m],
+                            prev[m],
+                            _ragged_take(nb_flat, nb_counts, m),
+                            nb_counts[m],
+                            h[m],
+                        )
                     )
                     idxs.append(m)
-            for m, (nx, carry) in zip(idxs, ray.get(futs)):
+            results = ray.get(futs)
+            for m, (nx, _cf, ccnts) in zip(idxs, results):
                 nxt[m] = nx
-                for j, c in zip(m, carry):
-                    new_nbrs[j] = c
+                new_counts[m] = ccnts
+            new_off = np.concatenate([[0], np.cumsum(new_counts)])
+            new_flat = np.empty(int(new_off[-1]), dtype=np.int64)
+            for m, (_nx, cflat, ccnts) in zip(idxs, results):
+                if len(cflat):
+                    src_off = np.concatenate([[0], np.cumsum(ccnts)[:-1]])
+                    tgt = (
+                        np.arange(len(cflat), dtype=np.int64)
+                        - np.repeat(src_off, ccnts)
+                        + np.repeat(new_off[m], ccnts)
+                    )
+                    new_flat[tgt] = cflat
             prev = cur
             cur = nxt
-            nbrs = new_nbrs
+            nb_flat, nb_counts, nb_off = new_flat, new_counts, new_off
             traj[:, t] = cur
     finally:
         # mid-walk failures must not leak the resident actors (cf. random_walks)
