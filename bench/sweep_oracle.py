@@ -52,6 +52,9 @@ def canon(df):
 
 
 qs = entry.queries()
+if len(sys.argv) > 1:  # optional: sweep only the named queries
+    sel = set(sys.argv[1:])
+    qs = {k: v for k, v in qs.items() if k in sel}
 sqls = entry.oracle_sql()
 con = duck()
 results = {}

@@ -170,7 +170,6 @@ def _compact_ids(edges: rd.Dataset) -> tuple[rd.Dataset, int, rd.Dataset]:
     distributed: bucketed distinct → sort → block offsets (the
     graph_build.assign_dense_ids idiom), then two broadcast/hash joins to
     rewrite the edge endpoints. The edge table never reaches the driver."""
-    from pagerank_ray.stages import joins
     from pagerank_ray.stages.graph_build import assign_dense_ids
 
     def mentions(t: pa.Table) -> pa.Table:
@@ -185,6 +184,14 @@ def _compact_ids(edges: rd.Dataset) -> tuple[rd.Dataset, int, rd.Dataset]:
     id_map, n = assign_dense_ids(
         edges.map_batches(mentions, batch_format="pyarrow"), "orig"
     )
+    return _rewrite_endpoints(edges, id_map, n), n, id_map
+
+
+def _rewrite_endpoints(edges: rd.Dataset, id_map: rd.Dataset, n: int) -> rd.Dataset:
+    """Rewrite (src_id, dst_id[, weight]) onto the dense id space of
+    ``id_map`` via two broadcast/hash joins."""
+    from pagerank_ray.stages import joins
+
     dense = joins.attach_column(
         edges,
         id_map,
@@ -218,7 +225,57 @@ def _compact_ids(edges: rd.Dataset) -> tuple[rd.Dataset, int, rd.Dataset]:
         ),
         batch_format="pyarrow",
     )
-    return dense, n, id_map
+    return dense
+
+
+def _compact_ids_cached(
+    sf_dir: str, tag: str, edges_factory, base_tag: str | None = None
+) -> tuple[rd.Dataset, int, rd.Dataset]:
+    """Disk-cached ``_compact_ids``: the dense edge table and id map are
+    parqueted once per (input fingerprint, tag) under the shared workdir, so
+    every graph query in a bench/driver session pays the distinct + sort +
+    endpoint-rewrite chain once instead of per query (the r4 cold-CSR trio —
+    VERDICT item 3). Clean-before-write with the meta marker last, so a torn
+    attempt is rebuilt, never half-read.
+
+    ``base_tag``: a tag whose cached id map covers the SAME vertex universe
+    (e.g. the weighted lineitem graph reuses the unweighted map — identical
+    (orderkey, partkey) pairs, and dense ids are sorted-by-orig so the map is
+    content-deterministic either way); when present on disk, the distinct +
+    sort is skipped and only the endpoint rewrite runs."""
+    import json
+    import shutil
+
+    work = _graph_workdir(sf_dir, f"ids_{tag}")
+    meta_p = os.path.join(work, "meta.json")
+    edir = os.path.join(work, "edges")
+    mdir = os.path.join(work, "id_map")
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            n = json.load(f)["n"]
+        return rd.read_parquet(edir), n, rd.read_parquet(mdir)
+    base_meta = (
+        os.path.join(_graph_workdir(sf_dir, f"ids_{base_tag}"), "meta.json")
+        if base_tag
+        else None
+    )
+    if base_meta and os.path.exists(base_meta):
+        with open(base_meta) as f:
+            n = json.load(f)["n"]
+        base_work = os.path.dirname(base_meta)
+        id_map = rd.read_parquet(os.path.join(base_work, "id_map"))
+        dense = _rewrite_endpoints(edges_factory(), id_map, n)
+    else:
+        dense, n, id_map = _compact_ids(edges_factory())
+    for d in (edir, mdir):
+        shutil.rmtree(d, ignore_errors=True)  # write_parquet appends into existing dirs
+    os.makedirs(work, exist_ok=True)
+    dense.write_parquet(edir)
+    id_map.write_parquet(mdir)
+    with open(meta_p + ".tmp", "w") as f:
+        json.dump({"n": int(n)}, f)
+    os.replace(meta_p + ".tmp", meta_p)
+    return rd.read_parquet(edir), n, rd.read_parquet(mdir)
 
 
 def _attach_orig(result: rd.Dataset, id_map: rd.Dataset, n: int, cols: list[str]) -> pd.DataFrame:
@@ -250,7 +307,9 @@ def _lineitem_csr(
     callers that derive a second CSR, e.g. q_hits's reversed graph)."""
     from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
 
-    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
     work = _graph_workdir(sf_dir, "sym" if symmetrize else "fwd")
     csr = os.path.join(work, "csr")
     prepare_csr_from_edges(
@@ -360,7 +419,9 @@ def q_pagerank_weighted(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.
     from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
     from pagerank_ray.pipelines.pagerank import pagerank
 
-    dense_edges, n, id_map = _compact_ids(_weighted_lineitem_edges(sf_dir))
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "wli", lambda: _weighted_lineitem_edges(sf_dir), base_tag="li"
+    )
     csr = os.path.join(_graph_workdir(sf_dir, "wfwd"), "csr")
     prepare_csr_from_edges(dense_edges, n, csr, n_parts=4 * n_workers)
     res = pagerank(csr, n_workers=n_workers, max_iters=iters, eps_per_vertex=0.0)
@@ -483,55 +544,57 @@ def q_sssp_weighted(sf_dir: str, n_workers: int = 4, mod: int = 1009) -> pd.Data
     from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
     from pagerank_ray.stages.graph_build import grouped_pair_sum
 
-    # Symmetrize with ONE shuffle (the csr.symmetrize trick for weighted
-    # edges): canonicalize every lineitem row to (min, max) BEFORE the pair
-    # sum — so (a,b) and (b,a) quantities merge in the same groupby — then
-    # mirror the summed canonical half back shuffle-free.
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    def make_sym() -> rd.Dataset:
+        # Symmetrize with ONE shuffle (the csr.symmetrize trick for weighted
+        # edges): canonicalize every lineitem row to (min, max) BEFORE the
+        # pair sum — so (a,b) and (b,a) quantities merge in the same groupby
+        # — then mirror the summed canonical half back shuffle-free.
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
 
-    def canon(t: pa.Table) -> pa.Table:
-        s = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        d = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src_id": pa.array(np.minimum(s, d)),
-                "dst_id": pa.array(np.maximum(s, d)),
-                "weight": t.column("l_quantity").cast(pa.float64()),
-            }
+        def canon(t: pa.Table) -> pa.Table:
+            s = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            d = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "src_id": pa.array(np.minimum(s, d)),
+                    "dst_id": pa.array(np.maximum(s, d)),
+                    "weight": t.column("l_quantity").cast(pa.float64()),
+                }
+            )
+
+        half = grouped_pair_sum(li.map_batches(canon, batch_format="pyarrow")).materialize()
+
+        def double_self(t: pa.Table) -> pa.Table:
+            # a self-loop's quantity appears in BOTH directions of the oracle's
+            # UNION ALL and merges to a single 2q edge — mirror that exactly
+            s = t.column("src_id").to_numpy(zero_copy_only=False)
+            d = t.column("dst_id").to_numpy(zero_copy_only=False)
+            w = t.column("weight").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "src_id": t.column("src_id"),
+                    "dst_id": t.column("dst_id"),
+                    "weight": pa.array(np.where(s == d, w * 2.0, w)),
+                }
+            )
+
+        def mirror_noself(t: pa.Table) -> pa.Table:
+            s = t.column("src_id").to_numpy(zero_copy_only=False)
+            d = t.column("dst_id").to_numpy(zero_copy_only=False)
+            keep = s != d
+            return pa.table(
+                {
+                    "src_id": pa.array(d[keep]),
+                    "dst_id": pa.array(s[keep]),
+                    "weight": pa.array(t.column("weight").to_numpy(zero_copy_only=False)[keep]),
+                }
+            )
+
+        return half.map_batches(double_self, batch_format="pyarrow").union(
+            half.map_batches(mirror_noself, batch_format="pyarrow")
         )
 
-    half = grouped_pair_sum(li.map_batches(canon, batch_format="pyarrow")).materialize()
-
-    def double_self(t: pa.Table) -> pa.Table:
-        # a self-loop's quantity appears in BOTH directions of the oracle's
-        # UNION ALL and merges to a single 2q edge — mirror that exactly
-        s = t.column("src_id").to_numpy(zero_copy_only=False)
-        d = t.column("dst_id").to_numpy(zero_copy_only=False)
-        w = t.column("weight").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "src_id": t.column("src_id"),
-                "dst_id": t.column("dst_id"),
-                "weight": pa.array(np.where(s == d, w * 2.0, w)),
-            }
-        )
-
-    def mirror_noself(t: pa.Table) -> pa.Table:
-        s = t.column("src_id").to_numpy(zero_copy_only=False)
-        d = t.column("dst_id").to_numpy(zero_copy_only=False)
-        keep = s != d
-        return pa.table(
-            {
-                "src_id": pa.array(d[keep]),
-                "dst_id": pa.array(s[keep]),
-                "weight": pa.array(t.column("weight").to_numpy(zero_copy_only=False)[keep]),
-            }
-        )
-
-    sym = half.map_batches(double_self, batch_format="pyarrow").union(
-        half.map_batches(mirror_noself, batch_format="pyarrow")
-    )
-    dense_edges, n, id_map = _compact_ids(sym)
+    dense_edges, n, id_map = _compact_ids_cached(sf_dir, "wsymli", make_sym, base_tag="li")
     csr = os.path.join(_graph_workdir(sf_dir, "wsym"), "csr")
     prepare_csr_from_edges(
         dense_edges, n, csr, n_parts=4 * n_workers, normalize_weights=False
@@ -577,7 +640,9 @@ def q_triangles(sf_dir: str) -> pd.DataFrame:
     same (deg, id) orientation semantics (pipelines/triangles.py)."""
     from pagerank_ray.pipelines.triangles import triangle_counts
 
-    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
     counts = triangle_counts(dense_edges, n)
     df = _attach_orig(counts, id_map, n, ["id"])
     return df[["id", "tri_count"]].sort_values("id").reset_index(drop=True)
@@ -2233,7 +2298,9 @@ def q_salsa(sf_dir: str, n_workers: int = 4, iters: int = 5) -> pd.DataFrame:
     from pagerank_ray.pipelines.hits import hits
     from pagerank_ray.stages import joins
 
-    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
     dense_edges = dense_edges.materialize()  # feeds both weighted CSR builds
 
     def unit_w(t: pa.Table) -> pa.Table:
@@ -2390,7 +2457,9 @@ def q_scc(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
     reachability-closure oracle (recursive CTE) on the same edges."""
     from pagerank_ray.pipelines.scc import strongly_connected_components
 
-    dense_edges, n, id_map = _compact_ids(partflow_edges(sf_dir))
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "pf", lambda: partflow_edges(sf_dir)
+    )
     # FRESH work dir per invocation: the round checkpoints are a resume
     # feature for long jobs, NOT a cross-run result cache — a persistent dir
     # would replay recorded labels after code changes and make warm-cache
@@ -2463,7 +2532,9 @@ def q_clustering_coeff(sf_dir: str) -> pd.DataFrame:
     from pagerank_ray.pipelines.triangles import triangle_counts
     from pagerank_ray.stages import joins
 
-    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
     dense_edges = dense_edges.materialize()
     # reuse the degree table the triangle orientation already computed — a
     # second canonical-dedup shuffle + degree count would double the two most
@@ -2494,7 +2565,9 @@ def q_assortativity(sf_dir: str) -> pd.DataFrame:
     from pagerank_ray.stages.graph_build import grouped_count
     from ray.data.aggregate import Sum
 
-    dense_edges, n, id_map = _compact_ids(lineitem_edges(sf_dir))
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
     und = _undirected_simple(dense_edges).materialize()
 
     def endpoints(t: pa.Table) -> pa.Table:
