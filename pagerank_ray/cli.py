@@ -76,7 +76,13 @@ def main(argv=None):
     sc.add_argument("--out")
     sc.add_argument("--n-workers", type=int, default=8)
     sc.add_argument("--fresh", action="store_true",
-                    help="discard round checkpoints from a previous run (default: resume them)")
+                    help="discard round checkpoints from a previous run (default: resume them; "
+                         "checkpoints from DIFFERENT input edges are discarded automatically "
+                         "via the per-round input fingerprint)")
+    sc.add_argument("--max-rounds", type=int, default=30)
+    sc.add_argument("--max-label-iters", type=int, default=500,
+                    help="supersteps per hash-min fixpoint; O(diameter) needed — raise for "
+                         "long-chain/lattice graphs")
 
     d = sub.add_parser("dedup", help="MinHash-LSH near-dup clusters over a documents parquet")
     d.add_argument("--docs", required=True, help="parquet with (doc_id, text)")
@@ -189,7 +195,8 @@ def main(argv=None):
             if args.fresh:
                 _shutil.rmtree(scc_work, ignore_errors=True)
             res = strongly_connected_components(
-                edges.materialize(), n, scc_work, n_workers=args.n_workers
+                edges.materialize(), n, scc_work, n_workers=args.n_workers,
+                max_rounds=args.max_rounds, max_label_iters=args.max_label_iters,
             )
             out = args.out or os.path.join(args.work_dir, "scc")
             _shutil.rmtree(out, ignore_errors=True)

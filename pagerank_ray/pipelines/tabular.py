@@ -2417,8 +2417,11 @@ def partflow_edges(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     """Directed CYCLIC graph over parts: an edge a→b for every order whose
     line item with linenumber i+1 for part b directly follows the line item
     with linenumber i for part a. Co-partitioned by order bucket (one
-    shuffle), pairs formed with a vectorized sort+shift inside each bucket,
-    then the standard bucketed pair dedup — the same shape as the
+    shuffle), pairs formed with a per-bucket self-MERGE on (orderkey,
+    linenumber i ↔ i+1) — a cross product per matched key, because
+    linenumbers are NOT unique within an order, so a sort+shift would pair
+    arbitrary same-linenumber rows — then the standard bucketed pair dedup —
+    the same shape as the
     warc-page→edges build, but producing cycles (parts recur across orders
     in different positions), which is what SCC needs."""
     from pagerank_ray.stages.graph_build import dedup_pairs

@@ -564,3 +564,70 @@ def test_scc_checkpoint_resume_equals_continuous(ray_session, tmp_path):
     g3 = r3.result.to_pandas().sort_values("id").reset_index(drop=True)
     assert r3.rounds == r1.rounds
     np.testing.assert_array_equal(g1["scc"].to_numpy(), g3["scc"].to_numpy())
+
+
+def test_scc_checkpoint_fingerprint_discards_stale_rounds(ray_session, tmp_path):
+    """Round checkpoints carry an input-edge fingerprint: re-running the same
+    work_dir with DIFFERENT edges must discard the recorded rounds instead of
+    silently replaying stale labels (ADVICE r4)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.scc import strongly_connected_components
+
+    n = 6
+    cyc = lambda ids: [(ids[i], ids[(i + 1) % len(ids)]) for i in range(len(ids))]
+    e1 = cyc([0, 1, 2]) + cyc([3, 4, 5])
+    e2 = cyc([0, 1, 2, 3, 4, 5])  # one big cycle — different input, same ids
+    mk = lambda pairs: rd.from_arrow(pa.table({
+        "src_id": np.array([p[0] for p in pairs], np.int64),
+        "dst_id": np.array([p[1] for p in pairs], np.int64)}))
+    work = str(tmp_path / "scc_fp")
+    r1 = strongly_connected_components(mk(e1), n, work, n_workers=2)
+    g1 = r1.result.to_pandas().sort_values("id")
+    assert sorted(set(g1["scc"])) == [0, 3]
+    # same work_dir, different edges: stale rounds must NOT replay
+    r2 = strongly_connected_components(mk(e2), n, work, n_workers=2)
+    g2 = r2.result.to_pandas().sort_values("id")
+    assert set(g2["scc"]) == {0}
+
+
+def test_scc_max_label_iters_plumbed(ray_session, tmp_path):
+    """A too-small hash-min budget raises loudly (and the default is
+    overridable from the public API — ADVICE r4)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.scc import strongly_connected_components
+
+    k = 40  # one k-cycle: hash-min needs ~k supersteps
+    pairs = [(i, (i + 1) % k) for i in range(k)]
+    edges = rd.from_arrow(pa.table({
+        "src_id": np.array([p[0] for p in pairs], np.int64),
+        "dst_id": np.array([p[1] for p in pairs], np.int64)}))
+    with pytest.raises(RuntimeError, match="did not converge in 5"):
+        strongly_connected_components(
+            edges, k, str(tmp_path / "s1"), n_workers=2, max_label_iters=5)
+    ok = strongly_connected_components(
+        edges, k, str(tmp_path / "s2"), n_workers=2, max_label_iters=k + 2)
+    assert set(ok.result.to_pandas()["scc"]) == {0}
+
+
+def test_hits_resume_rejects_over_iterated_checkpoint(ray_session, tmp_path):
+    """Resuming HITS with iters SMALLER than the checkpointed iteration count
+    must raise instead of returning over-iterated vectors labeled with the
+    requested count (ADVICE r4)."""
+    import pytest
+
+    from pagerank_ray.pipelines.hits import hits
+
+    src, dst = _random_graph(60, 300, seed=3)
+    n = 60
+    fwd = str(tmp_path / "fwd"); rev = str(tmp_path / "rev")
+    prepare_csr_from_edges(edges_dataset_from_arrays(src, dst), n, fwd, n_parts=4)
+    prepare_csr_from_edges(edges_dataset_from_arrays(dst, src), n, rev, n_parts=4)
+    ck = str(tmp_path / "ck")
+    hits(fwd, rev, n_workers=2, iters=4, checkpoint_root=ck, checkpoint_every=2)
+    with pytest.raises(ValueError, match="3"):
+        hits(fwd, rev, n_workers=2, iters=3, checkpoint_root=ck, resume=True)
