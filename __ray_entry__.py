@@ -784,6 +784,62 @@ SELECT d.doc_id,
 FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"""
 
 
+def _bpe_sql() -> str:
+    """Per-doc BPE token counts under the vendored merge table — independent
+    recursive-CTE re-implementation of functions/bpe.py.
+
+    Same published algorithm, different machinery: pre-tokenize with the
+    identical RE2 regex, then a recursive CTE walks each UNIQUE pre-token
+    through the merge ranks, applying DuckDB ``replace`` on a
+    chr(31)-delimited symbol string until the rank's fixpoint (replace is
+    non-overlapping left-to-right — byte-for-byte the engine's
+    ``str.replace`` loop). A row advances to rank r+1 only when rank r stops
+    changing; rows at rank n_merges are terminal. Token count = separator
+    count − 1."""
+    from pagerank_ray.functions.bpe import PRETOKEN_RE, load_merges
+
+    merges = load_merges()
+    n_m = len(merges)
+    sep = "\x1f"
+    rows = ", ".join(
+        "({}, '{}', '{}')".format(
+            r, sep + a + sep + b + sep, sep + a + b + sep
+        )
+        for r, (a, b) in enumerate(merges)
+    )
+    return rf"""
+WITH RECURSIVE
+pre AS (
+  SELECT doc_id, replace(unnest(regexp_extract_all(text, '{PRETOKEN_RE}')), ' ', 'Ġ') AS w
+  FROM documents
+),
+uniq AS (SELECT DISTINCT w FROM pre),
+m(rank, pat, rep) AS (VALUES {rows}),
+enc(w, s, r) AS (
+  SELECT w, '{sep}' || regexp_replace(w, '(.)', '\1{sep}', 'g'), 0 FROM uniq
+  UNION ALL
+  SELECT w,
+         CASE WHEN ns <> s THEN ns ELSE s END,
+         CASE WHEN ns <> s THEN r ELSE r + 1 END
+  FROM (
+    SELECT e.w, e.s, e.r, replace(e.s, m.pat, m.rep) AS ns
+    FROM enc e JOIN m ON m.rank = e.r
+    WHERE e.r < {n_m}
+  )
+),
+final AS (
+  SELECT w, (length(s) - length(replace(s, '{sep}', ''))) - 1 AS n FROM enc WHERE r = {n_m}
+),
+per_doc AS (
+  SELECT p.doc_id, COUNT(*)::BIGINT AS n_pretokens, SUM(f.n)::BIGINT AS n_tokens
+  FROM pre p JOIN final f ON f.w = p.w GROUP BY p.doc_id
+)
+SELECT d.doc_id, COALESCE(pd.n_pretokens, 0)::BIGINT AS n_pretokens,
+       COALESCE(pd.n_tokens, 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
+ORDER BY d.doc_id"""
+
+
 def _jaccard_sql(threshold: float = 0.5) -> str:
     """All-pairs word-3-gram Jaccard ≥ threshold on shingle STRINGS — the
     engine computes the identical sets as collision-free 64-bit hashes of
@@ -1264,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_shipped_diff": tabular.q_parts_shipped_diff,  # SQL-oracled (EXCEPT)
         "pagerank_top20_profile": tabular.q_pagerank_top20_profile,  # SQL-oracled (composition)
         # --- new in r5 (must be driver-checked this round) ---
+        "bpe_token_counts": tabular.q_bpe_token_counts,  # SQL-oracled (_bpe_sql recursive merges)
         "multimodal_image_features": tabular.q_multimodal_features,
         # --- r4-green entries below (byte-unchanged unless noted) ---
         "simhash_pairs": tabular.q_simhash_pairs,  # SQL-oracled (_simhash_sql)
@@ -1617,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN lang = 'en' THEN 0.2 ELSE 0.6 END) * 4294967296 "
             "ORDER BY doc_id"
         ),
+        "bpe_token_counts": _bpe_sql(),
         "token_counts": (
             "SELECT doc_id, (CASE WHEN TRIM(text) = '' THEN 0 "
             "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END)::BIGINT AS n_tokens "

@@ -1764,6 +1764,20 @@ def q_token_counts(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def q_bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    """Per-doc subword token counts under the vendored BPE merge table —
+    the real merge-rank algorithm (Sennrich 2016 training / GPT-2-order
+    application), not the whitespace/regex approximation of token_counts.
+    Stateful actor-pool stage: the merge table loads once per actor and the
+    unique-pretoken cache persists across batches (functions/bpe.py)."""
+    from pagerank_ray.functions.bpe import BPETokenCounter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        BPETokenCounter, batch_format="pyarrow", concurrency=(1, 4), batch_size=256
+    )
+
+
 def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
     out = (
         _read(sf_dir, "documents", ["lang"])
