@@ -784,6 +784,52 @@ SELECT d.doc_id,
 FROM d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY d.doc_id"""
 
 
+def _embed_ctes(dim: int = 32) -> str:
+    """CTE chain recomputing stages/embed.py:HashingEmbedder in DuckDB —
+    feature hashing over the shared poly+fmix64 token hash: bucket = h % dim,
+    sign from bit 33, exact-INTEGER signed counts, then the single mirrored
+    float expression v * (1.0/sqrt(Σv²)) rounded half-away to 6. Defines
+    ``emb(doc_id, dim, value)`` (dense grid: every doc × every dim)."""
+    return rf"""
+{_TOKEN_HASH_CTES},
+fh AS (SELECT doc_id, (h % {dim})::BIGINT AS dim,
+              1 - 2 * (((h >> 33) & 1)::BIGINT) AS sign FROM tok_hash),
+rawv AS (SELECT doc_id, dim, SUM(sign)::BIGINT AS v FROM fh GROUP BY doc_id, dim),
+nrm AS (SELECT doc_id, SUM(v * v)::BIGINT AS s2 FROM rawv GROUP BY doc_id),
+grid AS (SELECT d.doc_id, g.dim FROM documents d,
+         (SELECT unnest(generate_series(0, {dim - 1})) AS dim) g),
+emb AS (
+  SELECT g.doc_id, g.dim,
+         CASE WHEN COALESCE(n.s2, 0) = 0 THEN 0.0
+              ELSE ROUND(COALESCE(r.v, 0) * (1.0 / sqrt(n.s2)), 6) END AS value
+  FROM grid g
+  LEFT JOIN rawv r ON r.doc_id = g.doc_id AND r.dim = g.dim
+  LEFT JOIN nrm n ON n.doc_id = g.doc_id
+)"""
+
+
+def _embed_sql(dim: int = 32) -> str:
+    return rf"""
+WITH RECURSIVE {_embed_ctes(dim)}
+SELECT doc_id, dim, value FROM emb ORDER BY doc_id, dim"""
+
+
+def _knn_embedded_sql(dim: int = 32, k: int = 10, n_queries: int = 5) -> str:
+    """Exact brute-force cosine top-k over the RECOMPUTED embeddings — the
+    oracle for knn_ivf_embedded (nprobe = nlist ⇒ the IVF path is exact)."""
+    return rf"""
+WITH RECURSIVE {_embed_ctes(dim)},
+ev AS (SELECT doc_id, list(value ORDER BY dim) AS e FROM emb GROUP BY doc_id),
+q AS (SELECT doc_id AS query_id, e AS qe FROM ev WHERE doc_id < {n_queries}),
+s AS (SELECT q.query_id, ev.doc_id AS vec_id,
+             list_cosine_similarity(ev.e::DOUBLE[], q.qe::DOUBLE[]) AS sim
+      FROM q CROSS JOIN ev WHERE ev.doc_id <> q.query_id),
+r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER
+      (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+SELECT query_id, vec_id, ROUND(sim, 6) AS cosine, rank::BIGINT AS rank
+FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 def _bpe_sql() -> str:
     """Per-doc BPE token counts under the vendored merge table — independent
     recursive-CTE re-implementation of functions/bpe.py.
@@ -1321,6 +1367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top20_profile": tabular.q_pagerank_top20_profile,  # SQL-oracled (composition)
         # --- new in r5 (must be driver-checked this round) ---
         "bpe_token_counts": tabular.q_bpe_token_counts,  # SQL-oracled (_bpe_sql recursive merges)
+        "embed_documents": tabular.q_embed_documents,  # SQL-oracled (_embed_sql feature hashing)
+        "knn_ivf_embedded": tabular.q_knn_ivf_embedded,  # SQL-oracled (inference feeds IVF; nprobe=nlist)
         "multimodal_image_features": tabular.q_multimodal_features,
         # --- r4-green entries below (byte-unchanged unless noted) ---
         "simhash_pairs": tabular.q_simhash_pairs,  # SQL-oracled (_simhash_sql)
@@ -1675,6 +1723,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id"
         ),
         "bpe_token_counts": _bpe_sql(),
+        "embed_documents": _embed_sql(),
+        "knn_ivf_embedded": _knn_embedded_sql(),
         "token_counts": (
             "SELECT doc_id, (CASE WHEN TRIM(text) = '' THEN 0 "
             "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END)::BIGINT AS n_tokens "

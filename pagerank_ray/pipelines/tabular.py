@@ -2170,6 +2170,71 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     return exact
 
 
+def q_embed_documents(sf_dir: str) -> rd.Dataset:
+    """Embedding-INFERENCE stage (model-in-__init__ actor pool): documents →
+    32-dim feature-hashing embeddings (stages/embed.py), exploded to
+    (doc_id, dim, value) rows for the driver's value-hash compare. The
+    projection is deterministic (the SQL-reproducible token hash), so the
+    oracle recomputes identical vectors in DuckDB."""
+    from pagerank_ray.stages.embed import embed_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = embed_documents(docs)
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        dim = col.type.list_size
+        vals = col.flatten()
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), dim)
+                ),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+                "value": vals,
+            }
+        )
+
+    return emb.map_batches(explode, batch_format="pyarrow")
+
+
+def q_knn_ivf_embedded(sf_dir: str) -> pd.DataFrame:
+    """End-to-end GPU-pipeline shape: the embedding-inference stage FEEDS the
+    IVF index — embed documents, train centroids on the inferred vectors,
+    bucket, probe every bucket (nprobe = nlist ⇒ exact, so the DuckDB
+    brute-force-over-recomputed-embeddings SQL is the oracle)."""
+    from pagerank_ray.stages.embed import embed_documents
+    from pagerank_ray.stages.knn import build_ivf, knn_ivf, train_centroids
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = (
+        embed_documents(docs)
+        .map_batches(
+            lambda t: pa.table(
+                {"vec_id": t.column("doc_id"), "embedding": t.column("embedding")}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    qdf = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t.column("vec_id"), 5)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qids = qdf["vec_id"].to_numpy()
+    qvecs = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    cents = train_centroids(emb, 8)
+    ivf = build_ivf(emb, cents).materialize()
+    out = knn_ivf(ivf, cents, qvecs, qids, k=10, nprobe=len(cents))
+    out["cosine"] = _round_half_away(out["cosine"], 6)
+    return out[["query_id", "vec_id", "cosine", "rank"]]
+
+
 def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
     """Image features over a deterministic synthetic media table with REAL
     payloads: PPM/BMP/PNG/GIF/QOI and baseline+progressive JPEG all decode

@@ -557,3 +557,37 @@ def test_gif_truncated_raises_valueerror():
     for cut in (10, 14, 100, len(payload) - 3):
         with pytest.raises(ValueError):
             decode_gif(payload[:cut])
+
+
+def test_hashing_embedder_matches_per_doc_reference(ray_session):
+    """Vectorized batch kernel ≡ per-doc scalar feature hashing; unit norm;
+    empty docs → zero vectors; stage plumbing through the actor pool."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.stages.dedup import _hash_tokens
+    from pagerank_ray.stages.embed import HashingEmbedder, embed_documents
+
+    docs = ["key agg row scan", "", "a a a", "zz unseen 42 tokens here", "   "]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    out = HashingEmbedder(dim=16)(t)
+    emb = np.stack([np.asarray(v) for v in out.column("embedding").to_pylist()])
+    for i, d in enumerate(docs):
+        raw = np.zeros(16, np.int64)
+        for h in _hash_tokens(d.split()):
+            b = int(h % np.uint64(16))
+            raw[b] += 1 - 2 * int((h >> np.uint64(33)) & np.uint64(1))
+        s = int((raw * raw).sum())
+        exp = raw * (1.0 / np.sqrt(s)) if s else raw.astype(float)
+        exp = np.floor(np.abs(exp) * 1e6 + 0.5) / 1e6 * np.sign(exp)
+        np.testing.assert_array_equal(emb[i], exp)
+    assert np.allclose(np.linalg.norm(emb[0]), 1.0, atol=2e-5)
+    np.testing.assert_array_equal(emb[1], np.zeros(16))
+    np.testing.assert_array_equal(emb[4], np.zeros(16))
+
+    ds = embed_documents(rd.from_arrow(t), dim=16, concurrency=(1, 2), batch_size=2)
+    got = ds.to_pandas().sort_values("doc_id")
+    emb2 = np.stack([np.asarray(v) for v in got["embedding"]])
+    np.testing.assert_array_equal(emb, emb2)
