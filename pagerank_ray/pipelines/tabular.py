@@ -2248,8 +2248,21 @@ def q_multimodal_features(sf_dir: str) -> pd.DataFrame:
 
     media = rd2.from_arrow(synth_media(200))
     out = image_features(media, embed_dim=32, concurrency=4).to_pandas()
-    out["embedding"] = out["embedding"].map(lambda v: [round(float(x), 6) for x in v])
-    return out.sort_values("media_id").reset_index(drop=True)
+    out = out.sort_values("media_id").reset_index(drop=True)
+    # explode to one scalar row per (media_id, dim): robust for the driver's
+    # stringified value-hash (a list-typed column round-trips differently
+    # through parquet/duckdb than through pandas objects)
+    n, d = len(out), 32
+    emb = np.stack([np.asarray(v, np.float64) for v in out["embedding"]])
+    return pd.DataFrame(
+        {
+            "media_id": np.repeat(out["media_id"].to_numpy(), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n),
+            "value": _round_half_away(emb.ravel(), 6),
+            "decoded_w": np.repeat(out["decoded_w"].to_numpy(), d),
+            "decoded_h": np.repeat(out["decoded_h"].to_numpy(), d),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
