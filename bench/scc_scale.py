@@ -8,6 +8,14 @@ power-law dst) creating the giant SCC; 15% point periphery→core or
 core→periphery (DAG edges → trivial SCCs + trims).
 
 Run:  python bench/scc_scale.py [n_vertices] [n_edges] [n_workers]
+
+Adversarial mode (VERDICT r4 item 5 datapoint):
+      python bench/scc_scale.py --chain C K [n_workers]
+builds a CHAIN of C K-cycles (cycle j = ids jK..jK+K-1, one bridge edge
+jK+K-1 → jK+K). FW-BW coloring settles exactly ONE cycle per round (F = 0
+everywhere, B = jK inside cycle j), so the run exercises max-depth round
+recursion; per-round `secs` must TRACK the shrinking remnant (the r5
+remnant compaction), not stay flat at O(n).
 """
 import json
 import os
@@ -19,9 +27,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import pyarrow as pa
 
-N = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2_000_000
-M = int(float(sys.argv[2])) if len(sys.argv) > 2 else 20_000_000
-W = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+CHAIN = len(sys.argv) > 1 and sys.argv[1] == "--chain"
+if CHAIN:
+    C = int(sys.argv[2])
+    K = int(float(sys.argv[3]))
+    W = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    N, M = C * K, 8 * C * K + C - 1  # 1 ham + 7 shortcuts per vertex + bridges
+else:
+    N = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2_000_000
+    M = int(float(sys.argv[2])) if len(sys.argv) > 2 else 20_000_000
+    W = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
 
 def gen_block(t: pa.Table) -> pa.Table:
@@ -59,17 +74,54 @@ def main():
 
     from pagerank_ray.pipelines.scc import strongly_connected_components
 
-    edges = (
-        rd.range(M, override_num_blocks=256)
-        .map_batches(gen_block, batch_format="pyarrow")
-        .materialize()
-    )
+    if CHAIN:
+        # chain of C strongly-connected K-clusters: cluster j = ids
+        # jK..jK+K-1 with a Hamiltonian cycle (guarantees one SCC) plus 7
+        # hash-random in-cluster shortcuts per vertex (keeps the hash-min
+        # diameter O(log K)); one bridge edge jK+K-1 → jK+K per boundary.
+        # FW-BW settles exactly one cluster per round → C rounds.
+        def cluster_block(t: pa.Table) -> pa.Table:
+            from pagerank_ray.functions.text import fmix64
+
+            i = t.column("id").to_numpy().astype(np.int64)
+            j = i // K
+            base = j * K
+            ham = base + (i - base + 1) % K
+            srcs = [i]
+            dsts = [ham]
+            for tt in range(7):
+                h = fmix64(i.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                           + np.uint64(tt + 1))
+                srcs.append(i)
+                dsts.append(base + (h % np.uint64(K)).astype(np.int64))
+            return pa.table({"src_id": pa.array(np.concatenate(srcs)),
+                             "dst_id": pa.array(np.concatenate(dsts))})
+
+        bridges = pa.table({
+            "src_id": pa.array((np.arange(C - 1, dtype=np.int64) + 1) * K - 1),
+            "dst_id": pa.array((np.arange(C - 1, dtype=np.int64) + 1) * K),
+        })
+        edges = (
+            rd.range(N, override_num_blocks=64)
+            .map_batches(cluster_block, batch_format="pyarrow")
+            .union(rd.from_arrow(bridges))
+            .materialize()
+        )
+    else:
+        edges = (
+            rd.range(M, override_num_blocks=256)
+            .map_batches(gen_block, batch_format="pyarrow")
+            .materialize()
+        )
     work = f"/tmp/pagerank_ray_bench/scc_scale_n{N}_m{M}"
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
     t0 = time.perf_counter()
-    res = strongly_connected_components(edges, N, work, n_workers=W)
+    res = strongly_connected_components(
+        edges, N, work, n_workers=W,
+        max_rounds=(C + 3) if CHAIN else 30,
+    )
     wall = time.perf_counter() - t0
     # giant-SCC size: distributed label histogram (<= n_labels rows), max
     from pagerank_ray.stages.graph_build import grouped_count
@@ -86,6 +138,7 @@ def main():
         "rows_labeled": n_rows,
         "giant_scc": giant,
         "wall_sec": round(wall, 1),
+        "round_stats": res.round_stats,
     }
     print(json.dumps(out))
     ray.shutdown()

@@ -56,6 +56,9 @@ class SCCResult:
     result: rd.Dataset  # (id, scc) — scc = min member id of the component
     rounds: int
     n_vertices: int
+    # per computed round: {round, n_active (entering), n_endpoints (the
+    # compacted width n_r), secs}; resumed-from-checkpoint rounds are absent
+    round_stats: list[dict] = None
 
 
 def _min_labels(
@@ -194,6 +197,7 @@ def strongly_connected_components(
             json.dump(meta, f)
         os.replace(tmp, os.path.join(rdir, "done.json"))
 
+    round_stats: list[dict] = []
     while n_active > 0:
         if rounds >= max_rounds:
             raise RuntimeError(
@@ -239,6 +243,10 @@ def strongly_connected_components(
                 e = _read_or_empty("edges")
                 n_active = meta["n_active"]
                 continue
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        _active_in = n_active
         ep = endpoints_of(e).materialize()
         # adaptive round sizing: late rounds run on small remnants — spawning
         # the full pool (and 4*W CSR parts) per round is pure fixed latency.
@@ -265,6 +273,9 @@ def strongly_connected_components(
         if ep.count() == 0:
             settled_parts.append(singles)
             _write_ckpt(rdir, singles, True, None, None, 0)
+            round_stats.append({"round": rounds, "n_active": _active_in,
+                                "n_endpoints": 0,
+                                "secs": round(_time.perf_counter() - _t0, 2)})
             break
 
         # 2. remnant compaction: densely remap the surviving ENDPOINT
@@ -353,6 +364,9 @@ def strongly_connected_components(
         n_active = n_r - done_r.count()
         if n_active == 0:
             _write_ckpt(rdir, settled_r, True, None, None, 0)
+            round_stats.append({"round": rounds, "n_active": _active_in,
+                                "n_endpoints": int(n_r),
+                                "secs": round(_time.perf_counter() - _t0, 2)})
             break
         active_v = _remap(active_r, ["id"], "dense", "id").materialize()
         ea = joins.attach_with_default(
@@ -382,8 +396,12 @@ def strongly_connected_components(
         # and resume stay unchanged; round k+1 re-compacts its own remnant)
         e = _remap(e_keep, ["src_id", "dst_id"], "dense", "id").materialize()
         _write_ckpt(rdir, settled_r, False, active_v, e, n_active)
+        round_stats.append({"round": rounds, "n_active": _active_in,
+                            "n_endpoints": int(n_r),
+                            "secs": round(_time.perf_counter() - _t0, 2)})
 
     out = settled_parts[0]
     for part in settled_parts[1:]:
         out = out.union(part)
-    return SCCResult(result=out, rounds=rounds, n_vertices=n)
+    return SCCResult(result=out, rounds=rounds, n_vertices=n,
+                     round_stats=round_stats)
