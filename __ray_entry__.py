@@ -1369,7 +1369,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": tabular.q_bpe_token_counts,  # SQL-oracled (_bpe_sql recursive merges)
         "embed_documents": tabular.q_embed_documents,  # SQL-oracled (_embed_sql feature hashing)
         "knn_ivf_embedded": tabular.q_knn_ivf_embedded,  # SQL-oracled (inference feeds IVF; nprobe=nlist)
-        "multimodal_image_features": tabular.q_multimodal_features,
+        "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
+        # --- execution path CHANGED in r5 (shared cached id compaction /
+        # scc remnant compaction) — all must get fresh CORRECTNESS_r05 rows ---
+        "scc": tabular.q_scc,  # SQL-oracled (_scc_sql reachability closure)
+        "pagerank": tabular.q_pagerank,  # converged; SQL-oracled (NumPy-oracle iter count)
+        "pagerank_fixed": tabular.q_pagerank_fixed,  # SQL-oracled (unrolled)
+        "pagerank_personalized": tabular.q_pagerank_personalized,  # SQL-oracled (M7)
+        "pagerank_weighted": tabular.q_pagerank_weighted,  # SQL-oracled (stored-weight SpMV)
+        "connected_components": tabular.q_connected_components,  # SQL-oracled
+        "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
+        "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
+        "bfs_levels": tabular.q_bfs_levels,  # SQL-oracled (unrolled min-plus)
+        "sssp_weighted": tabular.q_sssp_weighted,  # SQL-oracled (Bellman-Ford)
+        "triangles": tabular.q_triangles,  # SQL-oracled
+        "salsa": tabular.q_salsa,  # SQL-oracled (_salsa_sql)
+        "graph_eccentricity": tabular.q_graph_eccentricity,  # SQL-oracled (_ecc_sql)
+        "random_walks": tabular.q_random_walks,  # SQL-oracled (_walks_sql)
+        "node2vec_walks": tabular.q_node2vec_walks,  # SQL-oracled (_node2vec_sql)
+        "clustering_coeff": tabular.q_clustering_coeff,  # SQL-oracled
+        "assortativity": tabular.q_assortativity,  # SQL-oracled
+        "lp_modularity": tabular.q_lp_modularity,  # SQL-oracled (LP ∘ modularity)
         # --- r4-green entries below (byte-unchanged unless noted) ---
         "simhash_pairs": tabular.q_simhash_pairs,  # SQL-oracled (_simhash_sql)
         "doc_fingerprint": tabular.q_doc_fingerprint,  # SQL-oracled (_fingerprint_sql)
@@ -1384,14 +1404,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": tabular.q_repetition_stats,  # SQL-oracled
         "doc_entropy": tabular.q_doc_entropy,  # SQL-oracled
         "cms_heavy_hitters": tabular.q_cms_heavy_hitters,  # SQL-oracled (_cms_sql)
-        "salsa": tabular.q_salsa,  # SQL-oracled (_salsa_sql)
-        "graph_eccentricity": tabular.q_graph_eccentricity,  # SQL-oracled (_ecc_sql)
-        "scc": tabular.q_scc,  # SQL-oracled (_scc_sql reachability closure)
-        "random_walks": tabular.q_random_walks,  # SQL-oracled (_walks_sql)
-        "node2vec_walks": tabular.q_node2vec_walks,  # SQL-oracled (_node2vec_sql)
-        "clustering_coeff": tabular.q_clustering_coeff,  # SQL-oracled
-        "assortativity": tabular.q_assortativity,  # SQL-oracled
-        "lp_modularity": tabular.q_lp_modularity,  # SQL-oracled (LP ∘ modularity)
         "ngram_topk": tabular.q_ngram_topk,  # SQL-oracled (unnest bigrams)
         "tfidf_topk": tabular.q_tfidf_topk,  # SQL-oracled (per-doc tf-idf top terms)
         "minhash_dedup_docs": tabular.q_minhash_dedup,  # SQL-oracled (_minhash_sql)
@@ -1404,17 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dangling_vertices": tabular.q_dangling,
         "degree_histogram": tabular.q_degree_histogram,
         # iterative graph algorithms (SURVEY.md §2.11)
-        "pagerank": tabular.q_pagerank,  # converged; SQL-oracled (NumPy-oracle iter count)
-        "pagerank_fixed": tabular.q_pagerank_fixed,  # SQL-oracled (unrolled)
-        "pagerank_personalized": tabular.q_pagerank_personalized,  # SQL-oracled (M7)
-        "pagerank_weighted": tabular.q_pagerank_weighted,  # SQL-oracled (stored-weight SpMV)
-        "connected_components": tabular.q_connected_components,  # SQL-oracled
-        "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
-        "triangles": tabular.q_triangles,  # SQL-oracled
-        "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
         "kcore": tabular.q_kcore,  # SQL-oracled (fixed-unroll peel)
-        "bfs_levels": tabular.q_bfs_levels,  # SQL-oracled (unrolled min-plus)
-        "sssp_weighted": tabular.q_sssp_weighted,  # SQL-oracled (Bellman-Ford)
         # relational operators (groupby/agg, join, sort/limit, window)
         "lineitem_agg": tabular.q_lineitem_agg,
         "top_customers": tabular.q_top_customers,
