@@ -177,11 +177,17 @@ def run_flagship(
     alpha: float = 0.85,
     max_iters: int = 100,
     checkpoint: bool = True,
+    dedup_stage: str = "pages",
 ):
-    """pages → PageRank ranks joined back to urls. Returns (IterativeResult, artifacts)."""
+    """pages → PageRank ranks joined back to urls. Returns (IterativeResult,
+    artifacts). ``dedup_stage="extracted"`` is the spill-aware configuration
+    for page counts whose html no longer fits the object store: the url
+    dedup shuffles the html-free extracted table instead of raw pages
+    (identical winners — see build_graph)."""
     from pagerank_ray.pipelines.pagerank import pagerank
 
-    arts = build_graph(pages, work_dir, n_parts=n_parts or 4 * n_workers)
+    arts = build_graph(pages, work_dir, n_parts=n_parts or 4 * n_workers,
+                       dedup_stage=dedup_stage)
     res = pagerank(
         arts["csr"],
         n_workers=n_workers,
