@@ -830,31 +830,36 @@ SELECT query_id, vec_id, ROUND(sim, 6) AS cosine, rank::BIGINT AS rank
 FROM r WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
-def _bpe_sql() -> str:
-    """Per-doc BPE token counts under the vendored merge table — independent
-    recursive-CTE re-implementation of functions/bpe.py.
+_BPE_SEP = "\x1f"
 
-    Same published algorithm, different machinery: pre-tokenize with the
-    identical RE2 regex, then a recursive CTE walks each UNIQUE pre-token
-    through the merge ranks, applying DuckDB ``replace`` on a
-    chr(31)-delimited symbol string until the rank's fixpoint (replace is
-    non-overlapping left-to-right — byte-for-byte the engine's
-    ``str.replace`` loop). A row advances to rank r+1 only when rank r stops
-    changing; rows at rank n_merges are terminal. Token count = separator
-    count − 1."""
+
+def _bpe_enc_ctes() -> tuple[str, int]:
+    """Shared CTE chain re-implementing functions/bpe.py in DuckDB: a
+    recursive CTE walks each UNIQUE pre-token through the merge ranks,
+    applying ``replace`` on the engine's DOUBLE-chr(31)-separator symbol
+    string (adjacent occurrences share no characters, so non-overlapping
+    left-to-right replace-all is the canonical leftmost-greedy merge —
+    byte-for-byte the engine's ``str.replace`` loop). A row advances to rank
+    r+1 only when rank r stops changing; rows at rank n_merges are terminal.
+    The char split uses ``(?s)`` so newlines count as symbols; merge symbols
+    are quote-escaped into the VALUES rows. Defines
+    ``pre(doc_id, w)`` / ``enc(w, s, r)``; returns (ctes, n_merges)."""
     from pagerank_ray.functions.bpe import PRETOKEN_RE, load_merges
 
     merges = load_merges()
     n_m = len(merges)
-    sep = "\x1f"
+    sep = _BPE_SEP
+
+    def q(sym: str) -> str:
+        return sym.replace("'", "''")
+
     rows = ", ".join(
         "({}, '{}', '{}')".format(
-            r, sep + a + sep + b + sep, sep + a + b + sep
+            r, q(sep + a + sep + sep + b + sep), q(sep + a + b + sep)
         )
         for r, (a, b) in enumerate(merges)
     )
     return rf"""
-WITH RECURSIVE
 pre AS (
   SELECT doc_id, replace(unnest(regexp_extract_all(text, '{PRETOKEN_RE}')), ' ', 'Ġ') AS w
   FROM documents
@@ -862,7 +867,7 @@ pre AS (
 uniq AS (SELECT DISTINCT w FROM pre),
 m(rank, pat, rep) AS (VALUES {rows}),
 enc(w, s, r) AS (
-  SELECT w, '{sep}' || regexp_replace(w, '(.)', '\1{sep}', 'g'), 0 FROM uniq
+  SELECT w, '{sep}{sep}' || regexp_replace(w, '(?s)(.)', '\1{sep}{sep}', 'g'), 0 FROM uniq
   UNION ALL
   SELECT w,
          CASE WHEN ns <> s THEN ns ELSE s END,
@@ -872,9 +877,18 @@ enc(w, s, r) AS (
     FROM enc e JOIN m ON m.rank = e.r
     WHERE e.r < {n_m}
   )
-),
+)""", n_m
+
+
+def _bpe_sql() -> str:
+    """Per-doc BPE token counts (token count = separator count / 2 − 1)."""
+    ctes, n_m = _bpe_enc_ctes()
+    sep = _BPE_SEP
+    return rf"""
+WITH RECURSIVE {ctes},
 final AS (
-  SELECT w, (length(s) - length(replace(s, '{sep}', ''))) - 1 AS n FROM enc WHERE r = {n_m}
+  SELECT w, (length(s) - length(replace(s, '{sep}', ''))) // 2 - 1 AS n
+  FROM enc WHERE r = {n_m}
 ),
 per_doc AS (
   SELECT p.doc_id, COUNT(*)::BIGINT AS n_pretokens, SUM(f.n)::BIGINT AS n_tokens
@@ -884,6 +898,40 @@ SELECT d.doc_id, COALESCE(pd.n_pretokens, 0)::BIGINT AS n_pretokens,
        COALESCE(pd.n_tokens, 0)::BIGINT AS n_tokens
 FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
 ORDER BY d.doc_id"""
+
+
+def _bpe_topk_sql(k: int = 25) -> str:
+    """Top-k BPE tokens by corpus frequency: split each unique pre-token's
+    final symbol string into its tokens (multiplicity preserved by unnest),
+    weight by the pre-token's corpus count, aggregate."""
+    ctes, n_m = _bpe_enc_ctes()
+    sep = _BPE_SEP
+    return rf"""
+WITH RECURSIVE {ctes},
+tok_final AS (
+  SELECT w, unnest(list_filter(string_split(s, '{sep}'), t -> t <> '')) AS token
+  FROM enc WHERE r = {n_m}
+),
+wcount AS (SELECT w, COUNT(*)::BIGINT AS wc FROM pre GROUP BY w),
+agg AS (
+  SELECT tf.token, SUM(wc.wc)::BIGINT AS n
+  FROM tok_final tf JOIN wcount wc ON wc.w = tf.w GROUP BY tf.token
+)
+SELECT token, n FROM agg ORDER BY n DESC, token LIMIT {k}"""
+
+
+def _semantic_dedup_sql(threshold: float = 0.95, dim: int = 32) -> str:
+    """Near-dup doc pairs over embeddings RECOMPUTED in SQL — the oracle for
+    the embed-stage → exact-all-pairs composition."""
+    return rf"""
+WITH RECURSIVE {_embed_ctes(dim)},
+ev AS (SELECT doc_id, list(value ORDER BY dim) AS e FROM emb GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         list_cosine_similarity(a.e::DOUBLE[], b.e::DOUBLE[]) AS c
+  FROM ev a JOIN ev b ON b.doc_id > a.doc_id
+)
+SELECT a, b, ROUND(c, 6) AS cosine FROM p WHERE c >= {threshold} ORDER BY a, b"""
 
 
 def _jaccard_sql(threshold: float = 0.5) -> str:
@@ -1367,6 +1415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top20_profile": tabular.q_pagerank_top20_profile,  # SQL-oracled (composition)
         # --- new in r5 (must be driver-checked this round) ---
         "bpe_token_counts": tabular.q_bpe_token_counts,  # SQL-oracled (_bpe_sql recursive merges)
+        "bpe_token_topk": tabular.q_bpe_token_topk,  # SQL-oracled (token split of the merge walk)
+        "semantic_dedup_docs": tabular.q_semantic_dedup_docs,  # SQL-oracled (embeddings recomputed in SQL)
         "embed_documents": tabular.q_embed_documents,  # SQL-oracled (_embed_sql feature hashing)
         "knn_ivf_embedded": tabular.q_knn_ivf_embedded,  # SQL-oracled (inference feeds IVF; nprobe=nlist)
         "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
@@ -1725,6 +1775,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id"
         ),
         "bpe_token_counts": _bpe_sql(),
+        "bpe_token_topk": _bpe_topk_sql(),
+        "semantic_dedup_docs": _semantic_dedup_sql(),
         "embed_documents": _embed_sql(),
         "knn_ivf_embedded": _knn_embedded_sql(),
         # golden-parquet oracle: SQL cannot express the operator's core

@@ -219,8 +219,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
         "cms_heavy_hitters", "gopher_quality", "repetition_stats", "doc_entropy",
     ],
     "corpus_r5": [
-        "bpe_token_counts", "embed_documents", "knn_ivf_embedded",
-        "multimodal_image_features",
+        "bpe_token_counts", "bpe_token_topk", "embed_documents",
+        "knn_ivf_embedded", "semantic_dedup_docs", "multimodal_image_features",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
@@ -310,6 +310,8 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     # r5 additions: BPE tokenizer, embedding-inference stage, inference→IVF,
     # multimodal features (now golden-oracled)
     timed("bpe_token_counts", lambda: tabular.q_bpe_token_counts(SF_DIR).materialize().count())
+    timed("bpe_token_topk", lambda: tabular.q_bpe_token_topk(SF_DIR))
+    timed("semantic_dedup_docs", lambda: tabular.q_semantic_dedup_docs(SF_DIR))
     timed("embed_documents", lambda: tabular.q_embed_documents(SF_DIR).materialize().count())
     timed("knn_ivf_embedded", lambda: tabular.q_knn_ivf_embedded(SF_DIR))
     timed("multimodal_image_features", lambda: tabular.q_multimodal_features(SF_DIR))
@@ -515,8 +517,12 @@ def headline_grouped(ncpu: int) -> dict:
     # engine design (one compaction per input per session) — but a rerun of
     # the suite never starts warm.
     import shutil
+    import tempfile
 
-    shutil.rmtree(os.path.join("/tmp", "pagerank_ray_work"), ignore_errors=True)
+    # same root _graph_workdir uses — a hardcoded /tmp silently no-ops when
+    # TMPDIR points elsewhere (r5 review finding)
+    shutil.rmtree(os.path.join(tempfile.gettempdir(), "pagerank_ray_work"),
+                  ignore_errors=True)
     queries: dict[str, float] = {}
     extras: dict = {}
     group_errors: dict[str, str] = {}

@@ -89,11 +89,14 @@ def train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
 
 
 def load_merges(path: str = MERGES_PATH) -> list[tuple[str, str]]:
+    """GPT-2 merges.txt convention: ONLY the first line may be a comment
+    header. Treating every '#'-leading line as a comment would silently drop
+    a legitimate ('#','#') merge — its line is '# #' (r5 review finding)."""
     merges = []
     with open(path, encoding="utf-8") as f:
-        for line in f:
+        for i, line in enumerate(f):
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            if not line or (i == 0 and line.startswith("#")):
                 continue
             a, b = line.split(" ")
             merges.append((a, b))
@@ -101,25 +104,35 @@ def load_merges(path: str = MERGES_PATH) -> list[tuple[str, str]]:
 
 
 class BPETokenizer:
-    """Apply a fixed merge table. `encode_word` works on a SEP-delimited
-    symbol string and applies each merge rank with repeated non-overlapping
-    `str.replace` passes to the fixpoint — left-to-right per pass, so runs of
-    the same pair merge exactly as the canonical leftmost-greedy rule (and as
-    DuckDB's `replace`, which the SQL oracle leans on)."""
+    """Apply a fixed merge table. `encode_word` works on a DOUBLE-separator
+    symbol string — every symbol boundary carries two SEP chars — so the
+    pattern ``SEP a SEP SEP b SEP`` consumes one separator from each
+    boundary and ADJACENT occurrences share no characters. That makes one
+    non-overlapping left-to-right `str.replace` pass per rank exactly the
+    canonical leftmost-greedy merge (a single-separator encoding skips
+    alternate pairs inside runs of a self-pair merge like (a,a) on 'aaaaa',
+    because neighbouring matches would share the middle separator — r5
+    review finding). DuckDB `replace` has identical semantics, which the
+    SQL oracle leans on."""
 
     def __init__(self, merges: list[tuple[str, str]] | None = None):
         self.merges = list(merges) if merges is not None else load_merges()
         self._rules = [
-            (SEP + a + SEP + b + SEP, SEP + a + b + SEP) for a, b in self.merges
+            (SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP)
+            for a, b in self.merges
         ]
         self._cache: dict[str, int] = {}
 
     def encode_word(self, word: str) -> list[str]:
-        s = SEP + SEP.join(_to_symbols(word)) + SEP
+        sep2 = SEP + SEP
+        s = sep2 + sep2.join(_to_symbols(word)) + sep2
         for pat, rep in self._rules:
+            # a merged symbol can never re-form its own pair (a+b ≠ a, ≠ b),
+            # so one pass per rank is complete; the loop is a cheap guard
             while pat in s:
                 s = s.replace(pat, rep)
-        return s.strip(SEP).split(SEP) if len(s) > 1 else []
+        toks = [t for t in s.split(SEP) if t]
+        return toks
 
     def n_tokens_word(self, word: str) -> int:
         hit = self._cache.get(word)
@@ -146,7 +159,7 @@ class BPETokenCounter:
         self.pat = re.compile(PRETOKEN_RE)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pandas()
+        texts = t.column("text").to_pandas().fillna("")  # NULL text → 0 tokens
         pretoks = texts.str.findall(self.pat)
         n_pre = pretoks.str.len().to_numpy(dtype=np.int64)
         flat = pd.Series(

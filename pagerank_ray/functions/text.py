@@ -186,6 +186,17 @@ _FMIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
 _FMIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
 
 
+def round_half_away(values, ndigits: int) -> np.ndarray:
+    """Round half away from zero — DuckDB ROUND's tie rule (std::round).
+    pandas/numpy round half-to-even, which disagrees at exact .5 boundaries;
+    ratio-of-small-ints columns (doc_quality) hit those boundaries for real.
+    Shared by every oracle-mirrored float output (tabular queries, the
+    embedding stage)."""
+    scale = 10.0 ** ndigits
+    arr = np.asarray(values, dtype=np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
 def fmix64(x: np.ndarray) -> np.ndarray:
     """Murmur3 fmix64 finalizer (vectorized, uint64 wraparound). Plain
     mod-2^64 arithmetic, so DuckDB can recompute it exactly in HUGEINT with

@@ -89,12 +89,12 @@ def _edges_fingerprint(edges: rd.Dataset, n: int) -> str:
     silently replaying recorded labels (ADVICE r4)."""
 
     def h(t: pa.Table) -> pa.Table:
+        from pagerank_ray.functions.text import fmix64
+
         s = t.column("src_id").to_numpy(zero_copy_only=False).astype(np.uint64)
         d = t.column("dst_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        x = s * np.uint64(0x9E3779B97F4A7C15) + d
-        x ^= x >> np.uint64(33)
-        x *= np.uint64(0xFF51AFD7ED558CCD)
-        x ^= x >> np.uint64(33)
+        with np.errstate(over="ignore"):
+            x = fmix64(s * np.uint64(0x9E3779B97F4A7C15) + d)
         return pa.table({
             "hs": pa.array([int(x.sum(dtype=np.uint64))], pa.uint64()),
             "cnt": pa.array([len(x)], pa.int64()),

@@ -41,12 +41,10 @@ def _read(sf_dir: str, table: str, columns=None, filter=None) -> rd.Dataset:
 
 
 def _round_half_away(values, ndigits: int) -> np.ndarray:
-    """Round half away from zero — DuckDB ROUND's tie rule (std::round).
-    pandas/numpy round half-to-even, which disagrees at exact .5 boundaries;
-    ratio-of-small-ints columns (doc_quality) hit those boundaries for real."""
-    scale = 10.0 ** ndigits
-    arr = np.asarray(values, dtype=np.float64)
-    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+    """DuckDB-ROUND tie rule; canonical impl in functions.text."""
+    from pagerank_ray.functions.text import round_half_away
+
+    return round_half_away(values, ndigits)
 
 
 # ---------------------------------------------------------------------------
@@ -242,18 +240,30 @@ def _compact_ids_cached(
     (e.g. the weighted lineitem graph reuses the unweighted map — identical
     (orderkey, partkey) pairs, and dense ids are sorted-by-orig so the map is
     content-deterministic either way); when present on disk, the distinct +
-    sort is skipped and only the endpoint rewrite runs."""
+    sort is skipped and only the endpoint rewrite runs.
+
+    Concurrency-safe (r5 review finding): the whole entry is built in a
+    pid-unique temp directory and published with ONE atomic os.rename —
+    two processes racing on the same entry each build their own copy and the
+    loser reads the winner's; no interleaved write_parquet appends can ever
+    sit behind a valid marker."""
     import json
     import shutil
 
     work = _graph_workdir(sf_dir, f"ids_{tag}")
     meta_p = os.path.join(work, "meta.json")
-    edir = os.path.join(work, "edges")
-    mdir = os.path.join(work, "id_map")
-    if os.path.exists(meta_p):
+
+    def _read_cached() -> tuple[rd.Dataset, int, rd.Dataset]:
         with open(meta_p) as f:
-            n = json.load(f)["n"]
-        return rd.read_parquet(edir), n, rd.read_parquet(mdir)
+            n_cached = json.load(f)["n"]
+        return (
+            rd.read_parquet(os.path.join(work, "edges")),
+            n_cached,
+            rd.read_parquet(os.path.join(work, "id_map")),
+        )
+
+    if os.path.exists(meta_p):
+        return _read_cached()
     base_meta = (
         os.path.join(_graph_workdir(sf_dir, f"ids_{base_tag}"), "meta.json")
         if base_tag
@@ -267,15 +277,18 @@ def _compact_ids_cached(
         dense = _rewrite_endpoints(edges_factory(), id_map, n)
     else:
         dense, n, id_map = _compact_ids(edges_factory())
-    for d in (edir, mdir):
-        shutil.rmtree(d, ignore_errors=True)  # write_parquet appends into existing dirs
-    os.makedirs(work, exist_ok=True)
-    dense.write_parquet(edir)
-    id_map.write_parquet(mdir)
-    with open(meta_p + ".tmp", "w") as f:
+    build = f"{work}.build.{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
+    dense.write_parquet(os.path.join(build, "edges"))
+    id_map.write_parquet(os.path.join(build, "id_map"))
+    with open(os.path.join(build, "meta.json"), "w") as f:
         json.dump({"n": int(n)}, f)
-    os.replace(meta_p + ".tmp", meta_p)
-    return rd.read_parquet(edir), n, rd.read_parquet(mdir)
+    try:
+        os.rename(build, work)  # atomic publish; fails if a racer won
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return _read_cached()
 
 
 def _attach_orig(result: rd.Dataset, id_map: rd.Dataset, n: int, cols: list[str]) -> pd.DataFrame:
@@ -1867,6 +1880,85 @@ def q_ngram_topk(sf_dir: str, k: int = 25) -> pd.DataFrame:
     out = cand.sort_values(["n", "gram"], ascending=[False, True],
                            kind="mergesort").head(k)
     return out[["gram", "n"]].reset_index(drop=True)
+
+
+def q_bpe_token_topk(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Top-k BPE subword tokens by corpus frequency — the vocabulary-audit
+    corpus statistic every tokenizer pipeline runs. Stateful actor partials
+    (merge table + unique-pretoken encode cache once per actor), per-batch
+    pre-aggregated (token, cnt) rows, then the bucketed-combine top-k idiom
+    (see q_ngram_topk on why not groupby().aggregate at vocab cardinality).
+    Deterministic (count desc, token asc); SQL-checked against the recursive
+    merge-walk oracle's token split."""
+    n_buckets = 64
+    ds = _read(sf_dir, "documents", ["text"])
+
+    class Partial:
+        def __init__(self):
+            import re as _re
+
+            from pagerank_ray.functions.bpe import PRETOKEN_RE, BPETokenizer
+
+            self.tok = BPETokenizer()
+            self.pat = _re.compile(PRETOKEN_RE)
+            self.enc_cache: dict[str, list[str]] = {}
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            flat = df["text"].fillna("").str.findall(self.pat).explode(ignore_index=True).dropna()
+            if not len(flat):
+                return pd.DataFrame({"token": pd.Series(dtype=object),
+                                     "cnt": pd.Series(dtype=np.int64)})
+            counts: dict[str, int] = {}
+            for w, c in flat.value_counts().items():  # unique pretokens only
+                toks = self.enc_cache.get(w)
+                if toks is None:
+                    toks = self.enc_cache[w] = self.tok.encode_word(w)
+                for t in toks:  # multiplicity inside a word preserved
+                    counts[t] = counts.get(t, 0) + int(c)
+            return pd.DataFrame({"token": np.array(list(counts), dtype=object),
+                                 "cnt": np.fromiter(counts.values(), np.int64,
+                                                    count=len(counts))})
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["token"].to_numpy(dtype=object))
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("token", sort=False)["cnt"].sum().reset_index(name="n")
+        s["n"] = s["n"].astype(np.int64)
+        return s.sort_values(["n", "token"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    cand = (
+        ds.map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
+        .map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_topk, batch_format="pandas")
+        .to_pandas()  # ≤ n_buckets × k rows
+    )
+    out = cand.sort_values(["n", "token"], ascending=[False, True],
+                           kind="mergesort").head(k)
+    return out[["token", "n"]].reset_index(drop=True)
+
+
+def q_semantic_dedup_docs(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+    """Semantic near-dup pairs over INFERRED embeddings — the full
+    training-data composition: embedding-inference actor stage → exact
+    blocked all-pairs cosine (a < b, cosine ≥ threshold). The oracle
+    recomputes the embeddings in SQL and cross-joins, so the whole chain
+    (tokenize → hash-project → normalize → pair) is value-checked."""
+    from pagerank_ray.stages.dedup import embedding_similarity_pairs
+    from pagerank_ray.stages.embed import embed_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = embed_documents(docs).map_batches(
+        lambda t: pa.table(
+            {"vec_id": t.column("doc_id"), "embedding": t.column("embedding")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    return embedding_similarity_pairs(emb, threshold=threshold)
 
 
 def q_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:

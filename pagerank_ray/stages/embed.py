@@ -54,10 +54,9 @@ class HashingEmbedder:
         inv = np.where(s > 0, 1.0 / np.sqrt(s.astype(np.float64)), 0.0)
         emb = raw.astype(np.float64) * inv[:, None]
         if self.round_decimals is not None:
-            # half-away-from-zero, matching DuckDB ROUND (not np.round's
-            # half-even)
-            q = 10.0 ** self.round_decimals
-            emb = np.floor(np.abs(emb) * q + 0.5) / q * np.sign(emb)
+            from pagerank_ray.functions.text import round_half_away
+
+            emb = round_half_away(emb, self.round_decimals)
         return emb
 
     def __call__(self, t: pa.Table) -> pa.Table:
