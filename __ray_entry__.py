@@ -960,6 +960,30 @@ p AS (
 SELECT a, b, ROUND(j, 6) AS jacc FROM p WHERE j >= {threshold} ORDER BY a, b"""
 
 
+def _decontaminate_sql(k: int = 3, mod: int = 50) -> str:
+    """Benchmark decontamination oracle: distinct word-3-gram STRINGS per
+    doc (same construction as the Jaccard oracle — the engine uses the
+    equivalent collision-free 64-bit hashes), benchmark = doc_id % mod == 0,
+    n_overlap = |doc shingles ∩ benchmark shingle union|."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN TRIM(text)='' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= {k} THEN list_distinct(list_transform(range(len(w)-{k - 1}),
+           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+         ELSE [array_to_string(w, ' ')] END AS sh
+  FROM t),
+b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % {mod} = 0),
+d AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % {mod} <> 0)
+SELECT d.doc_id, COUNT(*)::BIGINT AS n_overlap
+FROM d JOIN b USING (g)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+
 def _fingerprint_sql() -> str:
     """DuckDB reimplementation of ``functions/text.py:fingerprint64``:
     h(doc) = Σ (byteᵢ+1)·B^(L-1-i) + L  (mod 2^64) over utf-8 bytes,
@@ -1417,6 +1441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": tabular.q_bpe_token_counts,  # SQL-oracled (_bpe_sql recursive merges)
         "bpe_token_topk": tabular.q_bpe_token_topk,  # SQL-oracled (token split of the merge walk)
         "semantic_dedup_docs": tabular.q_semantic_dedup_docs,  # SQL-oracled (embeddings recomputed in SQL)
+        "decontaminate_docs": tabular.q_decontaminate_docs,  # SQL-oracled (3-gram intersect vs holdout)
         "embed_documents": tabular.q_embed_documents,  # SQL-oracled (_embed_sql feature hashing)
         "knn_ivf_embedded": tabular.q_knn_ivf_embedded,  # SQL-oracled (inference feeds IVF; nprobe=nlist)
         "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
@@ -1777,6 +1802,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _bpe_sql(),
         "bpe_token_topk": _bpe_topk_sql(),
         "semantic_dedup_docs": _semantic_dedup_sql(),
+        "decontaminate_docs": _decontaminate_sql(),
         "embed_documents": _embed_sql(),
         "knn_ivf_embedded": _knn_embedded_sql(),
         # golden-parquet oracle: SQL cannot express the operator's core

@@ -220,7 +220,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     ],
     "corpus_r5": [
         "bpe_token_counts", "bpe_token_topk", "embed_documents",
-        "knn_ivf_embedded", "semantic_dedup_docs", "multimodal_image_features",
+        "knn_ivf_embedded", "semantic_dedup_docs", "decontaminate_docs",
+        "multimodal_image_features",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
@@ -312,6 +313,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("bpe_token_counts", lambda: tabular.q_bpe_token_counts(SF_DIR).materialize().count())
     timed("bpe_token_topk", lambda: tabular.q_bpe_token_topk(SF_DIR))
     timed("semantic_dedup_docs", lambda: tabular.q_semantic_dedup_docs(SF_DIR))
+    timed("decontaminate_docs", lambda: tabular.q_decontaminate_docs(SF_DIR))
     timed("embed_documents", lambda: tabular.q_embed_documents(SF_DIR).materialize().count())
     timed("knn_ivf_embedded", lambda: tabular.q_knn_ivf_embedded(SF_DIR))
     timed("multimodal_image_features", lambda: tabular.q_multimodal_features(SF_DIR))

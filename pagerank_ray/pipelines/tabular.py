@@ -1942,6 +1942,74 @@ def q_bpe_token_topk(sf_dir: str, k: int = 25) -> pd.DataFrame:
     return out[["token", "n"]].reset_index(drop=True)
 
 
+def q_decontaminate_docs(sf_dir: str, k: int = 3, mod: int = 50) -> pd.DataFrame:
+    """Benchmark decontamination — the training-data staple: flag every
+    corpus document sharing ANY word-k-gram with a holdout ("benchmark")
+    set (docs with doc_id % mod == 0), reporting how many of its distinct
+    shingles are contaminated. Shape: the benchmark shingle universe is the
+    SMALL side — distributed distinct, then ONE broadcast (`ray.put`) of a
+    sorted uint64 hash array; the corpus probes it per batch with
+    searchsorted. No shuffle touches the corpus. Shingles are the
+    collision-free 64-bit token-triple hashes the Jaccard join uses
+    (stages/dedup.py:_token_shingles); the oracle intersects the identical
+    k-gram STRINGS in SQL."""
+    from pagerank_ray.stages.dedup import _hash_tokens, _shingles_from_token_hashes
+    from pagerank_ray.stages.graph_build import distinct_values
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _doc_shingles(t: pa.Table, keep_bench: bool):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = (ids % mod == 0) if keep_bench else (ids % mod != 0)
+        texts = t.column("text").to_pylist()
+        out_ids, out_sh = [], []
+        for i in np.nonzero(sel)[0]:
+            sh = _shingles_from_token_hashes(_hash_tokens((texts[i] or "").split()), k)
+            out_ids.append(np.full(len(sh), ids[i], np.int64))
+            out_sh.append(sh)
+        if not out_ids:
+            return np.empty(0, np.int64), np.empty(0, np.uint64)
+        return np.concatenate(out_ids), np.concatenate(out_sh)
+
+    def bench_rows(t: pa.Table) -> pa.Table:
+        _, sh = _doc_shingles(t, keep_bench=True)
+        return pa.table({"g": pa.array(np.unique(sh))})
+
+    bench = (
+        docs.map_batches(bench_rows, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table({"g": t.column("g")}), batch_format="pyarrow"
+        )
+    )
+    gset = np.sort(
+        distinct_values(bench, "g").to_pandas()["g"].to_numpy().astype(np.uint64)
+    )
+    import ray as _ray
+
+    gref = _ray.put(gset)
+
+    def probe(t: pa.Table) -> pa.Table:
+        from pagerank_ray.stages import joins
+
+        gs = joins.broadcast_get(gref, lambda v: v, "decontam-shingles")
+        ids, sh = _doc_shingles(t, keep_bench=False)
+        if not len(ids):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_overlap": pa.array([], pa.int64())})
+        pos = np.searchsorted(gs, sh)
+        hit = (pos < len(gs)) & (gs[np.minimum(pos, len(gs) - 1)] == sh)
+        n = np.bincount(
+            np.unique(ids, return_inverse=True)[1], weights=hit
+        ).astype(np.int64)
+        uids = np.unique(ids)
+        keep = n > 0
+        return pa.table({"doc_id": pa.array(uids[keep]),
+                         "n_overlap": pa.array(n[keep])})
+
+    out = docs.map_batches(probe, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_semantic_dedup_docs(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     """Semantic near-dup pairs over INFERRED embeddings — the full
     training-data composition: embedding-inference actor stage → exact
