@@ -138,3 +138,35 @@ def test_embedding_near_dups(ray_session):
     found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
     planted = {(i, 40 + i) for i in range(5)}
     assert len(planted & found) >= 4  # LSH is approximate; allow one miss
+
+
+def test_decontaminate_planted(ray_session, tmp_path):
+    """A corpus doc that copies a benchmark doc verbatim is flagged with
+    n_overlap == its full distinct-shingle count; a disjoint-vocab doc is
+    not flagged."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pagerank_ray.pipelines.tabular import q_decontaminate_docs
+    from pagerank_ray.stages.dedup import _hash_tokens, _shingles_from_token_hashes
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),   # doc 0 = benchmark (0 % 50 == 0)
+        "text": pa.array([
+            bench_text,                                   # holdout member
+            bench_text,                                   # verbatim copy -> fully contaminated
+            "iota kappa lambda mu nu xi omicron pi rho",  # disjoint vocab -> clean
+            "zzz alpha beta gamma yyy",                   # one shared trigram
+        ]),
+    })
+    sf = str(tmp_path)
+    pq.write_table(docs, os.path.join(sf, "documents.parquet"))
+    out = q_decontaminate_docs(sf)
+    got = dict(zip(out["doc_id"], out["n_overlap"]))
+    n_bench = len(_shingles_from_token_hashes(_hash_tokens(bench_text.split()), 3))
+    assert got[1] == n_bench
+    assert 2 not in got
+    assert got[3] == 1  # exactly the 'alpha beta gamma' trigram
