@@ -339,6 +339,66 @@ SELECT agg.seed, agg.ecc, agg.n_reached,
 FROM agg ORDER BY agg.seed"""
 
 
+def _betweenness_sql(mod: int = 577, n_seeds: int = 2, rounds: int = 16) -> str:
+    """Fixed-unroll Brandes (tabular.q_betweenness): per-seed min-plus BFS
+    levels (the _ecc_sql unroll), shortest-path DAG = lev(dst)=lev(src)+1,
+    σ forward one CTE per level, δ backward one CTE per level with the
+    engine's exact expression σ_src · Σ (1+δ_dst)/σ_dst. n_seeds=2 keeps the
+    final per-vertex accumulation a two-term (order-exact) sum."""
+    inf = 1 << 62
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "es AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        f"seeds AS MATERIALIZED (SELECT id AS seed FROM v WHERE id % {mod} = 0 "
+        f"ORDER BY id LIMIT {n_seeds}),",
+        f"b0 AS (SELECT seed, id, CASE WHEN id = seed THEN 0 "
+        f"ELSE {inf} END::BIGINT AS dist FROM seeds, v),",
+    ]
+    for i in range(rounds):
+        p.append(
+            f"b{i + 1} AS MATERIALIZED (SELECT cur.seed, cur.id, "
+            f"LEAST(cur.dist, COALESCE(inc.m, {inf})) AS dist "
+            f"FROM b{i} cur LEFT JOIN "
+            f"(SELECT c.seed, es.d AS id, MIN(c.dist + 1) AS m FROM es "
+            f"JOIN b{i} c ON c.id = es.s GROUP BY c.seed, es.d) inc "
+            f"ON inc.seed = cur.seed AND inc.id = cur.id),"
+        )
+    p.append(
+        f"dag AS MATERIALIZED (SELECT bs.seed, es.s AS src, es.d AS dst, "
+        f"bs.dist AS l FROM es "
+        f"JOIN b{rounds} bs ON bs.id = es.s "
+        f"JOIN b{rounds} bd ON bd.seed = bs.seed AND bd.id = es.d "
+        f"WHERE bs.dist < {inf} AND bd.dist = bs.dist + 1),"
+    )
+    p.append("s0 AS (SELECT seed, seed AS id, 1::BIGINT AS sigma FROM seeds),")
+    for l in range(rounds):
+        p.append(
+            f"s{l + 1} AS MATERIALIZED (SELECT dag.seed, dag.dst AS id, "
+            f"SUM(sk.sigma)::BIGINT AS sigma FROM dag "
+            f"JOIN s{l} sk ON sk.seed = dag.seed AND sk.id = dag.src "
+            f"WHERE dag.l = {l} GROUP BY dag.seed, dag.dst),"
+        )
+    p.append(f"d{rounds} AS (SELECT seed, id, 0.0::DOUBLE AS delta "
+             f"FROM s{rounds} WHERE FALSE),")
+    for l in range(rounds - 1, -1, -1):
+        p.append(
+            f"d{l} AS MATERIALIZED (SELECT dag.seed, dag.src AS id, "
+            f"ANY_VALUE(ss.sigma)::DOUBLE * "
+            f"SUM((1.0 + COALESCE(dn.delta, 0.0)) / sw.sigma) AS delta FROM dag "
+            f"JOIN s{l + 1} sw ON sw.seed = dag.seed AND sw.id = dag.dst "
+            f"LEFT JOIN d{l + 1} dn ON dn.seed = dag.seed AND dn.id = dag.dst "
+            f"JOIN s{l} ss ON ss.seed = dag.seed AND ss.id = dag.src "
+            f"WHERE dag.l = {l} GROUP BY dag.seed, dag.src),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    union = " UNION ALL ".join(f"SELECT * FROM d{l}" for l in range(rounds))
+    return body + f""",
+alld AS ({union})
+SELECT id, ROUND(SUM(delta), 6) AS bc FROM alld WHERE id <> seed
+GROUP BY id ORDER BY id"""
+
+
 def _sssp_sql(mod: int = 1009, rounds: int = 16) -> str:
     """Fixed-unroll weighted SSSP (tabular.q_sssp_weighted): symmetric edge
     weight = Σ l_quantity over both directions of each pair; d⁰ = 0 on seeds
@@ -1442,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_topk": tabular.q_bpe_token_topk,  # SQL-oracled (token split of the merge walk)
         "semantic_dedup_docs": tabular.q_semantic_dedup_docs,  # SQL-oracled (embeddings recomputed in SQL)
         "decontaminate_docs": tabular.q_decontaminate_docs,  # SQL-oracled (3-gram intersect vs holdout)
+        "betweenness": tabular.q_betweenness,  # SQL-oracled (unrolled Brandes)
         "embed_documents": tabular.q_embed_documents,  # SQL-oracled (_embed_sql feature hashing)
         "knn_ivf_embedded": tabular.q_knn_ivf_embedded,  # SQL-oracled (inference feeds IVF; nprobe=nlist)
         "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
@@ -1803,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_topk": _bpe_topk_sql(),
         "semantic_dedup_docs": _semantic_dedup_sql(),
         "decontaminate_docs": _decontaminate_sql(),
+        "betweenness": _betweenness_sql(),
         "embed_documents": _embed_sql(),
         "knn_ivf_embedded": _knn_embedded_sql(),
         # golden-parquet oracle: SQL cannot express the operator's core

@@ -218,6 +218,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     "corpus_r4": [
         "cms_heavy_hitters", "gopher_quality", "repetition_stats", "doc_entropy",
     ],
+    "graph_r5": ["betweenness"],
     "corpus_r5": [
         "bpe_token_counts", "bpe_token_topk", "embed_documents",
         "knn_ivf_embedded", "semantic_dedup_docs", "decontaminate_docs",
@@ -310,6 +311,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("lp_modularity", lambda: tabular.q_lp_modularity(SF_DIR))
     # r5 additions: BPE tokenizer, embedding-inference stage, inference→IVF,
     # multimodal features (now golden-oracled)
+    timed("betweenness", lambda: tabular.q_betweenness(SF_DIR))
     timed("bpe_token_counts", lambda: tabular.q_bpe_token_counts(SF_DIR).materialize().count())
     timed("bpe_token_topk", lambda: tabular.q_bpe_token_topk(SF_DIR))
     timed("semantic_dedup_docs", lambda: tabular.q_semantic_dedup_docs(SF_DIR))

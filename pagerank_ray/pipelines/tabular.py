@@ -1942,6 +1942,261 @@ def q_bpe_token_topk(sf_dir: str, k: int = 25) -> pd.DataFrame:
     return out[["token", "n"]].reset_index(drop=True)
 
 
+def q_betweenness(
+    sf_dir: str, n_workers: int = 4, mod: int = 577, n_seeds: int = 2, unroll: int = 16
+) -> pd.DataFrame:
+    """Seeded betweenness centrality — Brandes' dependency accumulation
+    (Brandes 2001; k-seed sampling per Bader et al. 2007) from the
+    ``n_seeds`` smallest vertices with id % mod == 0 over the symmetrized
+    lineitem graph. Level-synchronous and fully Dataset-expressed:
+
+      1. per-seed BFS levels via the resident MODE_DIST engine (one pool
+         for all seeds — the eccentricity path);
+      2. the shortest-path DAG = edges with lev(dst) = lev(src)+1, built by
+         TWO level-attach joins over the symmetric edge set, keyed by a
+         composite (seed, vertex) key so EVERY seed shares each per-level
+         pass (the multi-source Brandes batching);
+      3. forward σ (path counts, exact integers) level by level: join the
+         level-l DAG slice with the level-l σ frontier, groupby-key sum;
+      4. backward δ: coeff(w) = (1+δ(w))/σ(w) once per vertex, then
+         δ(v) = σ(v) · Σ_{v→w} coeff(w) per level descending — the same
+         single-division-then-sum expression the SQL oracle uses.
+
+    2·diameter shuffles over the (shrinking) DAG for ALL seeds together —
+    the textbook distributed Brandes shape; no per-vertex state reaches the
+    driver. n_seeds = 2 keeps the cross-seed accumulation a two-term sum
+    (exactly order-independent, so engine and oracle agree bit-for-bit
+    before the final ROUND). bc > 0 membership is structural (sums of
+    positive terms), so the row set is float-noise-free."""
+    from pagerank_ray.pipelines.cc import bfs_levels_multi
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.csr import symmetrize
+
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
+    csr = os.path.join(_graph_workdir(sf_dir, "sym"), "csr")
+    prepare_csr_from_edges(dense_edges, n, csr, n_parts=4 * n_workers, symmetrize=True)
+    im = id_map.to_pandas()
+    cand = np.sort(im.loc[im["orig"] % mod == 0, "orig"].to_numpy(np.int64))[:n_seeds]
+    dense_seeds = [int(im.loc[im["orig"] == so, "dense"].iloc[0]) for so in cand]
+
+    sym = symmetrize(dense_edges).materialize()
+    inf = np.int64(1) << 62
+    results = bfs_levels_multi(csr, [[s] for s in dense_seeds], n_workers=n_workers)
+
+    # ---- seed-keyed level table: key = seed_idx * n + id  (fits int64) ----
+    lev_parts = []
+    for si, res in enumerate(results):
+        if not res.converged:
+            raise RuntimeError("betweenness BFS did not converge")
+        lev_parts.append(
+            res.result.map_batches(
+                lambda t, _si=si: pa.table(
+                    {
+                        "key": pc.add(
+                            pc.multiply(
+                                t.column("id").cast(pa.int64()), np.int64(1)
+                            ),
+                            np.int64(_si) * np.int64(n),
+                        ),
+                        "dist": t.column("dist"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    levels = lev_parts[0]
+    for part in lev_parts[1:]:
+        levels = levels.union(part)
+    levels = levels.materialize()  # (key, dist) for every (seed, vertex)
+
+    # ---- shortest-path DAG, all seeds at once ----
+    def replicate(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        ks, kd = [], []
+        for si in range(len(dense_seeds)):
+            off = np.int64(si) * np.int64(n)
+            ks.append(s + off)
+            kd.append(d + off)
+        return pa.table(
+            {"src_key": pa.array(np.concatenate(ks)),
+             "dst_key": pa.array(np.concatenate(kd))}
+        )
+
+    el = sym.map_batches(replicate, batch_format="pyarrow")
+    el = joins.attach_column(
+        el, levels, probe_col="src_key", build_key="key", build_val="dist",
+        out_col="lev_s", build_count=n * n_seeds,
+    )
+    el = joins.attach_column(
+        el, levels, probe_col="dst_key", build_key="key", build_val="dist",
+        out_col="lev_d", build_count=n * n_seeds,
+    )
+    import shutil as _sh
+    import tempfile as _tf
+
+    dag_full = el.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.less(t.column("lev_s"), int(inf)),
+                pc.equal(t.column("lev_d"), pc.add(t.column("lev_s"), 1)),
+            )
+        ).select(["src_key", "dst_key", "lev_s"]),
+        batch_format="pyarrow",
+    )
+    # one level-partitioned parquet write: each of the 2·diameter sweep
+    # steps then READS its level slice instead of re-filtering the full DAG
+    dag_dir = _tf.mkdtemp(prefix="betweenness_dag_")
+    dag_full.write_parquet(dag_dir, partition_cols=["lev_s"])
+
+    def dag_level(l: int) -> rd.Dataset | None:
+        d = os.path.join(dag_dir, f"lev_s={l}")
+        if not (os.path.isdir(d) and any(os.scandir(d))):
+            return None
+        return rd.read_parquet(d, columns=["src_key", "dst_key"])
+    max_lvl = int(max((r.iterations - 1) for r in results))
+    if max_lvl > unroll:
+        raise RuntimeError(f"BFS depth {max_lvl} exceeds the {unroll}-level oracle unroll")
+
+    def _empty(schema: dict) -> rd.Dataset:
+        return rd.from_arrow(pa.table({c: pa.array([], t) for c, t in schema.items()}))
+
+    # ---- forward σ by level (all seeds in one pass per level) ----
+    seed_keys = np.array(
+        [si * n + s for si, s in enumerate(dense_seeds)], dtype=np.int64
+    )
+    sig_by_level: list[rd.Dataset] = [
+        rd.from_arrow(pa.table({"key": pa.array(seed_keys),
+                                "sigma": pa.array(np.ones(len(seed_keys), np.int64))}))
+    ]
+    for lvl in range(max_lvl):
+        slice_l = dag_level(lvl)
+        if slice_l is None:
+            max_lvl = lvl
+            break
+        joined = joins.attach_column(
+            slice_l,
+            sig_by_level[lvl], probe_col="src_key", build_key="key",
+            build_val="sigma", out_col="sig_s", build_count=n * n_seeds,
+        )
+        from pagerank_ray.stages.graph_build import grouped_sum
+
+        # bucketed combine, NOT groupby().aggregate — frontier cardinality
+        # is data-dependent (the lp_modularity/ngram trap)
+        nxt = (
+            grouped_sum(joined, "dst_key", "sig_s", "sigma")
+            .map_batches(
+                lambda t: pa.table(
+                    {"key": t.column("dst_key").cast(pa.int64()),
+                     "sigma": t.column("sigma").cast(pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if nxt.count() == 0:
+            max_lvl = lvl
+            break
+        sig_by_level.append(nxt)
+
+    # ---- backward δ by descending level ----
+    delta_parts: list[rd.Dataset] = []
+    delta_next = _empty({"key": pa.int64(), "delta": pa.float64()})
+    for l in range(max_lvl - 1, -1, -1):
+        coeff = joins.attach_with_default(
+            sig_by_level[l + 1], delta_next, probe_col="key", build_key="key",
+            build_val="delta", out_col="delta", default=0.0,
+            out_type=pa.float64(), build_count=n * n_seeds,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("key"),
+                    "coeff": pc.divide(
+                        pc.add(t.column("delta"), 1.0),
+                        t.column("sigma").cast(pa.float64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contrib = joins.attach_column(
+            dag_level(l),
+            coeff, probe_col="dst_key", build_key="key",
+            build_val="coeff", out_col="coeff", build_count=n * n_seeds,
+        )
+        from pagerank_ray.stages.graph_build import grouped_sum
+
+        summed = (
+            grouped_sum(contrib, "src_key", "coeff", "csum")
+            .map_batches(
+                lambda t: pa.table(
+                    {"key": t.column("src_key").cast(pa.int64()),
+                     "csum": t.column("csum")}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        delta_next = joins.attach_column(
+            summed, sig_by_level[l], probe_col="key", build_key="key",
+            build_val="sigma", out_col="sigma", build_count=n * n_seeds,
+            drop_probe_col=False,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("key"),
+                    "delta": pc.multiply(
+                        t.column("sigma").cast(pa.float64()), t.column("csum")
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        delta_parts.append(delta_next)
+
+    if not delta_parts:
+        _sh.rmtree(dag_dir, ignore_errors=True)
+        return pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                             "bc": pd.Series(dtype=np.float64)})
+    allp = delta_parts[0]
+    for part in delta_parts[1:]:
+        allp = allp.union(part)
+    seed_key_set = set(int(k) for k in seed_keys)
+
+    def fold(t: pa.Table) -> pa.Table:
+        # drop each seed's own row, fold (seed, vertex) keys back to vertex
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        keep = ~np.isin(k, np.fromiter(seed_key_set, np.int64, len(seed_key_set)))
+        return pa.table(
+            {"id": pa.array((k[keep] % np.int64(n)).astype(np.int64)),
+             "delta": t.column("delta").filter(pa.array(keep))}
+        )
+
+    from pagerank_ray.stages.graph_build import grouped_sum
+
+    bc = (
+        grouped_sum(allp.map_batches(fold, batch_format="pyarrow"),
+                    "id", "delta", "bc")
+        .map_batches(
+            lambda t: pa.table({"id": t.column("id").cast(pa.int64()),
+                                "bc": t.column("bc")}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = joins.attach_column(
+        rd.from_arrow(pa.Table.from_pandas(bc, preserve_index=False)),
+        id_map, probe_col="id", build_key="dense", build_val="orig",
+        out_col="orig", build_count=n, drop_probe_col=True,
+    ).to_pandas()
+    out = out.rename(columns={"orig": "id"})
+    out["bc"] = _round_half_away(out["bc"].to_numpy(), 6)
+    _sh.rmtree(dag_dir, ignore_errors=True)
+    return out[["id", "bc"]].sort_values("id").reset_index(drop=True)
+
+
 def q_decontaminate_docs(sf_dir: str, k: int = 3, mod: int = 50) -> pd.DataFrame:
     """Benchmark decontamination — the training-data staple: flag every
     corpus document sharing ANY word-k-gram with a holdout ("benchmark")
