@@ -395,7 +395,7 @@ def _betweenness_sql(mod: int = 577, n_seeds: int = 2, rounds: int = 16) -> str:
     union = " UNION ALL ".join(f"SELECT * FROM d{l}" for l in range(rounds))
     return body + f""",
 alld AS ({union})
-SELECT id, ROUND(SUM(delta), 6) AS bc FROM alld WHERE id <> seed
+SELECT id, ROUND(SUM(delta), 4) AS bc FROM alld WHERE id <> seed
 GROUP BY id ORDER BY id"""
 
 

@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(float(sys.argv[1])) if len(sys.argv) > 1 else 4_000_000
 W = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+# CPU budget follows the worker count instead of a hardcoded 32 so a
+# larger W is never silently oversubscribed (r5 review finding)
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", max(32, 2 * W)))
 
 
 def main():
@@ -28,7 +31,7 @@ def main():
 
     import ray
 
-    ray.init(address="local", num_cpus=32, include_dashboard=False,
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
 
@@ -39,7 +42,7 @@ def main():
 
     work = f"/tmp/pagerank_ray_bench/flagship_{N}"
     shutil.rmtree(work, ignore_errors=True)
-    pages = synth_pages_dataset(N, seed=42, concurrency=28)
+    pages = synth_pages_dataset(N, seed=42, concurrency=max(4, NCPU - 4))
     t0 = time.perf_counter()
     res, arts = run_flagship(pages, work, n_workers=W, checkpoint=False,
                              dedup_stage="extracted")

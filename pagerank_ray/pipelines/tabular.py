@@ -285,9 +285,17 @@ def _compact_ids_cached(
     with open(os.path.join(build, "meta.json"), "w") as f:
         json.dump({"n": int(n)}, f)
     try:
-        os.rename(build, work)  # atomic publish; fails if a racer won
+        os.rename(build, work)  # atomic publish
     except OSError:
-        shutil.rmtree(build, ignore_errors=True)
+        # `work` already exists: either a racer published a valid entry
+        # (read it) or a torn/stale dir without meta.json sits there (e.g.
+        # the pre-atomic layout) — discard it and retry the publish rather
+        # than failing forever on every later call (r5 review finding)
+        if os.path.exists(meta_p):
+            shutil.rmtree(build, ignore_errors=True)
+        else:
+            shutil.rmtree(work, ignore_errors=True)
+            os.rename(build, work)
     return _read_cached()
 
 
@@ -1982,6 +1990,11 @@ def q_betweenness(
     cand = np.sort(im.loc[im["orig"] % mod == 0, "orig"].to_numpy(np.int64))[:n_seeds]
     dense_seeds = [int(im.loc[im["orig"] == so, "dense"].iloc[0]) for so in cand]
 
+    if not dense_seeds:
+        # no vertex satisfies the seed rule: the oracle's LIMIT over an
+        # empty seed set returns no rows — agree on empty, don't crash
+        return pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                             "bc": pd.Series(dtype=np.float64)})
     sym = symmetrize(dense_edges).materialize()
     inf = np.int64(1) << 62
     results = bfs_levels_multi(csr, [[s] for s in dense_seeds], n_workers=n_workers)
@@ -2050,6 +2063,20 @@ def q_betweenness(
     # one level-partitioned parquet write: each of the 2·diameter sweep
     # steps then READS its level slice instead of re-filtering the full DAG
     dag_dir = _tf.mkdtemp(prefix="betweenness_dag_")
+    try:
+        return _betweenness_sweeps(
+            dag_dir, dag_full, dense_seeds, results, id_map, n, unroll
+        )
+    finally:
+        _sh.rmtree(dag_dir, ignore_errors=True)
+
+
+def _betweenness_sweeps(dag_dir, dag_full, dense_seeds, results, id_map, n, unroll):
+    """σ/δ sweeps of q_betweenness (split out so the DAG scratch dir is
+    removed by try/finally on EVERY exit, including the unroll guard)."""
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.graph_build import grouped_sum
+
     dag_full.write_parquet(dag_dir, partition_cols=["lev_s"])
 
     def dag_level(l: int) -> rd.Dataset | None:
@@ -2080,7 +2107,7 @@ def q_betweenness(
         joined = joins.attach_column(
             slice_l,
             sig_by_level[lvl], probe_col="src_key", build_key="key",
-            build_val="sigma", out_col="sig_s", build_count=n * n_seeds,
+            build_val="sigma", out_col="sig_s", build_count=n * len(dense_seeds),
         )
         from pagerank_ray.stages.graph_build import grouped_sum
 
@@ -2109,7 +2136,7 @@ def q_betweenness(
         coeff = joins.attach_with_default(
             sig_by_level[l + 1], delta_next, probe_col="key", build_key="key",
             build_val="delta", out_col="delta", default=0.0,
-            out_type=pa.float64(), build_count=n * n_seeds,
+            out_type=pa.float64(), build_count=n * len(dense_seeds),
         ).map_batches(
             lambda t: pa.table(
                 {
@@ -2125,7 +2152,7 @@ def q_betweenness(
         contrib = joins.attach_column(
             dag_level(l),
             coeff, probe_col="dst_key", build_key="key",
-            build_val="coeff", out_col="coeff", build_count=n * n_seeds,
+            build_val="coeff", out_col="coeff", build_count=n * len(dense_seeds),
         )
         from pagerank_ray.stages.graph_build import grouped_sum
 
@@ -2141,7 +2168,7 @@ def q_betweenness(
         )
         delta_next = joins.attach_column(
             summed, sig_by_level[l], probe_col="key", build_key="key",
-            build_val="sigma", out_col="sigma", build_count=n * n_seeds,
+            build_val="sigma", out_col="sigma", build_count=n * len(dense_seeds),
             drop_probe_col=False,
         ).map_batches(
             lambda t: pa.table(
@@ -2157,7 +2184,6 @@ def q_betweenness(
         delta_parts.append(delta_next)
 
     if not delta_parts:
-        _sh.rmtree(dag_dir, ignore_errors=True)
         return pd.DataFrame({"id": pd.Series(dtype=np.int64),
                              "bc": pd.Series(dtype=np.float64)})
     allp = delta_parts[0]
@@ -2192,8 +2218,11 @@ def q_betweenness(
         out_col="orig", build_count=n, drop_probe_col=True,
     ).to_pandas()
     out = out.rename(columns={"orig": "id"})
-    out["bc"] = _round_half_away(out["bc"].to_numpy(), 6)
-    _sh.rmtree(dag_dir, ignore_errors=True)
+    # ROUND(4): the per-vertex coefficient sums are multi-term float sums
+    # whose order is pinned on neither engine; 4 decimals leaves ~9 orders
+    # of magnitude between the ulp noise and the rounding boundary (the
+    # 6-decimal margin was ~1e-13 vs 5e-7 — latently flaky at 60k vertices)
+    out["bc"] = _round_half_away(out["bc"].to_numpy(), 4)
     return out[["id", "bc"]].sort_values("id").reset_index(drop=True)
 
 
@@ -2230,12 +2259,7 @@ def q_decontaminate_docs(sf_dir: str, k: int = 3, mod: int = 50) -> pd.DataFrame
         _, sh = _doc_shingles(t, keep_bench=True)
         return pa.table({"g": pa.array(np.unique(sh))})
 
-    bench = (
-        docs.map_batches(bench_rows, batch_format="pyarrow")
-        .map_batches(
-            lambda t: pa.table({"g": t.column("g")}), batch_format="pyarrow"
-        )
-    )
+    bench = docs.map_batches(bench_rows, batch_format="pyarrow")
     gset = np.sort(
         distinct_values(bench, "g").to_pandas()["g"].to_numpy().astype(np.uint64)
     )
@@ -2249,6 +2273,9 @@ def q_decontaminate_docs(sf_dir: str, k: int = 3, mod: int = 50) -> pd.DataFrame
         gs = joins.broadcast_get(gref, lambda v: v, "decontam-shingles")
         ids, sh = _doc_shingles(t, keep_bench=False)
         if not len(ids):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_overlap": pa.array([], pa.int64())})
+        if len(gs) == 0:  # empty holdout -> nothing can be contaminated
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_overlap": pa.array([], pa.int64())})
         pos = np.searchsorted(gs, sh)

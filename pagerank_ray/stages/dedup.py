@@ -533,9 +533,9 @@ def embedding_similarity_pairs(
         mask = (sims >= threshold) & (ids_all[None, :] > bids[:, None])
         i, j = np.nonzero(mask)
         picked = sims[i, j]
-        # ROUND half-away-from-zero — DuckDB's tie rule (uniform across all
-        # SQL-oracled float outputs; np.round is half-to-even)
-        rounded = np.sign(picked) * np.floor(np.abs(picked) * 1e6 + 0.5) / 1e6
+        from pagerank_ray.functions.text import round_half_away
+
+        rounded = round_half_away(picked, 6)
         return pa.table(
             {
                 "a": pa.array(bids[i]),
@@ -585,7 +585,9 @@ def embedding_near_dups(
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
         picked = sims[i, j][ok]
-        rounded = np.sign(picked) * np.floor(np.abs(picked) * 1e6 + 0.5) / 1e6
+        from pagerank_ray.functions.text import round_half_away
+
+        rounded = round_half_away(picked, 6)
         return pd.DataFrame({"a": a2, "b": b2, "cosine": rounded})
 
     bucketed = embeddings.map_batches(
