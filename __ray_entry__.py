@@ -1468,8 +1468,123 @@ def entry() -> Any:
     return tabular.q_pagerank("/root/testdata/sf0.001")
 
 
+def _pii_sql() -> str:
+    """PII scrub oracle — the IDENTICAL RE2-safe regex strings the engine
+    compiles (functions/pii.py:PII_CLASSES), applied in the same fixed order
+    with each class counting/replacing on the previous class's output."""
+    from pagerank_ray.functions.pii import PII_CLASSES
+
+    (_, p_em, r_em), (_, p_ip, r_ip), (_, p_id, r_id) = PII_CLASSES
+    return f"""
+WITH s0 AS (SELECT c_mktsegment, COALESCE(c_name, '') AS t0 FROM customer),
+s1 AS (SELECT c_mktsegment,
+  len(regexp_extract_all(t0, '{p_em}'))::BIGINT AS n_email,
+  regexp_replace(t0, '{p_em}', '{r_em}', 'g') AS t1 FROM s0),
+s2 AS (SELECT c_mktsegment, n_email,
+  len(regexp_extract_all(t1, '{p_ip}'))::BIGINT AS n_ipv4,
+  regexp_replace(t1, '{p_ip}', '{r_ip}', 'g') AS t2 FROM s1),
+s3 AS (SELECT c_mktsegment, n_email, n_ipv4,
+  len(regexp_extract_all(t2, '{p_id}'))::BIGINT AS n_id,
+  regexp_replace(t2, '{p_id}', '{r_id}', 'g') AS t3 FROM s2)
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n_rows,
+  SUM(n_email)::BIGINT AS n_email, SUM(n_ipv4)::BIGINT AS n_ipv4,
+  SUM(n_id)::BIGINT AS n_id, SUM(length(t3))::BIGINT AS red_chars,
+  MIN(t3) AS min_red
+FROM s3 GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+
+def _dup_ngram_sql(k: int = 5) -> str:
+    """Duplicated word-k-gram span oracle (tabular.q_dup_ngram_ratio): gram
+    OCCURRENCES (multiplicity kept) as strings, per-gram distinct-doc counts,
+    per-doc duplicated-occurrence ratio. The engine computes the identical
+    grams as collision-free 64-bit shingle hashes."""
+    parts = "||' '||".join(f"w[i+{j + 1}]" for j in range(k))
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents),
+o AS (
+  SELECT doc_id,
+    unnest(list_transform(range(len(w) - {k - 1}), i -> {parts})) AS g
+  FROM t WHERE len(w) >= {k}),
+df AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM o GROUP BY g),
+per AS (
+  SELECT o.doc_id, COUNT(*)::BIGINT AS n_grams,
+         SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM o JOIN df USING (g) GROUP BY o.doc_id)
+SELECT doc_id, n_grams, n_dup,
+       ROUND(n_dup::DOUBLE / n_grams, 6) AS dup_ratio
+FROM per ORDER BY doc_id"""
+
+
+def _pmi_sql(window: int = 2, min_cnt: int = 5, k: int = 30) -> str:
+    """Skip-gram PMI oracle (tabular.q_pmi_topk). The PMI expression mirrors
+    the engine's float64 association order verbatim:
+    ((c·Nw)·Nw) / ((Np·ca)·cb), then LN, then ROUND(…, 6)."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents),
+tok AS (
+  SELECT doc_id, g.i AS i, w[g.i] AS tk
+  FROM t, UNNEST(generate_series(1, len(w))) AS g(i)),
+uni AS (SELECT tk, COUNT(*)::BIGINT AS c FROM tok GROUP BY tk),
+tot AS (SELECT COUNT(*)::BIGINT AS nw FROM tok),
+pr AS (
+  SELECT LEAST(a.tk, b.tk) AS pa, GREATEST(a.tk, b.tk) AS pb
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND {window}),
+pc AS (SELECT pa, pb, COUNT(*)::BIGINT AS c FROM pr GROUP BY pa, pb),
+tp AS (SELECT SUM(c)::BIGINT AS n FROM pc),
+cand AS (
+  SELECT pc.pa, pc.pb, pc.c, ua.c AS ca, ub.c AS cb
+  FROM pc JOIN uni ua ON ua.tk = pc.pa JOIN uni ub ON ub.tk = pc.pb
+  WHERE pc.c >= {min_cnt})
+SELECT pa AS a, pb AS b, c AS n_pair,
+  ROUND(LN(((c::DOUBLE * (SELECT nw FROM tot)) * (SELECT nw FROM tot))
+           / (((SELECT n FROM tp)::DOUBLE * ca) * cb)), 6) AS pmi
+FROM cand ORDER BY pmi DESC, a, b LIMIT {k}"""
+
+
+def _adamic_adar_sql(k: int = 20, max_degree: int = 64) -> str:
+    """Adamic-Adar link-prediction oracle (tabular.q_adamic_adar): same
+    undirected simple edge set as the triangles oracle, same deg ∈
+    [2, max_degree] center cap, non-adjacent pairs only, score ROUND(…, 4)
+    (float Σ 1/ln is summation-order-sensitive — the betweenness contract)."""
+    return f"""
+WITH e0 AS MATERIALIZED {_EDGES},
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM e0 WHERE s <> d),
+adj AS (SELECT a AS v, b AS x FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT v, COUNT(*) AS dg FROM adj GROUP BY v),
+c AS (
+  SELECT adj.v, adj.x, deg.dg FROM adj JOIN deg USING (v)
+  WHERE deg.dg BETWEEN 2 AND {max_degree}),
+wedge AS (
+  SELECT p.x AS u, q.x AS w, p.dg
+  FROM c p JOIN c q ON p.v = q.v AND p.x < q.x),
+s AS (
+  SELECT u, w, COUNT(*)::BIGINT AS n_common, SUM(1.0 / LN(dg::DOUBLE)) AS sc
+  FROM wedge GROUP BY u, w),
+nf AS (
+  SELECT s.* FROM s LEFT JOIN und ON und.a = s.u AND und.b = s.w
+  WHERE und.a IS NULL)
+SELECT u AS a, w AS b, n_common, ROUND(sc, 4) AS aa
+FROM nf ORDER BY aa DESC, a, b LIMIT {k}"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # --- brand-new late-r5 operators: lead so the driver's ~50-query
+        # window hash-checks them this round ---
+        "pii_redact": tabular.q_pii_redact,  # SQL-oracled (RE2-shared regexes)
+        "dup_ngram_ratio": tabular.q_dup_ngram_ratio,  # SQL-oracled (string 5-grams)
+        "pmi_topk": tabular.q_pmi_topk,  # SQL-oracled (mirrored float expr)
+        "adamic_adar": tabular.q_adamic_adar,  # SQL-oracled (ROUND(4) contract)
         # --- r3-tail rotation (VERDICT r4 item 1): the driver checks ~50
         # queries per round in dict order; these 22 carry green rows only
         # from r3 and must lead to get fresh CORRECTNESS_r05 rows.
@@ -1571,6 +1686,10 @@ def oracle_sql() -> dict[str, str]:
     if pr_iters is not None:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
+        "pii_redact": _pii_sql(),
+        "dup_ngram_ratio": _dup_ngram_sql(),
+        "pmi_topk": _pmi_sql(),
+        "adamic_adar": _adamic_adar_sql(),
         "edges_dedup": f"SELECT src_id, dst_id FROM {edges} e",
         "out_degree": (
             f"SELECT src_id, COUNT(*)::BIGINT AS out_deg FROM {edges} e GROUP BY src_id"

@@ -3284,3 +3284,419 @@ def q_lp_modularity(sf_dir: str, n_workers: int = 4, lp_iters: int = 3) -> pd.Da
             "modularity": _round_half_away(np.array([q]), 6),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: PII scrub, duplicated-span stats, PMI, link prediction
+# ---------------------------------------------------------------------------
+
+def q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII scrub over customer names (the corpus-scrubbing stage every
+    training pipeline runs before tokenization): per market segment, how many
+    rows, how many matches of each PII class (email / ipv4 / long digit run,
+    applied in the fixed order functions/pii.py pins), the total redacted
+    text length, and the lexicographically smallest redacted name.
+
+    Shape: one vectorized compiled-regex pass per class per batch
+    (functions/pii.py:redact_series), per-batch partial aggregation to one
+    row per segment, then a tiny map_groups combine over ≤ a handful of
+    segment groups — the corpus never shuffles, only (segments × batches)
+    partial rows do. The oracle runs the identical RE2-safe patterns through
+    DuckDB regexp_extract_all / regexp_replace."""
+    from pagerank_ray.functions.pii import redact_series
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_name"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        red, counts = redact_series(df["c_name"])
+        out = pd.DataFrame(
+            {
+                "c_mktsegment": df["c_mktsegment"].to_numpy(dtype=object),
+                "n_rows": np.ones(len(df), np.int64),
+                "n_email": counts["n_email"].to_numpy(np.int64),
+                "n_ipv4": counts["n_ipv4"].to_numpy(np.int64),
+                "n_id": counts["n_id"].to_numpy(np.int64),
+                "red_chars": red.str.len().to_numpy(np.int64),
+                "min_red": red.to_numpy(dtype=object),
+            }
+        )
+        g = out.groupby("c_mktsegment", sort=False)
+        agg = g.agg(
+            n_rows=("n_rows", "sum"),
+            n_email=("n_email", "sum"),
+            n_ipv4=("n_ipv4", "sum"),
+            n_id=("n_id", "sum"),
+            red_chars=("red_chars", "sum"),
+            min_red=("min_red", "min"),
+        ).reset_index()
+        return agg
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", sort=False)
+        return g.agg(
+            n_rows=("n_rows", "sum"),
+            n_email=("n_email", "sum"),
+            n_ipv4=("n_ipv4", "sum"),
+            n_id=("n_id", "sum"),
+            red_chars=("red_chars", "sum"),
+            min_red=("min_red", "min"),
+        ).reset_index()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n_rows", "n_email", "n_ipv4", "n_id", "red_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_dup_ngram_ratio(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Duplicated-span statistics (the Lee et al. 2022 "Deduplicating
+    Training Data" diagnostic): for every document with ≥ k tokens, the
+    fraction of its word-k-gram OCCURRENCES whose k-gram also appears in at
+    least one OTHER document. Pipelines use this to decide whether span-level
+    (vs whole-doc) dedup is worth running on a crawl slice.
+
+    Shape: per-batch vectorized gram hashing (token explode + k shifted
+    polynomial combines — the jaccard/decontaminate shingle hash with
+    multiplicity kept), pre-aggregated to one row per DISTINCT (doc, gram)
+    per batch (docs are row-atomic, so these rows are globally unique);
+    gram-hash bucketed groupby computes per-gram doc counts AND joins them
+    back to the same bucket's occurrence rows in one map_groups (every row
+    of a gram lands in its one bucket — no second shuffle); per-doc partials
+    then combine by doc-bucket. Nothing corpus-sized touches the driver.
+    The oracle rebuilds the identical grams as STRINGS in DuckDB; ratio
+    rounding is half-away on both sides (the repo rounding contract)."""
+    from pagerank_ray.stages.dedup import _POLY_C, _hash_tokens
+
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), np.maximum(n_tok, 1))
+        h = np.zeros(len(flat), dtype=np.uint64)
+        if valid.any():
+            h[valid] = _hash_tokens(flat[valid].tolist())
+        n = len(h) - k + 1
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype=np.int64),
+                "g": pd.Series(dtype=np.uint64),
+                "cnt": pd.Series(dtype=np.int64),
+            }
+        )
+        if n <= 0:
+            return empty
+        with np.errstate(over="ignore"):
+            g = np.zeros(n, dtype=np.uint64)
+            for j in range(k):  # k (=5) vectorized passes
+                g = g * _POLY_C + h[j : j + n]
+        ok = valid[:n].copy()
+        for j in range(1, k):
+            ok &= valid[j : j + n]
+        ok &= doc_idx[:n] == doc_idx[k - 1 :]
+        if not ok.any():
+            return empty
+        ids = df["doc_id"].to_numpy(np.int64)[doc_idx[:n][ok]]
+        per = (
+            pd.DataFrame({"doc_id": ids, "g": g[ok]})
+            .groupby(["doc_id", "g"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        per["cnt"] = per["cnt"].astype(np.int64)
+        return per
+
+    occ = docs.map_batches(gram_rows, batch_format="pandas")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        mixed = (g * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "bucket", pa.array((mixed % np.uint64(n_buckets)).astype(np.int32))
+        )
+
+    def per_gram_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are unique per (doc, gram) -> docs-per-gram = group size
+        nd = df.groupby("g", sort=False)["doc_id"].transform("size").to_numpy(np.int64)
+        cnt = df["cnt"].to_numpy(np.int64)
+        part = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_grams": cnt,
+                "n_dup": np.where(nd >= 2, cnt, 0).astype(np.int64),
+            }
+        )
+        out = part.groupby("doc_id", sort=False).sum().reset_index()
+        h = (out["doc_id"].to_numpy(np.int64) * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        out["dbkt"] = (h % n_buckets).astype(np.int32)
+        return out
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", sort=False)[["n_grams", "n_dup"]].sum().reset_index()
+        return out
+
+    res = (
+        occ.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_gram_bucket, batch_format="pandas")
+        .groupby("dbkt")
+        .map_groups(per_doc, batch_format="pandas")
+        .to_pandas()
+    )
+    res["n_grams"] = res["n_grams"].astype(np.int64)
+    res["n_dup"] = res["n_dup"].astype(np.int64)
+    res["dup_ratio"] = _round_half_away(
+        res["n_dup"].to_numpy(np.float64) / res["n_grams"].to_numpy(np.float64), 6
+    )
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pmi_topk(sf_dir: str, window: int = 2, min_cnt: int = 5, k: int = 30) -> pd.DataFrame:
+    """Top-k token pairs by pointwise mutual information over a ±window
+    skip-gram context (Church & Hanks 1990) — the collocation statistic
+    corpus pipelines run to mine multi-word expressions before tokenizer
+    training. PMI(a,b) = ln(P(a,b) / (P(a)·P(b))) with P(a,b) = c_ab/N_pairs
+    (unordered window co-occurrences) and P(x) = c_x/N_words (unigrams).
+
+    Shape: one vectorized explode pass per batch for unigrams and one for
+    window pairs (shifted-array match like ngram_topk's bigrams), each
+    pre-aggregated per batch then merged by hash-bucket groupby (one row per
+    DISTINCT key per batch shuffles, never per occurrence); corpus totals are
+    Dataset.sum over the merged (vocab-bounded) tables; unigram counts attach
+    to surviving candidates by broadcast-or-hash join; the final PMI is one
+    deterministic float64 expression mirrored verbatim in the oracle, rounded
+    half-away to 6, sorted (pmi desc, a, b) distributed, LIMIT k."""
+    from pagerank_ray.stages import joins
+
+    n_buckets = 64
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _exploded(df: pd.DataFrame):
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), np.maximum(n_tok, 1))
+        return flat.to_numpy(dtype=object), valid, doc_idx
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w, valid, _ = _exploded(df)
+        if not valid.any():
+            return pd.DataFrame({"tk": pd.Series(dtype=object), "cnt": pd.Series(dtype=np.int64)})
+        vc = pd.Series(w[valid]).value_counts()
+        return pd.DataFrame({"tk": vc.index.to_numpy(dtype=object), "cnt": vc.to_numpy(np.int64)})
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w, valid, doc_idx = _exploded(df)
+        lo_all, hi_all = [], []
+        for d in range(1, window + 1):
+            if len(w) <= d:
+                break
+            m = valid[:-d] & valid[d:] & (doc_idx[:-d] == doc_idx[d:])
+            if not m.any():
+                continue
+            x = pd.Series(w[:-d][m])
+            y = pd.Series(w[d:][m])
+            swap = x > y
+            lo_all.append(x.where(~swap, y))
+            hi_all.append(y.where(~swap, x))
+        if not lo_all:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+                 "cnt": pd.Series(dtype=np.int64)}
+            )
+        pairs = pd.DataFrame({"a": pd.concat(lo_all, ignore_index=True),
+                              "b": pd.concat(hi_all, ignore_index=True)})
+        out = pairs.groupby(["a", "b"], sort=False).size().reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    def bucketize_on(cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_array(
+                (df[cols[0]] if len(cols) == 1
+                 else df[cols[0]].str.cat(df[cols[1]], sep="\x1f")).to_numpy(dtype=object)
+            )
+            df = df.copy()
+            df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+            return df
+        return fn
+
+    def merge_on(cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(cols, sort=False)["cnt"].sum().reset_index()
+            out["cnt"] = out["cnt"].astype(np.int64)
+            return out
+        return fn
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pandas")
+        .map_batches(bucketize_on(["tk"]), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_on(["tk"]), batch_format="pandas")
+        .materialize()
+    )
+    n_words = int(uni.sum("cnt"))
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .map_batches(bucketize_on(["a", "b"]), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_on(["a", "b"]), batch_format="pandas")
+        .materialize()
+    )
+    n_pairs = int(pairs.sum("cnt"))
+    cand = pairs.map_batches(
+        lambda df: df[df["cnt"] >= min_cnt], batch_format="pandas"
+    )
+    cand = joins.attach_column(cand, uni, probe_col="a", build_key="tk",
+                               build_val="cnt", out_col="ca")
+    cand = joins.attach_column(cand, uni, probe_col="b", build_key="tk",
+                               build_val="cnt", out_col="cb")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cnt"].to_numpy(np.float64)
+        ca = df["ca"].to_numpy(np.float64)
+        cb = df["cb"].to_numpy(np.float64)
+        # association order mirrored verbatim in the oracle expression
+        val = np.log(((c * n_words) * n_words) / ((float(n_pairs) * ca) * cb))
+        out = df[["a", "b"]].copy()
+        out["n_pair"] = df["cnt"].to_numpy(np.int64)
+        out["pmi"] = _round_half_away(val, 6)
+        return out
+
+    top = (
+        cand.map_batches(score, batch_format="pandas")
+        .sort(["pmi", "a", "b"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return top.reset_index(drop=True)
+
+
+def q_adamic_adar(sf_dir: str, k: int = 20, max_degree: int = 64) -> pd.DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the undirected
+    simple lineitem graph: for every NON-adjacent pair (a < b) sharing at
+    least one common neighbor, score = Σ_{v ∈ N(a)∩N(b)} 1/ln(deg(v)); top-k
+    by (rounded score desc, a, b). Centers with deg > max_degree are skipped
+    — the published hub guard (a hub's O(deg²) wedge fan-out adds ~0 signal
+    at 1/ln(deg) weight); the oracle mirrors the identical cap.
+
+    Shape: adjacency bucketed by CENTER hash so each center's full neighbor
+    list is co-located (segment length IS the degree — no degree join);
+    wedge pairs come from the triangles repeat/cumsum kernel
+    (pipelines/triangles.py:_segment_pairs), weights vectorized per segment;
+    per-pair partial sums then combine in a pair-hash bucketed groupby that
+    ALSO carries the edge set as is_edge sentinel rows — the non-adjacency
+    anti-join costs no extra shuffle. Per-bucket top-k → ≤ buckets×k rows
+    reach the driver. Score rounded half-away to 4 (float Σ 1/ln is
+    summation-order-sensitive at ~1e-15; 4 decimals absorb it — the
+    betweenness contract)."""
+    from pagerank_ray.pipelines.triangles import _canonical_undirected, _segment_pairs
+
+    n_buckets = 64
+    und = (
+        lineitem_edges(sf_dir)
+        .map_batches(_canonical_undirected, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table({"src_id": t.column("a"), "dst_id": t.column("b")}),
+            batch_format="pyarrow",
+        )
+    )
+    und = dedup_pairs(und).materialize()  # feeds adjacency AND the anti-join rows
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("src_id").combine_chunks().cast(pa.int64())
+        b = t.column("dst_id").combine_chunks().cast(pa.int64())
+        return pa.table({"v": pa.concat_arrays([a, b]), "x": pa.concat_arrays([b, a])})
+
+    def bucket_center(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        mixed = (v * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+
+    def wedge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        order = np.lexsort((x, v))
+        v, x = v[order], x[order]
+        empty = pd.DataFrame(
+            {"u": pd.Series(dtype=np.int64), "w": pd.Series(dtype=np.int64),
+             "n_common": pd.Series(dtype=np.int64), "sc": pd.Series(dtype=np.float64),
+             "is_edge": pd.Series(dtype=np.int64)}
+        )
+        if not len(v):
+            return empty
+        starts = np.flatnonzero(np.concatenate([[True], v[1:] != v[:-1]]))
+        lengths = np.diff(np.concatenate([starts, [len(v)]]))
+        keep = (lengths >= 2) & (lengths <= max_degree)
+        if not keep.any():
+            return empty
+        xk = x[np.repeat(keep, lengths)]
+        lk = lengths[keep]
+        first, second = _segment_pairs(lk)
+        npairs = lk * (lk - 1) // 2
+        wts = np.repeat(1.0 / np.log(lk.astype(np.float64)), npairs)
+        part = pd.DataFrame({"u": xk[first], "w": xk[second], "sc": wts})
+        agg = part.groupby(["u", "w"], sort=False)["sc"].agg(["size", "sum"]).reset_index()
+        return pd.DataFrame(
+            {"u": agg["u"].to_numpy(np.int64), "w": agg["w"].to_numpy(np.int64),
+             "n_common": agg["size"].to_numpy(np.int64), "sc": agg["sum"].to_numpy(np.float64),
+             "is_edge": np.zeros(len(agg), np.int64)}
+        )
+
+    wedges = (
+        und.map_batches(both_dirs, batch_format="pyarrow")
+        .map_batches(bucket_center, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedge_partial, batch_format="pandas")
+    )
+    edge_rows = und.map_batches(
+        lambda t: pa.table(
+            {"u": t.column("src_id").cast(pa.int64()), "w": t.column("dst_id").cast(pa.int64()),
+             "n_common": pa.array(np.zeros(t.num_rows, np.int64)),
+             "sc": pa.array(np.zeros(t.num_rows, np.float64)),
+             "is_edge": pa.array(np.ones(t.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bucket_pair(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (u * np.uint64(0x9E3779B97F4A7C15) + w) * np.uint64(0x9E3779B1)
+        return t.append_column(
+            "pbkt", pa.array(((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int32))
+        )
+
+    def pair_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["u", "w"], sort=False)
+            .agg(n_common=("n_common", "sum"), sc=("sc", "sum"), is_edge=("is_edge", "sum"))
+            .reset_index()
+        )
+        g = g[(g["is_edge"] == 0) & (g["n_common"] > 0)].copy()
+        g["aa"] = _round_half_away(g["sc"].to_numpy(np.float64), 4)
+        g = g.sort_values(["aa", "u", "w"], ascending=[False, True, True], kind="mergesort")
+        return g[["u", "w", "n_common", "aa"]].head(k)
+
+    cand = (
+        wedges.union(edge_rows)
+        .map_batches(bucket_pair, batch_format="pyarrow")
+        .groupby("pbkt")
+        .map_groups(pair_merge, batch_format="pandas")
+        .to_pandas()  # ≤ n_buckets × k rows
+    )
+    top = cand.sort_values(["aa", "u", "w"], ascending=[False, True, True],
+                           kind="mergesort").head(k)
+    top = top.rename(columns={"u": "a", "w": "b"})
+    top["n_common"] = top["n_common"].astype(np.int64)
+    return top[["a", "b", "n_common", "aa"]].reset_index(drop=True)

@@ -1,0 +1,249 @@
+"""Late-round-5 operators: PII scrub, duplicated-span ratio, PMI, Adamic-Adar.
+
+Each query test plants a tiny input parquet with a hand-checkable answer and
+compares the distributed pipeline against a per-row Python reference.
+"""
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pagerank_ray.functions.pii import PII_CLASSES, redact_series, redact_text
+
+# ---------------------------------------------------------------------------
+# PII kernel
+# ---------------------------------------------------------------------------
+
+_PLANTED = [
+    "contact john.doe@example.com or jane@sub.host.org today",
+    "server at 10.0.0.1 and 192.168.100.200 responded",
+    "account 1234567 card 9999999999 pin 12345",  # 12345 is < 6 digits
+    "mix a1b2@x.io 8.8.8.8 123456 and words",
+    "",
+    None,
+    "no pii here at all",
+    "email-with-digits 123456789@mail.com then bare 654321",
+]
+
+
+def test_pii_vectorized_matches_reference():
+    s = pd.Series(_PLANTED, dtype=object)
+    red, counts = redact_series(s)
+    for i, raw in enumerate(_PLANTED):
+        want_text, want_counts = redact_text(raw or "")
+        assert red.iloc[i] == want_text
+        for cls, _, _ in PII_CLASSES:
+            assert counts[f"n_{cls}"].iloc[i] == want_counts[f"n_{cls}"], (i, cls)
+
+
+def test_pii_class_order():
+    # digits inside an email/IP are consumed by the earlier class, never
+    # double-counted by the digit-run class
+    text = "999888777@mail.com via 255.254.253.252 ref 777777"
+    red, counts = redact_text(text)
+    assert red == "[EMAIL] via [IP] ref [ID]"
+    assert (counts["n_email"], counts["n_ipv4"], counts["n_id"]) == (1, 1, 1)
+    # five digits stay; six get redacted
+    assert redact_text("12345 123456")[0] == "12345 [ID]"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=60), max_size=8))
+def test_pii_vectorized_matches_reference_hypothesis(texts):
+    s = pd.Series(texts, dtype=object)
+    red, counts = redact_series(s)
+    for i, raw in enumerate(texts):
+        want_text, want_counts = redact_text(raw)
+        assert red.iloc[i] == want_text
+        for cls, _, _ in PII_CLASSES:
+            assert counts[f"n_{cls}"].iloc[i] == want_counts[f"n_{cls}"]
+
+
+def test_q_pii_redact(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_pii_redact
+
+    tbl = pa.table({
+        "c_mktsegment": pa.array(["A", "A", "B", "B"]),
+        "c_name": pa.array([
+            "Customer#000000001",        # one 9-digit run
+            "x@y.io and 10.1.2.3",       # email + ip, no long digits
+            "plain name",
+            None,
+        ]),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_pii_redact(str(tmp_path))
+    a = out[out["c_mktsegment"] == "A"].iloc[0]
+    b = out[out["c_mktsegment"] == "B"].iloc[0]
+    assert (a["n_rows"], a["n_email"], a["n_ipv4"], a["n_id"]) == (2, 1, 1, 1)
+    assert a["min_red"] == "Customer#[ID]"
+    assert (b["n_rows"], b["n_email"], b["n_ipv4"], b["n_id"]) == (2, 0, 0, 0)
+    assert b["red_chars"] == len("plain name")  # NULL counts 0 chars
+    assert b["min_red"] == ""
+
+
+# ---------------------------------------------------------------------------
+# duplicated k-gram span ratio
+# ---------------------------------------------------------------------------
+
+def test_q_dup_ngram_ratio(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_dup_ngram_ratio
+
+    shared = "one two three four five"          # the planted duplicated 5-gram
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            shared + " tailA unique0",           # 3 grams, 1 duplicated
+            "headB " + shared,                   # 2 grams, 1 duplicated
+            "all brand new words here now",      # 2 grams, 0 duplicated
+            "too short text",                    # < 5 tokens -> excluded
+        ]),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_dup_ngram_ratio(str(tmp_path))
+    got = out.set_index("doc_id")
+    assert list(got.index) == [0, 1, 2]
+    assert (got.loc[0, "n_grams"], got.loc[0, "n_dup"]) == (3, 1)
+    assert (got.loc[1, "n_grams"], got.loc[1, "n_dup"]) == (2, 1)
+    assert (got.loc[2, "n_grams"], got.loc[2, "n_dup"]) == (2, 0)
+    assert got.loc[0, "dup_ratio"] == round(1 / 3, 6)
+
+
+def test_q_dup_ngram_within_doc_repeat_not_dup(ray_session, tmp_path):
+    """A 5-gram repeated WITHIN one doc only is not 'duplicated' (the metric
+    counts cross-document sharing), but both occurrences count in n_grams."""
+    from pagerank_ray.pipelines.tabular import q_dup_ngram_ratio
+
+    docs = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["a b c d e a b c d e"]),  # gram 'a b c d e' occurs twice
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_dup_ngram_ratio(str(tmp_path))
+    assert out.loc[0, "n_grams"] == 6
+    assert out.loc[0, "n_dup"] == 0
+
+
+# ---------------------------------------------------------------------------
+# PMI
+# ---------------------------------------------------------------------------
+
+def _pmi_reference(texts, window, min_cnt):
+    uni, pairs, nw = {}, {}, 0
+    for t in texts:
+        w = (t or "").split()
+        nw += len(w)
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for d in range(1, window + 1):
+            for i in range(len(w) - d):
+                key = tuple(sorted((w[i], w[i + d])))
+                pairs[key] = pairs.get(key, 0) + 1
+    np_tot = sum(pairs.values())
+    rows = []
+    for (a, b), c in pairs.items():
+        if c < min_cnt:
+            continue
+        val = math.log(((float(c) * nw) * nw) / ((float(np_tot) * uni[a]) * uni[b]))
+        rows.append((a, b, c, round(val, 6)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows
+
+
+def test_q_pmi_topk(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_pmi_topk
+
+    rng = np.random.default_rng(11)
+    vocab = ["ant", "bee", "cat", "dog", "elk", "fox"]
+    texts = []
+    for _ in range(40):
+        words = [vocab[int(k)] for k in rng.integers(0, len(vocab), 25)]
+        texts.append(" ".join(words))
+    texts.append("ant bee " * 10)  # planted strong collocation
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_pmi_topk(str(tmp_path), window=2, min_cnt=3, k=10)
+    want = _pmi_reference(texts, window=2, min_cnt=3)[:10]
+    got = list(zip(out["a"], out["b"], out["n_pair"], out["pmi"]))
+    assert [(a, b, c) for a, b, c, _ in got] == [(a, b, c) for a, b, c, _ in want]
+    assert np.allclose([p for *_, p in got], [p for *_, p in want], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar
+# ---------------------------------------------------------------------------
+
+def _aa_reference(edge_list, k, max_degree):
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores, commons = {}, {}
+    for v, nb in adj.items():
+        if not (2 <= len(nb) <= max_degree):
+            continue
+        nb_sorted = sorted(nb)
+        for i in range(len(nb_sorted)):
+            for j in range(i + 1, len(nb_sorted)):
+                p = (nb_sorted[i], nb_sorted[j])
+                scores[p] = scores.get(p, 0.0) + 1.0 / math.log(len(nb))
+                commons[p] = commons.get(p, 0) + 1
+    rows = [
+        (a, b, commons[(a, b)], round(s, 4))
+        for (a, b), s in scores.items()
+        if (a, b) not in und
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:k]
+
+
+def test_q_adamic_adar(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_adamic_adar
+
+    # hand graph: star center 1 (neighbors 2,3,4), path 2-5, edge 3-4
+    # (3,4) adjacent -> excluded; (2,3),(2,4) via center 1; (3,4) also via 1
+    edges = [(1, 2), (1, 3), (1, 4), (2, 5), (3, 4), (1, 2)]  # dup edge kept
+    tbl = pa.table({
+        "l_orderkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_adamic_adar(str(tmp_path), k=10)
+    want = _aa_reference(edges, k=10, max_degree=64)
+    got = list(zip(out["a"], out["b"], out["n_common"], out["aa"]))
+    assert got == want
+    assert all((a, b) not in {(3, 4)} for a, b, *_ in got)  # adjacency anti-join
+
+
+def test_q_adamic_adar_degree_cap(ray_session, tmp_path):
+    """A center above max_degree contributes no wedges (hub guard)."""
+    from pagerank_ray.pipelines.tabular import q_adamic_adar
+
+    hub_edges = [(100, i) for i in range(1, 6)]        # hub deg 5
+    extra = [(1, 200), (2, 200)]                        # center 200 deg 2
+    edges = hub_edges + extra
+    tbl = pa.table({
+        "l_orderkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    capped = q_adamic_adar(str(tmp_path), k=50, max_degree=4)
+    want = _aa_reference(edges, k=50, max_degree=4)
+    got = list(zip(capped["a"], capped["b"], capped["n_common"], capped["aa"]))
+    assert got == want
+    # hub (deg 5 > 4) contributes nothing as a CENTER; the surviving pairs
+    # come via centers 1 and 2 (each sees {100, 200}) and center 200 ({1, 2})
+    assert got == [
+        (100, 200, 2, round(2 / math.log(2), 4)),
+        (1, 2, 1, round(1 / math.log(2), 4)),
+    ]
