@@ -1577,10 +1577,56 @@ SELECT u AS a, w AS b, n_common, ROUND(sc, 4) AS aa
 FROM nf ORDER BY aa DESC, a, b LIMIT {k}"""
 
 
+def _mis_sql(rounds: int = 12) -> str:
+    """Fixed-unroll Luby MIS oracle (tabular.q_mis / pipelines/mis.py):
+    priorities = the shared fmix64 chain over the vertex id (unsigned
+    comparisons ≡ the engine's order-preserving int64 map); each round wins
+    every active vertex whose priority beats all ACTIVE neighbors (NULL
+    escape = no active neighbor), then removes winners + their neighbors.
+    Idempotent at the fixpoint, so unrolling ≥ the engine's actual round
+    count (asserted engine-side) reproduces the exact member set."""
+    p = [
+        f"WITH e0 AS MATERIALIZED {_EDGES},",
+        "v0 AS MATERIALIZED (SELECT s AS id FROM e0 UNION SELECT d FROM e0),",
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b "
+        "FROM e0 WHERE s <> d),",
+        "adj AS MATERIALIZED (SELECT a AS v, b AS x FROM und "
+        "UNION ALL SELECT b, a FROM und),",
+        "pv AS (SELECT id, id::UBIGINT AS x FROM v0),",
+        _fmix_chain_sql("p", "pv", carry="id, ") + ",",
+        "a0 AS MATERIALIZED (SELECT id, h FROM phv),",
+    ]
+    for t in range(1, rounds + 1):
+        # every per-round CTE is MATERIALIZED: each is referenced several
+        # times downstream, and DuckDB's default inlining would re-execute
+        # the whole prefix per reference — exponential across the unroll
+        p.append(
+            f"m{t} AS MATERIALIZED (SELECT a.id, MIN(n.h) AS mn FROM a{t - 1} a "
+            f"JOIN adj ON adj.v = a.id JOIN a{t - 1} n ON n.id = adj.x "
+            f"GROUP BY a.id),"
+        )
+        p.append(
+            f"w{t} AS MATERIALIZED (SELECT a.id FROM a{t - 1} a LEFT JOIN m{t} m ON m.id = a.id "
+            f"WHERE m.id IS NULL OR a.h < m.mn),"
+        )
+        p.append(
+            f"r{t} AS MATERIALIZED (SELECT id FROM w{t} "
+            f"UNION SELECT adj.x AS id FROM adj JOIN w{t} w ON adj.v = w.id),"
+        )
+        p.append(
+            f"a{t} AS MATERIALIZED (SELECT a.id, a.h FROM a{t - 1} a "
+            f"LEFT JOIN r{t} r ON r.id = a.id WHERE r.id IS NULL),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    sel = " UNION ALL ".join(f"SELECT id FROM w{t}" for t in range(1, rounds + 1))
+    return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
+        "mis": tabular.q_mis,  # SQL-oracled (fixed-unroll Luby rounds)
         "pii_redact": tabular.q_pii_redact,  # SQL-oracled (RE2-shared regexes)
         "dup_ngram_ratio": tabular.q_dup_ngram_ratio,  # SQL-oracled (string 5-grams)
         "pmi_topk": tabular.q_pmi_topk,  # SQL-oracled (mirrored float expr)
@@ -1686,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
     if pr_iters is not None:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
+        "mis": _mis_sql(),
         "pii_redact": _pii_sql(),
         "dup_ngram_ratio": _dup_ngram_sql(),
         "pmi_topk": _pmi_sql(),

@@ -218,11 +218,14 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     "corpus_r4": [
         "cms_heavy_hitters", "gopher_quality", "repetition_stats", "doc_entropy",
     ],
-    "graph_r5": ["betweenness"],
+    "graph_r5": ["betweenness", "mis"],
     "corpus_r5": [
         "bpe_token_counts", "bpe_token_topk", "embed_documents",
         "knn_ivf_embedded", "semantic_dedup_docs", "decontaminate_docs",
         "multimodal_image_features",
+    ],
+    "corpus_r5b": [
+        "pii_redact", "dup_ngram_ratio", "pmi_topk", "adamic_adar",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
@@ -312,6 +315,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     # r5 additions: BPE tokenizer, embedding-inference stage, inference→IVF,
     # multimodal features (now golden-oracled)
     timed("betweenness", lambda: tabular.q_betweenness(SF_DIR))
+    timed("mis", lambda: tabular.q_mis(SF_DIR))
     timed("bpe_token_counts", lambda: tabular.q_bpe_token_counts(SF_DIR).materialize().count())
     timed("bpe_token_topk", lambda: tabular.q_bpe_token_topk(SF_DIR))
     timed("semantic_dedup_docs", lambda: tabular.q_semantic_dedup_docs(SF_DIR))
@@ -319,6 +323,11 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("embed_documents", lambda: tabular.q_embed_documents(SF_DIR).materialize().count())
     timed("knn_ivf_embedded", lambda: tabular.q_knn_ivf_embedded(SF_DIR))
     timed("multimodal_image_features", lambda: tabular.q_multimodal_features(SF_DIR))
+    # late-r5 additions: PII scrub, duplicated-span ratio, PMI, Adamic-Adar
+    timed("pii_redact", lambda: tabular.q_pii_redact(SF_DIR))
+    timed("dup_ngram_ratio", lambda: tabular.q_dup_ngram_ratio(SF_DIR))
+    timed("pmi_topk", lambda: tabular.q_pmi_topk(SF_DIR))
+    timed("adamic_adar", lambda: tabular.q_adamic_adar(SF_DIR))
     timed("cms_heavy_hitters", lambda: tabular.q_cms_heavy_hitters(SF_DIR))
     timed("gopher_quality", lambda: tabular.q_gopher_quality(SF_DIR))
     timed("repetition_stats", lambda: tabular.q_repetition_stats(SF_DIR))

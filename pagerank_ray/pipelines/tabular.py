@@ -3700,3 +3700,24 @@ def q_adamic_adar(sf_dir: str, k: int = 20, max_degree: int = 64) -> pd.DataFram
     top = top.rename(columns={"u": "a", "w": "b"})
     top["n_common"] = top["n_common"].astype(np.int64)
     return top[["a", "b", "n_common", "aa"]].reset_index(drop=True)
+
+
+def q_mis(sf_dir: str, max_rounds: int = 12, tail_cutoff: int = 500) -> pd.DataFrame:
+    """Maximal independent set of the undirected simple lineitem graph —
+    deterministic Luby rounds (pipelines/mis.py). tail_cutoff is deliberately
+    SMALL here so the distributed round path actually executes at test scale
+    before the in-memory tail finishes the remnant (the result is identical
+    either way — the rule is deterministic). Hash-checked against a
+    fixed-unroll DuckDB oracle replaying the same fmix64 priorities."""
+    from pagerank_ray.pipelines.mis import maximal_independent_set
+
+    res, rounds = maximal_independent_set(
+        lineitem_edges(sf_dir), max_rounds=max_rounds, tail_cutoff=tail_cutoff
+    )
+    if rounds > max_rounds:
+        raise RuntimeError(
+            f"MIS took {rounds} rounds; oracle unrolls {max_rounds}"
+        )
+    df = res.to_pandas()
+    df["id"] = df["id"].astype(np.int64)
+    return df.sort_values("id").reset_index(drop=True)

@@ -247,3 +247,88 @@ def test_q_adamic_adar_degree_cap(ray_session, tmp_path):
         (100, 200, 2, round(2 / math.log(2), 4)),
         (1, 2, 1, round(1 / math.log(2), 4)),
     ]
+
+
+# ---------------------------------------------------------------------------
+# maximal independent set (Luby)
+# ---------------------------------------------------------------------------
+
+def _mis_checks(edge_list, mis):
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    verts = {v for e in edge_list for v in e}
+    m = set(mis)
+    # independence: no two members adjacent
+    assert not any((a, b) in und for a in m for b in m if a < b)
+    # maximality: every non-member has a member neighbor
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for v in verts - m:
+        assert nbrs.get(v, set()) & m, f"non-member {v} has no MIS neighbor"
+
+
+def _mis_reference(edge_list):
+    """Per-round Luby with fmix64-priority, straight from the paper rule."""
+    from pagerank_ray.pipelines.mis import _prio_i64
+
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    active = {v for e in edge_list for v in e}
+    nbrs = {v: set() for v in active}
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    pr = {v: int(_prio_i64(np.array([v], np.int64))[0]) for v in active}
+    mis = set()
+    while active:
+        win = {
+            v for v in active
+            if all(pr[v] < pr[u] for u in nbrs[v] if u in active)
+        }
+        mis |= win
+        removed = set(win)
+        for v in win:
+            removed |= nbrs[v] & active
+        active -= removed
+    return mis
+
+
+def test_mis_known_graph(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_mis
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (3, 3), (10, 11), (12, 12)]
+    tbl = pa.table({
+        "l_orderkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_mis(str(tmp_path))
+    got = list(out["id"])
+    _mis_checks(edges, got)
+    assert set(got) == _mis_reference(edges)
+    assert 12 in got  # self-loop-only vertex is independent by construction
+
+
+def test_mis_distributed_equals_tail(ray_session, tmp_path):
+    """The distributed round path and the in-memory tail produce the
+    identical member set (the rule is deterministic)."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.mis import maximal_independent_set
+
+    rng = np.random.default_rng(5)
+    m = 400
+    src = rng.integers(0, 120, m)
+    dst = rng.integers(0, 120, m)
+    edges_tbl = pa.table({"src_id": pa.array(src, pa.int64()),
+                          "dst_id": pa.array(dst, pa.int64())})
+    res_tail, r1 = maximal_independent_set(rd.from_arrow(edges_tbl),
+                                           tail_cutoff=10**9)
+    res_dist, r2 = maximal_independent_set(rd.from_arrow(edges_tbl),
+                                           tail_cutoff=0)
+    a = sorted(res_tail.to_pandas()["id"])
+    b = sorted(res_dist.to_pandas()["id"])
+    assert a == b
+    edge_list = list(zip(src.tolist(), dst.tolist()))
+    _mis_checks(edge_list, a)
+    assert set(a) == _mis_reference(edge_list)
