@@ -1622,10 +1622,33 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _pack_chunks_sql(budget: int = 512) -> str:
+    """Sequence-packing oracle (tabular.q_pack_chunks): exclusive per-source
+    token offsets via the ROWS-UNBOUNDED-PRECEDING window, identical integer
+    chunk arithmetic."""
+    return rf"""
+WITH t AS (
+  SELECT source, doc_id,
+    (CASE WHEN TRIM(COALESCE(text, '')) = '' THEN 0
+          ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END)::BIGINT AS n_tok
+  FROM documents),
+w AS (
+  SELECT source, n_tok,
+    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t)
+SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS total_tokens,
+  ((SUM(n_tok) + {budget} - 1) // {budget})::BIGINT AS n_chunks,
+  SUM(CASE WHEN n_tok > 0 AND (off // {budget}) <> ((off + n_tok - 1) // {budget})
+      THEN 1 ELSE 0 END)::BIGINT AS n_boundary_docs
+FROM w GROUP BY source ORDER BY source"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
+        "pack_chunks": tabular.q_pack_chunks,  # SQL-oracled (window mirror)
         "mis": tabular.q_mis,  # SQL-oracled (fixed-unroll Luby rounds)
         "pii_redact": tabular.q_pii_redact,  # SQL-oracled (RE2-shared regexes)
         "dup_ngram_ratio": tabular.q_dup_ngram_ratio,  # SQL-oracled (string 5-grams)
@@ -1732,6 +1755,7 @@ def oracle_sql() -> dict[str, str]:
     if pr_iters is not None:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
+        "pack_chunks": _pack_chunks_sql(),
         "mis": _mis_sql(),
         "pii_redact": _pii_sql(),
         "dup_ngram_ratio": _dup_ngram_sql(),

@@ -3721,3 +3721,73 @@ def q_mis(sf_dir: str, max_rounds: int = 12, tail_cutoff: int = 500) -> pd.DataF
     df = res.to_pandas()
     df["id"] = df["id"].astype(np.int64)
     return df.sort_values("id").reset_index(drop=True)
+
+
+def q_pack_chunks(sf_dir: str, budget: int = 512) -> pd.DataFrame:
+    """Sequence-packing statistics — the GPT-style pack-then-chunk batching
+    rule every LM training pipeline runs: per source, documents concatenate
+    in doc_id order into one token stream that is cut into fixed
+    ``budget``-token chunks; report how many chunks the source fills and how
+    many documents straddle a chunk boundary (the cross-document-attention /
+    truncation cost of packing).
+
+    Shape: per-batch vectorized token counting drops the text immediately
+    (only (source, doc_id, n_tok) rows shuffle); source-hash bucketed groupby
+    co-locates each source; ONE vectorized kernel per bucket computes the
+    exclusive prefix offsets (the running_totals idiom — exact integer
+    cumsum, no float) and the per-source aggregates. The oracle is the
+    ROWS-UNBOUNDED-PRECEDING window mirror."""
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = (
+            df["text"].fillna("").str.split().str.len().fillna(0).to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(dtype=object),
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tok": n_tok,
+            }
+        )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["source"].to_numpy(dtype=object))
+        df = df.copy()
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"].to_numpy(dtype=object)
+        ids = df["doc_id"].to_numpy(np.int64)
+        ntk = df["n_tok"].to_numpy(np.int64)
+        order = np.lexsort((ids, src))
+        src, ntk = src[order], ntk[order]
+        first = np.concatenate([[True], src[1:] != src[:-1]])
+        starts = np.flatnonzero(first)
+        lengths = np.diff(np.append(starts, len(src)))
+        cs = np.cumsum(ntk)
+        base = np.repeat(cs[starts] - ntk[starts], lengths)
+        off = cs - base - ntk  # exclusive per-source prefix
+        boundary = (ntk > 0) & (off // budget != (off + ntk - 1) // budget)
+        total = np.add.reduceat(ntk, starts)
+        n_boundary = np.add.reduceat(boundary.astype(np.int64), starts)
+        return pd.DataFrame(
+            {
+                "source": src[starts],
+                "n_docs": lengths.astype(np.int64),
+                "total_tokens": total.astype(np.int64),
+                "n_chunks": ((total + budget - 1) // budget).astype(np.int64),
+                "n_boundary_docs": n_boundary,
+            }
+        )
+
+    out = (
+        docs.map_batches(counts, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("source").reset_index(drop=True)

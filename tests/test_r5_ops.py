@@ -332,3 +332,66 @@ def test_mis_distributed_equals_tail(ray_session, tmp_path):
     edge_list = list(zip(src.tolist(), dst.tolist()))
     _mis_checks(edge_list, a)
     assert set(a) == _mis_reference(edge_list)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (pack_chunks)
+# ---------------------------------------------------------------------------
+
+
+def test_q_pack_chunks_planted(ray_session, tmp_path):
+    """Hand-checkable packing: source 'a' docs of 3+4+2=9 tokens, budget 4
+    => chunks [0,4),[4,8),[8,12): doc0 spans [0,3) (inside), doc1 spans
+    [3,7) (boundary), doc2 spans [7,9) (boundary). Source 'b': one empty doc
+    and one 4-token doc aligned to [0,4) => no boundary docs, 1 chunk."""
+    from pagerank_ray.pipelines.tabular import q_pack_chunks
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["a", "a", "a", "b", "b"]),
+        "text": pa.array(["t1 t2 t3", "u1 u2 u3 u4", "v1 v2", "", "w x y z"]),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_pack_chunks(str(tmp_path), budget=4).set_index("source")
+    assert (out.loc["a", "n_docs"], out.loc["a", "total_tokens"]) == (3, 9)
+    assert out.loc["a", "n_chunks"] == 3
+    assert out.loc["a", "n_boundary_docs"] == 2
+    assert (out.loc["b", "n_docs"], out.loc["b", "total_tokens"]) == (2, 4)
+    assert out.loc["b", "n_chunks"] == 1
+    assert out.loc["b", "n_boundary_docs"] == 0
+
+
+def test_q_pack_chunks_matches_reference(ray_session, tmp_path):
+    """Randomized doc lengths vs a per-source Python reference packer."""
+    from pagerank_ray.pipelines.tabular import q_pack_chunks
+
+    rng = np.random.default_rng(11)
+    n, budget = 300, 16
+    sources = [f"s{rng.integers(0, 7)}" for _ in range(n)]
+    lens = rng.integers(0, 40, n)
+    texts = [" ".join(f"w{j}" for j in range(k)) for k in lens]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array(sources),
+        "text": pa.array(texts),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_pack_chunks(str(tmp_path), budget=budget).set_index("source")
+
+    # reference: sequential pack per source in doc_id order
+    ref = {}
+    for s in sorted(set(sources)):
+        idx = [i for i in range(n) if sources[i] == s]  # doc_id order
+        off, nb, tot = 0, 0, 0
+        for i in idx:
+            k = int(lens[i])
+            if k > 0 and off // budget != (off + k - 1) // budget:
+                nb += 1
+            off += k
+            tot += k
+        ref[s] = (len(idx), tot, -(-tot // budget) if tot else 0, nb)
+    for s, (nd, tt, nc, nb) in ref.items():
+        assert out.loc[s, "n_docs"] == nd
+        assert out.loc[s, "total_tokens"] == tt
+        assert out.loc[s, "n_chunks"] == nc
+        assert out.loc[s, "n_boundary_docs"] == nb
