@@ -1622,6 +1622,43 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _ktruss_sql(k: int = 3, rounds: int = 6) -> str:
+    """Fixed-unroll k-truss peel (pipelines/ktruss.py): over the canonical
+    (a<b) undirected simple edge set, each round counts per-edge triangle
+    support (each triangle a<b<c credits its three edges) and drops edges
+    below k-2. Idempotent at the fixpoint, so unrolling >= the engine's
+    actual round count matches its converged loop exactly (same argument as
+    _kcore_sql); the engine asserts rounds <= this. Final support values are
+    the last round's counts over the (unchanged) truss edge set."""
+    p = [
+        f"WITH ec AS MATERIALIZED {_EDGES},",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s,d) AS a, GREATEST(s,d) AS b "
+        "FROM ec WHERE s <> d),",
+    ]
+    for i in range(rounds):
+        p.append(
+            f"t{i} AS (SELECT x.a AS a, x.b AS b, y.b AS c FROM e{i} x "
+            f"JOIN e{i} y ON y.a = x.b JOIN e{i} z ON z.a = x.a AND z.b = y.b),"
+        )
+        p.append(
+            f"s{i} AS MATERIALIZED (SELECT a, b, COUNT(*) AS s FROM "
+            f"(SELECT a, b FROM t{i} UNION ALL SELECT b AS a, c AS b FROM t{i} "
+            f"UNION ALL SELECT a, c AS b FROM t{i}) GROUP BY a, b),"
+        )
+        if i < rounds - 1:
+            p.append(
+                f"e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e "
+                f"LEFT JOIN s{i} s ON s.a = e.a AND s.b = e.b "
+                f"WHERE COALESCE(s.s, 0) >= {k - 2}),"
+            )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + (
+        f"\nSELECT e.a, e.b, COALESCE(s.s, 0)::BIGINT AS support "
+        f"FROM e{rounds - 1} e LEFT JOIN s{rounds - 1} s ON s.a = e.a AND s.b = e.b "
+        f"WHERE COALESCE(s.s, 0) >= {k - 2} ORDER BY e.a, e.b"
+    )
+
+
 def _pack_chunks_sql(budget: int = 512) -> str:
     """Sequence-packing oracle (tabular.q_pack_chunks): exclusive per-source
     token offsets via the ROWS-UNBOUNDED-PRECEDING window, identical integer
@@ -1648,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
+        "ktruss": tabular.q_ktruss,  # SQL-oracled (fixed-unroll edge peel)
         "pack_chunks": tabular.q_pack_chunks,  # SQL-oracled (window mirror)
         "mis": tabular.q_mis,  # SQL-oracled (fixed-unroll Luby rounds)
         "pii_redact": tabular.q_pii_redact,  # SQL-oracled (RE2-shared regexes)
@@ -1755,6 +1793,7 @@ def oracle_sql() -> dict[str, str]:
     if pr_iters is not None:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
+        "ktruss": _ktruss_sql(k=3, rounds=6),
         "pack_chunks": _pack_chunks_sql(),
         "mis": _mis_sql(),
         "pii_redact": _pii_sql(),

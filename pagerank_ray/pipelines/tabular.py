@@ -3791,3 +3791,31 @@ def q_pack_chunks(sf_dir: str, budget: int = 512) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_ktruss(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """k-truss of the (undirected, simple) lineitem graph by distributed
+    edge peeling (pipelines/ktruss.py); returns the truss edges with their
+    fixpoint triangle support. Hash-checked against a fixed-unroll DuckDB
+    oracle (__ray_entry__._ktruss_sql, 6 rounds — peeling is idempotent at
+    the fixpoint, and the engine asserts its actual round count fits)."""
+    from pagerank_ray.pipelines.ktruss import k_truss
+
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
+    truss, rounds = k_truss(dense_edges, k)
+    if rounds > 6:
+        raise RuntimeError(
+            f"k-truss peeling took {rounds} rounds; oracle unrolls 6 — "
+            "raise _ktruss_sql rounds to keep the fixpoint-idempotence match"
+        )
+    # dense ids are sorted-by-orig (order-preserving), so canonical a<b in
+    # dense space stays canonical after the rewrite back to original ids
+    df = _attach_orig(truss, id_map, n, ["a", "b"])
+    df["support"] = df["support"].astype(np.int64)
+    return (
+        df[["a", "b", "support"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )

@@ -395,3 +395,104 @@ def test_q_pack_chunks_matches_reference(ray_session, tmp_path):
         assert out.loc[s, "total_tokens"] == tt
         assert out.loc[s, "n_chunks"] == nc
         assert out.loc[s, "n_boundary_docs"] == nb
+
+
+# ---------------------------------------------------------------------------
+# k-truss (edge peeling)
+# ---------------------------------------------------------------------------
+
+
+def _truss_reference(edge_list, k):
+    """Brute-force peel: returns {(a,b): fixpoint support} of the k-truss."""
+    from collections import defaultdict
+
+    E = {(min(a, b), max(a, b)) for a, b in edge_list if a != b}
+    while True:
+        adj = defaultdict(set)
+        for a, b in E:
+            adj[a].add(b)
+            adj[b].add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in E}
+        keep = {e for e in E if sup[e] >= k - 2}
+        if keep == E:
+            return sup
+        E = keep
+
+
+def test_ktruss_known_graph(ray_session, tmp_path):
+    """K4 + a bridged triangle + a path: the 3-truss keeps K4 (support 2)
+    and the triangle (support 1) but peels the bridge and the path; the
+    4-truss keeps only K4."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.ktruss import k_truss
+    from pagerank_ray.pipelines.tabular import q_ktruss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    extra = [(4, 10), (20, 21), (21, 22), (2, 2)]  # bridge, path, self-loop
+    edges = k4 + tri + extra
+    tbl = pa.table({
+        "l_orderkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_ktruss(str(tmp_path), k=3)
+    got = {(a, b): s for a, b, s in out.itertuples(index=False)}
+    assert got == _truss_reference(edges, 3)
+    assert all(got[e] == 2 for e in k4) and all(got[e] == 1 for e in tri)
+    assert (4, 10) not in got and (20, 21) not in got
+
+    e_ds = rd.from_arrow(pa.table({
+        "src_id": pa.array([e[0] for e in edges], pa.int64()),
+        "dst_id": pa.array([e[1] for e in edges], pa.int64()),
+    }))
+    t4, _ = k_truss(e_ds, 4)
+    df4 = t4.to_pandas()
+    got4 = {(a, b): s for a, b, s in df4.itertuples(index=False)}
+    assert got4 == {e: 2 for e in k4}
+
+
+def test_ktruss_matches_reference_random(ray_session):
+    """Random multigraph vs the brute-force peeler, k=3 and k=4 (k=4 peels
+    in cascades here, exercising multi-round shrinkage)."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.ktruss import k_truss
+
+    rng = np.random.default_rng(7)
+    m = 600
+    src = rng.integers(0, 70, m)
+    dst = rng.integers(0, 70, m)
+    e_ds = rd.from_arrow(pa.table({"src_id": pa.array(src, pa.int64()),
+                                   "dst_id": pa.array(dst, pa.int64())}))
+    edge_list = list(zip(src.tolist(), dst.tolist()))
+    for k in (3, 4, 5):
+        ref = _truss_reference(edge_list, k)
+        # in-memory tail path (default cutoff swallows this size)
+        truss, rounds = k_truss(e_ds, k)
+        got = {(a, b): s for a, b, s in truss.to_pandas().itertuples(index=False)}
+        assert got == ref, f"tail k={k}"
+        assert rounds >= 1
+        # forced distributed rounds (k=5 cascades one edge per round here)
+        truss_d, _ = k_truss(e_ds, k, tail_cutoff=0, max_rounds=80)
+        got_d = {(a, b): s for a, b, s in truss_d.to_pandas().itertuples(index=False)}
+        assert got_d == ref, f"distributed k={k}"
+
+
+def test_ktruss_empty_and_trivial(ray_session):
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.ktruss import k_truss
+
+    # self-loops only -> no simple edges -> empty truss
+    e_ds = rd.from_arrow(pa.table({"src_id": pa.array([1, 2], pa.int64()),
+                                   "dst_id": pa.array([1, 2], pa.int64())}))
+    truss, _ = k_truss(e_ds, 3)
+    assert truss.count() == 0
+    # k=2 keeps every simple edge (support >= 0), including triangle-free ones
+    e2 = rd.from_arrow(pa.table({"src_id": pa.array([1, 5], pa.int64()),
+                                 "dst_id": pa.array([2, 6], pa.int64())}))
+    t2, _ = k_truss(e2, 2)
+    df = t2.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert list(map(tuple, df.to_numpy())) == [(1, 2, 0), (5, 6, 0)]
