@@ -1622,6 +1622,35 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    """Ordered-funnel oracle (tabular.q_event_funnel): chained per-user MIN
+    CTEs — step k+1 is each reached user's earliest event of that type
+    STRICTLY after their step-k time; lags are exact epoch-microsecond sums."""
+    p = ["WITH ev AS (SELECT user_id AS u, event_type, epoch_us(ts) AS t FROM events),"]
+    p.append(
+        f"s1 AS MATERIALIZED (SELECT u, MIN(t) AS t FROM ev "
+        f"WHERE event_type = '{steps[0]}' GROUP BY u),"
+    )
+    for i in range(1, len(steps)):
+        p.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT e.u, MIN(e.t) AS t FROM ev e "
+            f"JOIN s{i} p ON p.u = e.u "
+            f"WHERE e.event_type = '{steps[i]}' AND e.t > p.t GROUP BY e.u),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    sels = [
+        f"SELECT 1 AS step, '{steps[0]}' AS event_type, "
+        f"(SELECT COUNT(*) FROM s1)::BIGINT AS n_users, 0::BIGINT AS sum_lag_us"
+    ]
+    for i in range(1, len(steps)):
+        sels.append(
+            f"SELECT {i + 1}, '{steps[i]}', (SELECT COUNT(*) FROM s{i + 1})::BIGINT, "
+            f"(SELECT COALESCE(SUM(c.t - p.t), 0) FROM s{i + 1} c "
+            f"JOIN s{i} p ON p.u = c.u)::BIGINT"
+        )
+    return body + "\n" + "\nUNION ALL ".join(sels) + "\nORDER BY step"
+
+
 def _ktruss_sql(k: int = 3, rounds: int = 6) -> str:
     """Fixed-unroll k-truss peel (pipelines/ktruss.py): over the canonical
     (a<b) undirected simple edge set, each round counts per-edge triangle
@@ -1685,6 +1714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
+        "event_funnel": tabular.q_event_funnel,  # SQL-oracled (chained MIN CTEs)
         "ktruss": tabular.q_ktruss,  # SQL-oracled (fixed-unroll edge peel)
         "pack_chunks": tabular.q_pack_chunks,  # SQL-oracled (window mirror)
         "mis": tabular.q_mis,  # SQL-oracled (fixed-unroll Luby rounds)
@@ -1793,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
     if pr_iters is not None:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
+        "event_funnel": _funnel_sql(),
         "ktruss": _ktruss_sql(k=3, rounds=6),
         "pack_chunks": _pack_chunks_sql(),
         "mis": _mis_sql(),

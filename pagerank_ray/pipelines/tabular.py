@@ -3819,3 +3819,99 @@ def q_ktruss(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
+
+
+def q_event_funnel(
+    sf_dir: str, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> pd.DataFrame:
+    """Ordered conversion funnel over the event log: a user reaches step k+1
+    at the earliest event of that type STRICTLY after their step-k time
+    (step 1 = earliest event of the first type). Reports per step the users
+    reached and the exact total conversion lag from the previous step in
+    microseconds (int64 sums — no float rounding to drift from the oracle).
+
+    Shape: column-pruned read, per-batch filter to the step types (only
+    funnel rows shuffle), user-hash bucketed groupby, ONE vectorized kernel
+    per bucket walks the steps (loop over the 3 steps, never over rows:
+    sorted (user, ts) arrays + per-user firsts via change-points +
+    searchsorted lookups into the previous step's frontier). Per-bucket
+    partials sum in a tiny final groupby. Oracle: chained MIN/strictly-after
+    CTEs in DuckDB."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    step_list = list(steps)
+
+    def prep(t: pa.Table) -> pa.Table:
+        typ = t.column("event_type")
+        mask = pc.is_in(typ, value_set=pa.array(step_list))
+        t = t.filter(mask)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return pa.table(
+            {
+                "u": t.column("user_id"),
+                "typ": t.column("event_type"),
+                "ts": t.column("ts").cast(pa.int64()),
+                "bucket": pa.array((mixed % n_buckets).astype(np.int32)),
+            }
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(np.int64)
+        typ = df["typ"].to_numpy(dtype=object)
+        ts = df["ts"].to_numpy(np.int64)
+        order = np.lexsort((ts, u))
+        u, typ, ts = u[order], typ[order], ts[order]
+        prev_users = prev_t = None
+        out_step, out_n, out_lag = [], [], []
+        for i, s in enumerate(step_list):
+            mask = typ == s
+            if i > 0:
+                if len(prev_users) == 0:
+                    out_step.append(i + 1)
+                    out_n.append(0)
+                    out_lag.append(0)
+                    prev_users = np.array([], np.int64)
+                    prev_t = np.array([], np.int64)
+                    continue
+                idx = np.clip(np.searchsorted(prev_users, u), 0, len(prev_users) - 1)
+                reached = prev_users[idx] == u
+                mask = mask & reached & (ts > prev_t[idx])
+            uc, tc = u[mask], ts[mask]
+            first = (
+                np.concatenate([[True], uc[1:] != uc[:-1]])
+                if len(uc)
+                else np.zeros(0, bool)
+            )
+            users_k, t_k = uc[first], tc[first]
+            if i == 0:
+                lag = 0
+            else:
+                pos = np.searchsorted(prev_users, users_k)
+                lag = int(np.sum(t_k - prev_t[pos]))
+            out_step.append(i + 1)
+            out_n.append(len(users_k))
+            out_lag.append(lag)
+            prev_users, prev_t = users_k, t_k
+        return pd.DataFrame(
+            {
+                "step": np.array(out_step, np.int64),
+                "n": np.array(out_n, np.int64),
+                "lag": np.array(out_lag, np.int64),
+            }
+        )
+
+    parts = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("step", sort=True).agg(
+        n_users=("n", "sum"), sum_lag_us=("lag", "sum")
+    ).reset_index()
+    agg["event_type"] = [step_list[i - 1] for i in agg["step"]]
+    agg = agg[["step", "event_type", "n_users", "sum_lag_us"]]
+    for c in ("step", "n_users", "sum_lag_us"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.reset_index(drop=True)

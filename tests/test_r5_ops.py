@@ -496,3 +496,84 @@ def test_ktruss_empty_and_trivial(ray_session):
     t2, _ = k_truss(e2, 2)
     df = t2.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     assert list(map(tuple, df.to_numpy())) == [(1, 2, 0), (5, 6, 0)]
+
+
+# ---------------------------------------------------------------------------
+# Event funnel
+# ---------------------------------------------------------------------------
+
+
+def _funnel_reference(rows, steps):
+    """rows: (user, type, ts_us). Chained strictly-after first-occurrence."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ty, t in rows:
+        by_user[u].append((t, ty))
+    out = []
+    frontier = {}
+    for i, s in enumerate(steps):
+        nxt = {}
+        for u, evs in by_user.items():
+            if i > 0 and u not in frontier:
+                continue
+            lo = frontier[u] if i > 0 else None
+            cand = [t for t, ty in evs if ty == s and (lo is None or t > lo)]
+            if cand:
+                nxt[u] = min(cand)
+        lag = 0 if i == 0 else sum(nxt[u] - frontier[u] for u in nxt)
+        out.append((i + 1, s, len(nxt), lag))
+        frontier = nxt
+    return out
+
+
+def _write_events(tmp_path, users, types, ts_us):
+    n = len(users)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(np.array(ts_us, np.int64), pa.timestamp("us")),
+        "user_id": pa.array(np.array(users, np.int64), pa.int64()),
+        "event_type": pa.array(types),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+
+
+def test_event_funnel_planted(ray_session, tmp_path):
+    """u1 full-converts; u2 clicks BEFORE viewing (click must not count);
+    u3 views only; u4 purchases with no view (never enters)."""
+    from pagerank_ray.pipelines.tabular import q_event_funnel
+
+    rows = [
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 350),
+        (2, "click", 50), (2, "view", 60), (2, "click", 90),
+        (3, "view", 10),
+        (4, "purchase", 10),
+    ]
+    _write_events(tmp_path, [r[0] for r in rows], [r[1] for r in rows],
+                  [r[2] for r in rows])
+    out = q_event_funnel(str(tmp_path))
+    got = list(map(tuple, out.to_numpy()))
+    assert got == [
+        (1, "view", 3, 0),          # u1, u2, u3
+        (2, "click", 2, 100 + 30),  # u1 (200-100), u2 (90-60)
+        (3, "purchase", 1, 150),    # u1 only
+    ]
+
+
+def test_event_funnel_matches_reference(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_event_funnel
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    users = rng.integers(0, 150, n)
+    types = rng.choice(["view", "click", "purchase", "error", "signup"], n)
+    ts_us = rng.choice(np.arange(10**6, 10**9, 997), n, replace=False)
+    _write_events(tmp_path, users, list(types), ts_us)
+    out = q_event_funnel(str(tmp_path))
+    ref = _funnel_reference(
+        list(zip(users.tolist(), types.tolist(), ts_us.tolist())),
+        ["view", "click", "purchase"],
+    )
+    assert list(map(tuple, out.to_numpy())) == ref
