@@ -1622,6 +1622,27 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _fuzzy_join_sql(d_max: int = 4) -> str:
+    """Blocked fuzzy self-join oracle (tabular.q_fuzzy_join_parts): DuckDB
+    levenshtein over the unique-name pairs of each first-token block —
+    n_near counts differently-named parts within d_max, min_other_dist is
+    the nearest different name (-1 when the block has no other name)."""
+    return f"""
+WITH t AS (SELECT p_partkey AS id, COALESCE(p_name, '') AS nm FROM part),
+u AS MATERIALIZED (SELECT nm, split_part(nm, ' ', 1) AS blk, COUNT(*) AS c
+  FROM t GROUP BY nm),
+d AS MATERIALIZED (SELECT a.nm AS nm, b.c AS oc, levenshtein(a.nm, b.nm) AS dist
+  FROM u a JOIN u b ON a.blk = b.blk AND a.nm <> b.nm),
+agg AS (SELECT nm,
+  COALESCE(SUM(CASE WHEN dist <= {d_max} THEN oc END), 0) AS n_near,
+  MIN(dist) AS min_d FROM d GROUP BY nm)
+SELECT t.id AS p_partkey, (u.c - 1)::BIGINT AS n_exact,
+  COALESCE(agg.n_near, 0)::BIGINT AS n_near,
+  COALESCE(agg.min_d, -1)::BIGINT AS min_other_dist
+FROM t JOIN u ON u.nm = t.nm LEFT JOIN agg ON agg.nm = t.nm
+ORDER BY p_partkey"""
+
+
 def _funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
     """Ordered-funnel oracle (tabular.q_event_funnel): chained per-user MIN
     CTEs — step k+1 is each reached user's earliest event of that type
@@ -1714,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
+        "fuzzy_join_parts": tabular.q_fuzzy_join_parts,  # SQL-oracled (levenshtein)
         "event_funnel": tabular.q_event_funnel,  # SQL-oracled (chained MIN CTEs)
         "ktruss": tabular.q_ktruss,  # SQL-oracled (fixed-unroll edge peel)
         "pack_chunks": tabular.q_pack_chunks,  # SQL-oracled (window mirror)
@@ -1823,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
     if pr_iters is not None:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
+        "fuzzy_join_parts": _fuzzy_join_sql(),
         "event_funnel": _funnel_sql(),
         "ktruss": _ktruss_sql(k=3, rounds=6),
         "pack_chunks": _pack_chunks_sql(),

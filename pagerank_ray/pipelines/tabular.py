@@ -3915,3 +3915,116 @@ def q_event_funnel(
     for c in ("step", "n_users", "sum_lag_us"):
         agg[c] = agg[c].astype(np.int64)
     return agg.reset_index(drop=True)
+
+
+def q_fuzzy_join_parts(
+    sf_dir: str, d_max: int = 4, n_buckets: int = 32, max_block: int = 10_000
+) -> pd.DataFrame:
+    """Blocked fuzzy self-join (record linkage) over part names: per part,
+    how many OTHER parts share its exact name (n_exact), how many carry a
+    different name within edit distance ``d_max`` inside the same block
+    (n_near), and the distance to the nearest differently-named part
+    (min_other_dist, -1 when the block holds no other name). Blocking key =
+    first space-token of the name — distances are defined within the block
+    (the standard linkage-blocking contract; cross-block pairs are not
+    candidates by construction).
+
+    Shape: the kernel runs over UNIQUE names, not rows — per-batch
+    value_counts collapse multiplicity first, so a billion-row table with a
+    bounded name vocabulary pays a pair DP of vocabulary size, and the
+    per-name results broadcast back onto parts. Per-block all-pairs
+    Levenshtein is the vectorized Wagner-Fischer of functions/editdist.py
+    (loops over character positions, never over pairs); blocks larger than
+    ``max_block`` unique names raise loudly rather than going quadratic.
+    Oracle: DuckDB ``levenshtein`` over the same unique-name blocks."""
+    from pagerank_ray.functions.editdist import levenshtein_pairs
+    from pagerank_ray.stages import joins
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"].to_numpy(np.int64),
+                "nm": df["p_name"].fillna("").to_numpy(dtype=object),
+            }
+        )
+
+    keyed = parts.map_batches(prep, batch_format="pandas").materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["nm"].value_counts()
+        return pd.DataFrame(
+            {"nm": vc.index.to_numpy(dtype=object), "c": vc.to_numpy(np.int64)}
+        )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        blk = df["nm"].astype(str).str.split(" ", n=1).str[0]
+        df = df.copy()
+        df["blk"] = blk.to_numpy(dtype=object)
+        h = pd.util.hash_array(df["blk"].to_numpy(dtype=object))
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["blk", "nm"], sort=True)["c"].sum().reset_index()
+        )
+        out_nm, out_c, out_near, out_min = [], [], [], []
+        for _, sub in g.groupby("blk", sort=True):
+            names = sub["nm"].tolist()
+            cnt = sub["c"].to_numpy(np.int64)
+            u = len(names)
+            if u > max_block:
+                raise RuntimeError(
+                    f"fuzzy-join block of {u} unique names exceeds "
+                    f"max_block={max_block}; refine the blocking key"
+                )
+            n_near = np.zeros(u, np.int64)
+            min_o = np.full(u, np.iinfo(np.int64).max, np.int64)
+            if u > 1:
+                i_idx, j_idx = np.triu_indices(u, k=1)
+                d = levenshtein_pairs(names, i_idx, j_idx)
+                near = d <= d_max  # names are unique here, so d >= 1
+                np.add.at(n_near, i_idx[near], cnt[j_idx[near]])
+                np.add.at(n_near, j_idx[near], cnt[i_idx[near]])
+                np.minimum.at(min_o, i_idx, d)
+                np.minimum.at(min_o, j_idx, d)
+            min_o[min_o == np.iinfo(np.int64).max] = -1
+            out_nm.extend(names)
+            out_c.extend(cnt.tolist())
+            out_near.extend(n_near.tolist())
+            out_min.extend(min_o.tolist())
+        return pd.DataFrame(
+            {
+                "nm": np.array(out_nm, dtype=object),
+                "c": np.array(out_c, np.int64),
+                "n_near": np.array(out_near, np.int64),
+                "min_o": np.array(out_min, np.int64),
+            }
+        )
+
+    uniq = (
+        keyed.map_batches(partial, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pandas")
+        .materialize()
+    )
+    u_count = uniq.count()
+    out = keyed
+    for col in ("c", "n_near", "min_o"):
+        out = joins.attach_column(
+            out, uniq, probe_col="nm", build_key="nm", build_val=col,
+            out_col=col, build_count=u_count,
+        )
+    df = out.to_pandas()
+    df["n_exact"] = (df["c"] - 1).astype(np.int64)
+    df = df.rename(columns={"min_o": "min_other_dist"})
+    for c in ("p_partkey", "n_near", "min_other_dist"):
+        df[c] = df[c].astype(np.int64)
+    return (
+        df[["p_partkey", "n_exact", "n_near", "min_other_dist"]]
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )

@@ -577,3 +577,95 @@ def test_event_funnel_matches_reference(ray_session, tmp_path):
         ["view", "click", "purchase"],
     )
     assert list(map(tuple, out.to_numpy())) == ref
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy blocked join (edit distance)
+# ---------------------------------------------------------------------------
+
+
+def _lev_ref(s1, s2):
+    m, n = len(s1), len(s2)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (s1[i - 1] != s2[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+def test_levenshtein_pairs_matches_reference():
+    from pagerank_ray.functions.editdist import levenshtein_pairs
+
+    rng = np.random.default_rng(19)
+    alpha = list("abc x")
+    names = [""] + [
+        "".join(rng.choice(alpha, rng.integers(0, 12))) for _ in range(60)
+    ]
+    i_idx, j_idx = np.triu_indices(len(names), k=1)
+    got = levenshtein_pairs(names, i_idx, j_idx)
+    want = np.array([_lev_ref(names[i], names[j])
+                     for i, j in zip(i_idx, j_idx)], np.int64)
+    assert (got == want).all()
+
+
+def _fuzzy_ref(names, d_max):
+    """Per row: (n_exact, n_near, min_other_dist) with first-token blocking."""
+    from collections import Counter, defaultdict
+
+    cnt = Counter(names)
+    blocks = defaultdict(set)
+    for nm in cnt:
+        blocks[nm.split(" ", 1)[0]].add(nm)
+    out = []
+    for nm in names:
+        blk = blocks[nm.split(" ", 1)[0]]
+        others = [o for o in blk if o != nm]
+        dists = [_lev_ref(nm, o) for o in others]
+        n_near = sum(cnt[o] for o, d in zip(others, dists) if d <= d_max)
+        min_o = min(dists) if dists else -1
+        out.append((cnt[nm] - 1, n_near, min_o))
+    return out
+
+
+def test_q_fuzzy_join_parts_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_fuzzy_join_parts
+
+    names = [
+        "red widget", "red widgets", "red widget",  # dup + near (d=1)
+        "red wolverine",                            # same block, far (d=8)
+        "blue bolt",                                # alone in its block
+        "", " leading space",                       # '' block and '' token block
+    ]
+    tbl = pa.table({
+        "p_partkey": pa.array(np.arange(len(names)), pa.int64()),
+        "p_name": pa.array(names),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "part.parquet"))
+    out = q_fuzzy_join_parts(str(tmp_path), d_max=4)
+    got = list(map(tuple, out[["n_exact", "n_near", "min_other_dist"]].to_numpy()))
+    assert got == _fuzzy_ref(names, 4)
+    assert got[0] == (1, 1, 1)   # one exact dup, 'red widgets' at d=1
+    assert got[3] == (0, 0, 7)   # wolverine: nearest 'red widget(s)' beyond 4
+    assert got[4] == (0, 0, -1)  # blue bolt: no other name in its block
+
+
+def test_q_fuzzy_join_parts_random(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_fuzzy_join_parts
+
+    rng = np.random.default_rng(31)
+    first = ["red", "blue", "hot"]
+    second = ["bolt", "bolts", "gear", "gizmo", "widget", "widgett"]
+    names = [
+        f"{rng.choice(first)} {rng.choice(second)}" for _ in range(300)
+    ]
+    tbl = pa.table({
+        "p_partkey": pa.array(np.arange(len(names)), pa.int64()),
+        "p_name": pa.array(names),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "part.parquet"))
+    out = q_fuzzy_join_parts(str(tmp_path), d_max=2)
+    got = list(map(tuple, out[["n_exact", "n_near", "min_other_dist"]].to_numpy()))
+    assert got == _fuzzy_ref(names, 2)
