@@ -1622,6 +1622,52 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _coreness_sql(levels: int = 10, rounds: int = 10) -> str:
+    """Fixed-grid k-core decomposition oracle (pipelines/coreness.py): for
+    each level k = 1..levels, ``rounds`` unrolled peel rounds (degree pass →
+    drop survivors below k → filter vertex set and both edge sides); every
+    vertex dropped during level k gets coreness k-1. The surviving VERTEX
+    set is tracked explicitly — a vertex whose last edge vanishes still owes
+    a label at the current level. Idempotent at each level's fixpoint, so a
+    grid ≥ the true (levels, per-level rounds) matches exactly; the engine
+    measures both and asserts they fit."""
+    p = [
+        f"WITH ec AS MATERIALIZED {_EDGES},",
+        "e_1_0 AS MATERIALIZED (SELECT s, d FROM ec WHERE s <> d "
+        "UNION SELECT d AS s, s AS d FROM ec WHERE s <> d),",
+        "v_1_0 AS MATERIALIZED (SELECT DISTINCT s AS id FROM e_1_0),",
+    ]
+    drops = []
+    for k in range(1, levels + 1):
+        for r in range(rounds):
+            p.append(
+                f"g_{k}_{r} AS (SELECT s AS vid, COUNT(*) AS c FROM e_{k}_{r} "
+                f"GROUP BY s),"
+            )
+            p.append(
+                f"d_{k}_{r} AS MATERIALIZED (SELECT v.id FROM v_{k}_{r} v "
+                f"LEFT JOIN g_{k}_{r} g ON g.vid = v.id "
+                f"WHERE COALESCE(g.c, 0) < {k}),"
+            )
+            nk, nr = (k, r + 1) if r + 1 < rounds else (k + 1, 0)
+            p.append(
+                f"v_{nk}_{nr} AS MATERIALIZED (SELECT id FROM v_{k}_{r} "
+                f"WHERE id NOT IN (SELECT id FROM d_{k}_{r})),"
+            )
+            p.append(
+                f"e_{nk}_{nr} AS MATERIALIZED (SELECT s, d FROM e_{k}_{r} "
+                f"WHERE s NOT IN (SELECT id FROM d_{k}_{r}) "
+                f"AND d NOT IN (SELECT id FROM d_{k}_{r})),"
+            )
+            drops.append(f"SELECT id, {k - 1} AS coreness FROM d_{k}_{r}")
+    body = "\n".join(p).rstrip()[:-1]
+    return body + (
+        "\nSELECT id, coreness::BIGINT AS coreness FROM ("
+        + "\nUNION ALL ".join(drops)
+        + ") ORDER BY id"
+    )
+
+
 def _fuzzy_join_sql(d_max: int = 4) -> str:
     """Blocked fuzzy self-join oracle (tabular.q_fuzzy_join_parts): DuckDB
     levenshtein over the unique-name pairs of each first-token block —
@@ -1735,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
+        "coreness": tabular.q_coreness,  # SQL-oracled (fixed-grid level peel)
         "fuzzy_join_parts": tabular.q_fuzzy_join_parts,  # SQL-oracled (levenshtein)
         "event_funnel": tabular.q_event_funnel,  # SQL-oracled (chained MIN CTEs)
         "ktruss": tabular.q_ktruss,  # SQL-oracled (fixed-unroll edge peel)
@@ -1845,6 +1892,7 @@ def oracle_sql() -> dict[str, str]:
     if pr_iters is not None:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
+        "coreness": _coreness_sql(levels=10, rounds=10),
         "fuzzy_join_parts": _fuzzy_join_sql(),
         "event_funnel": _funnel_sql(),
         "ktruss": _ktruss_sql(k=3, rounds=6),

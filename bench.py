@@ -227,6 +227,9 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     "corpus_r5b": [
         "pii_redact", "dup_ngram_ratio", "pmi_topk", "adamic_adar",
     ],
+    "r5c": [
+        "pack_chunks", "ktruss", "event_funnel", "fuzzy_join_parts", "coreness",
+    ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
 
@@ -328,6 +331,12 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("dup_ngram_ratio", lambda: tabular.q_dup_ngram_ratio(SF_DIR))
     timed("pmi_topk", lambda: tabular.q_pmi_topk(SF_DIR))
     timed("adamic_adar", lambda: tabular.q_adamic_adar(SF_DIR))
+    # r5c additions: sequence packing, k-truss, funnel, fuzzy join
+    timed("pack_chunks", lambda: tabular.q_pack_chunks(SF_DIR))
+    timed("ktruss", lambda: tabular.q_ktruss(SF_DIR))
+    timed("event_funnel", lambda: tabular.q_event_funnel(SF_DIR))
+    timed("fuzzy_join_parts", lambda: tabular.q_fuzzy_join_parts(SF_DIR))
+    timed("coreness", lambda: tabular.q_coreness(SF_DIR))
     timed("cms_heavy_hitters", lambda: tabular.q_cms_heavy_hitters(SF_DIR))
     timed("gopher_quality", lambda: tabular.q_gopher_quality(SF_DIR))
     timed("repetition_stats", lambda: tabular.q_repetition_stats(SF_DIR))

@@ -4028,3 +4028,33 @@ def q_fuzzy_join_parts(
         .sort_values("p_partkey")
         .reset_index(drop=True)
     )
+
+
+def q_coreness(sf_dir: str) -> pd.DataFrame:
+    """Full k-core decomposition of the (undirected, simple) lineitem graph:
+    per-vertex coreness = max k with v in the k-core, via level-wise
+    distributed peeling (pipelines/coreness.py). Hash-checked against a
+    fixed-grid DuckDB oracle (__ray_entry__._coreness_sql, 10 levels x 10
+    rounds); coreness is canonical, and the engine asserts its measured
+    (levels, per-level rounds) fit the oracle grid."""
+    from pagerank_ray.pipelines.coreness import coreness
+    from pagerank_ray.stages.csr import symmetrize
+
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
+
+    def noself(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t.column("src_id"), t.column("dst_id"))
+        return t.filter(mask)
+
+    simple = dense_edges.map_batches(noself, batch_format="pyarrow")
+    labels, rounds_per_level = coreness(symmetrize(simple))
+    if len(rounds_per_level) > 10 or (rounds_per_level and max(rounds_per_level) > 10):
+        raise RuntimeError(
+            f"coreness peel shape {rounds_per_level} exceeds the 10x10 oracle "
+            "grid — raise _coreness_sql levels/rounds to keep the match"
+        )
+    df = _attach_orig(labels, id_map, n, ["id"])
+    df["coreness"] = df["coreness"].astype(np.int64)
+    return df[["id", "coreness"]].sort_values("id").reset_index(drop=True)

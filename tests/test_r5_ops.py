@@ -669,3 +669,79 @@ def test_q_fuzzy_join_parts_random(ray_session, tmp_path):
     out = q_fuzzy_join_parts(str(tmp_path), d_max=2)
     got = list(map(tuple, out[["n_exact", "n_near", "min_other_dist"]].to_numpy()))
     assert got == _fuzzy_ref(names, 2)
+
+
+# ---------------------------------------------------------------------------
+# Coreness (full k-core decomposition)
+# ---------------------------------------------------------------------------
+
+
+def _coreness_reference(edge_list):
+    """Level-peel reference: {vertex: coreness} over the simple graph."""
+    from collections import defaultdict
+
+    E = {(min(a, b), max(a, b)) for a, b in edge_list if a != b}
+    verts = {v for e in E for v in e}
+    labels = {}
+    k = 1
+    while verts:
+        while True:
+            deg = defaultdict(int)
+            for a, b in E:
+                deg[a] += 1
+                deg[b] += 1
+            drop = {v for v in verts if deg[v] < k}
+            if not drop:
+                break
+            for v in drop:
+                labels[v] = k - 1
+            verts -= drop
+            E = {(a, b) for a, b in E if a not in drop and b not in drop}
+        k += 1
+    return labels
+
+
+def test_q_coreness_known_graph(ray_session, tmp_path):
+    """K4 (coreness 3) bridged to a triangle (coreness 2) with a pendant
+    path (coreness 1); self-loops ignored."""
+    from pagerank_ray.pipelines.tabular import q_coreness
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    extra = [(4, 10), (12, 20), (20, 21), (7, 7)]
+    edges = k4 + tri + extra
+    tbl = pa.table({
+        "l_orderkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_coreness(str(tmp_path))
+    got = dict(zip(out["id"], out["coreness"]))
+    assert got == _coreness_reference(edges)
+    assert got[1] == 3 and got[10] == 2 and got[21] == 1
+    assert 7 not in got  # self-loop-only vertex has no simple edge
+
+
+def test_coreness_matches_reference_random(ray_session):
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.coreness import coreness
+    from pagerank_ray.stages.csr import symmetrize
+
+    rng = np.random.default_rng(13)
+    m = 800
+    src = rng.integers(0, 90, m)
+    dst = rng.integers(0, 90, m)
+    keep = src != dst
+    e_ds = rd.from_arrow(pa.table({"src_id": pa.array(src[keep], pa.int64()),
+                                   "dst_id": pa.array(dst[keep], pa.int64())}))
+    ref = _coreness_reference(list(zip(src[keep].tolist(), dst[keep].tolist())))
+    # tail path
+    labels_t, rl_t = coreness(symmetrize(e_ds))
+    got_t = dict(zip(*[labels_t.to_pandas()[c] for c in ("id", "coreness")]))
+    assert got_t == ref
+    # forced distributed path
+    labels_d, rl_d = coreness(symmetrize(e_ds), tail_cutoff=0)
+    got_d = dict(zip(*[labels_d.to_pandas()[c] for c in ("id", "coreness")]))
+    assert got_d == ref
+    assert rl_t == rl_d  # same level/round structure on both paths
