@@ -1622,6 +1622,29 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _copurchase_sql(k: int = 20) -> str:
+    """Bipartite-projection oracle (tabular.q_copurchase_topk): DISTINCT
+    (order, part) self-join pair counts, identical (n DESC, pa, pb)
+    tie-break."""
+    return f"""
+WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pr AS (SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS n
+  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p)
+SELECT pa, pb, n FROM pr ORDER BY n DESC, pa, pb LIMIT {k}"""
+
+
+def _rollup_sql() -> str:
+    """ROLLUP oracle (tabular.q_revenue_rollup): GROUP BY ROLLUP with the
+    same 'ALL' sentinel for rolled-up levels (the data has no NULL keys)."""
+    return """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  COUNT(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus"""
+
+
 def _coreness_sql(levels: int = 10, rounds: int = 10) -> str:
     """Fixed-grid k-core decomposition oracle (pipelines/coreness.py): for
     each level k = 1..levels, ``rounds`` unrolled peel rounds (degree pass →
@@ -1782,6 +1805,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
         "coreness": tabular.q_coreness,  # SQL-oracled (fixed-grid level peel)
+        "copurchase_topk": tabular.q_copurchase_topk,  # SQL-oracled (pair self-join)
+        "revenue_rollup": tabular.q_revenue_rollup,  # SQL-oracled (GROUP BY ROLLUP)
         "fuzzy_join_parts": tabular.q_fuzzy_join_parts,  # SQL-oracled (levenshtein)
         "event_funnel": tabular.q_event_funnel,  # SQL-oracled (chained MIN CTEs)
         "ktruss": tabular.q_ktruss,  # SQL-oracled (fixed-unroll edge peel)
@@ -1893,6 +1918,8 @@ def oracle_sql() -> dict[str, str]:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
         "coreness": _coreness_sql(levels=10, rounds=10),
+        "copurchase_topk": _copurchase_sql(),
+        "revenue_rollup": _rollup_sql(),
         "fuzzy_join_parts": _fuzzy_join_sql(),
         "event_funnel": _funnel_sql(),
         "ktruss": _ktruss_sql(k=3, rounds=6),

@@ -229,6 +229,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     ],
     "r5c": [
         "pack_chunks", "ktruss", "event_funnel", "fuzzy_join_parts", "coreness",
+        "copurchase_topk", "revenue_rollup",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
@@ -337,6 +338,8 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("event_funnel", lambda: tabular.q_event_funnel(SF_DIR))
     timed("fuzzy_join_parts", lambda: tabular.q_fuzzy_join_parts(SF_DIR))
     timed("coreness", lambda: tabular.q_coreness(SF_DIR))
+    timed("copurchase_topk", lambda: tabular.q_copurchase_topk(SF_DIR))
+    timed("revenue_rollup", lambda: tabular.q_revenue_rollup(SF_DIR))
     timed("cms_heavy_hitters", lambda: tabular.q_cms_heavy_hitters(SF_DIR))
     timed("gopher_quality", lambda: tabular.q_gopher_quality(SF_DIR))
     timed("repetition_stats", lambda: tabular.q_repetition_stats(SF_DIR))

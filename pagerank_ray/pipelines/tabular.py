@@ -4058,3 +4058,125 @@ def q_coreness(sf_dir: str) -> pd.DataFrame:
     df = _attach_orig(labels, id_map, n, ["id"])
     df["coreness"] = df["coreness"].astype(np.int64)
     return df[["id", "coreness"]].sort_values("id").reset_index(drop=True)
+
+
+def q_copurchase_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Bipartite projection of the order→part graph onto parts: top-k part
+    pairs by the number of orders that contain both (the classic
+    co-occurrence / market-basket projection). Deterministic tie-break
+    (n DESC, pa, pb).
+
+    Shape: the deduped (order, part) table buckets by order; ONE vectorized
+    kernel per bucket enumerates within-order part pairs with the triangles
+    segment-pair index arithmetic (order sizes are bounded by basket size,
+    so pair fan-out per order is small — no hub cap needed), pre-aggregates
+    (pa<<32|pb)-encoded counts per bucket, and a grouped_sum + distributed
+    sort/limit finish. Oracle: DISTINCT self-join pair counts in DuckDB."""
+    from pagerank_ray.pipelines.triangles import _bucketize_src, _segment_pairs
+    from pagerank_ray.stages.graph_build import grouped_sum
+
+    lp = lineitem_edges(sf_dir).map_batches(
+        lambda t: pa.table({"src": t.column("src_id"), "dst": t.column("dst_id")}),
+        batch_format="pyarrow",
+    )
+    n_buckets = 256
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        o = df["src"].to_numpy(np.int64)
+        p = df["dst"].to_numpy(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        if not len(o):
+            return pd.DataFrame(
+                {"key": pd.Series(dtype=np.int64), "cnt": pd.Series(dtype=np.int64)}
+            )
+        starts = np.flatnonzero(np.concatenate([[True], o[1:] != o[:-1]]))
+        lengths = np.diff(np.append(starts, len(o)))
+        first, second = _segment_pairs(lengths)
+        # within-order parts are sorted ascending, so p[first] < p[second]
+        key = (p[first] << 32) | p[second]
+        uk, inv = np.unique(key, return_inverse=True)
+        return pd.DataFrame({"key": uk, "cnt": np.bincount(inv).astype(np.int64)})
+
+    contribs = (
+        lp.map_batches(lambda t: _bucketize_src(t, n_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    counts = grouped_sum(contribs, "key", "cnt", "n")
+
+    def decode(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pa": pa.array(key >> 32, pa.int64()),
+                "pb": pa.array(key & 0xFFFFFFFF, pa.int64()),
+                "n": t.column("n"),
+            }
+        )
+
+    top = (
+        counts.map_batches(decode, batch_format="pyarrow")
+        .sort(["n", "pa", "pb"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    for c in ("pa", "pb", "n"):
+        top[c] = top[c].astype(np.int64)
+    return top.reset_index(drop=True)
+
+
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP aggregate: lineitem revenue at three granularities in ONE
+    input pass — (returnflag, linestatus), per-returnflag subtotal, grand
+    total — the OLAP rollup every reporting pipeline wants without
+    re-scanning per level. Group keys use the sentinel 'ALL' for rolled-up
+    levels; revenue is rounded to 2dp for hash-stable compare.
+
+    Shape: one map_batches computes per-batch partials for ALL THREE levels
+    (a batch emits <= |flags|x|status| + |flags| + 1 rows), so the shuffle
+    moves tiny pre-aggregated partials, then one small groupby folds them.
+    Oracle: GROUP BY ROLLUP with the same sentinel."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (df["l_extendedprice"] * (1.0 - df["l_discount"])).to_numpy()
+        base = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"].to_numpy(dtype=object),
+                "l_linestatus": df["l_linestatus"].to_numpy(dtype=object),
+                "rev": rev,
+            }
+        )
+        lvl0 = (
+            base.groupby(["l_returnflag", "l_linestatus"], sort=False)["rev"]
+            .agg(["sum", "count"]).reset_index()
+        )
+        lvl1 = lvl0.groupby("l_returnflag", sort=False)[["sum", "count"]].sum().reset_index()
+        lvl1["l_linestatus"] = "ALL"
+        lvl2 = pd.DataFrame(
+            {
+                "l_returnflag": ["ALL"],
+                "l_linestatus": ["ALL"],
+                "sum": [lvl0["sum"].sum()],
+                "count": [lvl0["count"].sum()],
+            }
+        )
+        out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+        return out[["l_returnflag", "l_linestatus", "sum", "count"]]
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum", alias_name="revenue"), Sum("count", alias_name="n_rows"))
+        .to_pandas()
+    )
+    parts["revenue"] = parts["revenue"].round(2)
+    parts["n_rows"] = parts["n_rows"].astype(np.int64)
+    return (
+        parts.sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )

@@ -745,3 +745,62 @@ def test_coreness_matches_reference_random(ray_session):
     got_d = dict(zip(*[labels_d.to_pandas()[c] for c in ("id", "coreness")]))
     assert got_d == ref
     assert rl_t == rl_d  # same level/round structure on both paths
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase projection + revenue rollup
+# ---------------------------------------------------------------------------
+
+
+def test_q_copurchase_topk(ray_session, tmp_path):
+    from collections import Counter
+
+    from pagerank_ray.pipelines.tabular import q_copurchase_topk
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for o in range(120):
+        parts = rng.choice(40, size=rng.integers(1, 6), replace=False)
+        for p in parts:
+            rows.append((o, int(p)))
+            if rng.random() < 0.3:
+                rows.append((o, int(p)))  # duplicate lineitem rows collapse
+    tbl = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_copurchase_topk(str(tmp_path), k=15)
+
+    ref = Counter()
+    by_o = {}
+    for o, p in set(rows):
+        by_o.setdefault(o, set()).add(p)
+    for o, ps in by_o.items():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                ref[(ps[i], ps[j])] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [((a, b), n) for a, b, n in out.itertuples(index=False)]
+    assert got == want
+
+
+def test_q_revenue_rollup(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_revenue_rollup
+
+    tbl = pa.table({
+        "l_returnflag": pa.array(["A", "A", "A", "N"]),
+        "l_linestatus": pa.array(["O", "O", "F", "F"]),
+        "l_extendedprice": pa.array([100.0, 200.0, 50.0, 10.0]),
+        "l_discount": pa.array([0.1, 0.0, 0.5, 0.0]),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_revenue_rollup(str(tmp_path)).set_index(["l_returnflag", "l_linestatus"])
+    assert out.loc[("A", "O"), "revenue"] == 290.0   # 90 + 200
+    assert out.loc[("A", "F"), "revenue"] == 25.0
+    assert out.loc[("A", "ALL"), "revenue"] == 315.0
+    assert out.loc[("N", "F"), "revenue"] == 10.0
+    assert out.loc[("ALL", "ALL"), "revenue"] == 325.0
+    assert out.loc[("ALL", "ALL"), "n_rows"] == 4
+    assert len(out) == 6  # 3 leaf + 2 flag subtotals + 1 grand total
