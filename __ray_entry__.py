@@ -1635,11 +1635,13 @@ SELECT pa, pb, n FROM pr ORDER BY n DESC, pa, pb LIMIT {k}"""
 
 def _rollup_sql() -> str:
     """ROLLUP oracle (tabular.q_revenue_rollup): GROUP BY ROLLUP with the
-    same 'ALL' sentinel for rolled-up levels (the data has no NULL keys)."""
+    same 'ALL' sentinel for rolled-up levels (the data has no NULL keys);
+    the SUM COALESCEs to 0 so the zero-row grand-total row matches the
+    engine's 0.0."""
     return """
 SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  ROUND(COALESCE(SUM(l_extendedprice * (1 - l_discount)), 0), 2) AS revenue,
   COUNT(*)::BIGINT AS n_rows
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus"""

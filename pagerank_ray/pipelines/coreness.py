@@ -108,18 +108,12 @@ def coreness(
     from pagerank_ray.stages.graph_build import distinct_values, grouped_count
 
     cur = sym_edges.materialize()
+    # sym_edges carries both orientations, so src_id alone already covers
+    # every endpoint — distinct-ing the dst concat too would double the
+    # largest exchange of the decomposition for nothing
     v_cur = distinct_values(
         cur.map_batches(
-            lambda t: pa.table(
-                {
-                    "id": pa.concat_arrays(
-                        [
-                            t.column("src_id").combine_chunks(),
-                            t.column("dst_id").combine_chunks(),
-                        ]
-                    )
-                }
-            ),
+            lambda t: pa.table({"id": t.column("src_id")}),
             batch_format="pyarrow",
         ),
         "id",

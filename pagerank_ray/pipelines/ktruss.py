@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from pagerank_ray.stages import joins
@@ -271,7 +272,7 @@ def k_truss(
         rounds += 1
 
         def keep(t: pa.Table) -> pa.Table:
-            mask = pa.compute.greater_equal(t.column("support"), thresh)
+            mask = pc.greater_equal(t.column("support"), thresh)
             return t.filter(mask)
 
         kept = sup.map_batches(keep, batch_format="pyarrow").materialize()

@@ -3907,9 +3907,18 @@ def q_event_funnel(
         .map_groups(kernel, batch_format="pandas")
         .to_pandas()
     )
-    agg = parts.groupby("step", sort=True).agg(
-        n_users=("n", "sum"), sum_lag_us=("lag", "sum")
-    ).reset_index()
+    # the oracle always emits one row per step; with no funnel-type events at
+    # all there are no buckets (parts is empty, possibly schema-less), so
+    # reindex to the full step range with zero counts
+    if len(parts) and "step" in parts.columns:
+        agg = parts.groupby("step", sort=True).agg(
+            n_users=("n", "sum"), sum_lag_us=("lag", "sum")
+        )
+    else:
+        agg = pd.DataFrame(
+            {"n_users": [], "sum_lag_us": []}, index=pd.Index([], name="step")
+        )
+    agg = agg.reindex(range(1, len(step_list) + 1), fill_value=0).reset_index()
     agg["event_type"] = [step_list[i - 1] for i in agg["step"]]
     agg = agg[["step", "event_type", "n_users", "sum_lag_us"]]
     for c in ("step", "n_users", "sum_lag_us"):
@@ -4090,6 +4099,11 @@ def q_copurchase_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
             return pd.DataFrame(
                 {"key": pd.Series(dtype=np.int64), "cnt": pd.Series(dtype=np.int64)}
             )
+        if p.max() >= np.int64(1) << 31:
+            raise RuntimeError(
+                "copurchase: part ids must fit 31 bits for the pair key "
+                "encoding — compact ids first (see q_ktruss)"
+            )
         starts = np.flatnonzero(np.concatenate([[True], o[1:] != o[:-1]]))
         lengths = np.diff(np.append(starts, len(o)))
         first, second = _segment_pairs(lengths)
@@ -4174,6 +4188,13 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("sum", alias_name="revenue"), Sum("count", alias_name="n_rows"))
         .to_pandas()
     )
+    if parts.empty:
+        # ROLLUP over zero rows still yields the grand-total row (the oracle
+        # COALESCEs its SUM to 0, mirroring this)
+        parts = pd.DataFrame(
+            {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+             "revenue": [0.0], "n_rows": [0]}
+        )
     parts["revenue"] = parts["revenue"].round(2)
     parts["n_rows"] = parts["n_rows"].astype(np.int64)
     return (

@@ -804,3 +804,52 @@ def test_q_revenue_rollup(ray_session, tmp_path):
     assert out.loc[("ALL", "ALL"), "revenue"] == 325.0
     assert out.loc[("ALL", "ALL"), "n_rows"] == 4
     assert len(out) == 6  # 3 leaf + 2 flag subtotals + 1 grand total
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+# ---------------------------------------------------------------------------
+
+
+def test_levenshtein_pairs_byte_semantics():
+    """DuckDB's levenshtein is byte-based: 'café' vs 'cafe' is distance 2
+    ('é' is two UTF-8 bytes). The kernel must agree on non-ASCII input."""
+    import duckdb
+
+    from pagerank_ray.functions.editdist import levenshtein_pairs
+
+    names = ["café", "cafe", "naïve", "naive", "øx", "x"]
+    i_idx, j_idx = np.triu_indices(len(names), k=1)
+    got = levenshtein_pairs(names, i_idx, j_idx)
+    con = duckdb.connect()
+    df = pd.DataFrame({"a": [names[i] for i in i_idx],
+                       "b": [names[j] for j in j_idx]})
+    want = con.sql("SELECT levenshtein(a, b) FROM df").df().iloc[:, 0].to_numpy()
+    assert (got == want).all()
+    assert got[0] == 2  # café vs cafe
+
+
+def test_event_funnel_no_funnel_events(ray_session, tmp_path):
+    """Only non-funnel event types: one zero row per step, like the oracle."""
+    from pagerank_ray.pipelines.tabular import q_event_funnel
+
+    _write_events(tmp_path, [1, 2], ["error", "signup"], [10, 20])
+    out = q_event_funnel(str(tmp_path))
+    assert list(map(tuple, out.to_numpy())) == [
+        (1, "view", 0, 0), (2, "click", 0, 0), (3, "purchase", 0, 0),
+    ]
+
+
+def test_revenue_rollup_empty(ray_session, tmp_path):
+    """ROLLUP over zero rows still yields the grand-total row."""
+    from pagerank_ray.pipelines.tabular import q_revenue_rollup
+
+    tbl = pa.table({
+        "l_returnflag": pa.array([], pa.string()),
+        "l_linestatus": pa.array([], pa.string()),
+        "l_extendedprice": pa.array([], pa.float64()),
+        "l_discount": pa.array([], pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_revenue_rollup(str(tmp_path))
+    assert list(map(tuple, out.to_numpy())) == [("ALL", "ALL", 0.0, 0)]
