@@ -1622,6 +1622,21 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _range_join_sql(window_days: int = 7) -> str:
+    """Range-join oracle (tabular.q_orders_events_range): LEFT JOIN on the
+    user key and the [orderdate, orderdate + window) interval; event values
+    sum as exact integer cents on both engines."""
+    w = window_days * 86_400_000_000
+    return f"""
+WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t,
+  CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+o AS (SELECT o_orderkey, o_custkey AS u, epoch_us(o_orderdate) AS t FROM orders)
+SELECT o.o_orderkey, COUNT(ev.t)::BIGINT AS n_events,
+  ROUND(COALESCE(SUM(ev.cents), 0) / 100.0, 2) AS sum_value
+FROM o LEFT JOIN ev ON ev.u = o.u AND ev.t >= o.t AND ev.t < o.t + {w}
+GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""
+
+
 def _copurchase_sql(k: int = 20) -> str:
     """Bipartite-projection oracle (tabular.q_copurchase_topk): DISTINCT
     (order, part) self-join pair counts, identical (n DESC, pa, pb)
@@ -1807,6 +1822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
         "coreness": tabular.q_coreness,  # SQL-oracled (fixed-grid level peel)
+        "orders_events_range": tabular.q_orders_events_range,  # SQL-oracled (range join)
         "copurchase_topk": tabular.q_copurchase_topk,  # SQL-oracled (pair self-join)
         "revenue_rollup": tabular.q_revenue_rollup,  # SQL-oracled (GROUP BY ROLLUP)
         "fuzzy_join_parts": tabular.q_fuzzy_join_parts,  # SQL-oracled (levenshtein)
@@ -1920,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
         "coreness": _coreness_sql(levels=10, rounds=10),
+        "orders_events_range": _range_join_sql(),
         "copurchase_topk": _copurchase_sql(),
         "revenue_rollup": _rollup_sql(),
         "fuzzy_join_parts": _fuzzy_join_sql(),

@@ -4201,3 +4201,111 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
         parts.sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
+
+
+def q_orders_events_range(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Interval/range join (custom operator — Ray Data has no range join):
+    for each order, the count and value-sum of the SAME customer's events
+    with ts in [o_orderdate, o_orderdate + window_days). Orders with no
+    in-window events keep (0, 0.0).
+
+    Shape: both tables hash-bucket by the user key into the SAME bucket
+    space (one co-partitioning shuffle each, no pairwise join blow-up); per
+    bucket ONE sort-merge kernel inserts each order's two window endpoints
+    as probe rows into the (user, ts)-sorted event stream and reads
+    prefix-count/prefix-sum differences — per-order cost O(log) with zero
+    per-order Python. Event values accumulate as exact integer cents
+    (running_totals idiom) so the sum is hash-identical to the oracle's.
+    Probes sort BEFORE events at equal ts, giving the inclusive-start /
+    exclusive-end window on both engines."""
+    n_buckets = 64
+    win_us = np.int64(window_days) * 86_400_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_ev(t: pa.Table) -> pa.Table:
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": t.column("user_id"),
+                "t": t.column("ts").cast(pa.int64()),
+                "cents": pa.array(np.round(val * 100.0).astype(np.int64)),
+                "okey": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "kind": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": t.column("o_custkey").cast(pa.int64()),
+                "t": t.column("o_orderdate").cast(pa.int64()),
+                "cents": pa.array(np.zeros(t.num_rows, np.int64)),
+                "okey": t.column("o_orderkey").cast(pa.int64()),
+                "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column(
+            "bucket", pa.array((mixed % n_buckets).astype(np.int32))
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        kind = df["kind"].to_numpy(np.int8)
+        is_ev = kind == 1
+        eu = df["u"].to_numpy(np.int64)[is_ev]
+        ets = df["t"].to_numpy(np.int64)[is_ev]
+        ec = df["cents"].to_numpy(np.int64)[is_ev]
+        ou = df["u"].to_numpy(np.int64)[~is_ev]
+        ot = df["t"].to_numpy(np.int64)[~is_ev]
+        okey = df["okey"].to_numpy(np.int64)[~is_ev]
+        n_e, n_o = len(eu), len(ou)
+        if n_o == 0:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype=np.int64),
+                 "n_events": pd.Series(dtype=np.int64),
+                 "sum_cents": pd.Series(dtype=np.int64)}
+            )
+        # merged stream: events (tag 1) + start probes + end probes (tag 0);
+        # tag sorts probes before events at equal (u, t) => F(t) counts
+        # strictly-earlier events, giving [start, end) window semantics
+        allu = np.concatenate([eu, ou, ou])
+        allt = np.concatenate([ets, ot, ot + win_us])
+        tag = np.concatenate(
+            [np.ones(n_e, np.int8), np.zeros(2 * n_o, np.int8)]
+        )
+        cents = np.concatenate([ec, np.zeros(2 * n_o, np.int64)])
+        order = np.lexsort((tag, allt, allu))
+        pos_of = np.empty(len(order), np.int64)
+        pos_of[order] = np.arange(len(order), dtype=np.int64)
+        cum_n = np.cumsum(tag[order].astype(np.int64))
+        cum_c = np.cumsum(cents[order])
+        f0 = pos_of[n_e : n_e + n_o]
+        f1 = pos_of[n_e + n_o :]
+        return pd.DataFrame(
+            {
+                "o_orderkey": okey,
+                "n_events": cum_n[f1] - cum_n[f0],
+                "sum_cents": cum_c[f1] - cum_c[f0],
+            }
+        )
+
+    merged = (
+        ev.map_batches(prep_ev, batch_format="pyarrow")
+        .union(orders.map_batches(prep_o, batch_format="pyarrow"))
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    merged["sum_value"] = (merged["sum_cents"] / 100.0).round(2)
+    for c in ("o_orderkey", "n_events"):
+        merged[c] = merged[c].astype(np.int64)
+    return (
+        merged[["o_orderkey", "n_events", "sum_value"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )

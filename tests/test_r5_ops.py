@@ -853,3 +853,85 @@ def test_revenue_rollup_empty(ray_session, tmp_path):
     pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
     out = q_revenue_rollup(str(tmp_path))
     assert list(map(tuple, out.to_numpy())) == [("ALL", "ALL", 0.0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# Range join (orders x events window)
+# ---------------------------------------------------------------------------
+
+
+def test_q_orders_events_range_planted(ray_session, tmp_path):
+    """Window [t, t+7d): events at the start instant count, at the end
+    instant don't; other users' events never leak in."""
+    from pagerank_ray.pipelines.tabular import q_orders_events_range
+
+    day = 86_400_000_000
+    # orders: (okey, cust, t)
+    orders = [(100, 1, 10 * day), (101, 1, 30 * day), (102, 2, 10 * day),
+              (103, 3, 0)]
+    ev = [
+        (1, 10 * day, 1.50),        # == start of order 100 -> counts
+        (1, 16 * day, 2.25),        # inside 100's window
+        (1, 17 * day, 4.00),        # == end (10+7=17d) -> excluded
+        (1, 31 * day, 8.00),        # inside 101's window
+        (2, 10 * day + 1, 16.00),   # user 2, inside 102's window
+        (2, 40 * day, 32.00),       # outside all windows
+    ]
+    otbl = pa.table({
+        "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+        "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(orders)),
+        "o_totalprice": pa.array([0.0] * len(orders)),
+        "o_orderdate": pa.array(
+            np.array([o[2] for o in orders], np.int64), pa.timestamp("us")
+        ),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(orders)),
+    })
+    pq.write_table(otbl, os.path.join(str(tmp_path), "orders.parquet"))
+    _write_events(tmp_path, [e[0] for e in ev], ["view"] * len(ev),
+                  [e[1] for e in ev])
+    # overwrite value column (the helper writes zeros)
+    t = pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    t = t.set_column(t.schema.get_field_index("value"), "value",
+                     pa.array([e[2] for e in ev]))
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+
+    out = q_orders_events_range(str(tmp_path)).set_index("o_orderkey")
+    assert (out.loc[100, "n_events"], out.loc[100, "sum_value"]) == (2, 3.75)
+    assert (out.loc[101, "n_events"], out.loc[101, "sum_value"]) == (1, 8.00)
+    assert (out.loc[102, "n_events"], out.loc[102, "sum_value"]) == (1, 16.00)
+    assert (out.loc[103, "n_events"], out.loc[103, "sum_value"]) == (0, 0.0)
+
+
+def test_q_orders_events_range_random(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_orders_events_range
+
+    rng = np.random.default_rng(41)
+    day = 86_400_000_000
+    n_o, n_e = 80, 600
+    ocust = rng.integers(0, 25, n_o)
+    ot = rng.integers(0, 60 * day, n_o)
+    eu = rng.integers(0, 25, n_e)
+    et = rng.integers(0, 60 * day, n_e)
+    vals = np.round(rng.uniform(0, 50, n_e), 2)
+    otbl = pa.table({
+        "o_orderkey": pa.array(np.arange(n_o), pa.int64()),
+        "o_custkey": pa.array(ocust, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n_o),
+        "o_totalprice": pa.array(np.zeros(n_o)),
+        "o_orderdate": pa.array(ot, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n_o),
+    })
+    pq.write_table(otbl, os.path.join(str(tmp_path), "orders.parquet"))
+    _write_events(tmp_path, eu, ["view"] * n_e, et)
+    t = pq.read_table(os.path.join(str(tmp_path), "events.parquet"))
+    t = t.set_column(t.schema.get_field_index("value"), "value", pa.array(vals))
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+
+    out = q_orders_events_range(str(tmp_path)).set_index("o_orderkey")
+    win = 7 * day
+    cents = np.round(vals * 100).astype(np.int64)
+    for i in range(n_o):
+        m = (eu == ocust[i]) & (et >= ot[i]) & (et < ot[i] + win)
+        assert out.loc[i, "n_events"] == int(m.sum())
+        assert out.loc[i, "sum_value"] == round(int(cents[m].sum()) / 100.0, 2)
