@@ -1622,6 +1622,28 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _key_skew_sql(col: str = "l_partkey", topn: int = 10) -> str:
+    """Key-skew-profile oracle (tabular.q_key_skew): per-key counts, the
+    same (cnt DESC, key) top-N tie-break, quantile_disc(0.5) p50, and the
+    exact-integer basis-point top-N share."""
+    return f"""
+WITH c AS MATERIALIZED (SELECT {col} AS k, COUNT(*)::BIGINT AS cnt
+  FROM lineitem GROUP BY {col}),
+top AS MATERIALIZED (SELECT k, cnt FROM c ORDER BY cnt DESC, k LIMIT {topn}),
+s AS (SELECT COUNT(*)::BIGINT AS n_keys, SUM(cnt)::BIGINT AS n_rows,
+  MAX(cnt)::BIGINT AS max_cnt, quantile_disc(cnt, 0.5)::BIGINT AS p50 FROM c),
+ts AS (SELECT SUM(cnt)::BIGINT AS top_cnt FROM top)
+SELECT * FROM (
+  SELECT 'top_key' AS stat, k AS key, cnt AS value FROM top
+  UNION ALL SELECT 'n_keys', -1, n_keys FROM s
+  UNION ALL SELECT 'n_rows', -1, n_rows FROM s
+  UNION ALL SELECT 'max_group', -1, max_cnt FROM s
+  UNION ALL SELECT 'p50_group', -1, p50 FROM s
+  UNION ALL SELECT 'topn_share_bp', -1,
+    (SELECT top_cnt FROM ts) * 10000 // (SELECT n_rows FROM s) FROM s
+) ORDER BY stat, value, key"""
+
+
 def _range_join_sql(window_days: int = 7) -> str:
     """Range-join oracle (tabular.q_orders_events_range): LEFT JOIN on the
     user key and the [orderdate, orderdate + window) interval; event values
@@ -1823,6 +1845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window hash-checks them this round ---
         "coreness": tabular.q_coreness,  # SQL-oracled (fixed-grid level peel)
         "orders_events_range": tabular.q_orders_events_range,  # SQL-oracled (range join)
+        "key_skew": tabular.q_key_skew,  # SQL-oracled (window/CTE mirror)
         "copurchase_topk": tabular.q_copurchase_topk,  # SQL-oracled (pair self-join)
         "revenue_rollup": tabular.q_revenue_rollup,  # SQL-oracled (GROUP BY ROLLUP)
         "fuzzy_join_parts": tabular.q_fuzzy_join_parts,  # SQL-oracled (levenshtein)
@@ -1937,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
     out.update({
         "coreness": _coreness_sql(levels=10, rounds=10),
         "orders_events_range": _range_join_sql(),
+        "key_skew": _key_skew_sql(),
         "copurchase_topk": _copurchase_sql(),
         "revenue_rollup": _rollup_sql(),
         "fuzzy_join_parts": _fuzzy_join_sql(),

@@ -4309,3 +4309,55 @@ def q_orders_events_range(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
         .sort_values("o_orderkey")
         .reset_index(drop=True)
     )
+
+
+def q_key_skew(sf_dir: str, col: str = "l_partkey", topn: int = 10) -> pd.DataFrame:
+    """Partition-key skew profile — the diagnostic a 100 TB shuffle plan
+    starts from: per candidate key, the group-size distribution that decides
+    whether a groupby/join on it needs salting. Reports one row per top-N
+    heavy key (rank, key, count) plus summary rows: n_keys, n_rows, max/p50
+    group size, and the share of rows owned by the top-N keys in basis
+    points (exact integers — no float skew ratio to drift).
+
+    Shape: per-batch bincount partials → ONE bucketed grouped_count shuffle →
+    top-N via distributed sort/limit; the p50 reuses the exact distributed
+    quantile idiom over the (small) per-key count table. Oracle: window/CTE
+    mirror in DuckDB."""
+    from pagerank_ray.stages.graph_build import grouped_count
+    from pagerank_ray.stages.quantiles import exact_quantile_disc
+
+    ds = _read(sf_dir, "lineitem", [col])
+    counts = grouped_count(
+        ds.map_batches(
+            lambda t: pa.table({"k": t.column(col)}), batch_format="pyarrow"
+        ),
+        "k",
+        "cnt",
+    ).materialize()
+    n_keys = counts.count()
+    top = (
+        counts.sort(["cnt", "k"], descending=[True, False])
+        .limit(topn)
+        .to_pandas()
+    )
+    agg = counts.aggregate(Sum("cnt", alias_name="n_rows"), Max("cnt", alias_name="max_cnt"))
+    n_rows = int(agg["n_rows"])
+    max_cnt = int(agg["max_cnt"])
+    # exact p50 of the per-key count distribution (distributed sort +
+    # block-offset scalar fetch — matches DuckDB quantile_disc(0.5))
+    p50 = int(exact_quantile_disc(counts, "cnt", 0.5))
+    top_share_bp = int(top["cnt"].sum()) * 10_000 // n_rows if n_rows else 0
+    rows = [
+        ("top_key", int(r.k), int(r.cnt)) for r in top.itertuples(index=False)
+    ]
+    rows += [
+        ("n_keys", -1, n_keys),
+        ("n_rows", -1, n_rows),
+        ("max_group", -1, max_cnt),
+        ("p50_group", -1, p50),
+        ("topn_share_bp", -1, top_share_bp),
+    ]
+    out = pd.DataFrame(rows, columns=["stat", "key", "value"])
+    out["key"] = out["key"].astype(np.int64)
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values(["stat", "value", "key"]).reset_index(drop=True)

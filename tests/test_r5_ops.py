@@ -935,3 +935,38 @@ def test_q_orders_events_range_random(ray_session, tmp_path):
         m = (eu == ocust[i]) & (et >= ot[i]) & (et < ot[i] + win)
         assert out.loc[i, "n_events"] == int(m.sum())
         assert out.loc[i, "sum_value"] == round(int(cents[m].sum()) / 100.0, 2)
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profile
+# ---------------------------------------------------------------------------
+
+
+def test_q_key_skew(ray_session, tmp_path):
+    from collections import Counter
+
+    from pagerank_ray.pipelines.tabular import q_key_skew
+
+    rng = np.random.default_rng(47)
+    keys = np.concatenate([
+        np.full(50, 7), np.full(30, 3), rng.integers(100, 140, 120)
+    ]).astype(np.int64)
+    tbl = pa.table({"l_partkey": pa.array(keys, pa.int64())})
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_key_skew(str(tmp_path), topn=3).set_index("stat")
+    cnt = Counter(keys.tolist())
+    top3 = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got_top = out.loc["top_key"].sort_values("value", ascending=True)
+    assert sorted(zip(got_top["key"], got_top["value"]),
+                  key=lambda kv: (-kv[1], kv[0])) == top3
+    assert out.loc["n_keys", "value"] == len(cnt)
+    assert out.loc["n_rows", "value"] == len(keys)
+    assert out.loc["max_group", "value"] == 50
+    counts_sorted = sorted(cnt.values())
+    import math
+    assert out.loc["p50_group", "value"] == counts_sorted[
+        max(math.ceil(0.5 * len(counts_sorted)) - 1, 0)
+    ]
+    assert out.loc["topn_share_bp", "value"] == sum(
+        v for _, v in top3
+    ) * 10000 // len(keys)
