@@ -1622,6 +1622,19 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _cohort_sql() -> str:
+    """Cohort-retention oracle (tabular.q_cohort_retention): integer epoch
+    weeks (epoch_us // 7d), MIN-per-user cohort, distinct active weeks."""
+    w = 7 * 86_400_000_000
+    return f"""
+WITH ew AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // {w} AS week FROM events),
+c AS (SELECT u, MIN(week) AS cohort FROM ew GROUP BY u)
+SELECT c.cohort AS cohort_week, (ew.week - c.cohort) AS week_offset,
+  COUNT(*)::BIGINT AS n_users
+FROM ew JOIN c ON c.u = ew.u
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def _key_skew_sql(col: str = "l_partkey", topn: int = 10) -> str:
     """Key-skew-profile oracle (tabular.q_key_skew): per-key counts, the
     same (cnt DESC, key) top-N tie-break, quantile_disc(0.5) p50, and the
@@ -1846,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreness": tabular.q_coreness,  # SQL-oracled (fixed-grid level peel)
         "orders_events_range": tabular.q_orders_events_range,  # SQL-oracled (range join)
         "key_skew": tabular.q_key_skew,  # SQL-oracled (window/CTE mirror)
+        "cohort_retention": tabular.q_cohort_retention,  # SQL-oracled (MIN+DISTINCT)
         "copurchase_topk": tabular.q_copurchase_topk,  # SQL-oracled (pair self-join)
         "revenue_rollup": tabular.q_revenue_rollup,  # SQL-oracled (GROUP BY ROLLUP)
         "fuzzy_join_parts": tabular.q_fuzzy_join_parts,  # SQL-oracled (levenshtein)
@@ -1961,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
         "coreness": _coreness_sql(levels=10, rounds=10),
         "orders_events_range": _range_join_sql(),
         "key_skew": _key_skew_sql(),
+        "cohort_retention": _cohort_sql(),
         "copurchase_topk": _copurchase_sql(),
         "revenue_rollup": _rollup_sql(),
         "fuzzy_join_parts": _fuzzy_join_sql(),

@@ -4361,3 +4361,83 @@ def q_key_skew(sf_dir: str, col: str = "l_partkey", topn: int = 10) -> pd.DataFr
     out["key"] = out["key"].astype(np.int64)
     out["value"] = out["value"].astype(np.int64)
     return out.sort_values(["stat", "value", "key"]).reset_index(drop=True)
+
+
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix over the event log: users cohorted by the
+    integer epoch-week of their FIRST event; one row per (cohort_week,
+    week_offset) with the distinct users active that week. Weeks are plain
+    ``epoch_us // 7d`` integers (identical arithmetic on both engines — no
+    calendar alignment to disagree on).
+
+    Shape: user-bucketed kernel computes each user's first-event week and
+    the user's distinct active weeks in ONE pass (sorted arrays +
+    change-points), emits (cohort, offset) partials pre-counted per bucket —
+    users are partitioned by bucket, so partial distinct-user counts sum
+    exactly; one tiny final groupby. Oracle: MIN-over-user CTE + DISTINCT
+    join in DuckDB."""
+    n_buckets = 64
+    week_us = np.int64(7) * 86_400_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "week": pa.array(ts // week_us),
+                "bucket": pa.array((mixed % n_buckets).astype(np.int32)),
+            }
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(np.int64)
+        w = df["week"].to_numpy(np.int64)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        if not len(u):
+            return pd.DataFrame(
+                {"cohort_week": pd.Series(dtype=np.int64),
+                 "week_offset": pd.Series(dtype=np.int64),
+                 "n_users": pd.Series(dtype=np.int64)}
+            )
+        # distinct (user, week) rows via change-points on the sorted arrays
+        first = np.concatenate([[True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])])
+        u, w = u[first], w[first]
+        ustart = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.flatnonzero(ustart)
+        lengths = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(w[starts], lengths)  # per-user first week
+        offset = w - cohort
+        key = np.stack([cohort, offset], axis=1)
+        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "cohort_week": uk[:, 0],
+                "week_offset": uk[:, 1],
+                "n_users": np.bincount(inv).astype(np.int64),
+            }
+        )
+
+    parts = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame(
+            {"cohort_week": pd.Series(dtype=np.int64),
+             "week_offset": pd.Series(dtype=np.int64),
+             "n_users": pd.Series(dtype=np.int64)}
+        )
+    out = (
+        parts.groupby(["cohort_week", "week_offset"], sort=True)["n_users"]
+        .sum()
+        .reset_index()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -970,3 +970,33 @@ def test_q_key_skew(ray_session, tmp_path):
     assert out.loc["topn_share_bp", "value"] == sum(
         v for _, v in top3
     ) * 10000 // len(keys)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+
+def test_q_cohort_retention(ray_session, tmp_path):
+    from collections import defaultdict
+
+    from pagerank_ray.pipelines.tabular import q_cohort_retention
+
+    week = 7 * 86_400_000_000
+    rng = np.random.default_rng(53)
+    n = 900
+    users = rng.integers(0, 60, n)
+    ts = rng.integers(0, 12 * week, n)
+    _write_events(tmp_path, users, ["view"] * n, ts)
+    out = q_cohort_retention(str(tmp_path))
+
+    weeks = ts // week
+    first = {}
+    for u, w in zip(users.tolist(), weeks.tolist()):
+        first[u] = min(first.get(u, w), w)
+    cells = defaultdict(set)
+    for u, w in zip(users.tolist(), weeks.tolist()):
+        cells[(first[u], w - first[u])].add(u)
+    want = sorted((c, o, len(s)) for (c, o), s in cells.items())
+    assert list(map(tuple, out.to_numpy())) == want
+    assert (out[out["week_offset"] == 0]["n_users"].sum()) == len(first)
