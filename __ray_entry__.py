@@ -1622,6 +1622,23 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _two_hop_sql(max_degree: int = 64) -> str:
+    """2-hop-reach oracle (tabular.q_two_hop_reach): adjacency union wedge
+    pairs via centers of degree <= max_degree (identical hub cap), UNION
+    dedup, per-vertex count."""
+    return f"""
+WITH und AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+  FROM {_EDGES} WHERE s <> d),
+adj AS MATERIALIZED (SELECT a AS v, b AS x FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT v, COUNT(*) AS c FROM adj GROUP BY v),
+ctr AS (SELECT v FROM deg WHERE c <= {max_degree}),
+w AS (SELECT a1.x AS v, a2.x AS x FROM adj a1
+  JOIN ctr ON ctr.v = a1.v
+  JOIN adj a2 ON a2.v = a1.v AND a2.x <> a1.x),
+pairs AS (SELECT v, x FROM adj UNION SELECT v, x FROM w)
+SELECT v AS id, COUNT(*)::BIGINT AS reach2 FROM pairs GROUP BY v ORDER BY id"""
+
+
 def _cohort_sql() -> str:
     """Cohort-retention oracle (tabular.q_cohort_retention): integer epoch
     weeks (epoch_us // 7d), MIN-per-user cohort, distinct active weeks."""
@@ -1860,6 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_events_range": tabular.q_orders_events_range,  # SQL-oracled (range join)
         "key_skew": tabular.q_key_skew,  # SQL-oracled (window/CTE mirror)
         "cohort_retention": tabular.q_cohort_retention,  # SQL-oracled (MIN+DISTINCT)
+        "two_hop_reach": tabular.q_two_hop_reach,  # SQL-oracled (capped wedge union)
         "copurchase_topk": tabular.q_copurchase_topk,  # SQL-oracled (pair self-join)
         "revenue_rollup": tabular.q_revenue_rollup,  # SQL-oracled (GROUP BY ROLLUP)
         "fuzzy_join_parts": tabular.q_fuzzy_join_parts,  # SQL-oracled (levenshtein)
@@ -1976,6 +1994,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_events_range": _range_join_sql(),
         "key_skew": _key_skew_sql(),
         "cohort_retention": _cohort_sql(),
+        "two_hop_reach": _two_hop_sql(),
         "copurchase_topk": _copurchase_sql(),
         "revenue_rollup": _rollup_sql(),
         "fuzzy_join_parts": _fuzzy_join_sql(),

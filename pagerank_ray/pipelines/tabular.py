@@ -4441,3 +4441,92 @@ def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def q_two_hop_reach(sf_dir: str, max_degree: int = 64) -> pd.DataFrame:
+    """Per-vertex 2-hop neighborhood size (friend-of-friend reach) over the
+    undirected simple lineitem graph: |{x != v : x adjacent to v, or x and v
+    share a common neighbor of degree <= max_degree}|. The hub cap is part
+    of the operator contract (a hub center contributes O(deg^2) wedge pairs;
+    the oracle mirrors the identical cap) — the standard published guard for
+    neighborhood-function estimates.
+
+    Shape: the adjacency buckets by CENTER hash (adamic_adar idiom — segment
+    length IS the degree, no degree join); each qualifying center emits its
+    neighbor pairs in both directions via the segment-pair kernel; the union
+    with the direct adjacency dedups in the bucketed pair-dedup and ONE
+    grouped_count finishes. At true scale the exact distinct-pair dedup is
+    the dominant exchange; the HLL register path (stages/sketch.py,
+    Boldi-Vigna HyperBall) is the documented approximate alternative."""
+    from pagerank_ray.pipelines.triangles import _canonical_undirected, _segment_pairs
+
+    n_buckets = 64
+    und = dedup_pairs(
+        lineitem_edges(sf_dir)
+        .map_batches(_canonical_undirected, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table({"src_id": t.column("a"), "dst_id": t.column("b")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("src_id").combine_chunks().cast(pa.int64())
+        b = t.column("dst_id").combine_chunks().cast(pa.int64())
+        return pa.table({"v": pa.concat_arrays([a, b]), "x": pa.concat_arrays([b, a])})
+
+    adj = und.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def bucket_center(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        mixed = (v * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+
+    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        x = df["x"].to_numpy(np.int64)
+        order = np.lexsort((x, v))
+        v, x = v[order], x[order]
+        if not len(v):
+            return pd.DataFrame(
+                {"src_id": pd.Series(dtype=np.int64),
+                 "dst_id": pd.Series(dtype=np.int64)}
+            )
+        starts = np.flatnonzero(np.concatenate([[True], v[1:] != v[:-1]]))
+        lengths = np.diff(np.concatenate([starts, [len(v)]]))
+        keep = (lengths >= 2) & (lengths <= max_degree)
+        if not keep.any():
+            return pd.DataFrame(
+                {"src_id": pd.Series(dtype=np.int64),
+                 "dst_id": pd.Series(dtype=np.int64)}
+            )
+        xk = x[np.repeat(keep, lengths)]
+        first, second = _segment_pairs(lengths[keep])
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate([xk[first], xk[second]]),
+                "dst_id": np.concatenate([xk[second], xk[first]]),
+            }
+        )
+
+    wedges = (
+        adj.map_batches(bucket_center, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedge_pairs, batch_format="pandas")
+    )
+    direct = adj.map_batches(
+        lambda t: pa.table({"src_id": t.column("v"), "dst_id": t.column("x")}),
+        batch_format="pyarrow",
+    )
+    reach_pairs = dedup_pairs(wedges.union(direct))
+    counts = grouped_count(
+        reach_pairs.map_batches(
+            lambda t: pa.table({"id": t.column("src_id")}), batch_format="pyarrow"
+        ),
+        "id",
+        "reach2",
+    )
+    df = counts.to_pandas()
+    for c in ("id", "reach2"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("id").reset_index(drop=True)

@@ -1000,3 +1000,42 @@ def test_q_cohort_retention(ray_session, tmp_path):
     want = sorted((c, o, len(s)) for (c, o), s in cells.items())
     assert list(map(tuple, out.to_numpy())) == want
     assert (out[out["week_offset"] == 0]["n_users"].sum()) == len(first)
+
+
+# ---------------------------------------------------------------------------
+# 2-hop reach
+# ---------------------------------------------------------------------------
+
+
+def test_q_two_hop_reach(ray_session, tmp_path):
+    from collections import defaultdict
+
+    from pagerank_ray.pipelines.tabular import q_two_hop_reach
+
+    rng = np.random.default_rng(59)
+    m = 300
+    src = rng.integers(0, 40, m)
+    dst = rng.integers(0, 40, m)
+    tbl = pa.table({
+        "l_orderkey": pa.array(src, pa.int64()),
+        "l_partkey": pa.array(dst, pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+
+    cap = 5  # low cap so the hub guard is actually exercised
+    out = q_two_hop_reach(str(tmp_path), max_degree=cap).set_index("id")
+
+    adj = defaultdict(set)
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    for v in adj:
+        reach = set(adj[v])
+        for c in adj[v]:
+            if len(adj[c]) <= cap:
+                reach |= adj[c] - {v}
+        # wedges through v itself also connect v's neighbors, not v; but v
+        # gains pairs via ANY qualifying center adjacent to it (handled
+        # above) — self never counts
+        assert out.loc[v, "reach2"] == len(reach), v
