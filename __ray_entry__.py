@@ -1660,17 +1660,18 @@ def _key_skew_sql(col: str = "l_partkey", topn: int = 10) -> str:
 WITH c AS MATERIALIZED (SELECT {col} AS k, COUNT(*)::BIGINT AS cnt
   FROM lineitem GROUP BY {col}),
 top AS MATERIALIZED (SELECT k, cnt FROM c ORDER BY cnt DESC, k LIMIT {topn}),
-s AS (SELECT COUNT(*)::BIGINT AS n_keys, SUM(cnt)::BIGINT AS n_rows,
-  MAX(cnt)::BIGINT AS max_cnt, quantile_disc(cnt, 0.5)::BIGINT AS p50 FROM c),
-ts AS (SELECT SUM(cnt)::BIGINT AS top_cnt FROM top)
+s AS (SELECT COUNT(*)::BIGINT AS n_keys, COALESCE(SUM(cnt), 0)::BIGINT AS n_rows,
+  COALESCE(MAX(cnt), 0)::BIGINT AS max_cnt,
+  COALESCE(quantile_disc(cnt, 0.5), 0)::BIGINT AS p50 FROM c),
+ts AS (SELECT COALESCE(SUM(cnt), 0)::BIGINT AS top_cnt FROM top)
 SELECT * FROM (
   SELECT 'top_key' AS stat, k AS key, cnt AS value FROM top
   UNION ALL SELECT 'n_keys', -1, n_keys FROM s
   UNION ALL SELECT 'n_rows', -1, n_rows FROM s
   UNION ALL SELECT 'max_group', -1, max_cnt FROM s
   UNION ALL SELECT 'p50_group', -1, p50 FROM s
-  UNION ALL SELECT 'topn_share_bp', -1,
-    (SELECT top_cnt FROM ts) * 10000 // (SELECT n_rows FROM s) FROM s
+  UNION ALL SELECT 'topn_share_bp', -1, CASE WHEN n_rows = 0 THEN 0
+    ELSE (SELECT top_cnt FROM ts) * 10000 // n_rows END FROM s
 ) ORDER BY stat, value, key"""
 
 

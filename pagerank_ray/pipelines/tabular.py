@@ -3040,6 +3040,20 @@ def q_random_walks(
     )
 
 
+def _adj_both_dirs(t: pa.Table) -> pa.Table:
+    """Canonical (src_id, dst_id) pairs → adjacency rows (v, x) in both
+    directions (shared by the center-bucketed wedge kernels)."""
+    a = t.column("src_id").combine_chunks().cast(pa.int64())
+    b = t.column("dst_id").combine_chunks().cast(pa.int64())
+    return pa.table({"v": pa.concat_arrays([a, b]), "x": pa.concat_arrays([b, a])})
+
+
+def _bucket_by_v(t: pa.Table, n_buckets: int) -> pa.Table:
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    mixed = (v * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+    return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+
+
 def _undirected_simple(dense_edges: rd.Dataset) -> rd.Dataset:
     """Canonical (min,max) distinct pairs, self-loops dropped — the
     undirected simple graph the triangle/clustering/assortativity metrics
@@ -3599,28 +3613,11 @@ def q_adamic_adar(sf_dir: str, k: int = 20, max_degree: int = 64) -> pd.DataFram
     reach the driver. Score rounded half-away to 4 (float Σ 1/ln is
     summation-order-sensitive at ~1e-15; 4 decimals absorb it — the
     betweenness contract)."""
-    from pagerank_ray.pipelines.triangles import _canonical_undirected, _segment_pairs
+    from pagerank_ray.pipelines.triangles import _segment_pairs
 
     n_buckets = 64
-    und = (
-        lineitem_edges(sf_dir)
-        .map_batches(_canonical_undirected, batch_format="pyarrow")
-        .map_batches(
-            lambda t: pa.table({"src_id": t.column("a"), "dst_id": t.column("b")}),
-            batch_format="pyarrow",
-        )
-    )
-    und = dedup_pairs(und).materialize()  # feeds adjacency AND the anti-join rows
-
-    def both_dirs(t: pa.Table) -> pa.Table:
-        a = t.column("src_id").combine_chunks().cast(pa.int64())
-        b = t.column("dst_id").combine_chunks().cast(pa.int64())
-        return pa.table({"v": pa.concat_arrays([a, b]), "x": pa.concat_arrays([b, a])})
-
-    def bucket_center(t: pa.Table) -> pa.Table:
-        v = t.column("v").to_numpy(zero_copy_only=False)
-        mixed = (v * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
-        return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+    # materialized: feeds adjacency AND the anti-join rows
+    und = _undirected_simple(lineitem_edges(sf_dir)).materialize()
 
     def wedge_partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df["v"].to_numpy(np.int64)
@@ -3653,8 +3650,8 @@ def q_adamic_adar(sf_dir: str, k: int = 20, max_degree: int = 64) -> pd.DataFram
         )
 
     wedges = (
-        und.map_batches(both_dirs, batch_format="pyarrow")
-        .map_batches(bucket_center, batch_format="pyarrow")
+        und.map_batches(_adj_both_dirs, batch_format="pyarrow")
+        .map_batches(lambda t: _bucket_by_v(t, n_buckets), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(wedge_partial, batch_format="pandas")
     )
@@ -4224,12 +4221,16 @@ def q_orders_events_range(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
     def prep_ev(t: pa.Table) -> pa.Table:
+        from pagerank_ray.stages.temporal import _cents_half_away
+
         val = t.column("value").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "u": t.column("user_id"),
                 "t": t.column("ts").cast(pa.int64()),
-                "cents": pa.array(np.round(val * 100.0).astype(np.int64)),
+                # half-away cents: DuckDB ROUND ties away from zero, np.round
+                # ties to even — the repo-wide cents contract
+                "cents": pa.array(_cents_half_away(val)),
                 "okey": pa.array(np.full(t.num_rows, -1, np.int64)),
                 "kind": pa.array(np.ones(t.num_rows, np.int8)),
             }
@@ -4301,6 +4302,12 @@ def q_orders_events_range(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
         .map_groups(kernel, batch_format="pandas")
         .to_pandas()
     )
+    if merged.empty:  # zero orders anywhere -> schema-less empty frame
+        merged = pd.DataFrame(
+            {"o_orderkey": pd.Series(dtype=np.int64),
+             "n_events": pd.Series(dtype=np.int64),
+             "sum_cents": pd.Series(dtype=np.int64)}
+        )
     merged["sum_value"] = (merged["sum_cents"] / 100.0).round(2)
     for c in ("o_orderkey", "n_events"):
         merged[c] = merged[c].astype(np.int64)
@@ -4335,17 +4342,26 @@ def q_key_skew(sf_dir: str, col: str = "l_partkey", topn: int = 10) -> pd.DataFr
         "cnt",
     ).materialize()
     n_keys = counts.count()
-    top = (
-        counts.sort(["cnt", "k"], descending=[True, False])
-        .limit(topn)
-        .to_pandas()
-    )
-    agg = counts.aggregate(Sum("cnt", alias_name="n_rows"), Max("cnt", alias_name="max_cnt"))
-    n_rows = int(agg["n_rows"])
-    max_cnt = int(agg["max_cnt"])
-    # exact p50 of the per-key count distribution (distributed sort +
-    # block-offset scalar fetch — matches DuckDB quantile_disc(0.5))
-    p50 = int(exact_quantile_disc(counts, "cnt", 0.5))
+    if n_keys == 0:
+        # zero-row table: summary rows with zeros, no top keys (the oracle
+        # COALESCEs its aggregates to the same zeros)
+        top = pd.DataFrame({"k": pd.Series(dtype=np.int64),
+                            "cnt": pd.Series(dtype=np.int64)})
+        n_rows = max_cnt = p50 = 0
+    else:
+        top = (
+            counts.sort(["cnt", "k"], descending=[True, False])
+            .limit(topn)
+            .to_pandas()
+        )
+        agg = counts.aggregate(
+            Sum("cnt", alias_name="n_rows"), Max("cnt", alias_name="max_cnt")
+        )
+        n_rows = int(agg["n_rows"])
+        max_cnt = int(agg["max_cnt"])
+        # exact p50 of the per-key count distribution (distributed sort +
+        # block-offset scalar fetch — matches DuckDB quantile_disc(0.5))
+        p50 = int(exact_quantile_disc(counts, "cnt", 0.5))
     top_share_bp = int(top["cnt"].sum()) * 10_000 // n_rows if n_rows else 0
     rows = [
         ("top_key", int(r.k), int(r.cnt)) for r in top.itertuples(index=False)
@@ -4458,29 +4474,12 @@ def q_two_hop_reach(sf_dir: str, max_degree: int = 64) -> pd.DataFrame:
     grouped_count finishes. At true scale the exact distinct-pair dedup is
     the dominant exchange; the HLL register path (stages/sketch.py,
     Boldi-Vigna HyperBall) is the documented approximate alternative."""
-    from pagerank_ray.pipelines.triangles import _canonical_undirected, _segment_pairs
+    from pagerank_ray.pipelines.triangles import _segment_pairs
 
     n_buckets = 64
-    und = dedup_pairs(
-        lineitem_edges(sf_dir)
-        .map_batches(_canonical_undirected, batch_format="pyarrow")
-        .map_batches(
-            lambda t: pa.table({"src_id": t.column("a"), "dst_id": t.column("b")}),
-            batch_format="pyarrow",
-        )
-    ).materialize()
-
-    def both_dirs(t: pa.Table) -> pa.Table:
-        a = t.column("src_id").combine_chunks().cast(pa.int64())
-        b = t.column("dst_id").combine_chunks().cast(pa.int64())
-        return pa.table({"v": pa.concat_arrays([a, b]), "x": pa.concat_arrays([b, a])})
-
-    adj = und.map_batches(both_dirs, batch_format="pyarrow").materialize()
-
-    def bucket_center(t: pa.Table) -> pa.Table:
-        v = t.column("v").to_numpy(zero_copy_only=False)
-        mixed = (v * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
-        return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+    und = _undirected_simple(lineitem_edges(sf_dir))
+    # materialized once: adj feeds BOTH the wedge kernel and the direct rows
+    adj = und.map_batches(_adj_both_dirs, batch_format="pyarrow").materialize()
 
     def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
         v = df["v"].to_numpy(np.int64)
@@ -4510,7 +4509,7 @@ def q_two_hop_reach(sf_dir: str, max_degree: int = 64) -> pd.DataFrame:
         )
 
     wedges = (
-        adj.map_batches(bucket_center, batch_format="pyarrow")
+        adj.map_batches(lambda t: _bucket_by_v(t, n_buckets), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(wedge_pairs, batch_format="pandas")
     )
