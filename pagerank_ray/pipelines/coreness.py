@@ -18,8 +18,12 @@ measures both and asserts they fit.
 Per distributed round: one bucketed grouped_count for degrees + a default-0
 attach onto the vertex set for the drop decision + sentinel-attach filters
 on both edge endpoints (the kcore.py idiom); every exchange shrinks with
-the remnant. Once the survivor edge set fits one worker (tail_cutoff), the
-remaining levels run as ONE vectorized numpy task.
+the remnant. Once the survivor edge set fits one worker (tail_cutoff —
+4M sym edges is 64 MB of int64 pairs), the remaining levels run as ONE
+vectorized numpy task: the decomposition pays MANY small rounds (levels ×
+rounds), so the tail threshold sits higher than the single-fixpoint kcore
+peel's — a Dataset stage launch per tiny round costs more than the whole
+in-memory finish.
 """
 
 from __future__ import annotations
@@ -97,7 +101,7 @@ def coreness(
     *,
     max_levels: int = 24,
     max_rounds: int = 50,
-    tail_cutoff: int = 1_000_000,
+    tail_cutoff: int = 4_000_000,
     num_partitions: int = 32,
 ) -> tuple[rd.Dataset, list[int]]:
     """sym_edges: both orientations of every distinct simple pair (self-loops

@@ -4477,9 +4477,9 @@ def q_two_hop_reach(sf_dir: str, max_degree: int = 64) -> pd.DataFrame:
     from pagerank_ray.pipelines.triangles import _segment_pairs
 
     n_buckets = 64
-    und = _undirected_simple(lineitem_edges(sf_dir))
-    # materialized once: adj feeds BOTH the wedge kernel and the direct rows
-    adj = und.map_batches(_adj_both_dirs, batch_format="pyarrow").materialize()
+    # materialized: und feeds BOTH the adjacency and the direct reach pairs
+    und = _undirected_simple(lineitem_edges(sf_dir)).materialize()
+    adj = und.map_batches(_adj_both_dirs, batch_format="pyarrow")
 
     def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
         v = df["v"].to_numpy(np.int64)
@@ -4501,26 +4501,34 @@ def q_two_hop_reach(sf_dir: str, max_degree: int = 64) -> pd.DataFrame:
             )
         xk = x[np.repeat(keep, lengths)]
         first, second = _segment_pairs(lengths[keep])
-        return pd.DataFrame(
-            {
-                "src_id": np.concatenate([xk[first], xk[second]]),
-                "dst_id": np.concatenate([xk[second], xk[first]]),
-            }
-        )
+        # CANONICAL pairs only (half the dedup shuffle), pre-deduped within
+        # the bucket (wedges through different centers repeat pairs)
+        lo = np.minimum(xk[first], xk[second])
+        hi = np.maximum(xk[first], xk[second])
+        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pd.DataFrame({"src_id": uniq[:, 0], "dst_id": uniq[:, 1]})
 
     wedges = (
         adj.map_batches(lambda t: _bucket_by_v(t, n_buckets), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(wedge_pairs, batch_format="pandas")
     )
-    direct = adj.map_batches(
-        lambda t: pa.table({"src_id": t.column("v"), "dst_id": t.column("x")}),
-        batch_format="pyarrow",
-    )
-    reach_pairs = dedup_pairs(wedges.union(direct))
+    # und is already canonical distinct pairs — union, dedup once, then
+    # credit BOTH endpoints of every canonical reach pair
+    reach_pairs = dedup_pairs(wedges.union(und))
     counts = grouped_count(
         reach_pairs.map_batches(
-            lambda t: pa.table({"id": t.column("src_id")}), batch_format="pyarrow"
+            lambda t: pa.table(
+                {
+                    "id": pa.concat_arrays(
+                        [
+                            t.column("src_id").combine_chunks().cast(pa.int64()),
+                            t.column("dst_id").combine_chunks().cast(pa.int64()),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
         ),
         "id",
         "reach2",
