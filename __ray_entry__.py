@@ -1622,6 +1622,13 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+_SOURCE_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+  COUNT(DISTINCT user_id)::BIGINT AS n_users,
+  MIN(event_id)::BIGINT AS min_id, MAX(event_id)::BIGINT AS max_id
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
 def _two_hop_sql(max_degree: int = 64) -> str:
     """2-hop-reach oracle (tabular.q_two_hop_reach): adjacency union wedge
     pairs via centers of degree <= max_degree (identical hub cap), UNION
@@ -1879,6 +1886,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": tabular.q_key_skew,  # SQL-oracled (window/CTE mirror)
         "cohort_retention": tabular.q_cohort_retention,  # SQL-oracled (MIN+DISTINCT)
         "two_hop_reach": tabular.q_two_hop_reach,  # SQL-oracled (capped wedge union)
+        "csv_source": tabular.q_csv_source,  # SQL-oracled (round-trip vs parquet)
+        "jsonl_source": tabular.q_jsonl_source,  # SQL-oracled (round-trip vs parquet)
         "copurchase_topk": tabular.q_copurchase_topk,  # SQL-oracled (pair self-join)
         "revenue_rollup": tabular.q_revenue_rollup,  # SQL-oracled (GROUP BY ROLLUP)
         "fuzzy_join_parts": tabular.q_fuzzy_join_parts,  # SQL-oracled (levenshtein)
@@ -1996,6 +2005,8 @@ def oracle_sql() -> dict[str, str]:
         "key_skew": _key_skew_sql(),
         "cohort_retention": _cohort_sql(),
         "two_hop_reach": _two_hop_sql(),
+        "csv_source": _SOURCE_ROUNDTRIP_SQL,
+        "jsonl_source": _SOURCE_ROUNDTRIP_SQL,
         "copurchase_topk": _copurchase_sql(),
         "revenue_rollup": _rollup_sql(),
         "fuzzy_join_parts": _fuzzy_join_sql(),

@@ -4537,3 +4537,88 @@ def q_two_hop_reach(sf_dir: str, max_degree: int = 64) -> pd.DataFrame:
     for c in ("id", "reach2"):
         df[c] = df[c].astype(np.int64)
     return df.sort_values("id").reset_index(drop=True)
+
+
+def _export_events_subset(sf_dir: str, fmt: str) -> str:
+    """Deterministic one-time export of (event_id, user_id, event_type) to
+    CSV/JSONL under the shared workdir (int/string columns only — no float
+    text round-trip); returns the directory. Cached per EVENTS-file
+    fingerprint (the _graph_workdir idiom keys on lineitem, the wrong
+    source here)."""
+    import hashlib
+
+    base = os.path.join(tempfile.gettempdir(), "pagerank_ray_work")
+    os.makedirs(base, exist_ok=True)
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    fp = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    out_dir = os.path.join(
+        base,
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}_events_{fmt}",
+    )
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    import shutil
+
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    if fmt == "csv":
+        ds.write_csv(tmp)
+    else:
+        ds.write_json(tmp)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # racing builder lost
+    return out_dir
+
+
+def _source_roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
+    """Shared body of q_csv_source / q_jsonl_source: export → read back via
+    the format's native Ray Data reader → per-type aggregate (count, distinct
+    users, min/max event id)."""
+    path = _export_events_subset(sf_dir, fmt)
+    reader = rd.read_csv if fmt == "csv" else rd.read_json
+    ds = reader(path, file_extensions=["csv" if fmt == "csv" else "json"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False).agg(
+            n=("event_id", "size"),
+            min_id=("event_id", "min"),
+            max_id=("event_id", "max"),
+        ).reset_index()
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", sort=True).agg(
+        n_events=("n", "sum"), min_id=("min_id", "min"), max_id=("max_id", "max")
+    ).reset_index()
+    # distinct users per type: exact bucketed distinct on the small pair set
+    pairs = ds.map_batches(
+        lambda df: df[["event_type", "user_id"]].drop_duplicates(),
+        batch_format="pandas",
+    ).to_pandas().drop_duplicates()
+    nu = pairs.groupby("event_type", sort=True)["user_id"].nunique().reset_index()
+    out = out.merge(nu.rename(columns={"user_id": "n_users"}), on="event_type")
+    for c in ("n_events", "min_id", "max_id", "n_users"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_type", "n_events", "n_users", "min_id", "max_id"]].reset_index(drop=True)
+
+
+def q_csv_source(sf_dir: str) -> pd.DataFrame:
+    """CSV source conformance (SURVEY §2.1 family): the events subset is
+    exported once to CSV (int/string columns — no float text round-trip),
+    read back through ``ray.data.read_csv``, and aggregated per event type.
+    The oracle computes the same aggregate over the original parquet — a
+    lossy reader would hash-mismatch."""
+    return _source_roundtrip(sf_dir, "csv")
+
+
+def q_jsonl_source(sf_dir: str) -> pd.DataFrame:
+    """JSONL source conformance: same round-trip through ``ray.data.read_json``."""
+    return _source_roundtrip(sf_dir, "jsonl")

@@ -1039,3 +1039,24 @@ def test_q_two_hop_reach(ray_session, tmp_path):
         # gains pairs via ANY qualifying center adjacent to it (handled
         # above) — self never counts
         assert out.loc[v, "reach2"] == len(reach), v
+
+
+# ---------------------------------------------------------------------------
+# CSV / JSONL source round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_source_roundtrips(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_csv_source, q_jsonl_source
+
+    users = [1, 1, 2, 3, 3, 3]
+    types = ["view", "click", "view", "view", "view", "error"]
+    _write_events(tmp_path, users, types, list(range(10, 70, 10)))
+    want = [
+        ("click", 1, 1, 1, 1),
+        ("error", 1, 1, 5, 5),
+        ("view", 4, 3, 0, 4),
+    ]
+    for fn in (q_csv_source, q_jsonl_source):
+        out = fn(str(tmp_path))
+        assert list(map(tuple, out.to_numpy())) == want, fn.__name__
