@@ -230,7 +230,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     "r5c": [
         "pack_chunks", "ktruss", "event_funnel", "fuzzy_join_parts", "coreness",
         "copurchase_topk", "revenue_rollup", "orders_events_range", "key_skew",
-        "cohort_retention", "two_hop_reach",
+        "cohort_retention", "two_hop_reach", "csv_source", "jsonl_source",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
@@ -345,6 +345,8 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("key_skew", lambda: tabular.q_key_skew(SF_DIR))
     timed("cohort_retention", lambda: tabular.q_cohort_retention(SF_DIR))
     timed("two_hop_reach", lambda: tabular.q_two_hop_reach(SF_DIR))
+    timed("csv_source", lambda: tabular.q_csv_source(SF_DIR))
+    timed("jsonl_source", lambda: tabular.q_jsonl_source(SF_DIR))
     timed("cms_heavy_hitters", lambda: tabular.q_cms_heavy_hitters(SF_DIR))
     timed("gopher_quality", lambda: tabular.q_gopher_quality(SF_DIR))
     timed("repetition_stats", lambda: tabular.q_repetition_stats(SF_DIR))

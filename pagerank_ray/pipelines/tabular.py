@@ -144,16 +144,17 @@ def q_degree_histogram(sf_dir: str) -> pd.DataFrame:
 # iterative graph algorithms on the same edge table (rows-only checks)
 # ---------------------------------------------------------------------------
 
-def _graph_workdir(sf_dir: str, tag: str) -> str:
-    """Per-input scratch dir for cached CSR artifacts. Keyed by a content
-    fingerprint of the edge source file (abspath + mtime + size), so
-    regenerated testdata with the same directory name never reuses a stale
-    cached graph (ADVICE r1)."""
+def _graph_workdir(sf_dir: str, tag: str, src_file: str = "lineitem.parquet") -> str:
+    """Per-input scratch dir for cached artifacts. Keyed by a content
+    fingerprint of the source file (abspath + mtime + size), so regenerated
+    testdata with the same directory name never reuses a stale cache
+    (ADVICE r1). ``src_file`` names the table the cache derives from
+    (lineitem for graph artifacts, events for the source exports)."""
     import hashlib
 
     base = os.path.join(tempfile.gettempdir(), "pagerank_ray_work")
     os.makedirs(base, exist_ok=True)
-    li = os.path.join(sf_dir, "lineitem.parquet")
+    li = os.path.join(sf_dir, src_file)
     st = os.stat(li)
     fp = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
@@ -4543,38 +4544,30 @@ def _export_events_subset(sf_dir: str, fmt: str) -> str:
     """Deterministic one-time export of (event_id, user_id, event_type) to
     CSV/JSONL under the shared workdir (int/string columns only — no float
     text round-trip); returns the directory. Cached per EVENTS-file
-    fingerprint (the _graph_workdir idiom keys on lineitem, the wrong
-    source here)."""
-    import hashlib
+    fingerprint via the shared _graph_workdir keying."""
+    import shutil
 
-    base = os.path.join(tempfile.gettempdir(), "pagerank_ray_work")
-    os.makedirs(base, exist_ok=True)
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    fp = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:10]
-    out_dir = os.path.join(
-        base,
-        f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}_events_{fmt}",
-    )
+    out_dir = _graph_workdir(sf_dir, f"events_{fmt}", src_file="events.parquet")
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir
-    import shutil
-
     tmp = f"{out_dir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
-    if fmt == "csv":
-        ds.write_csv(tmp)
-    else:
-        ds.write_json(tmp)
-    with open(os.path.join(tmp, "_DONE"), "w") as f:
-        f.write("ok")
     try:
-        os.rename(tmp, out_dir)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # racing builder lost
+        ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+        if fmt == "csv":
+            ds.write_csv(tmp)
+        else:
+            ds.write_json(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # racing builder lost
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # never leak a partial export
+        raise
     return out_dir
 
 
@@ -4584,7 +4577,9 @@ def _source_roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
     users, min/max event id)."""
     path = _export_events_subset(sf_dir, fmt)
     reader = rd.read_csv if fmt == "csv" else rd.read_json
-    ds = reader(path, file_extensions=["csv" if fmt == "csv" else "json"])
+    # materialized: the per-type aggregate and the distinct-users pass both
+    # consume it — one file read/decode, not two
+    ds = reader(path, file_extensions=["csv" if fmt == "csv" else "json"]).materialize()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("event_type", sort=False).agg(
@@ -4598,13 +4593,31 @@ def _source_roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
     out = parts.groupby("event_type", sort=True).agg(
         n_events=("n", "sum"), min_id=("min_id", "min"), max_id=("max_id", "max")
     ).reset_index()
-    # distinct users per type: exact bucketed distinct on the small pair set
-    pairs = ds.map_batches(
-        lambda df: df[["event_type", "user_id"]].drop_duplicates(),
-        batch_format="pandas",
-    ).to_pandas().drop_duplicates()
-    nu = pairs.groupby("event_type", sort=True)["user_id"].nunique().reset_index()
-    out = out.merge(nu.rename(columns={"user_id": "n_users"}), on="event_type")
+    # distinct users per type: user-hash bucketed (a user lives in exactly
+    # one bucket, so per-bucket distinct counts sum exactly — only tiny
+    # per-type partials reach the driver, never the pair set)
+    n_buckets = 32
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[["event_type", "user_id"]].drop_duplicates().copy()
+        u = p["user_id"].to_numpy(np.int64)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        p["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return p
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["event_type", "user_id"]].drop_duplicates()
+        g = d.groupby("event_type", sort=False).size().reset_index(name="nu")
+        return g
+
+    nu_parts = (
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    nu = nu_parts.groupby("event_type", sort=True)["nu"].sum().reset_index()
+    out = out.merge(nu.rename(columns={"nu": "n_users"}), on="event_type")
     for c in ("n_events", "min_id", "max_id", "n_users"):
         out[c] = out[c].astype(np.int64)
     return out[["event_type", "n_events", "n_users", "min_id", "max_id"]].reset_index(drop=True)
