@@ -1622,6 +1622,36 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _perplexity_sql() -> str:
+    """Bigram-LM perplexity oracle (tabular.q_perplexity_filter): the LM
+    trains on the same corpus (unigram/adjacent-bigram counts, V = distinct
+    tokens); per-pair term mirrors the engine's float expression
+    -LN((c12 + 1)::DOUBLE / (c1 + V)::DOUBLE); docs with no pairs drop out."""
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents),
+tok AS (
+  SELECT doc_id, g.i AS i, w[g.i] AS tk
+  FROM t, UNNEST(generate_series(1, len(w))) AS g(i)),
+uni AS MATERIALIZED (SELECT tk, COUNT(*)::BIGINT AS c FROM tok GROUP BY tk),
+v AS (SELECT COUNT(*)::BIGINT AS vs FROM uni),
+pr AS MATERIALIZED (
+  SELECT a.doc_id, a.tk AS w1, b.tk AS w2 FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+big AS MATERIALIZED (SELECT w1, w2, COUNT(*)::BIGINT AS c FROM pr GROUP BY w1, w2),
+sc AS (
+  SELECT pr.doc_id,
+    -LN((bg.c + 1)::DOUBLE / (u.c + (SELECT vs FROM v))::DOUBLE) AS term
+  FROM pr JOIN uni u ON u.tk = pr.w1
+  JOIN big bg ON bg.w1 = pr.w1 AND bg.w2 = pr.w2)
+SELECT doc_id, COUNT(*)::BIGINT AS n_pairs,
+  ROUND(SUM(term) / COUNT(*), 6) AS nll
+FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
+
 _SOURCE_ROUNDTRIP_SQL = """
 SELECT event_type, COUNT(*)::BIGINT AS n_events,
   COUNT(DISTINCT user_id)::BIGINT AS n_users,
@@ -1886,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": tabular.q_key_skew,  # SQL-oracled (window/CTE mirror)
         "cohort_retention": tabular.q_cohort_retention,  # SQL-oracled (MIN+DISTINCT)
         "two_hop_reach": tabular.q_two_hop_reach,  # SQL-oracled (capped wedge union)
+        "perplexity_filter": tabular.q_perplexity_filter,  # SQL-oracled (bigram LM)
         "csv_source": tabular.q_csv_source,  # SQL-oracled (round-trip vs parquet)
         "jsonl_source": tabular.q_jsonl_source,  # SQL-oracled (round-trip vs parquet)
         "copurchase_topk": tabular.q_copurchase_topk,  # SQL-oracled (pair self-join)
@@ -2005,6 +2036,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew": _key_skew_sql(),
         "cohort_retention": _cohort_sql(),
         "two_hop_reach": _two_hop_sql(),
+        "perplexity_filter": _perplexity_sql(),
         "csv_source": _SOURCE_ROUNDTRIP_SQL,
         "jsonl_source": _SOURCE_ROUNDTRIP_SQL,
         "copurchase_topk": _copurchase_sql(),

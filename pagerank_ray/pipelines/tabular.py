@@ -4635,3 +4635,129 @@ def q_csv_source(sf_dir: str) -> pd.DataFrame:
 def q_jsonl_source(sf_dir: str) -> pd.DataFrame:
     """JSONL source conformance: same round-trip through ``ray.data.read_json``."""
     return _source_roundtrip(sf_dir, "jsonl")
+
+
+def q_perplexity_filter(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style perplexity scoring: train an add-one-smoothed bigram LM on
+    the corpus itself, then score every document's mean negative
+    log-likelihood — the classic LM-based quality filter (docs scoring far
+    above the corpus norm are boilerplate/gibberish candidates). Per adjacent
+    token pair: term = -ln((c(w1 w2) + 1) / (c(w1) + V)); nll = mean(term);
+    docs with < 2 tokens are excluded (no pairs to score).
+
+    Shape: unigram/bigram counts use the pmi_topk idiom (per-batch value
+    counts, one row per DISTINCT key per batch, hash-bucket merge); the
+    merged count tables are vocab-bounded and broadcast once (ray.put), so
+    the scoring pass is one map_batches with C-level pandas merges — swap
+    the broadcast for the hash-join attach beyond joins.BROADCAST_LIMIT
+    vocab. The float term and the ROUND(…, 6) are mirrored in the oracle."""
+    n_buckets = 64
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame):
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        doc_rep = np.repeat(df["doc_id"].to_numpy(np.int64), np.maximum(n_tok, 1))
+        return flat.to_numpy(dtype=object), valid, doc_rep
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w, valid, _ = explode(df)
+        if not valid.any():
+            return pd.DataFrame({"tk": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype=np.int64)})
+        vc = pd.Series(w[valid]).value_counts()
+        return pd.DataFrame({"tk": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w, valid, doc_rep = explode(df)
+        empty = pd.DataFrame({"w1": pd.Series(dtype=object),
+                              "w2": pd.Series(dtype=object),
+                              "cnt": pd.Series(dtype=np.int64)})
+        if len(w) < 2:
+            return empty
+        m = valid[:-1] & valid[1:] & (doc_rep[:-1] == doc_rep[1:])
+        if not m.any():
+            return empty
+        pairs = pd.DataFrame({"w1": w[:-1][m], "w2": w[1:][m]})
+        out = pairs.groupby(["w1", "w2"], sort=False).size().reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    def bucketize_on(cols):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            key = df[cols[0]].astype(str)
+            for c in cols[1:]:
+                key = key + "\x1f" + df[c].astype(str)
+            h = pd.util.hash_array(key.to_numpy(dtype=object))
+            df = df.copy()
+            df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+            return df
+        return f
+
+    def merge_on(cols):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(cols, sort=False)["cnt"].sum().reset_index()
+            out["cnt"] = out["cnt"].astype(np.int64)
+            return out
+        return f
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pandas")
+        .map_batches(bucketize_on(["tk"]), batch_format="pandas")
+        .groupby("bucket").map_groups(merge_on(["tk"]), batch_format="pandas")
+        .to_pandas()
+    )
+    big = (
+        ds.map_batches(big_partial, batch_format="pandas")
+        .map_batches(bucketize_on(["w1", "w2"]), batch_format="pandas")
+        .groupby("bucket").map_groups(merge_on(["w1", "w2"]), batch_format="pandas")
+        .to_pandas()
+    )
+    import ray
+
+    v_size = len(uni)
+    uni_ref = ray.put(uni)
+    big_ref = ray.put(big)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from pagerank_ray.stages import joins
+
+        u = joins.broadcast_get(uni_ref, lambda x: x, "ppl-uni")
+        b = joins.broadcast_get(big_ref, lambda x: x, "ppl-big")
+        w, valid, doc_rep = explode(df)
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "n_pairs": pd.Series(dtype=np.int64),
+                              "nll": pd.Series(dtype=np.float64)})
+        if len(w) < 2:
+            return empty
+        m = valid[:-1] & valid[1:] & (doc_rep[:-1] == doc_rep[1:])
+        if not m.any():
+            return empty
+        pr = pd.DataFrame({"doc_id": doc_rep[:-1][m],
+                           "w1": w[:-1][m], "w2": w[1:][m]})
+        pr = pr.merge(b, on=["w1", "w2"], how="left").rename(columns={"cnt": "bc"})
+        pr = pr.merge(u.rename(columns={"tk": "w1"}), on="w1", how="left").rename(
+            columns={"cnt": "uc"})
+        bc = pr["bc"].fillna(0).to_numpy(np.int64)
+        uc = pr["uc"].fillna(0).to_numpy(np.int64)
+        term = -np.log((bc + 1.0) / (uc + float(v_size)))
+        g = pd.DataFrame({"doc_id": pr["doc_id"].to_numpy(np.int64), "term": term})
+        agg = g.groupby("doc_id", sort=False)["term"].agg(["size", "sum"]).reset_index()
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(np.int64),
+            "n_pairs": agg["size"].to_numpy(np.int64),
+            "nll": agg["sum"].to_numpy(np.float64) / agg["size"].to_numpy(np.float64),
+        })
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "n_pairs": pd.Series(dtype=np.int64),
+                             "nll": pd.Series(dtype=np.float64)})
+    out["nll"] = _round_half_away(out["nll"], 6)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

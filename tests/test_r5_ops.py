@@ -1060,3 +1060,44 @@ def test_source_roundtrips(ray_session, tmp_path):
     for fn in (q_csv_source, q_jsonl_source):
         out = fn(str(tmp_path))
         assert list(map(tuple, out.to_numpy())) == want, fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# Perplexity filter (bigram LM)
+# ---------------------------------------------------------------------------
+
+
+def test_q_perplexity_filter(ray_session, tmp_path):
+    import math
+    from collections import Counter
+
+    from pagerank_ray.pipelines.tabular import q_perplexity_filter
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat",
+        "the the the the",       # repeated bigram -> low nll
+        "zebra quark nebula",    # all-unique bigrams -> high nll
+        "solo",                  # 1 token -> excluded
+        "",                      # empty -> excluded
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_perplexity_filter(str(tmp_path)).set_index("doc_id")
+
+    toks = [t.split() for t in texts]
+    uni = Counter(w for ws in toks for w in ws)
+    big = Counter((ws[i], ws[i + 1]) for ws in toks for i in range(len(ws) - 1))
+    V = len(uni)
+    for d, ws in enumerate(toks):
+        pairs = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        if not pairs:
+            assert d not in out.index
+            continue
+        nll = sum(-math.log((big[p] + 1) / (uni[p[0]] + V)) for p in pairs) / len(pairs)
+        assert out.loc[d, "n_pairs"] == len(pairs)
+        assert abs(out.loc[d, "nll"] - nll) < 1e-6
+    assert out.loc[2, "nll"] < out.loc[3, "nll"]  # repetition scores lower
