@@ -1917,6 +1917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": tabular.q_cohort_retention,  # SQL-oracled (MIN+DISTINCT)
         "two_hop_reach": tabular.q_two_hop_reach,  # SQL-oracled (capped wedge union)
         "perplexity_filter": tabular.q_perplexity_filter,  # SQL-oracled (bigram LM)
+        "partitioned_sink": tabular.q_partitioned_sink,  # SQL-oracled (round-trip)
         "csv_source": tabular.q_csv_source,  # SQL-oracled (round-trip vs parquet)
         "jsonl_source": tabular.q_jsonl_source,  # SQL-oracled (round-trip vs parquet)
         "copurchase_topk": tabular.q_copurchase_topk,  # SQL-oracled (pair self-join)
@@ -2037,6 +2038,12 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _cohort_sql(),
         "two_hop_reach": _two_hop_sql(),
         "perplexity_filter": _perplexity_sql(),
+        "partitioned_sink": (
+            "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+            "SUM(n_chars)::BIGINT AS sum_chars, MIN(doc_id)::BIGINT AS min_id, "
+            "MAX(doc_id)::BIGINT AS max_id "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
         "csv_source": _SOURCE_ROUNDTRIP_SQL,
         "jsonl_source": _SOURCE_ROUNDTRIP_SQL,
         "copurchase_topk": _copurchase_sql(),

@@ -4761,3 +4761,52 @@ def q_perplexity_filter(sf_dir: str) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_partitioned_sink(sf_dir: str) -> pd.DataFrame:
+    """Partitioned-parquet sink conformance (the resumable-output contract:
+    one directory per partition key, so a failed run skips finished
+    partitions): documents write once partitioned by source
+    (``write_parquet(partition_cols=...)``), read back through the
+    partitioned reader, and aggregate per source. The oracle computes the
+    same aggregate over the original table — a sink that drops, duplicates,
+    or mis-buckets rows hash-mismatches."""
+    import shutil
+
+    out_dir = _graph_workdir(sf_dir, "docs_bysource", src_file="documents.parquet")
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        tmp = f"{out_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            _read(sf_dir, "documents", ["doc_id", "source", "n_chars"]).write_parquet(
+                tmp, partition_cols=["source"]
+            )
+            with open(os.path.join(tmp, "_DONE"), "w") as f:
+                f.write("ok")
+            try:
+                os.rename(tmp, out_dir)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # racing builder lost
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    ds = rd.read_parquet(out_dir, file_extensions=["parquet"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False).agg(
+            n=("doc_id", "size"), sum_chars=("n_chars", "sum"),
+            min_id=("doc_id", "min"), max_id=("doc_id", "max"),
+        ).reset_index()
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("source", sort=True).agg(
+        n_docs=("n", "sum"), sum_chars=("sum_chars", "sum"),
+        min_id=("min_id", "min"), max_id=("max_id", "max"),
+    ).reset_index()
+    # partition_cols round-trips the key as a dictionary/category column
+    out["source"] = out["source"].astype(str)
+    for c in ("n_docs", "sum_chars", "min_id", "max_id"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)

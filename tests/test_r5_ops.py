@@ -5,6 +5,7 @@ compares the distributed pipeline against a per-row Python reference.
 """
 
 import math
+import tempfile
 import os
 
 import numpy as np
@@ -1101,3 +1102,25 @@ def test_q_perplexity_filter(ray_session, tmp_path):
         assert out.loc[d, "n_pairs"] == len(pairs)
         assert abs(out.loc[d, "nll"] - nll) < 1e-6
     assert out.loc[2, "nll"] < out.loc[3, "nll"]  # repetition scores lower
+
+
+def test_q_partitioned_sink(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_partitioned_sink
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d", "e"]),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(["s1", "s0", "s1", "s0", "s1"]),
+        "n_chars": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_partitioned_sink(str(tmp_path)).set_index("source")
+    assert (out.loc["s0", "n_docs"], out.loc["s0", "sum_chars"]) == (2, 60)
+    assert (out.loc["s0", "min_id"], out.loc["s0", "max_id"]) == (1, 3)
+    assert (out.loc["s1", "n_docs"], out.loc["s1", "sum_chars"]) == (3, 90)
+    # the partitioned directory landed with one subdir per source
+    import glob
+    work = glob.glob(os.path.join(tempfile.gettempdir(), "pagerank_ray_work",
+                                  "*_docs_bysource"))
+    assert any(os.path.isdir(os.path.join(w, "source=s0")) for w in work)
