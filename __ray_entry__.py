@@ -1918,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_reach": tabular.q_two_hop_reach,  # SQL-oracled (capped wedge union)
         "perplexity_filter": tabular.q_perplexity_filter,  # SQL-oracled (bigram LM)
         "partitioned_sink": tabular.q_partitioned_sink,  # SQL-oracled (round-trip)
+        "dedup_cluster_sizes": tabular.q_dedup_cluster_sizes,  # SQL-oracled (minhash wrap)
         "csv_source": tabular.q_csv_source,  # SQL-oracled (round-trip vs parquet)
         "jsonl_source": tabular.q_jsonl_source,  # SQL-oracled (round-trip vs parquet)
         "copurchase_topk": tabular.q_copurchase_topk,  # SQL-oracled (pair self-join)
@@ -2038,6 +2039,12 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _cohort_sql(),
         "two_hop_reach": _two_hop_sql(),
         "perplexity_filter": _perplexity_sql(),
+        "dedup_cluster_sizes": (
+            "SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters FROM ("
+            "SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size FROM ("
+            + _minhash_sql()
+            + ") GROUP BY cluster_id) GROUP BY cluster_size ORDER BY cluster_size"
+        ),
         "partitioned_sink": (
             "SELECT source, COUNT(*)::BIGINT AS n_docs, "
             "SUM(n_chars)::BIGINT AS sum_chars, MIN(doc_id)::BIGINT AS min_id, "

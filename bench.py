@@ -231,7 +231,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
         "pack_chunks", "ktruss", "event_funnel", "fuzzy_join_parts", "coreness",
         "copurchase_topk", "revenue_rollup", "orders_events_range", "key_skew",
         "cohort_retention", "two_hop_reach", "csv_source", "jsonl_source",
-        "perplexity_filter", "partitioned_sink",
+        "perplexity_filter", "partitioned_sink", "dedup_cluster_sizes",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
@@ -350,6 +350,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("jsonl_source", lambda: tabular.q_jsonl_source(SF_DIR))
     timed("perplexity_filter", lambda: tabular.q_perplexity_filter(SF_DIR))
     timed("partitioned_sink", lambda: tabular.q_partitioned_sink(SF_DIR))
+    timed("dedup_cluster_sizes", lambda: tabular.q_dedup_cluster_sizes(SF_DIR))
     timed("cms_heavy_hitters", lambda: tabular.q_cms_heavy_hitters(SF_DIR))
     timed("gopher_quality", lambda: tabular.q_gopher_quality(SF_DIR))
     timed("repetition_stats", lambda: tabular.q_repetition_stats(SF_DIR))

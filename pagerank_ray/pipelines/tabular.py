@@ -4810,3 +4810,35 @@ def q_partitioned_sink(sf_dir: str) -> pd.DataFrame:
     for c in ("n_docs", "sum_chars", "min_id", "max_id"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_dedup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Dedup report: the cluster-size histogram of the MinHash-LSH near-dup
+    clusters (how much of the corpus is singletons vs heavy dup groups —
+    the summary every dedup run is judged by). Composes the minhash pipeline
+    with two bucketed grouped counts; the oracle wraps the full minhash SQL
+    reimplementation in the same two aggregations."""
+    from pagerank_ray.stages.dedup import minhash_lsh_dedup
+    from pagerank_ray.stages.graph_build import grouped_count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    clusters = minhash_lsh_dedup(docs, threshold=0.8, concurrency=4)
+    sizes = grouped_count(
+        clusters.map_batches(
+            lambda t: pa.table({"cluster_id": t.column("cluster_id")}),
+            batch_format="pyarrow",
+        ),
+        "cluster_id",
+        "cluster_size",
+    )
+    hist = grouped_count(
+        sizes.map_batches(
+            lambda t: pa.table({"cluster_size": t.column("cluster_size")}),
+            batch_format="pyarrow",
+        ),
+        "cluster_size",
+        "n_clusters",
+    ).to_pandas()
+    for c in ("cluster_size", "n_clusters"):
+        hist[c] = hist[c].astype(np.int64)
+    return hist.sort_values("cluster_size").reset_index(drop=True)

@@ -1124,3 +1124,24 @@ def test_q_partitioned_sink(ray_session, tmp_path):
     work = glob.glob(os.path.join(tempfile.gettempdir(), "pagerank_ray_work",
                                   "*_docs_bysource"))
     assert any(os.path.isdir(os.path.join(w, "source=s0")) for w in work)
+
+
+def test_q_dedup_cluster_sizes(ray_session, tmp_path):
+    """Planted near-dup clusters: histogram sums to the doc count and the
+    planted 3-dup group appears as a cluster of size >= 3."""
+    from pagerank_ray.pipelines.tabular import q_dedup_cluster_sizes
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    texts = [base, base + "tail", base + "tail2"]  # near-dup triple
+    texts += [f"unique doc {i} " + " ".join(f"w{i}_{j}" for j in range(30))
+              for i in range(5)]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_dedup_cluster_sizes(str(tmp_path))
+    hist = dict(zip(out["cluster_size"], out["n_clusters"]))
+    assert sum(k * v for k, v in hist.items()) == len(texts)
+    assert max(hist) >= 3          # the planted triple clustered
+    assert hist.get(1, 0) >= 5     # the unique docs stayed singletons
