@@ -2474,18 +2474,45 @@ def q_pagerank_top20_profile(sf_dir: str, k: int = 20) -> pd.DataFrame:
 # training-data ops: near-dup dedup, similarity search, quality, multimodal
 # ---------------------------------------------------------------------------
 
+def _minhash_clusters_cached(sf_dir: str) -> rd.Dataset:
+    """Disk-cached MinHash-LSH cluster table (doc_id, cluster_id, keep):
+    q_minhash_dedup and q_dedup_cluster_sizes share ONE run of the most
+    expensive corpus pipeline instead of each paying it (the pipeline is
+    deterministic; keyed by the documents-file fingerprint, atomic
+    publish — the _compact_ids_cached pattern)."""
+    import shutil
+
+    out_dir = _graph_workdir(sf_dir, "minhash_clusters", src_file="documents.parquet")
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        tmp = f"{out_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            from pagerank_ray.stages.dedup import minhash_lsh_dedup
+
+            docs = _read(sf_dir, "documents", ["doc_id", "text"])
+            minhash_lsh_dedup(docs, threshold=0.8, concurrency=4).write_parquet(tmp)
+            with open(os.path.join(tmp, "_DONE"), "w") as f:
+                f.write("ok")
+            try:
+                os.rename(tmp, out_dir)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # racing builder lost
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    return rd.read_parquet(out_dir, file_extensions=["parquet"])
+
+
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup clusters over documents — hash-checked against a
     DuckDB oracle reimplementing the ENTIRE pipeline (token hash, shingle
     folds, 128 permutations, band keys, candidate blocking, Jaccard verify,
     connected components) in pure SQL (__ray_entry__._minhash_sql); the
     planted-duplicate pytest oracle additionally gates recall."""
-    from pagerank_ray.stages.dedup import minhash_lsh_dedup
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     # dedup returns a Dataset (scale contract); collect only here, at the
     # oracle-check boundary
-    out = minhash_lsh_dedup(docs, threshold=0.8, concurrency=4).to_pandas()
+    out = _minhash_clusters_cached(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3494,13 +3521,7 @@ def q_pmi_topk(sf_dir: str, window: int = 2, min_cnt: int = 5, k: int = 30) -> p
     n_buckets = 64
     ds = _read(sf_dir, "documents", ["text"])
 
-    def _exploded(df: pd.DataFrame):
-        toks = df["text"].fillna("").str.split()
-        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
-        flat = toks.explode(ignore_index=True)
-        valid = flat.notna().to_numpy()
-        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), np.maximum(n_tok, 1))
-        return flat.to_numpy(dtype=object), valid, doc_idx
+    _exploded = _exploded_tokens  # shared tokenize-explode helper
 
     def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
         w, valid, _ = _exploded(df)
@@ -4637,7 +4658,26 @@ def q_jsonl_source(sf_dir: str) -> pd.DataFrame:
     return _source_roundtrip(sf_dir, "jsonl")
 
 
-def q_perplexity_filter(sf_dir: str) -> pd.DataFrame:
+def _exploded_tokens(df: pd.DataFrame, id_col: str | None = None):
+    """Vectorized whitespace tokenize of df['text'] (shared by the PMI and
+    perplexity counts): returns (flat token object array, valid mask, rep)
+    where rep repeats df[id_col] (or the positional row index when id_col is
+    None) once per token; empty docs contribute ONE invalid placeholder row
+    so the repeat lengths stay aligned."""
+    toks = df["text"].fillna("").str.split()
+    n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+    flat = toks.explode(ignore_index=True)
+    valid = flat.notna().to_numpy()
+    base = (
+        df[id_col].to_numpy(np.int64)
+        if id_col
+        else np.arange(len(df), dtype=np.int64)
+    )
+    rep = np.repeat(base, np.maximum(n_tok, 1))
+    return flat.to_numpy(dtype=object), valid, rep
+
+
+def q_perplexity_filter(sf_dir: str, force_hash_path: bool = False) -> pd.DataFrame:
     """CCNet-style perplexity scoring: train an add-one-smoothed bigram LM on
     the corpus itself, then score every document's mean negative
     log-likelihood — the classic LM-based quality filter (docs scoring far
@@ -4645,25 +4685,24 @@ def q_perplexity_filter(sf_dir: str) -> pd.DataFrame:
     token pair: term = -ln((c(w1 w2) + 1) / (c(w1) + V)); nll = mean(term);
     docs with < 2 tokens are excluded (no pairs to score).
 
-    Shape: unigram/bigram counts use the pmi_topk idiom (per-batch value
-    counts, one row per DISTINCT key per batch, hash-bucket merge); the
-    merged count tables are vocab-bounded and broadcast once (ray.put), so
-    the scoring pass is one map_batches with C-level pandas merges — swap
-    the broadcast for the hash-join attach beyond joins.BROADCAST_LIMIT
-    vocab. The float term and the ROUND(…, 6) are mirrored in the oracle."""
-    n_buckets = 64
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    Shape: the documents read materializes ONCE (three passes share the
+    decode); unigram/bigram counts use the pmi_topk idiom (per-batch value
+    counts, one row per DISTINCT key per batch, hash-bucket merge). When the
+    merged count tables fit joins.BROADCAST_LIMIT they broadcast once and
+    the scoring pass is one map_batches with C-level pandas merges; beyond
+    the limit — bigram cardinality is corpus-bounded, not vocab-bounded —
+    the counts stay Datasets and attach by hash join, with per-doc partial
+    (n, sum) rows combined in a doc-bucketed groupby (float sum order then
+    differs from the oracle's by ~1e-12; the shared ROUND(…, 6) absorbs it,
+    the adamic_adar contract). ``force_hash_path`` pins the scale path for
+    tests."""
+    from pagerank_ray.stages import joins
 
-    def explode(df: pd.DataFrame):
-        toks = df["text"].fillna("").str.split()
-        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
-        flat = toks.explode(ignore_index=True)
-        valid = flat.notna().to_numpy()
-        doc_rep = np.repeat(df["doc_id"].to_numpy(np.int64), np.maximum(n_tok, 1))
-        return flat.to_numpy(dtype=object), valid, doc_rep
+    n_buckets = 64
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
 
     def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
-        w, valid, _ = explode(df)
+        w, valid, _ = _exploded_tokens(df)
         if not valid.any():
             return pd.DataFrame({"tk": pd.Series(dtype=object),
                                  "cnt": pd.Series(dtype=np.int64)})
@@ -4672,13 +4711,13 @@ def q_perplexity_filter(sf_dir: str) -> pd.DataFrame:
                              "cnt": vc.to_numpy(np.int64)})
 
     def big_partial(df: pd.DataFrame) -> pd.DataFrame:
-        w, valid, doc_rep = explode(df)
+        w, valid, rep = _exploded_tokens(df)
         empty = pd.DataFrame({"w1": pd.Series(dtype=object),
                               "w2": pd.Series(dtype=object),
                               "cnt": pd.Series(dtype=np.int64)})
         if len(w) < 2:
             return empty
-        m = valid[:-1] & valid[1:] & (doc_rep[:-1] == doc_rep[1:])
+        m = valid[:-1] & valid[1:] & (rep[:-1] == rep[1:])
         if not m.any():
             return empty
         pairs = pd.DataFrame({"w1": w[:-1][m], "w2": w[1:][m]})
@@ -4704,55 +4743,124 @@ def q_perplexity_filter(sf_dir: str) -> pd.DataFrame:
             return out
         return f
 
-    uni = (
+    uni_ds = (
         ds.map_batches(uni_partial, batch_format="pandas")
         .map_batches(bucketize_on(["tk"]), batch_format="pandas")
         .groupby("bucket").map_groups(merge_on(["tk"]), batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    big = (
+    big_ds = (
         ds.map_batches(big_partial, batch_format="pandas")
         .map_batches(bucketize_on(["w1", "w2"]), batch_format="pandas")
         .groupby("bucket").map_groups(merge_on(["w1", "w2"]), batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    import ray
+    v_size = uni_ds.count()
+    n_big = big_ds.count()
 
-    v_size = len(uni)
-    uni_ref = ray.put(uni)
-    big_ref = ray.put(big)
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        from pagerank_ray.stages import joins
-
-        u = joins.broadcast_get(uni_ref, lambda x: x, "ppl-uni")
-        b = joins.broadcast_get(big_ref, lambda x: x, "ppl-big")
-        w, valid, doc_rep = explode(df)
+    def doc_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        w, valid, rep = _exploded_tokens(df, "doc_id")
         empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                              "n_pairs": pd.Series(dtype=np.int64),
-                              "nll": pd.Series(dtype=np.float64)})
+                              "w1": pd.Series(dtype=object),
+                              "w2": pd.Series(dtype=object)})
         if len(w) < 2:
             return empty
-        m = valid[:-1] & valid[1:] & (doc_rep[:-1] == doc_rep[1:])
+        m = valid[:-1] & valid[1:] & (rep[:-1] == rep[1:])
         if not m.any():
             return empty
-        pr = pd.DataFrame({"doc_id": doc_rep[:-1][m],
-                           "w1": w[:-1][m], "w2": w[1:][m]})
-        pr = pr.merge(b, on=["w1", "w2"], how="left").rename(columns={"cnt": "bc"})
-        pr = pr.merge(u.rename(columns={"tk": "w1"}), on="w1", how="left").rename(
-            columns={"cnt": "uc"})
-        bc = pr["bc"].fillna(0).to_numpy(np.int64)
-        uc = pr["uc"].fillna(0).to_numpy(np.int64)
-        term = -np.log((bc + 1.0) / (uc + float(v_size)))
-        g = pd.DataFrame({"doc_id": pr["doc_id"].to_numpy(np.int64), "term": term})
-        agg = g.groupby("doc_id", sort=False)["term"].agg(["size", "sum"]).reset_index()
-        return pd.DataFrame({
-            "doc_id": agg["doc_id"].to_numpy(np.int64),
-            "n_pairs": agg["size"].to_numpy(np.int64),
-            "nll": agg["sum"].to_numpy(np.float64) / agg["size"].to_numpy(np.float64),
-        })
+        return pd.DataFrame({"doc_id": rep[:-1][m], "w1": w[:-1][m], "w2": w[1:][m]})
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if v_size + n_big <= joins.BROADCAST_LIMIT and not force_hash_path:
+        import ray
+
+        uni_ref = ray.put(uni_ds.to_pandas())
+        big_ref = ray.put(big_ds.to_pandas())
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            u = joins.broadcast_get(uni_ref, lambda x: x, "ppl-uni")
+            b = joins.broadcast_get(big_ref, lambda x: x, "ppl-big")
+            pr = doc_pairs(df)
+            if pr.empty:
+                return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                     "n_pairs": pd.Series(dtype=np.int64),
+                                     "nll": pd.Series(dtype=np.float64)})
+            pr = pr.merge(b, on=["w1", "w2"], how="left").rename(columns={"cnt": "bc"})
+            pr = pr.merge(u.rename(columns={"tk": "w1"}), on="w1", how="left").rename(
+                columns={"cnt": "uc"})
+            bc = pr["bc"].fillna(0).to_numpy(np.int64)
+            uc = pr["uc"].fillna(0).to_numpy(np.int64)
+            term = -np.log((bc + 1.0) / (uc + float(v_size)))
+            g = pd.DataFrame({"doc_id": pr["doc_id"].to_numpy(np.int64), "term": term})
+            agg = g.groupby("doc_id", sort=False)["term"].agg(["size", "sum"]).reset_index()
+            return pd.DataFrame({
+                "doc_id": agg["doc_id"].to_numpy(np.int64),
+                "n_pairs": agg["size"].to_numpy(np.int64),
+                "nll": agg["sum"].to_numpy(np.float64) / agg["size"].to_numpy(np.float64),
+            })
+
+        out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    else:
+        # scale path: the count tables never reach the driver — hash-join
+        # attaches on an encoded pair key, then per-doc partials combine in
+        # a doc-bucketed groupby (docs scatter across blocks after the join)
+        pairs = ds.map_batches(
+            lambda df: doc_pairs(df).assign(
+                bkey=lambda d: d["w1"].astype(str) + "\x1f" + d["w2"].astype(str)
+            ),
+            batch_format="pandas",
+        )
+        big_keyed = big_ds.map_batches(
+            lambda df: pd.DataFrame({
+                "bkey": df["w1"].astype(str) + "\x1f" + df["w2"].astype(str),
+                "cnt": df["cnt"].to_numpy(np.int64),
+            }),
+            batch_format="pandas",
+        )
+        tagged = joins.attach_with_default(
+            pairs, big_keyed, probe_col="bkey", build_key="bkey", build_val="cnt",
+            out_col="bc", default=0, build_count=n_big,
+        )
+        tagged = joins.attach_column(
+            tagged, uni_ds, probe_col="w1", build_key="tk", build_val="cnt",
+            out_col="uc", build_count=v_size,
+        )
+
+        def partial_score(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                     "n": pd.Series(dtype=np.int64),
+                                     "s": pd.Series(dtype=np.float64)})
+            bc = df["bc"].to_numpy(np.int64)
+            uc = df["uc"].to_numpy(np.int64)
+            term = -np.log((bc + 1.0) / (uc + float(v_size)))
+            g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64), "term": term})
+            agg = g.groupby("doc_id", sort=False)["term"].agg(["size", "sum"]).reset_index()
+            return pd.DataFrame({"doc_id": agg["doc_id"].to_numpy(np.int64),
+                                 "n": agg["size"].to_numpy(np.int64),
+                                 "s": agg["sum"].to_numpy(np.float64)})
+
+        def bucket_doc(df: pd.DataFrame) -> pd.DataFrame:
+            u = df["doc_id"].to_numpy(np.int64)
+            mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+            df = df.copy()
+            df["bucket"] = (mixed % n_buckets).astype(np.int32)
+            return df
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("doc_id", sort=False)[["n", "s"]].sum().reset_index()
+            return pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_pairs": g["n"].to_numpy(np.int64),
+                "nll": g["s"].to_numpy(np.float64) / g["n"].to_numpy(np.float64),
+            })
+
+        out = (
+            tagged.map_batches(partial_score, batch_format="pandas")
+            .map_batches(bucket_doc, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()
+        )
     if out.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                              "n_pairs": pd.Series(dtype=np.int64),
@@ -4816,29 +4924,15 @@ def q_dedup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
     """Dedup report: the cluster-size histogram of the MinHash-LSH near-dup
     clusters (how much of the corpus is singletons vs heavy dup groups —
     the summary every dedup run is judged by). Composes the minhash pipeline
-    with two bucketed grouped counts; the oracle wraps the full minhash SQL
-    reimplementation in the same two aggregations."""
-    from pagerank_ray.stages.dedup import minhash_lsh_dedup
+    with two bucketed grouped counts (the partial stage only reads the key
+    column, so no projection hop is needed); the cluster table is shared
+    with q_minhash_dedup via the disk cache. The oracle wraps the full
+    minhash SQL reimplementation in the same two aggregations."""
     from pagerank_ray.stages.graph_build import grouped_count
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    clusters = minhash_lsh_dedup(docs, threshold=0.8, concurrency=4)
-    sizes = grouped_count(
-        clusters.map_batches(
-            lambda t: pa.table({"cluster_id": t.column("cluster_id")}),
-            batch_format="pyarrow",
-        ),
-        "cluster_id",
-        "cluster_size",
-    )
-    hist = grouped_count(
-        sizes.map_batches(
-            lambda t: pa.table({"cluster_size": t.column("cluster_size")}),
-            batch_format="pyarrow",
-        ),
-        "cluster_size",
-        "n_clusters",
-    ).to_pandas()
+    clusters = _minhash_clusters_cached(sf_dir)
+    sizes = grouped_count(clusters, "cluster_id", "cluster_size")
+    hist = grouped_count(sizes, "cluster_size", "n_clusters").to_pandas()
     for c in ("cluster_size", "n_clusters"):
         hist[c] = hist[c].astype(np.int64)
     return hist.sort_values("cluster_size").reset_index(drop=True)

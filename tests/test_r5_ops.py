@@ -1145,3 +1145,23 @@ def test_q_dedup_cluster_sizes(ray_session, tmp_path):
     assert sum(k * v for k, v in hist.items()) == len(texts)
     assert max(hist) >= 3          # the planted triple clustered
     assert hist.get(1, 0) >= 5     # the unique docs stayed singletons
+
+
+def test_q_perplexity_hash_path_matches_broadcast(ray_session, tmp_path):
+    """The scale path (count tables as Datasets, hash-join attaches,
+    doc-bucketed combine) produces the same rounded scores as the
+    broadcast path."""
+    from pagerank_ray.pipelines.tabular import q_perplexity_filter
+
+    rng = np.random.default_rng(61)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 15))) for _ in range(60)]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    a = q_perplexity_filter(str(tmp_path))
+    b = q_perplexity_filter(str(tmp_path), force_hash_path=True)
+    pd.testing.assert_frame_equal(a[["doc_id", "n_pairs"]], b[["doc_id", "n_pairs"]])
+    assert np.allclose(a["nll"], b["nll"], atol=2e-6)
