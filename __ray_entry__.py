@@ -105,16 +105,29 @@ def _pagerank_pers_sql(iters: int = 20, alpha: float = 0.85, mod: int = 97) -> s
     return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
 
 
-def _pagerank_weighted_sql(iters: int = 20, alpha: float = 0.85) -> str:
+def _pagerank_weighted_sql(
+    iters: int = 20,
+    alpha: float = 0.85,
+    edges_q: str | None = None,
+    id_col: str = "id",
+) -> str:
     """Unrolled WEIGHTED PageRank (tabular.q_pagerank_weighted): edge weight
     = Σ l_quantity per distinct (order, part) pair, row-normalized per source
     — w_uv = q_uv / Σ_v q_uv; r'(v) = (1−α) + α·D/n + α·Σ_{u→v} w_uv·r(u).
     Quantities are integer-valued doubles so q and the per-source totals are
     exact in any summation order; the w division is then bit-identical to the
-    engine's per-shard normalization (csr.build_shard_table)."""
+    engine's per-shard normalization (csr.build_shard_table).
+
+    ``edges_q`` overrides the weighted-edge subquery (columns s, d, q) —
+    q_host_pagerank reuses the identical recurrence over the contracted host
+    graph; ``id_col`` names the output vertex column."""
+    if edges_q is None:
+        edges_q = (
+            "(SELECT l_orderkey AS s, l_partkey AS d, "
+            "SUM(l_quantity)::DOUBLE AS q FROM lineitem GROUP BY 1, 2)"
+        )
     p = [
-        "WITH e AS MATERIALIZED (SELECT l_orderkey AS s, l_partkey AS d, "
-        "SUM(l_quantity)::DOUBLE AS q FROM lineitem GROUP BY 1, 2),",
+        f"WITH e AS MATERIALIZED {edges_q},",
         "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
         "tot AS MATERIALIZED (SELECT s, SUM(q) AS t FROM e GROUP BY s),",
         "w AS MATERIALIZED (SELECT e.s, e.d, e.q / t.t AS w FROM e "
@@ -136,7 +149,40 @@ def _pagerank_weighted_sql(iters: int = 20, alpha: float = 0.85) -> str:
             f"ON inc.id=v.id),"
         )
     body = "\n".join(p).rstrip()[:-1]
-    return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
+    return body + (
+        f"\nSELECT id AS {id_col}, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
+    )
+
+
+def _host_pagerank_sql(iters: int = 20, hmod: int = 101) -> str:
+    """Host-level PageRank oracle (tabular.q_host_pagerank): contract the
+    deduplicated edge table by host(v) = v % hmod with integer pair-count
+    weights, then the identical unrolled weighted recurrence."""
+    edges_q = (
+        f"(SELECT s % {hmod} AS s, d % {hmod} AS d, COUNT(*)::DOUBLE AS q "
+        f"FROM {_EDGES} GROUP BY 1, 2)"
+    )
+    return _pagerank_weighted_sql(iters=iters, edges_q=edges_q, id_col="host")
+
+
+def _reciprocity_sql() -> str:
+    """Directed-edge reciprocity oracle (tabular.q_reciprocity): canonical
+    (min, max) pair classification — the per-pair direction-mask sum
+    ∈ {1, 2, 3, 4} mirrors the engine's grouped pair-sum weights."""
+    return f"""
+WITH e AS MATERIALIZED {_EDGES},
+p AS (SELECT LEAST(s, d) AS lo, GREATEST(s, d) AS hi,
+             SUM(CASE WHEN s = d THEN 4 WHEN s < d THEN 1 ELSE 2 END) AS m
+      FROM e GROUP BY 1, 2),
+agg AS (SELECT
+  COALESCE(SUM(CASE WHEN m IN (1, 2) THEN 1 WHEN m = 3 THEN 2 ELSE 0 END), 0)::BIGINT AS n_edges,
+  COALESCE(SUM(CASE WHEN m = 4 THEN 1 ELSE 0 END), 0)::BIGINT AS n_self_loops,
+  COALESCE(SUM(CASE WHEN m = 3 THEN 2 ELSE 0 END), 0)::BIGINT AS n_reciprocal
+  FROM p)
+SELECT n_edges, n_self_loops, n_reciprocal,
+       CASE WHEN n_edges = 0 THEN 0.0
+            ELSE ROUND(n_reciprocal::DOUBLE / n_edges, 6) END AS reciprocity
+FROM agg"""
 
 
 def _converged_pagerank_iters() -> int | None:
@@ -1975,6 +2021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_fixed": tabular.q_pagerank_fixed,  # SQL-oracled (unrolled)
         "pagerank_personalized": tabular.q_pagerank_personalized,  # SQL-oracled (M7)
         "pagerank_weighted": tabular.q_pagerank_weighted,  # SQL-oracled (stored-weight SpMV)
+        "host_pagerank": tabular.q_host_pagerank,  # SQL-oracled (coarsened graph, weighted unroll)
+        "reciprocity": tabular.q_reciprocity,  # SQL-oracled (canonical-pair direction mask)
         "connected_components": tabular.q_connected_components,  # SQL-oracled
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
@@ -2086,6 +2134,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed": _pagerank_sql(iters=20, alpha=0.85),
         "pagerank_personalized": _pagerank_pers_sql(iters=20, alpha=0.85, mod=97),
         "pagerank_weighted": _pagerank_weighted_sql(iters=20, alpha=0.85),
+        "host_pagerank": _host_pagerank_sql(),
+        "reciprocity": _reciprocity_sql(),
         "connected_components": _cc_sql(iters=24),
         "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),

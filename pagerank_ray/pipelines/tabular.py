@@ -4936,3 +4936,111 @@ def q_dedup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
     for c in ("cluster_size", "n_clusters"):
         hist[c] = hist[c].astype(np.int64)
     return hist.sort_values("cluster_size").reset_index(drop=True)
+
+
+def host_edges(sf_dir: str, hmod: int = 101) -> rd.Dataset:
+    """Contracted (coarsened) weighted edge table: host(v) = v % hmod over
+    the deduplicated lineitem graph, edge weight = number of distinct
+    original edges between the two host groups (self-loops kept — a host
+    linking within itself is real mass in a host-level graph). This is the
+    web-scale graph-coarsening step (page graph → host graph): the
+    contraction itself is the distributed operation (one grouped pair-sum
+    over the full edge table); the contracted graph is orders of magnitude
+    smaller and everything downstream runs on it."""
+    from pagerank_ray.stages.graph_build import grouped_pair_sum
+
+    edges = lineitem_edges(sf_dir)
+
+    def contract(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False) % hmod
+        d = t.column("dst_id").to_numpy(zero_copy_only=False) % hmod
+        return pa.table(
+            {
+                "src_id": pa.array(s, pa.int64()),
+                "dst_id": pa.array(d, pa.int64()),
+                "weight": pa.array(np.ones(len(s), dtype=np.float64)),
+            }
+        )
+
+    return grouped_pair_sum(edges.map_batches(contract, batch_format="pyarrow"))
+
+
+def q_host_pagerank(
+    sf_dir: str, n_workers: int = 2, iters: int = 20, hmod: int = 101
+) -> pd.DataFrame:
+    """Host-level PageRank: coarsen the page graph by host (here host(v) =
+    v % hmod stands in for the url→host map) and run WEIGHTED PageRank on
+    the contracted multigraph — the standard first cut of web link analysis
+    at 100 TB (a 10^12-page graph contracts to a ~10^7-host graph that fits
+    anywhere; the expensive distributed step is the single grouped pair-sum
+    in host_edges). Edge weights are integer pair-counts, so per-source
+    totals and the row normalization are exact in any summation order —
+    bit-identical to the unrolled DuckDB oracle
+    (__ray_entry__._pagerank_weighted_sql with the contracted edge CTE)."""
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    from pagerank_ray.pipelines.pagerank import pagerank
+
+    dense, n, id_map = _compact_ids_cached(
+        sf_dir, f"host{hmod}", lambda: host_edges(sf_dir, hmod)
+    )
+    csr = os.path.join(_graph_workdir(sf_dir, f"host{hmod}"), "csr")
+    prepare_csr_from_edges(dense, n, csr, n_parts=4 * n_workers)
+    res = pagerank(csr, n_workers=n_workers, max_iters=iters, eps_per_vertex=0.0)
+    df = _attach_orig(res.result, id_map, n, ["id"])
+    df = df.rename(columns={"id": "host"}).sort_values("host").reset_index(drop=True)
+    df["rank"] = _round_half_away(df["rank"], 6)
+    return df[["host", "rank"]]
+
+
+def q_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Directed-edge reciprocity of the lineitem graph (the classic link-graph
+    health metric: what fraction of edges u→v have the reverse edge v→u).
+    One grouped pair-sum over canonical (min, max) endpoint pairs with a
+    direction mask as the weight (1 = forward, 2 = backward, 4 = self-loop;
+    the edge table is pre-deduplicated so each direction contributes once and
+    the per-pair sum ∈ {1, 2, 3, 4} classifies the pair), then O(1)-row
+    per-batch partials — nothing larger than three counters ever reaches the
+    driver. Self-loops are excluded from the reciprocity denominator per the
+    standard definition."""
+    from pagerank_ray.stages.graph_build import grouped_pair_sum
+
+    edges = lineitem_edges(sf_dir)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        m = np.where(s == d, 4.0, np.where(s < d, 1.0, 2.0))
+        return pa.table(
+            {
+                "src_id": pa.array(np.minimum(s, d), pa.int64()),
+                "dst_id": pa.array(np.maximum(s, d), pa.int64()),
+                "weight": pa.array(m),
+            }
+        )
+
+    pairs = grouped_pair_sum(edges.map_batches(canon, batch_format="pyarrow"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = t.column("weight").to_numpy(zero_copy_only=False)
+        n_recip_pairs = int((m == 3.0).sum())
+        n_edges = int((m == 1.0).sum() + (m == 2.0).sum()) + 2 * n_recip_pairs
+        return pa.table(
+            {
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_self_loops": pa.array([int((m == 4.0).sum())], pa.int64()),
+                "n_reciprocal": pa.array([2 * n_recip_pairs], pa.int64()),
+            }
+        )
+
+    parts = pairs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_edges = int(parts["n_edges"].sum())
+    n_recip = int(parts["n_reciprocal"].sum())
+    rec = 0.0 if n_edges == 0 else float(_round_half_away(n_recip / n_edges, 6))
+    return pd.DataFrame(
+        {
+            "n_edges": pd.array([n_edges], dtype=np.int64),
+            "n_self_loops": pd.array([int(parts["n_self_loops"].sum())], dtype=np.int64),
+            "n_reciprocal": pd.array([n_recip], dtype=np.int64),
+            "reciprocity": [rec],
+        }
+    )

@@ -1165,3 +1165,87 @@ def test_q_perplexity_hash_path_matches_broadcast(ray_session, tmp_path):
     b = q_perplexity_filter(str(tmp_path), force_hash_path=True)
     pd.testing.assert_frame_equal(a[["doc_id", "n_pairs"]], b[["doc_id", "n_pairs"]])
     assert np.allclose(a["nll"], b["nll"], atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# reciprocity + host-level (coarsened) PageRank
+# ---------------------------------------------------------------------------
+
+
+def _write_lineitem_edges(tmp_path, src, dst):
+    tbl = pa.table({
+        "l_orderkey": pa.array(src, pa.int64()),
+        "l_partkey": pa.array(dst, pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+
+
+def test_q_reciprocity_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_reciprocity
+
+    # 3 reciprocal pairs, one one-way edge, one self-loop, one duplicate row
+    src = [1, 2, 3, 4, 5, 6, 7, 9, 1]
+    dst = [2, 1, 4, 3, 6, 5, 8, 9, 2]
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_reciprocity(str(tmp_path))
+    row = out.iloc[0]
+    assert row["n_edges"] == 7          # 6 reciprocal + (7,8); loop excluded
+    assert row["n_self_loops"] == 1
+    assert row["n_reciprocal"] == 6
+    assert row["reciprocity"] == round(6 / 7, 6)
+
+
+def test_q_reciprocity_random_matches_reference(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_reciprocity
+
+    rng = np.random.default_rng(61)
+    src = rng.integers(0, 30, 400)
+    dst = rng.integers(0, 30, 400)
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_reciprocity(str(tmp_path)).iloc[0]
+
+    edges = set(zip(src.tolist(), dst.tolist()))
+    nonloop = {(s, d) for s, d in edges if s != d}
+    recip = sum(1 for s, d in nonloop if (d, s) in nonloop)
+    assert out["n_edges"] == len(nonloop)
+    assert out["n_self_loops"] == len(edges) - len(nonloop)
+    assert out["n_reciprocal"] == recip
+    assert out["reciprocity"] == round(recip / len(nonloop), 6)
+
+
+def test_q_host_pagerank_matches_numpy(ray_session, tmp_path):
+    from collections import defaultdict
+
+    from pagerank_ray.pipelines.tabular import q_host_pagerank
+
+    rng = np.random.default_rng(62)
+    src = rng.integers(0, 200, 600)
+    dst = rng.integers(0, 200, 600)
+    _write_lineitem_edges(tmp_path, src, dst)
+    hmod, iters, alpha = 7, 20, 0.85
+    out = q_host_pagerank(str(tmp_path), n_workers=2, iters=iters, hmod=hmod)
+
+    # reference: contract dedup'd edges mod hmod, integer count weights,
+    # row-normalize, 20 iterations of the engine recurrence (r0 = 1,
+    # dangling mass redistributed uniformly)
+    w = defaultdict(float)
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        w[(s % hmod, d % hmod)] += 1.0
+    hosts = sorted({h for e in w for h in e})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    mat = np.zeros((n, n))
+    for (s, d), q in w.items():
+        mat[idx[s], idx[d]] = q
+    tot = mat.sum(axis=1)
+    dangling = tot == 0
+    norm = np.divide(mat.T, tot, out=np.zeros_like(mat.T), where=tot > 0).T
+    r = np.ones(n)
+    for _ in range(iters):
+        dm = r[dangling].sum()
+        r = (1 - alpha) + alpha * dm / n + alpha * (norm.T @ r)
+    want = {h: r[idx[h]] for h in hosts}
+    got = dict(zip(out["host"].tolist(), out["rank"].tolist()))
+    assert set(got) == set(want)
+    for h in hosts:
+        assert abs(got[h] - want[h]) < 1e-6, h
