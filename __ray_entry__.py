@@ -185,6 +185,34 @@ SELECT n_edges, n_self_loops, n_reciprocal,
 FROM agg"""
 
 
+def _spam_mass_sql(iters: int = 20, alpha: float = 0.85, mod: int = 97) -> str:
+    """Relative spam mass oracle (tabular.q_spam_mass): composes the uniform
+    and personalized unrolled PageRank CTEs; the quotient runs over the same
+    6-decimal-rounded vectors the engine joins, so it is bit-identical."""
+    return (
+        f"WITH pr AS MATERIALIZED ({_pagerank_sql(iters, alpha)}),\n"
+        f"ppr AS MATERIALIZED ({_pagerank_pers_sql(iters, alpha, mod)})\n"
+        "SELECT pr.id, pr.rank AS pr, ppr.rank AS ppr, "
+        "ROUND((pr.rank - ppr.rank) / pr.rank, 6) AS spam_mass "
+        "FROM pr JOIN ppr ON ppr.id = pr.id ORDER BY pr.id"
+    )
+
+
+def _source_quality_sql() -> str:
+    """Per-source corpus health rollup oracle (tabular.q_source_quality_report).
+    COUNT(DISTINCT text) ≡ the engine's distinct-md5 count (same collision-free
+    fingerprint convention as exact_dedup_docs); the two divisions run over
+    exact integers in float64, so ROUND sees identical doubles."""
+    return """
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT text)::BIGINT AS n_distinct_texts,
+       ROUND((COUNT(*) - COUNT(DISTINCT text))::DOUBLE / COUNT(*), 6) AS dup_frac,
+       ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 6) AS avg_chars,
+       COUNT(DISTINCT lang)::BIGINT AS n_langs
+FROM documents GROUP BY source ORDER BY source"""
+
+
 def _converged_pagerank_iters() -> int | None:
     """Iteration count at which PageRank converges (L1 ≤ 1e-6·n) on the
     lineitem edge graph of the sf dir the driver compares at — computed by the
@@ -2023,6 +2051,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": tabular.q_pagerank_weighted,  # SQL-oracled (stored-weight SpMV)
         "host_pagerank": tabular.q_host_pagerank,  # SQL-oracled (coarsened graph, weighted unroll)
         "reciprocity": tabular.q_reciprocity,  # SQL-oracled (canonical-pair direction mask)
+        "spam_mass": tabular.q_spam_mass,  # SQL-oracled (uniform + personalized unroll compose)
+        "source_quality_report": tabular.q_source_quality_report,  # SQL-oracled
         "connected_components": tabular.q_connected_components,  # SQL-oracled
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
@@ -2136,6 +2166,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _pagerank_weighted_sql(iters=20, alpha=0.85),
         "host_pagerank": _host_pagerank_sql(),
         "reciprocity": _reciprocity_sql(),
+        "spam_mass": _spam_mass_sql(),
+        "source_quality_report": _source_quality_sql(),
         "connected_components": _cc_sql(iters=24),
         "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),

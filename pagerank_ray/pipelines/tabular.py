@@ -5044,3 +5044,115 @@ def q_reciprocity(sf_dir: str) -> pd.DataFrame:
             "reciprocity": [rec],
         }
     )
+
+
+def q_spam_mass(sf_dir: str, n_workers: int = 4, iters: int = 20, mod: int = 97) -> pd.DataFrame:
+    """Relative spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2006,
+    'Link Spam Detection Based on Mass Estimation'): m(v) = (p(v) − p′(v)) /
+    p(v) where p is uniform-teleport PageRank and p′ is PageRank personalized
+    to a trusted core (here the mod-97 seed rule shared with
+    q_pagerank_personalized) — rank mass NOT reachable from trusted pages is
+    suspected spam. Composes the two cached-CSR PageRank runs (the second run
+    reuses every graph artifact) and a driver-side join of the two bounded
+    per-vertex results; both inputs are the 6-decimal-rounded hash-checked
+    vectors, so the quotient is bit-identical to the SQL oracle's
+    (__ray_entry__._spam_mass_sql composes the two unrolled CTEs). p ≥ 1−α
+    in the mass-n scale, so the division is always defined."""
+    pr = q_pagerank_fixed(sf_dir, n_workers=n_workers, iters=iters)
+    ppr = q_pagerank_personalized(sf_dir, n_workers=n_workers, iters=iters, mod=mod)
+    df = pr.rename(columns={"rank": "pr"}).merge(
+        ppr.rename(columns={"rank": "ppr"}), on="id", validate="1:1"
+    )
+    df["spam_mass"] = _round_half_away((df["pr"] - df["ppr"]) / df["pr"], 6)
+    return df.sort_values("id").reset_index(drop=True)[["id", "pr", "ppr", "spam_mass"]]
+
+
+def q_source_quality_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus health report — the rollup every ingest run is
+    judged by: document count, exact-duplicate rate (distinct md5 text
+    fingerprints, the q_exact_dedup_docs idiom), mean length, language
+    spread. ONE distinct-pair shuffle (source, md5) sized by distinct texts;
+    counts/sums are per-batch pandas partials merged on the driver (sources
+    are a handful — the same bounded contract as q_partitioned_sink);
+    (source, lang) pairs are batch-deduped before the driver union, so the
+    driver sees ≤ batches × |langs| rows."""
+    from pagerank_ray.functions import text as textfn
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def fp_pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t.column("source").to_pandas(),
+                "h": textfn.md5_hex(t.column("text").to_pandas()),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {"source": pa.array(df["source"], pa.string()), "h": pa.array(df["h"], pa.string())}
+        )
+
+    from ray.data.aggregate import Count
+
+    distinct = (
+        ds.map_batches(fp_pairs, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame({"source": t.column("source").to_pandas()})
+            .groupby("source", sort=False)
+            .size()
+            .reset_index(name="n_distinct")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    nd = (
+        distinct.map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source", sort=True)["n_distinct"]
+        .sum()
+        .reset_index()
+    )
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("source", sort=False).agg(
+            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
+        ).reset_index()
+        return g
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", sort=True)
+        .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        .reset_index()
+    )
+
+    def lang_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["source", "lang"]].drop_duplicates()
+
+    langs = (
+        ds.map_batches(lang_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+        .groupby("source", sort=True)["lang"]
+        .nunique()
+        .reset_index(name="n_langs")
+    )
+
+    out = stats.merge(nd, on="source", validate="1:1").merge(
+        langs, on="source", validate="1:1"
+    )
+    out["source"] = out["source"].astype(str)
+    out["dup_frac"] = _round_half_away(
+        (out["n_docs"] - out["n_distinct"]) / out["n_docs"], 6
+    )
+    out["avg_chars"] = _round_half_away(out["sum_chars"] / out["n_docs"], 6)
+    for c in ("n_docs", "n_distinct", "n_langs"):
+        out[c] = out[c].astype(np.int64)
+    out = out.rename(columns={"n_distinct": "n_distinct_texts"})
+    return out.sort_values("source").reset_index(drop=True)[
+        ["source", "n_docs", "n_distinct_texts", "dup_frac", "avg_chars", "n_langs"]
+    ]

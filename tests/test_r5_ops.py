@@ -1249,3 +1249,74 @@ def test_q_host_pagerank_matches_numpy(ray_session, tmp_path):
     assert set(got) == set(want)
     for h in hosts:
         assert abs(got[h] - want[h]) < 1e-6, h
+
+
+# ---------------------------------------------------------------------------
+# spam mass + per-source corpus health report
+# ---------------------------------------------------------------------------
+
+
+def test_q_spam_mass_matches_numpy(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_spam_mass
+
+    # ids < 2*97 so seeds = {0, 97}; a cluster reachable only from non-seeds
+    # carries high spam mass
+    rng = np.random.default_rng(63)
+    src = rng.integers(0, 150, 500).tolist() + [0, 97, 5]
+    dst = rng.integers(0, 150, 500).tolist() + [3, 4, 149]
+    _write_lineitem_edges(tmp_path, src, dst)
+    iters, alpha, mod = 20, 0.85, 97
+    out = q_spam_mass(str(tmp_path), n_workers=2, iters=iters, mod=mod)
+
+    edges = sorted(set(zip(src, dst)))
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    mat = np.zeros((n, n))
+    for s, d in edges:
+        mat[idx[s], idx[d]] = 1.0
+    outdeg = mat.sum(axis=1)
+    dang = outdeg == 0
+    norm = np.divide(mat.T, outdeg, out=np.zeros_like(mat.T), where=outdeg > 0).T
+
+    def run(p):
+        r = n * p
+        for _ in range(iters):
+            dm = r[dang].sum()
+            r = (alpha * dm / n + 1 - alpha) * n * p + alpha * (norm.T @ r)
+        return r
+
+    p_uni = np.full(n, 1.0 / n)
+    seeds = np.array([v % mod == 0 for v in ids])
+    p_per = np.where(seeds, 1.0 / seeds.sum(), 0.0)
+    pr, ppr = run(p_uni), run(p_per)
+    got = out.set_index("id")
+    for v in ids:
+        assert abs(got.loc[v, "pr"] - pr[idx[v]]) < 1e-5, v
+        assert abs(got.loc[v, "ppr"] - ppr[idx[v]]) < 1e-5, v
+        want_m = (round(pr[idx[v]], 6) - round(ppr[idx[v]], 6)) / round(pr[idx[v]], 6)
+        assert abs(got.loc[v, "spam_mass"] - want_m) < 1e-5, v
+    # spam-mass separation sanity: seeds themselves carry low/negative mass
+    assert got.loc[0, "spam_mass"] < got["spam_mass"].max()
+
+
+def test_q_source_quality_report_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_source_quality_report
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(["same text", "same text", "other", "a", "b", "a"]),
+        "lang": pa.array(["en", "de", "en", "en", "en", "fr"]),
+        "source": pa.array(["s1", "s1", "s1", "s2", "s2", "s2"]),
+        "n_chars": pa.array([9, 9, 5, 1, 1, 1], pa.int64()),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_source_quality_report(str(tmp_path)).set_index("source")
+    assert out.loc["s1", "n_docs"] == 3
+    assert out.loc["s1", "n_distinct_texts"] == 2
+    assert out.loc["s1", "dup_frac"] == round(1 / 3, 6)
+    assert out.loc["s1", "avg_chars"] == round(23 / 3, 6)
+    assert out.loc["s1", "n_langs"] == 2
+    assert out.loc["s2", "n_docs"] == 3
+    assert out.loc["s2", "n_distinct_texts"] == 2
+    assert out.loc["s2", "n_langs"] == 2
