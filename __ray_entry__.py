@@ -213,6 +213,42 @@ SELECT source,
 FROM documents GROUP BY source ORDER BY source"""
 
 
+def _ann_recall_sql(nlist: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """IVF recall@k oracle (tabular.q_ann_recall): fixed unit-normalized
+    centroids (first nlist vectors) make the approximate path deterministic —
+    assignment argmax / probe argsort mirror as ROW_NUMBER windows with the
+    engine's tie rule (similarity desc, centroid id asc)."""
+    return f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c AS MATERIALIZED (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id < {nlist}),
+q AS MATERIALIZED (SELECT vec_id AS query_id, emb AS qe FROM v WHERE vec_id < 5),
+a AS MATERIALIZED (SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      ORDER BY list_cosine_similarity(v.emb, c.cemb) DESC, c.cid) AS rn
+    FROM v CROSS JOIN c) WHERE rn = 1),
+p AS (SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.qe, c.cemb) DESC, c.cid) AS rn
+    FROM q CROSS JOIN c) WHERE rn <= {nprobe}),
+approx AS (SELECT query_id, vec_id FROM (
+    SELECT cand.query_id, cand.vec_id, ROW_NUMBER() OVER
+      (PARTITION BY cand.query_id ORDER BY cand.sim DESC, cand.vec_id) AS rn
+    FROM (SELECT q.query_id, v.vec_id,
+                 list_cosine_similarity(v.emb, q.qe) AS sim
+          FROM q JOIN p ON p.query_id = q.query_id
+          JOIN a ON a.cid = p.cid JOIN v ON v.vec_id = a.vec_id
+          WHERE v.vec_id <> q.query_id) cand) WHERE rn <= {k}),
+exact AS (SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id, ROW_NUMBER() OVER (PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(v.emb, q.qe) DESC, v.vec_id) AS rn
+    FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id) WHERE rn <= {k})
+SELECT e.query_id, COUNT(ap.vec_id)::BIGINT AS n_hit,
+       ROUND(COUNT(ap.vec_id)::DOUBLE / {k}, 6) AS recall
+FROM exact e LEFT JOIN approx ap
+  ON ap.query_id = e.query_id AND ap.vec_id = e.vec_id
+GROUP BY e.query_id ORDER BY e.query_id"""
+
+
 def _converged_pagerank_iters() -> int | None:
     """Iteration count at which PageRank converges (L1 ≤ 1e-6·n) on the
     lineitem edge graph of the sf dir the driver compares at — computed by the
@@ -2053,6 +2089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": tabular.q_reciprocity,  # SQL-oracled (canonical-pair direction mask)
         "spam_mass": tabular.q_spam_mass,  # SQL-oracled (uniform + personalized unroll compose)
         "source_quality_report": tabular.q_source_quality_report,  # SQL-oracled
+        "ann_recall": tabular.q_ann_recall,  # SQL-oracled (fixed-centroid IVF vs brute force)
         "connected_components": tabular.q_connected_components,  # SQL-oracled
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
@@ -2168,6 +2205,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity": _reciprocity_sql(),
         "spam_mass": _spam_mass_sql(),
         "source_quality_report": _source_quality_sql(),
+        "ann_recall": _ann_recall_sql(),
         "connected_components": _cc_sql(iters=24),
         "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),

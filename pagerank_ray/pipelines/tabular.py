@@ -5156,3 +5156,43 @@ def q_source_quality_report(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)[
         ["source", "n_docs", "n_distinct_texts", "dup_frac", "avg_chars", "n_langs"]
     ]
+
+
+def q_ann_recall(sf_dir: str, nlist: int = 16, nprobe: int = 4, k: int = 10) -> pd.DataFrame:
+    """ANN quality evaluation — recall@k of the IVF bucketed path at a REAL
+    approximation setting (nprobe < nlist) against exact brute force, the
+    number every ANN deployment is tuned by. To keep the approximate result
+    SQL-expressible, the centroids are FIXED (the first ``nlist`` corpus
+    vectors, unit-normalized) rather than Lloyd-trained: assignment, probe
+    selection and bucket-restricted scoring then mirror exactly into the
+    oracle's window-function SQL (argmax/argsort tie rule = similarity desc,
+    centroid id asc — numpy's first-max/stable-sort rule). Both search paths
+    are the existing distributed kernels (knn.build_ivf / knn_ivf /
+    knn_bruteforce); the recall join runs over two bounded (n_queries × k)
+    results."""
+    from pagerank_ray.stages.knn import _unit, build_ivf, knn_bruteforce, knn_ivf, stack_vectors
+
+    qids, qvecs = _load_queries(sf_dir)
+    vectors = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    import pyarrow.compute as pc
+
+    cent_tab = pa.concat_tables(
+        vectors.map_batches(
+            lambda t: t.filter(pc.less(t.column("vec_id"), nlist)),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    order = np.argsort(cent_tab.column("vec_id").to_numpy())
+    cents = _unit(stack_vectors(cent_tab.column("embedding"))[order])
+
+    ivf = build_ivf(vectors, cents).materialize()
+    approx = knn_ivf(ivf, cents, qvecs, qids, k=k, nprobe=nprobe)
+    exact = knn_bruteforce(vectors, qvecs, qids, k=k)
+
+    hit = exact.merge(approx[["query_id", "vec_id"]], on=["query_id", "vec_id"])
+    n_hit = hit.groupby("query_id").size()
+    out = pd.DataFrame({"query_id": np.sort(np.asarray(qids, dtype=np.int64))})
+    out["n_hit"] = out["query_id"].map(n_hit).fillna(0).astype(np.int64)
+    out["recall"] = _round_half_away(out["n_hit"] / k, 6)
+    return out.reset_index(drop=True)

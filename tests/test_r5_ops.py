@@ -1320,3 +1320,37 @@ def test_q_source_quality_report_planted(ray_session, tmp_path):
     assert out.loc["s2", "n_docs"] == 3
     assert out.loc["s2", "n_distinct_texts"] == 2
     assert out.loc["s2", "n_langs"] == 2
+
+
+def test_q_ann_recall_matches_numpy(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_ann_recall
+
+    rng = np.random.default_rng(64)
+    n, dim = 300, 8
+    vecs = rng.normal(size=(n, dim))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    nlist, nprobe, k = 8, 3, 10
+    out = q_ann_recall(str(tmp_path), nlist=nlist, nprobe=nprobe, k=k)
+
+    # reference: same fixed-centroid IVF in pure numpy (float32 storage
+    # round-trip included)
+    v = vecs.astype(np.float32).astype(np.float64)
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cents = u[:nlist]
+    assign = np.argmax(u @ cents.T, axis=1)
+    for qi in range(5):
+        sims = u @ u[qi]
+        order = np.lexsort((np.arange(n), -sims))
+        exact = [i for i in order if i != qi][:k]
+        probes = np.argsort(-(u[qi] @ cents.T), kind="stable")[:nprobe]
+        in_probe = np.isin(assign, probes)
+        cand = [i for i in order if i != qi and in_probe[i]][:k]
+        want_hit = len(set(exact) & set(cand))
+        row = out[out["query_id"] == qi].iloc[0]
+        assert row["n_hit"] == want_hit, (qi, row["n_hit"], want_hit)
+        assert row["recall"] == round(want_hit / k, 6)
