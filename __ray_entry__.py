@@ -249,6 +249,21 @@ FROM exact e LEFT JOIN approx ap
 GROUP BY e.query_id ORDER BY e.query_id"""
 
 
+def _weighted_sample_sql(k: int = 50) -> str:
+    """Weighted-sample oracle (tabular.q_weighted_sample_docs): identical
+    Knuth-hash uniform, LN(u)/GREATEST(n_chars,1) key, top-k desc / doc_id
+    tie — pure arithmetic on identical doubles, no RNG on either side."""
+    return f"""
+WITH s AS (SELECT doc_id, n_chars,
+  LN(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0)
+    / GREATEST(n_chars, 1) AS key
+  FROM documents),
+r AS (SELECT doc_id, n_chars, key,
+      ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rn FROM s)
+SELECT doc_id, n_chars, ROUND(key, 9) AS sample_key
+FROM r WHERE rn <= {k} ORDER BY doc_id"""
+
+
 def _converged_pagerank_iters() -> int | None:
     """Iteration count at which PageRank converges (L1 ≤ 1e-6·n) on the
     lineitem edge graph of the sf dir the driver compares at — computed by the
@@ -2090,6 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spam_mass": tabular.q_spam_mass,  # SQL-oracled (uniform + personalized unroll compose)
         "source_quality_report": tabular.q_source_quality_report,  # SQL-oracled
         "ann_recall": tabular.q_ann_recall,  # SQL-oracled (fixed-centroid IVF vs brute force)
+        "weighted_sample_docs": tabular.q_weighted_sample_docs,  # SQL-oracled (E-S keys, shared hash)
         "connected_components": tabular.q_connected_components,  # SQL-oracled
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
@@ -2206,6 +2222,7 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass": _spam_mass_sql(),
         "source_quality_report": _source_quality_sql(),
         "ann_recall": _ann_recall_sql(),
+        "weighted_sample_docs": _weighted_sample_sql(),
         "connected_components": _cc_sql(iters=24),
         "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),

@@ -5196,3 +5196,40 @@ def q_ann_recall(sf_dir: str, nlist: int = 16, nprobe: int = 4, k: int = 10) -> 
     out["n_hit"] = out["query_id"].map(n_hit).fillna(0).astype(np.int64)
     out["recall"] = _round_half_away(out["n_hit"] / k, 6)
     return out.reset_index(drop=True)
+
+
+def q_weighted_sample_docs(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ExpJ family): per-doc key = ln(u)/w with w = max(n_chars,
+    1) and u the (0,1) uniform from the SAME Knuth multiplicative hash the
+    stratified sampler shares with its oracle — top-k keys win, so longer
+    docs are proportionally likelier. The canonical corpus resampling op
+    (quality/length-weighted subset selection) made hash-checkable: no RNG,
+    the whole draw is pure arithmetic mirrored verbatim in the DuckDB oracle.
+    Per-batch local top-k partials (k rows each) → one bounded driver merge;
+    ln and the divisions hit libm on identical doubles on both sides."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        doc_id = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chars = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (doc_id * 2654435761) % 4294967296
+        u = (h + 0.5) / 4294967296.0
+        key = np.log(u) / np.maximum(n_chars, 1)
+        top = np.lexsort((doc_id, -key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id[top], pa.int64()),
+                "n_chars": pa.array(n_chars[top], pa.int64()),
+                "key": pa.array(key[top]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["key", "doc_id"], ascending=[False, True]).head(k)
+    parts["sample_key"] = _round_half_away(parts["key"], 9)
+    return (
+        parts.drop(columns=["key"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "n_chars", "sample_key"]]
+    )

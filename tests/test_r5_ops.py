@@ -1354,3 +1354,32 @@ def test_q_ann_recall_matches_numpy(ray_session, tmp_path):
         row = out[out["query_id"] == qi].iloc[0]
         assert row["n_hit"] == want_hit, (qi, row["n_hit"], want_hit)
         assert row["recall"] == round(want_hit / k, 6)
+
+
+def test_q_weighted_sample_docs_matches_reference(ray_session, tmp_path):
+    import math
+
+    from pagerank_ray.pipelines.tabular import q_weighted_sample_docs
+
+    rng = np.random.default_rng(65)
+    n = 400
+    chars = rng.integers(0, 3000, n)  # includes 0 → GREATEST(.,1) path
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "n_chars": pa.array(chars, pa.int64()),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    k = 25
+    out = q_weighted_sample_docs(str(tmp_path), k=k)
+
+    keys = {}
+    for i in range(n):
+        u = ((i * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+        keys[i] = math.log(u) / max(int(chars[i]), 1)
+    want = sorted(keys, key=lambda i: (-keys[i], i))[:k]
+    assert sorted(out["doc_id"].tolist()) == sorted(want)
+    got = out.set_index("doc_id")
+    for i in want:
+        assert abs(got.loc[i, "sample_key"] - round(keys[i], 9)) < 1e-12
+    # weighting sanity: the sampled docs skew long
+    assert got["n_chars"].mean() > chars.mean()
