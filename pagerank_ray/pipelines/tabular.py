@@ -438,19 +438,43 @@ def q_pagerank_weighted(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.
     are integer-valued doubles, so the per-source totals — and therefore the
     normalized weights — are bit-identical across engines and summation
     orders."""
+    return _weighted_pagerank_over(
+        sf_dir,
+        "wli",
+        "wfwd",
+        lambda: _weighted_lineitem_edges(sf_dir),
+        n_workers=n_workers,
+        iters=iters,
+        base_tag="li",
+    )
+
+
+def _weighted_pagerank_over(
+    sf_dir: str,
+    ids_tag: str,
+    csr_tag: str,
+    edges_factory,
+    *,
+    n_workers: int,
+    iters: int,
+    id_col: str = "id",
+    base_tag: str | None = None,
+) -> pd.DataFrame:
+    """Shared fixed-iteration weighted-PageRank driver tail (cached dense ids
+    → cached CSR → pagerank → orig-id attach → 6-decimal round) for every
+    query that runs the recurrence over a derived weighted edge table
+    (q_pagerank_weighted, q_host_pagerank)."""
     from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
     from pagerank_ray.pipelines.pagerank import pagerank
 
-    dense_edges, n, id_map = _compact_ids_cached(
-        sf_dir, "wli", lambda: _weighted_lineitem_edges(sf_dir), base_tag="li"
-    )
-    csr = os.path.join(_graph_workdir(sf_dir, "wfwd"), "csr")
-    prepare_csr_from_edges(dense_edges, n, csr, n_parts=4 * n_workers)
+    dense, n, id_map = _compact_ids_cached(sf_dir, ids_tag, edges_factory, base_tag=base_tag)
+    csr = os.path.join(_graph_workdir(sf_dir, csr_tag), "csr")
+    prepare_csr_from_edges(dense, n, csr, n_parts=4 * n_workers)
     res = pagerank(csr, n_workers=n_workers, max_iters=iters, eps_per_vertex=0.0)
     df = _attach_orig(res.result, id_map, n, ["id"])
-    df = df.sort_values("id").reset_index(drop=True)
+    df = df.rename(columns={"id": id_col}).sort_values(id_col).reset_index(drop=True)
     df["rank"] = _round_half_away(df["rank"], 6)
-    return df[["id", "rank"]]
+    return df[[id_col, "rank"]]
 
 
 def q_connected_components(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
@@ -4977,19 +5001,15 @@ def q_host_pagerank(
     totals and the row normalization are exact in any summation order —
     bit-identical to the unrolled DuckDB oracle
     (__ray_entry__._pagerank_weighted_sql with the contracted edge CTE)."""
-    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
-    from pagerank_ray.pipelines.pagerank import pagerank
-
-    dense, n, id_map = _compact_ids_cached(
-        sf_dir, f"host{hmod}", lambda: host_edges(sf_dir, hmod)
+    return _weighted_pagerank_over(
+        sf_dir,
+        f"host{hmod}",
+        f"host{hmod}",
+        lambda: host_edges(sf_dir, hmod),
+        n_workers=n_workers,
+        iters=iters,
+        id_col="host",
     )
-    csr = os.path.join(_graph_workdir(sf_dir, f"host{hmod}"), "csr")
-    prepare_csr_from_edges(dense, n, csr, n_parts=4 * n_workers)
-    res = pagerank(csr, n_workers=n_workers, max_iters=iters, eps_per_vertex=0.0)
-    df = _attach_orig(res.result, id_map, n, ["id"])
-    df = df.rename(columns={"id": "host"}).sort_values("host").reset_index(drop=True)
-    df["rank"] = _round_half_away(df["rank"], 6)
-    return df[["host", "rank"]]
 
 
 def q_reciprocity(sf_dir: str) -> pd.DataFrame:
@@ -5071,14 +5091,15 @@ def q_source_quality_report(sf_dir: str) -> pd.DataFrame:
     """Per-source corpus health report — the rollup every ingest run is
     judged by: document count, exact-duplicate rate (distinct md5 text
     fingerprints, the q_exact_dedup_docs idiom), mean length, language
-    spread. ONE distinct-pair shuffle (source, md5) sized by distinct texts;
-    counts/sums are per-batch pandas partials merged on the driver (sources
-    are a handful — the same bounded contract as q_partitioned_sink);
-    (source, lang) pairs are batch-deduped before the driver union, so the
-    driver sees ≤ batches × |langs| rows."""
+    spread. ONE distinct-pair shuffle (source, md5) sized by distinct texts
+    is the only pass that reads the text column; counts/sums/langs come from
+    a single fused per-batch partial over a text-free projection (rows per
+    batch ≤ sources × langs), merged on the driver — the same bounded
+    contract as q_partitioned_sink."""
     from pagerank_ray.functions import text as textfn
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    meta = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
 
     def fp_pairs(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -5116,35 +5137,27 @@ def q_source_quality_report(sf_dir: str) -> pd.DataFrame:
         .reset_index()
     )
 
-    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("source", sort=False).agg(
-            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
-        ).reset_index()
-        return g
+    def meta_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # one fused partial: (source, lang) grouped counts/sums — the driver
+        # derives n_docs / sum_chars / n_langs from ≤ sources × langs rows
+        return (
+            b.groupby(["source", "lang"], sort=False)
+            .agg(n=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+            .reset_index()
+        )
 
-    stats = (
-        ds.map_batches(stats_partial, batch_format="pandas")
+    per_sl = (
+        meta.map_batches(meta_partial, batch_format="pandas")
         .to_pandas()
-        .groupby("source", sort=True)
-        .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        .groupby(["source", "lang"], sort=True)
+        .agg(n=("n", "sum"), sum_chars=("sum_chars", "sum"))
         .reset_index()
     )
+    stats = per_sl.groupby("source", sort=True).agg(
+        n_docs=("n", "sum"), sum_chars=("sum_chars", "sum"), n_langs=("lang", "nunique")
+    ).reset_index()
 
-    def lang_pairs(b: pd.DataFrame) -> pd.DataFrame:
-        return b[["source", "lang"]].drop_duplicates()
-
-    langs = (
-        ds.map_batches(lang_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-        .groupby("source", sort=True)["lang"]
-        .nunique()
-        .reset_index(name="n_langs")
-    )
-
-    out = stats.merge(nd, on="source", validate="1:1").merge(
-        langs, on="source", validate="1:1"
-    )
+    out = stats.merge(nd, on="source", validate="1:1")
     out["source"] = out["source"].astype(str)
     out["dup_frac"] = _round_half_away(
         (out["n_docs"] - out["n_distinct"]) / out["n_docs"], 6
@@ -5170,21 +5183,14 @@ def q_ann_recall(sf_dir: str, nlist: int = 16, nprobe: int = 4, k: int = 10) -> 
     are the existing distributed kernels (knn.build_ivf / knn_ivf /
     knn_bruteforce); the recall join runs over two bounded (n_queries × k)
     results."""
-    from pagerank_ray.stages.knn import _unit, build_ivf, knn_bruteforce, knn_ivf, stack_vectors
+    from pagerank_ray.stages.knn import _unit, build_ivf, knn_bruteforce, knn_ivf
 
     qids, qvecs = _load_queries(sf_dir)
     vectors = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    import pyarrow.compute as pc
-
-    cent_tab = pa.concat_tables(
-        vectors.map_batches(
-            lambda t: t.filter(pc.less(t.column("vec_id"), nlist)),
-            batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow")
-    )
-    order = np.argsort(cent_tab.column("vec_id").to_numpy())
-    cents = _unit(stack_vectors(cent_tab.column("embedding"))[order])
+    # tiny prefix selection — the same bounded local read _load_queries uses
+    cids, cvecs = _load_queries(sf_dir, n_queries=nlist)
+    cents = _unit(cvecs[np.argsort(cids)])
 
     ivf = build_ivf(vectors, cents).materialize()
     approx = knn_ivf(ivf, cents, qvecs, qids, k=k, nprobe=nprobe)

@@ -261,7 +261,10 @@ def knn_ivf(
     qmat = _unit(np.asarray(queries, dtype=np.float64))
     cents = _unit(np.asarray(centroids, dtype=np.float64))
     nprobe = min(nprobe, len(cents))
-    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    # stable: similarity ties break toward the LOWER centroid id — load-bearing
+    # for q_ann_recall's oracle parity (ROW_NUMBER ... ORDER BY sim DESC, cid)
+    # whenever duplicate centroid vectors straddle the nprobe boundary
+    probes = np.argsort(-(qmat @ cents.T), axis=1, kind="stable")[:, :nprobe]
     allowed = np.zeros((len(qmat), len(cents)), dtype=bool)
     np.put_along_axis(allowed, probes, True, axis=1)
     wanted = np.unique(probes)
