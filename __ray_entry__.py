@@ -264,6 +264,48 @@ SELECT doc_id, n_chars, ROUND(key, 9) AS sample_key
 FROM r WHERE rn <= {k} ORDER BY doc_id"""
 
 
+def _powerlaw_sql(dmin: int = 2) -> str:
+    """In-degree power-law MLE oracle (tabular.q_powerlaw_alpha): per-degree
+    integer-scaled log terms (round-half-away to 1e-9) summed exactly — one
+    LN per DISTINCT degree on identical doubles, order-free integer sum."""
+    return f"""
+WITH e AS MATERIALIZED {_EDGES},
+deg AS (SELECT d, COUNT(*)::BIGINT AS indeg FROM e GROUP BY d),
+hist AS (SELECT indeg AS degree, COUNT(*)::BIGINT AS cnt FROM deg
+         GROUP BY 1 HAVING indeg >= {dmin}),
+t AS (SELECT COALESCE(SUM(cnt), 0)::BIGINT AS n,
+             COALESCE(MAX(degree), 0)::BIGINT AS mx,
+             COALESCE(SUM(CAST(ROUND((cnt * LN(degree::DOUBLE / {dmin - 0.5}))
+                 * 1000000000.0, 0) AS BIGINT)), 0)::BIGINT AS s FROM hist)
+SELECT {dmin}::BIGINT AS dmin, n AS n_tail, mx AS max_degree,
+       CASE WHEN s = 0 THEN 0.0
+            ELSE ROUND(1.0 + (n * 1000000000.0) / s, 6) END AS alpha
+FROM t"""
+
+
+def _transitivity_sql() -> str:
+    """Global clustering coefficient oracle (tabular.q_transitivity): the
+    triangle oracle's und/deg/oriented-wedge CTEs, reduced to the two global
+    counters — C = 3·triangles / Σ C(deg, 2), exact integers into ROUND."""
+    return f"""
+WITH e0 AS MATERIALIZED {_EDGES},
+und AS MATERIALIZED (SELECT DISTINCT LEAST(s,d) AS a, GREATEST(s,d) AS b FROM e0 WHERE s <> d),
+deg AS MATERIALIZED (SELECT x AS vv, COUNT(*)::BIGINT AS dg FROM
+  (SELECT a AS x FROM und UNION ALL SELECT b FROM und) t GROUP BY x),
+o AS MATERIALIZED (SELECT
+  CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b) THEN u.a ELSE u.b END AS src,
+  CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b) THEN u.b ELSE u.a END AS dst
+  FROM und u JOIN deg da ON da.vv = u.a JOIN deg db ON db.vv = u.b),
+agg AS (SELECT
+  (SELECT COUNT(*) FROM o e1 JOIN o e2 ON e2.src = e1.dst
+     JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)::BIGINT AS n_tri,
+  (SELECT COALESCE(SUM((dg * (dg - 1)) // 2), 0) FROM deg)::BIGINT AS n_wedges)
+SELECT n_tri AS n_triangles, n_wedges,
+       CASE WHEN n_wedges = 0 THEN 0.0
+            ELSE ROUND((3.0 * n_tri) / n_wedges, 6) END AS transitivity
+FROM agg"""
+
+
 def _converged_pagerank_iters() -> int | None:
     """Iteration count at which PageRank converges (L1 ≤ 1e-6·n) on the
     lineitem edge graph of the sf dir the driver compares at — computed by the
@@ -2106,6 +2148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_report": tabular.q_source_quality_report,  # SQL-oracled
         "ann_recall": tabular.q_ann_recall,  # SQL-oracled (fixed-centroid IVF vs brute force)
         "weighted_sample_docs": tabular.q_weighted_sample_docs,  # SQL-oracled (E-S keys, shared hash)
+        "powerlaw_alpha": tabular.q_powerlaw_alpha,  # SQL-oracled (integer-scaled log-sum MLE)
+        "transitivity": tabular.q_transitivity,  # SQL-oracled (triangle/wedge counters)
         "connected_components": tabular.q_connected_components,  # SQL-oracled
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
@@ -2223,6 +2267,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_report": _source_quality_sql(),
         "ann_recall": _ann_recall_sql(),
         "weighted_sample_docs": _weighted_sample_sql(),
+        "powerlaw_alpha": _powerlaw_sql(),
+        "transitivity": _transitivity_sql(),
         "connected_components": _cc_sql(iters=24),
         "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),

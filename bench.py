@@ -233,6 +233,10 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
         "cohort_retention", "two_hop_reach", "csv_source", "jsonl_source",
         "perplexity_filter", "partitioned_sink", "dedup_cluster_sizes",
     ],
+    "r5d": [
+        "host_pagerank", "reciprocity", "spam_mass", "source_quality_report",
+        "ann_recall", "weighted_sample_docs", "powerlaw_alpha", "transitivity",
+    ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
 
@@ -351,6 +355,16 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("perplexity_filter", lambda: tabular.q_perplexity_filter(SF_DIR))
     timed("partitioned_sink", lambda: tabular.q_partitioned_sink(SF_DIR))
     timed("dedup_cluster_sizes", lambda: tabular.q_dedup_cluster_sizes(SF_DIR))
+    # r5d additions: coarsened PR, reciprocity, spam mass, source report,
+    # ANN recall, weighted sampling
+    timed("host_pagerank", lambda: tabular.q_host_pagerank(SF_DIR))
+    timed("reciprocity", lambda: tabular.q_reciprocity(SF_DIR))
+    timed("spam_mass", lambda: tabular.q_spam_mass(SF_DIR))
+    timed("source_quality_report", lambda: tabular.q_source_quality_report(SF_DIR))
+    timed("ann_recall", lambda: tabular.q_ann_recall(SF_DIR))
+    timed("weighted_sample_docs", lambda: tabular.q_weighted_sample_docs(SF_DIR))
+    timed("powerlaw_alpha", lambda: tabular.q_powerlaw_alpha(SF_DIR))
+    timed("transitivity", lambda: tabular.q_transitivity(SF_DIR))
     timed("cms_heavy_hitters", lambda: tabular.q_cms_heavy_hitters(SF_DIR))
     timed("gopher_quality", lambda: tabular.q_gopher_quality(SF_DIR))
     timed("repetition_stats", lambda: tabular.q_repetition_stats(SF_DIR))

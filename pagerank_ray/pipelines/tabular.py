@@ -5239,3 +5239,105 @@ def q_weighted_sample_docs(sf_dir: str, k: int = 50) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)[["doc_id", "n_chars", "sample_key"]]
     )
+
+
+def q_powerlaw_alpha(sf_dir: str, dmin: int = 2) -> pd.DataFrame:
+    """Power-law exponent of the in-degree distribution — the continuous MLE
+    of Clauset, Shalizi & Newman (SIAM Rev. 2009, eq. 3.1): α = 1 + n /
+    Σ ln(d_i / (dmin − ½)) over the tail d ≥ dmin. The classic first number
+    of any web-graph study. Distribution shrinks to a degree HISTOGRAM (two
+    bucketed grouped counts — nothing per-vertex leaves the cluster), and the
+    log-sum is made exactly cross-engine-reproducible by the integer-scaling
+    trick (cf. the eccentricity oracle's 720720 harmonic): per distinct
+    degree, term = round_half_away(cnt · ln(d/(dmin−½)) · 1e9) as int64 —
+    each term is one libm call on identical doubles, the sum is exact
+    integer arithmetic in any order."""
+    edges = lineitem_edges(sf_dir)
+    in_deg = grouped_count(edges, "dst_id", "in_deg")
+    hist = grouped_count(in_deg, "in_deg", "cnt").to_pandas()
+    hist = hist[hist["in_deg"] >= dmin]
+    if len(hist) == 0:
+        return pd.DataFrame(
+            {
+                "dmin": pd.array([dmin], dtype=np.int64),
+                "n_tail": pd.array([0], dtype=np.int64),
+                "max_degree": pd.array([0], dtype=np.int64),
+                "alpha": [0.0],
+            }
+        )
+    d = hist["in_deg"].to_numpy(np.int64)
+    cnt = hist["cnt"].to_numpy(np.int64)
+    terms = _round_half_away(
+        (cnt * np.log(d.astype(np.float64) / (dmin - 0.5))) * 1e9, 0
+    ).astype(np.int64)
+    s = int(terms.sum())
+    n_tail = int(cnt.sum())
+    alpha = float(_round_half_away(1.0 + (n_tail * 1e9) / s, 6))
+    return pd.DataFrame(
+        {
+            "dmin": pd.array([dmin], dtype=np.int64),
+            "n_tail": pd.array([n_tail], dtype=np.int64),
+            "max_degree": pd.array([int(d.max())], dtype=np.int64),
+            "alpha": [alpha],
+        }
+    )
+
+
+def q_transitivity(sf_dir: str) -> pd.DataFrame:
+    """Global clustering coefficient (transitivity) of the undirected simple
+    lineitem graph: C = 3·triangles / wedges. Composes the oriented-wedge
+    triangle kernel (pipelines/triangles.py — cached dense ids) with a
+    wedge count from the undirected degree table; both reductions are
+    per-batch integer partials, so only two counters reach the driver."""
+    from pagerank_ray.pipelines.triangles import triangle_counts
+    from pagerank_ray.stages.graph_build import dedup_pairs
+
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
+    counts = triangle_counts(dense_edges, n)
+
+    def tri_partial(t: pa.Table) -> pa.Table:
+        c = t.column("tri_count").to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(c.sum())], pa.int64())})
+
+    tri3 = int(
+        counts.map_batches(tri_partial, batch_format="pyarrow").to_pandas()["s"].sum()
+    )  # Σ per-vertex counts = 3 · n_triangles
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "src_id": pa.array(np.minimum(s, d), pa.int64()),
+                "dst_id": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    und = dedup_pairs(dense_edges.map_batches(canon, batch_format="pyarrow"))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        return pa.table({"id": pa.array(np.concatenate([s, d]), pa.int64())})
+
+    deg = grouped_count(und.map_batches(endpoints, batch_format="pyarrow"), "id", "dg")
+
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        dg = t.column("dg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w": pa.array([int((dg * (dg - 1) // 2).sum())], pa.int64())})
+
+    wedges = int(
+        deg.map_batches(wedge_partial, batch_format="pyarrow").to_pandas()["w"].sum()
+    )
+    trans = 0.0 if wedges == 0 else float(_round_half_away(tri3 / wedges, 6))
+    return pd.DataFrame(
+        {
+            "n_triangles": pd.array([tri3 // 3], dtype=np.int64),
+            "n_wedges": pd.array([wedges], dtype=np.int64),
+            "transitivity": [trans],
+        }
+    )

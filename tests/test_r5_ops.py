@@ -1383,3 +1383,57 @@ def test_q_weighted_sample_docs_matches_reference(ray_session, tmp_path):
         assert abs(got.loc[i, "sample_key"] - round(keys[i], 9)) < 1e-12
     # weighting sanity: the sampled docs skew long
     assert got["n_chars"].mean() > chars.mean()
+
+
+def test_q_powerlaw_alpha_matches_reference(ray_session, tmp_path):
+    import math
+
+    from pagerank_ray.pipelines.tabular import q_powerlaw_alpha
+
+    rng = np.random.default_rng(66)
+    # heavy-tailed in-degrees: repeat dst proportional to a zipf draw
+    dst = rng.zipf(2.0, 800)
+    dst = dst[dst < 200]
+    src = rng.integers(1000, 2000, len(dst))
+    _write_lineitem_edges(tmp_path, src.tolist(), dst.tolist())
+    dmin = 2
+    out = q_powerlaw_alpha(str(tmp_path), dmin=dmin).iloc[0]
+
+    edges = set(zip(src.tolist(), dst.tolist()))
+    indeg = {}
+    for _, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+    hist = {}
+    for d in indeg.values():
+        if d >= dmin:
+            hist[d] = hist.get(d, 0) + 1
+    def half_away(x):
+        return math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+    s = sum(half_away(c * math.log(d / (dmin - 0.5)) * 1e9) for d, c in hist.items())
+    n_tail = sum(hist.values())
+    assert out["n_tail"] == n_tail
+    assert out["max_degree"] == max(hist)
+    assert abs(out["alpha"] - round(1.0 + n_tail * 1e9 / s, 6)) < 1e-9
+
+
+def test_q_powerlaw_alpha_empty_tail(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_powerlaw_alpha
+
+    # every vertex has in-degree 1 → tail below dmin is empty
+    _write_lineitem_edges(tmp_path, [1, 2, 3], [10, 11, 12])
+    out = q_powerlaw_alpha(str(tmp_path), dmin=2).iloc[0]
+    assert (out["n_tail"], out["max_degree"], out["alpha"]) == (0, 0, 0.0)
+
+
+def test_q_transitivity_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_transitivity
+
+    # triangle 1-2-3 plus pendant 3-4 (direction/dup/self-loop noise included)
+    src = [1, 2, 1, 3, 2, 9, 1]
+    dst = [2, 3, 3, 4, 1, 9, 2]
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_transitivity(str(tmp_path)).iloc[0]
+    # und edges: 1-2, 2-3, 1-3, 3-4; degrees 2,2,3,1 → wedges 1+1+3+0 = 5
+    assert out["n_triangles"] == 1
+    assert out["n_wedges"] == 5
+    assert out["transitivity"] == round(3 / 5, 6)
