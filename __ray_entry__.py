@@ -306,6 +306,61 @@ SELECT n_tri AS n_triangles, n_wedges,
 FROM agg"""
 
 
+def _hyperball_sql(rounds: int = 6) -> str:
+    """HyperBall oracle (pipelines/hyperball.py, tabular.q_hyperball): exact
+    replay of the register dynamics and the estimator. Init: fmix64 of the
+    original vertex id (the shared _fmix_chain_sql), bucket = h >> 60, rho
+    via the exact power-of-two table (no libm log2). Rounds: per-(id, j)
+    GREATEST of own and max-over-neighbors register, symmetrized edges.
+    Estimate per round: S' = Σ 2^(48 − LEAST(m,48)) as exact HUGEINT →
+    DOUBLE (< 2^53), the identical left-associated bias expression, the
+    linear-counting branch, ROUND(·1e6)::BIGINT per vertex, exact SUM."""
+    mask = (1 << 60) - 1
+    est = (
+        "SELECT {t} AS t, SUM(e_int)::BIGINT AS nf_scaled, "
+        "SUM(sregs)::BIGINT AS sum_registers FROM ("
+        "  SELECT id, CAST(ROUND(CASE WHEN "
+        "    0.7213/(1 + 1.079/16.0) * 256.0 * 281474976710656.0 / sprime <= 40.0 "
+        "    AND zeros > 0 THEN 16.0 * LN(16.0 / zeros) "
+        "    ELSE 0.7213/(1 + 1.079/16.0) * 256.0 * 281474976710656.0 / sprime END "
+        "    * 1000000.0, 0) AS BIGINT) AS e_int, sregs FROM ("
+        "    SELECT b.id, SUM(p2.v)::DOUBLE AS sprime, "
+        "           SUM(CASE WHEN b.m = 0 THEN 1 ELSE 0 END)::DOUBLE AS zeros, "
+        "           SUM(b.m)::BIGINT AS sregs "
+        "    FROM b{t} b JOIN p2 ON p2.k = 48 - LEAST(b.m, 48) GROUP BY b.id))"
+    )
+    p = [
+        "WITH RECURSIVE p2(k, v) AS (SELECT 0, 1::HUGEINT "
+        "UNION ALL SELECT k + 1, v * 2 FROM p2 WHERE k < 64),",
+        f"e AS MATERIALIZED {_EDGES},",
+        "es AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d, s FROM e),",
+        "vx AS (SELECT id, id::UBIGINT AS x FROM "
+        "(SELECT s AS id FROM e UNION SELECT d FROM e)),",
+        _fmix_chain_sql("hb", "vx", carry="id, ") + ",",
+        f"parts AS (SELECT id, (h >> 60)::BIGINT AS bucket, "
+        f"(h & {mask})::HUGEINT AS w FROM hbhv),",
+        "rho AS (SELECT p.id, p.bucket, CASE WHEN p.w = 0 THEN 61 "
+        "ELSE 60 - MAX(CASE WHEN p2.v <= p.w THEN p2.k END) END AS r "
+        "FROM parts p CROSS JOIN p2 GROUP BY p.id, p.bucket, p.w),",
+        "b0 AS MATERIALIZED (SELECT rho.id, gs.j, "
+        "CASE WHEN gs.j = rho.bucket THEN rho.r ELSE 0 END AS m "
+        "FROM rho CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) gs),",
+    ]
+    for t in range(rounds):
+        p.append(
+            f"b{t + 1} AS MATERIALIZED (SELECT cur.id, cur.j, "
+            f"GREATEST(cur.m, COALESCE(inc.mm, 0)) AS m FROM b{t} cur "
+            f"LEFT JOIN (SELECT es.d AS id, c.j, MAX(c.m) AS mm FROM es "
+            f"JOIN b{t} c ON c.id = es.s GROUP BY es.d, c.j) inc "
+            f"ON inc.id = cur.id AND inc.j = cur.j),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    unions = "\nUNION ALL\n".join(
+        "(" + est.replace("{t}", str(t)) + ")" for t in range(rounds + 1)
+    )
+    return body + f"\nSELECT * FROM (\n{unions}\n) ORDER BY t"
+
+
 def _converged_pagerank_iters() -> int | None:
     """Iteration count at which PageRank converges (L1 ≤ 1e-6·n) on the
     lineitem edge graph of the sf dir the driver compares at — computed by the
@@ -2150,6 +2205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": tabular.q_weighted_sample_docs,  # SQL-oracled (E-S keys, shared hash)
         "powerlaw_alpha": tabular.q_powerlaw_alpha,  # SQL-oracled (integer-scaled log-sum MLE)
         "transitivity": tabular.q_transitivity,  # SQL-oracled (triangle/wedge counters)
+        "hyperball": tabular.q_hyperball,  # SQL-oracled (register replay + exact estimator)
         "connected_components": tabular.q_connected_components,  # SQL-oracled
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
@@ -2269,6 +2325,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": _weighted_sample_sql(),
         "powerlaw_alpha": _powerlaw_sql(),
         "transitivity": _transitivity_sql(),
+        "hyperball": _hyperball_sql(),
         "connected_components": _cc_sql(iters=24),
         "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),

@@ -5341,3 +5341,16 @@ def q_transitivity(sf_dir: str) -> pd.DataFrame:
             "transitivity": [trans],
         }
     )
+
+
+def q_hyperball(sf_dir: str, rounds: int = 6) -> pd.DataFrame:
+    """Approximate neighborhood function of the (symmetrized) lineitem graph
+    via HyperBall (pipelines/hyperball.py — Boldi, Rosa & Vigna WWW 2011):
+    per round t, N(t)·1e6 (integerized per-vertex HLL estimates, exact
+    integer sum) and the total register mass. Effective diameter and average
+    distance read directly off the returned curve. Runs on ORIGINAL vertex
+    ids so the fmix64 item hashes mirror the SQL oracle's fmix chain
+    verbatim; even the APPROXIMATE estimates hash-match."""
+    from pagerank_ray.pipelines.hyperball import hyperball
+
+    return hyperball(lineitem_edges(sf_dir), rounds=rounds)

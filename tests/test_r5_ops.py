@@ -1437,3 +1437,86 @@ def test_q_transitivity_planted(ray_session, tmp_path):
     assert out["n_triangles"] == 1
     assert out["n_wedges"] == 5
     assert out["transitivity"] == round(3 / 5, 6)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood function
+# ---------------------------------------------------------------------------
+
+
+def test_hyperball_matches_bfs_ball_reference(ray_session, tmp_path):
+    """Registers after t rounds must equal the HLL of the exact radius-t BFS
+    ball (register max over members' singleton sketches) — an independent
+    replay of the whole estimator from first principles."""
+    import ray.data as rd
+
+    from pagerank_ray.functions.text import fmix64, round_half_away
+    from pagerank_ray.pipelines.hyperball import (
+        CLIP, _EST_NUM, WBITS, _floor_log2_u64, hyperball,
+    )
+
+    rng = np.random.default_rng(67)
+    src = rng.integers(0, 60, 150)
+    dst = rng.integers(0, 60, 150)
+    edges = rd.from_arrow(pa.table({
+        "src_id": pa.array(src, pa.int64()),
+        "dst_id": pa.array(dst, pa.int64()),
+    }))
+    rounds = 4
+    out = hyperball(edges, rounds=rounds)
+
+    # adjacency + BFS balls
+    ids = sorted({int(v) for v in np.concatenate([src, dst])})
+    adj = {v: set() for v in ids}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        adj[a].add(b)
+        adj[b].add(a)
+
+    h = fmix64(np.array(ids, np.uint64))
+    bucket = (h >> np.uint64(WBITS)).astype(np.int64)
+    w = h & np.uint64((1 << WBITS) - 1)
+    rho = np.full(len(w), WBITS + 1, np.int64)
+    nz = w > 0
+    rho[nz] = WBITS - _floor_log2_u64(w[nz])
+    item_reg = {v: (int(bucket[i]), int(rho[i])) for i, v in enumerate(ids)}
+
+    balls = {v: {v} for v in ids}
+    for t in range(rounds + 1):
+        nf, sregs = 0, 0
+        for v in ids:
+            regs = [0] * 16
+            for u in balls[v]:
+                b, r = item_reg[u]
+                regs[b] = max(regs[b], r)
+            sregs += sum(regs)
+            sprime = sum(2.0 ** (CLIP - min(m, CLIP)) for m in regs)
+            zeros = sum(1 for m in regs if m == 0)
+            e = _EST_NUM / sprime
+            if e <= 40.0 and zeros > 0:
+                e = 16.0 * np.log(16.0 / zeros)
+            nf += int(round_half_away(e * 1e6, 0))
+        row = out[out["t"] == t].iloc[0]
+        assert row["nf_scaled"] == nf, t
+        assert row["sum_registers"] == sregs, t
+        balls = {v: set.union(balls[v], *(balls[u] for u in adj[v])) for v in ids}
+
+
+def test_hyperball_distributed_matches_tail(ray_session):
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.hyperball import hyperball
+
+    rng = np.random.default_rng(68)
+    src = rng.integers(0, 80, 300)
+    dst = rng.integers(0, 80, 300)
+    edges = pa.table({
+        "src_id": pa.array(src, pa.int64()),
+        "dst_id": pa.array(dst, pa.int64()),
+    })
+    a = hyperball(rd.from_arrow(edges), rounds=3)  # tail path
+    b = hyperball(rd.from_arrow(edges), rounds=3, tail_cutoff=0)  # distributed
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True),
+        b.sort_values("t").reset_index(drop=True),
+        check_dtype=False,
+    )
