@@ -361,6 +361,64 @@ def _hyperball_sql(rounds: int = 6) -> str:
     return body + f"\nSELECT * FROM (\n{unions}\n) ORDER BY t"
 
 
+def _graph_growth_sql() -> str:
+    """Temporal densification oracle (tabular.q_graph_growth): first-seen
+    month per distinct pair / source / destination, per-month histograms
+    over the full observed-month base, window cumsum."""
+    return """
+WITH f AS (SELECT l_orderkey AS s, l_partkey AS d,
+  (YEAR(l_shipdate) * 100 + MONTH(l_shipdate))::BIGINT AS mk FROM lineitem),
+pe AS (SELECT s, d, MIN(mk) AS mk FROM f GROUP BY s, d),
+vs AS (SELECT s, MIN(mk) AS mk FROM f GROUP BY s),
+vd AS (SELECT d, MIN(mk) AS mk FROM f GROUP BY d),
+em AS (SELECT mk, COUNT(*)::BIGINT AS n_new_edges FROM pe GROUP BY mk),
+sm AS (SELECT mk, COUNT(*)::BIGINT AS n_new_src FROM vs GROUP BY mk),
+dm AS (SELECT mk, COUNT(*)::BIGINT AS n_new_dst FROM vd GROUP BY mk),
+mo AS (SELECT DISTINCT mk FROM f)
+SELECT mo.mk AS month_key,
+       COALESCE(em.n_new_edges, 0)::BIGINT AS n_new_edges,
+       COALESCE(sm.n_new_src, 0)::BIGINT AS n_new_src,
+       COALESCE(dm.n_new_dst, 0)::BIGINT AS n_new_dst,
+       SUM(COALESCE(em.n_new_edges, 0)) OVER (ORDER BY mo.mk)::BIGINT AS cum_edges
+FROM mo LEFT JOIN em ON em.mk = mo.mk LEFT JOIN sm ON sm.mk = mo.mk
+LEFT JOIN dm ON dm.mk = mo.mk ORDER BY month_key"""
+
+
+def _conductance_sql(iters: int = 3) -> str:
+    """Per-community conductance oracle (tabular.q_community_conductance):
+    the shared unrolled-LP label chain, two label joins on the undirected
+    simple edge set, exact-integer internal/cut/size counters, the identical
+    min(vol, 2m − vol) denominator."""
+    return (
+        _lp_ctes(iters)
+        + f""",
+und AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+                     FROM e WHERE s <> d),
+lab AS (SELECT v, l FROM l{iters}),
+el AS (SELECT la.l AS la, lb.l AS lb FROM und
+       JOIN lab la ON la.v = und.a JOIN lab lb ON lb.v = und.b),
+mm AS (SELECT COUNT(*)::BIGINT AS m FROM und),
+i_ AS (SELECT la AS l, COUNT(*)::BIGINT AS internal_edges FROM el
+       WHERE la = lb GROUP BY la),
+c_ AS (SELECT l, COUNT(*)::BIGINT AS cut_edges FROM
+       (SELECT la AS l FROM el WHERE la <> lb
+        UNION ALL SELECT lb FROM el WHERE la <> lb) GROUP BY l),
+s_ AS (SELECT l, COUNT(*)::BIGINT AS size FROM lab GROUP BY l)
+SELECT s_.l AS community, s_.size,
+       COALESCE(i_.internal_edges, 0)::BIGINT AS internal_edges,
+       COALESCE(c_.cut_edges, 0)::BIGINT AS cut_edges,
+       (2 * COALESCE(i_.internal_edges, 0) + COALESCE(c_.cut_edges, 0))::BIGINT AS volume,
+       CASE WHEN COALESCE(c_.cut_edges, 0) = 0 THEN 0.0
+            ELSE ROUND(COALESCE(c_.cut_edges, 0)::DOUBLE / LEAST(
+                 2 * COALESCE(i_.internal_edges, 0) + COALESCE(c_.cut_edges, 0),
+                 2 * (SELECT m FROM mm)
+                 - (2 * COALESCE(i_.internal_edges, 0) + COALESCE(c_.cut_edges, 0))), 6)
+            END AS conductance
+FROM s_ LEFT JOIN i_ ON i_.l = s_.l LEFT JOIN c_ ON c_.l = s_.l
+ORDER BY community"""
+    )
+
+
 def _converged_pagerank_iters() -> int | None:
     """Iteration count at which PageRank converges (L1 ≤ 1e-6·n) on the
     lineitem edge graph of the sf dir the driver compares at — computed by the
@@ -2206,6 +2264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "powerlaw_alpha": tabular.q_powerlaw_alpha,  # SQL-oracled (integer-scaled log-sum MLE)
         "transitivity": tabular.q_transitivity,  # SQL-oracled (triangle/wedge counters)
         "hyperball": tabular.q_hyperball,  # SQL-oracled (register replay + exact estimator)
+        "graph_growth": tabular.q_graph_growth,  # SQL-oracled (first-seen month histograms)
+        "community_conductance": tabular.q_community_conductance,  # SQL-oracled (LP + cut/vol)
         "connected_components": tabular.q_connected_components,  # SQL-oracled
         "label_propagation": tabular.q_label_propagation,  # SQL-oracled (unrolled sync LP)
         "hits": tabular.q_hits,  # SQL-oracled (unrolled alternating sums)
@@ -2326,6 +2386,8 @@ def oracle_sql() -> dict[str, str]:
         "powerlaw_alpha": _powerlaw_sql(),
         "transitivity": _transitivity_sql(),
         "hyperball": _hyperball_sql(),
+        "graph_growth": _graph_growth_sql(),
+        "community_conductance": _conductance_sql(),
         "connected_components": _cc_sql(iters=24),
         "label_propagation": _lp_sql(iters=3),
         "triangles": _triangles_sql(),

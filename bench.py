@@ -236,7 +236,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     "r5d": [
         "host_pagerank", "reciprocity", "spam_mass", "source_quality_report",
         "ann_recall", "weighted_sample_docs", "powerlaw_alpha", "transitivity",
-        "hyperball",
+        "hyperball", "graph_growth", "community_conductance",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
@@ -366,7 +366,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("weighted_sample_docs", lambda: tabular.q_weighted_sample_docs(SF_DIR))
     timed("powerlaw_alpha", lambda: tabular.q_powerlaw_alpha(SF_DIR))
     timed("transitivity", lambda: tabular.q_transitivity(SF_DIR))
-    timed("hyperball", lambda: tabular.q_hyperball(SF_DIR))
+    timed("hyperball", "graph_growth", "community_conductance", lambda: tabular.q_hyperball(SF_DIR))
     timed("cms_heavy_hitters", lambda: tabular.q_cms_heavy_hitters(SF_DIR))
     timed("gopher_quality", lambda: tabular.q_gopher_quality(SF_DIR))
     timed("repetition_stats", lambda: tabular.q_repetition_stats(SF_DIR))

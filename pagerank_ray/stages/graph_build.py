@@ -326,6 +326,46 @@ def grouped_pair_sum(
     )
 
 
+def grouped_pair_min(
+    ds: rd.Dataset, val_col: str = "val", *, n_buckets: int = 64
+) -> rd.Dataset:
+    """Exact per-(src_id, dst_id) int64 MIN — the min sibling of
+    ``grouped_pair_sum`` (same partial/bucket/merge shape; integer mins, no
+    float accumulator). Used by first-seen/temporal-graph reductions."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.stack([src, dst], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, v)
+        return pa.table(
+            {
+                "src_id": pa.array(uniq[:, 0], pa.int64()),
+                "dst_id": pa.array(uniq[:, 1], pa.int64()),
+                val_col: pa.array(mins),
+            }
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False)
+        dst = t.column("dst_id").to_numpy(zero_copy_only=False)
+        mixed = (src * np.int64(0x9E3779B1) + dst) & np.int64(0x7FFFFFFF)
+        return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["src_id", "dst_id"], sort=True)[val_col].min().reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def dedup_pairs(ds: rd.Dataset, *, n_buckets: int = 64) -> rd.Dataset:
     """Exact (src_id, dst_id) dedup: per-batch combine → hash-bucket groupby →
     vectorized per-bucket np.unique.

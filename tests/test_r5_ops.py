@@ -1520,3 +1520,45 @@ def test_hyperball_distributed_matches_tail(ray_session):
         b.sort_values("t").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_q_graph_growth_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_graph_growth
+
+    tbl = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 1, 3], pa.int64()),
+        "l_partkey": pa.array([10, 10, 10, 11, 10], pa.int64()),
+        "l_shipdate": pa.array(
+            pd.to_datetime(
+                ["2024-01-05", "2024-02-01", "2024-01-20", "2024-03-01", "2024-03-09"]
+            ),
+            pa.timestamp("us"),
+        ),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_graph_growth(str(tmp_path)).set_index("month_key")
+    # months: 202401 (edges 1-10, 2-10; srcs 1,2; dst 10), 202402 (nothing
+    # new — edge 1-10 repeats), 202403 (edges 1-11, 3-10; src 3; dst 11)
+    assert list(out.index) == [202401, 202402, 202403]
+    assert out.loc[202401, ["n_new_edges", "n_new_src", "n_new_dst"]].tolist() == [2, 2, 1]
+    assert out.loc[202402, ["n_new_edges", "n_new_src", "n_new_dst"]].tolist() == [0, 0, 0]
+    assert out.loc[202403, ["n_new_edges", "n_new_src", "n_new_dst"]].tolist() == [2, 1, 1]
+    assert out["cum_edges"].tolist() == [2, 2, 4]
+
+
+def test_q_community_conductance_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_community_conductance
+
+    # two triangles joined by one bridge: LP(3) settles each triangle on its
+    # min id; bridge edge is the only cut
+    src = [1, 2, 1, 10, 11, 10, 3]
+    dst = [2, 3, 3, 11, 12, 12, 10]
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_community_conductance(str(tmp_path), n_workers=2).set_index("community")
+    assert len(out) == 2
+    assert out["size"].tolist() == [3, 3]
+    assert out["internal_edges"].tolist() == [3, 3]
+    assert out["cut_edges"].tolist() == [1, 1]
+    assert out["volume"].tolist() == [7, 7]
+    # m = 7 und edges; min(7, 14-7) = 7 → φ = 1/7
+    assert (out["conductance"] == round(1 / 7, 6)).all()
