@@ -573,6 +573,30 @@ def _bfs_sql(mod: int = 1009, rounds: int = 10) -> str:
     )
 
 
+def _katz_sql(iters: int = 8, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Unrolled Katz centrality (tabular.q_katz) over the SYMMETRIZED edge
+    set: x⁰ = 1; x'(v) = β + α·Σ_{u~v} x(u) — the fold is written α·Σ + β
+    so the two float ops run in the identical order as the engine's
+    affine_state (superstep.py); ROUND(6) absorbs grouped-sum order noise
+    exactly as the PageRank/HITS oracles do."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "es AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        "x0 AS (SELECT id, 1.0::DOUBLE AS x FROM v),",
+    ]
+    for i in range(iters):
+        p.append(
+            f"x{i + 1} AS MATERIALIZED (SELECT v.id, "
+            f"{alpha}*COALESCE(inc.sm, 0) + {beta} AS x FROM v LEFT JOIN "
+            f"(SELECT es.d AS id, SUM(p.x) AS sm FROM es "
+            f"JOIN x{i} p ON p.id = es.s GROUP BY es.d) inc "
+            f"ON inc.id = v.id),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + f"\nSELECT id, ROUND(x, 6) AS katz FROM x{iters} ORDER BY id"
+
+
 def _ecc_sql(mod: int = 577, n_seeds: int = 4, rounds: int = 16) -> str:
     """Fixed-unroll PER-SEED min-plus (tabular.q_graph_eccentricity): state
     keyed (seed, id) so each seed's BFS runs independently in one unroll;
@@ -2191,6 +2215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
+        "katz": tabular.q_katz,  # SQL-oracled (unrolled α·Σ+β recurrence)
         "coreness": tabular.q_coreness,  # SQL-oracled (fixed-grid level peel)
         "orders_events_range": tabular.q_orders_events_range,  # SQL-oracled (range join)
         "key_skew": tabular.q_key_skew,  # SQL-oracled (window/CTE mirror)
@@ -2324,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
     if pr_iters is not None:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
+        "katz": _katz_sql(iters=8, alpha=0.05, beta=1.0),
         "coreness": _coreness_sql(levels=10, rounds=10),
         "orders_events_range": _range_join_sql(),
         "key_skew": _key_skew_sql(),

@@ -2934,6 +2934,32 @@ def q_salsa(sf_dir: str, n_workers: int = 4, iters: int = 5) -> pd.DataFrame:
     return df[["id", "auth", "hub"]]
 
 
+def q_katz(
+    sf_dir: str,
+    n_workers: int = 4,
+    iters: int = 8,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+) -> pd.DataFrame:
+    """Katz centrality (Katz 1953) over the SYMMETRIZED lineitem graph:
+    x⁰ = 1; x'(v) = β + α·Σ_{u~v} x(u), fixed ``iters`` rounds. The
+    symmetrized graph (same shared cached CSR as q_graph_eccentricity)
+    makes the recurrence non-trivial — on the raw bipartite order→part
+    edges the order side would pin at β after one round. One MODE_SUM
+    superstep + one O(n/W) in-place affine fold per iteration
+    (pipelines/katz.py); hash-checked against the unrolled DuckDB oracle
+    (__ray_entry__._katz_sql) computing the identical recurrence with the
+    identical α·Σ + β fold order."""
+    from pagerank_ray.pipelines.katz import katz
+
+    csr, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=True)
+    res = katz(csr, n_workers=n_workers, iters=iters, alpha=alpha, beta=beta)
+    df = _attach_orig(res.result, id_map, n, ["id"])
+    df = df.sort_values("id").reset_index(drop=True)
+    df["katz"] = _round_half_away(df["value"].to_numpy(), 6)
+    return df[["id", "katz"]]
+
+
 def q_graph_eccentricity(
     sf_dir: str, n_workers: int = 4, mod: int = 577, n_seeds: int = 4, unroll: int = 16
 ) -> pd.DataFrame:

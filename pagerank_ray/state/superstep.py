@@ -330,6 +330,15 @@ class ShardWorker:
         self.state *= c
         return True
 
+    def affine_state(self, mul: float, add: float) -> bool:
+        """In-place affine pass x ← mul·x + add over the local state slice
+        (Katz centrality's β + α·Σ fold: the driver applies the scalar terms
+        after a raw MODE_SUM superstep — O(n/W) per worker, no state
+        movement; generalizes scale_state)."""
+        self.state *= mul
+        self.state += add
+        return True
+
     def load_state(self, segs: list, scale: float = 1.0) -> bool:
         """Replace the local state slice from another pool's published range
         slices. ``segs`` = [(src_lo, ref_or_array), ...] covering ≥ [lo, hi);
@@ -879,6 +888,10 @@ class BSPEngine:
     def scale_state(self, c: float):
         """Scale every worker's state slice by c (HITS L1 normalization)."""
         ray.get([w.scale_state.remote(c) for w in self.workers])
+
+    def affine_state(self, mul: float, add: float):
+        """Affine pass x ← mul·x + add on every worker's slice (Katz)."""
+        ray.get([w.affine_state.remote(mul, add) for w in self.workers])
 
     # ---- checkpoint plumbing ------------------------------------------
     def _write_checkpoint(self, ckpt_root: str, extra: dict):

@@ -1562,3 +1562,52 @@ def test_q_community_conductance_planted(ray_session, tmp_path):
     assert out["volume"].tolist() == [7, 7]
     # m = 7 und edges; min(7, 14-7) = 7 → φ = 1/7
     assert (out["conductance"] == round(1 / 7, 6)).all()
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality
+# ---------------------------------------------------------------------------
+
+
+def test_q_katz_matches_numpy(ray_session, tmp_path):
+    """q_katz over a small random graph matches a dense NumPy replay of the
+    identical recurrence (x ← α·(Aᵀ_sym x) + β) on the symmetrized
+    deduplicated edge set."""
+    from pagerank_ray.pipelines.tabular import q_katz
+
+    rng = np.random.default_rng(11)
+    m = 300
+    src = rng.integers(1, 60, m).tolist()
+    dst = rng.integers(1, 60, m).tolist()
+    _write_lineitem_edges(tmp_path, src, dst)
+    alpha, beta, iters = 0.05, 1.0, 8
+    out = q_katz(str(tmp_path), n_workers=2, iters=iters, alpha=alpha, beta=beta)
+
+    pairs = {(s, d) for s, d in zip(src, dst)}
+    sym = pairs | {(d, s) for s, d in pairs}
+    ids = sorted({v for e in sym for v in e})
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for s, d in sym:
+        A[pos[s], pos[d]] = 1.0
+    x = np.ones(n)
+    for _ in range(iters):
+        x = alpha * (A.T @ x) + beta
+    got = out.set_index("id")["katz"]
+    assert len(got) == n
+    for v in ids:
+        assert abs(got[v] - round(x[pos[v]], 6)) <= 2e-6
+
+
+def test_q_katz_bounded_growth(ray_session, tmp_path):
+    """A path graph: scores stay near β (in-degree ≤ 2) and the endpoint
+    score is strictly below the middle score."""
+    from pagerank_ray.pipelines.tabular import q_katz
+
+    src = [1, 2, 3, 4]
+    dst = [2, 3, 4, 5]
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_katz(str(tmp_path), n_workers=2).set_index("id")["katz"]
+    assert out[1] < out[3]
+    assert (out < 1.3).all()
