@@ -1823,6 +1823,34 @@ SELECT doc_id, n_grams, n_dup,
 FROM per ORDER BY doc_id"""
 
 
+def _line_dedup_sql(line_len: int = 8) -> str:
+    """C4-style line-dedup oracle (tabular.q_line_dedup): lines rebuilt as
+    STRINGS (array_to_string of each line_len-word slice), keep-first under
+    pos = doc_id·2¹⁶ + line_idx, per-doc removed counts. The engine computes
+    the identical lines as collision-free 64-bit polynomial hashes."""
+    ll = line_len
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents),
+lines AS (
+  SELECT doc_id, g.i AS li,
+         array_to_string(list_slice(w, g.i*{ll} + 1, (g.i + 1)*{ll}), ' ') AS line,
+         doc_id * 65536 + g.i AS pos
+  FROM t, UNNEST(generate_series(0, CAST(CEIL(len(w)/{ll}.0) AS BIGINT) - 1)) AS g(i)
+  WHERE len(w) >= 1),
+mn AS (SELECT line, MIN(pos) AS mp FROM lines GROUP BY line),
+per AS (
+  SELECT l.doc_id, COUNT(*)::BIGINT AS n_lines,
+         SUM(CASE WHEN l.pos > mn.mp THEN 1 ELSE 0 END)::BIGINT AS n_removed
+  FROM lines l JOIN mn USING (line) GROUP BY l.doc_id)
+SELECT doc_id, n_lines, n_removed,
+       ROUND(n_removed::DOUBLE / n_lines, 6) AS removed_ratio
+FROM per ORDER BY doc_id"""
+
+
 def _pmi_sql(window: int = 2, min_cnt: int = 5, k: int = 30) -> str:
     """Skip-gram PMI oracle (tabular.q_pmi_topk). The PMI expression mirrors
     the engine's float64 association order verbatim:
@@ -2216,6 +2244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
         "katz": tabular.q_katz,  # SQL-oracled (unrolled α·Σ+β recurrence)
+        "line_dedup": tabular.q_line_dedup,  # SQL-oracled (string-line mirror)
         "coreness": tabular.q_coreness,  # SQL-oracled (fixed-grid level peel)
         "orders_events_range": tabular.q_orders_events_range,  # SQL-oracled (range join)
         "key_skew": tabular.q_key_skew,  # SQL-oracled (window/CTE mirror)
@@ -2350,6 +2379,7 @@ def oracle_sql() -> dict[str, str]:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
         "katz": _katz_sql(iters=8, alpha=0.05, beta=1.0),
+        "line_dedup": _line_dedup_sql(line_len=8),
         "coreness": _coreness_sql(levels=10, rounds=10),
         "orders_events_range": _range_join_sql(),
         "key_skew": _key_skew_sql(),

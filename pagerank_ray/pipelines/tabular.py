@@ -3551,6 +3551,129 @@ def q_dup_ngram_ratio(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return res.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_line_dedup(sf_dir: str, line_len: int = 8) -> pd.DataFrame:
+    """C4-style line-level dedup report (Raffel et al. 2020 §2.2's
+    three-sentence-span rule, applied at fixed ``line_len``-word segment
+    granularity — the synthetic docs are single-line word streams, so a
+    "line" is a consecutive 8-word segment, last segment possibly shorter):
+    an occurrence of a line is REMOVED iff the identical line occurs
+    earlier in the corpus under the total order pos = (doc_id, line_idx)
+    (keep-first-global-occurrence — the deterministic version of C4's
+    "keep one"). Per doc with ≥1 token: n_lines, n_removed, ROUND(6) ratio.
+
+    Shape: per-batch vectorized segmenting (token explode; per-line
+    polynomial hash of the token hashes with position weights C^(ll−1−q),
+    so equal hash ≡ equal joined string modulo 64-bit collisions — the
+    dup_ngram_ratio contract); one row per line OCCURRENCE with an encoded
+    position pos = doc_id·2¹⁶ + line_idx (line_idx < 2¹⁶ enforced loudly);
+    line-hash bucketed groupby computes each line's global min pos AND the
+    per-occurrence removed flag in one map_groups (every occurrence of a
+    line lands in its one bucket); per-doc partials combine by doc-bucket.
+    Nothing corpus-sized touches the driver. The oracle rebuilds the lines
+    as STRINGS in DuckDB (__ray_entry__._line_dedup_sql)."""
+    from pagerank_ray.stages.dedup import _POLY_C, _hash_tokens
+
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    with np.errstate(over="ignore"):
+        pw = np.ones(line_len, dtype=np.uint64)
+        for j in range(1, line_len):
+            pw[j] = pw[j - 1] * _POLY_C  # pw[e] = C^e
+
+    def line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        empty = pd.DataFrame(
+            {
+                "g": pd.Series(dtype=np.uint64),
+                "doc_id": pd.Series(dtype=np.int64),
+                "pos": pd.Series(dtype=np.int64),
+            }
+        )
+        if n_tok.sum() == 0:
+            return empty
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        h = np.zeros(len(flat), dtype=np.uint64)
+        h[valid] = _hash_tokens(flat[valid].tolist())
+        h = h[valid]
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), n_tok)
+        # position of each token within its doc
+        starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        p = np.arange(len(h), dtype=np.int64) - starts[doc_idx]
+        li = p // line_len  # line index within doc
+        q = p % line_len  # position within line
+        ll = np.minimum(line_len, n_tok[doc_idx] - li * line_len)  # line length
+        with np.errstate(over="ignore"):
+            w = h * pw[ll - 1 - q]
+        # per-(doc,line) wrapped sum — exact polynomial hash of the line
+        n_lines_per_doc = (n_tok + line_len - 1) // line_len
+        if (n_lines_per_doc >= (1 << 16)).any():
+            raise ValueError("line_idx exceeds the 2^16 position encoding")
+        key = doc_idx * (1 << 16) + li  # unique per (doc,line) within batch
+        order = np.argsort(key, kind="stable")
+        ks, ws = key[order], w[order]
+        bounds = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        with np.errstate(over="ignore"):
+            g = np.add.reduceat(ws, bounds)
+        uk = ks[bounds]
+        ids = df["doc_id"].to_numpy(np.int64)
+        d = ids[(uk >> 16).astype(np.int64)]
+        lidx = (uk & ((1 << 16) - 1)).astype(np.int64)
+        return pd.DataFrame({"g": g, "doc_id": d, "pos": d * (1 << 16) + lidx})
+
+    occ = docs.map_batches(line_rows, batch_format="pandas")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        mixed = (g * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "bucket", pa.array((mixed % np.uint64(n_buckets)).astype(np.int32))
+        )
+
+    def per_line_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        mp = df.groupby("g", sort=False)["pos"].transform("min").to_numpy(np.int64)
+        removed = (df["pos"].to_numpy(np.int64) > mp).astype(np.int64)
+        part = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_lines": np.ones(len(df), dtype=np.int64),
+                "n_removed": removed,
+            }
+        )
+        out = part.groupby("doc_id", sort=False).sum().reset_index()
+        h = (out["doc_id"].to_numpy(np.int64) * np.int64(0x9E3779B1)) & np.int64(
+            0x7FFFFFFF
+        )
+        out["dbkt"] = (h % n_buckets).astype(np.int32)
+        return out
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("doc_id", sort=False)[["n_lines", "n_removed"]]
+            .sum()
+            .reset_index()
+        )
+
+    res = (
+        occ.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_line_bucket, batch_format="pandas")
+        .groupby("dbkt")
+        .map_groups(per_doc, batch_format="pandas")
+        .to_pandas()
+    )
+    res["n_lines"] = res["n_lines"].astype(np.int64)
+    res["n_removed"] = res["n_removed"].astype(np.int64)
+    res["removed_ratio"] = _round_half_away(
+        res["n_removed"].to_numpy(np.float64) / res["n_lines"].to_numpy(np.float64), 6
+    )
+    return res[["doc_id", "n_lines", "n_removed", "removed_ratio"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def q_pmi_topk(sf_dir: str, window: int = 2, min_cnt: int = 5, k: int = 30) -> pd.DataFrame:
     """Top-k token pairs by pointwise mutual information over a ±window
     skip-gram context (Church & Hanks 1990) — the collocation statistic

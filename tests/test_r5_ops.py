@@ -1611,3 +1611,70 @@ def test_q_katz_bounded_growth(ray_session, tmp_path):
     out = q_katz(str(tmp_path), n_workers=2).set_index("id")["katz"]
     assert out[1] < out[3]
     assert (out < 1.3).all()
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level dedup (line_dedup)
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(tmp_path, texts, ids=None):
+    ids = ids if ids is not None else list(range(1, len(texts) + 1))
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+
+
+def test_q_line_dedup_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_line_dedup
+
+    eight = "a b c d e f g h"
+    _write_docs(tmp_path, [
+        eight + " x y",   # doc 1: lines [eight, "x y"] — both first occurrences
+        eight + " x y",   # doc 2: both lines duplicate doc 1's
+        "x y",            # doc 3: duplicates doc 1's tail line
+        "p q",            # doc 4: unique
+    ])
+    out = q_line_dedup(str(tmp_path)).set_index("doc_id")
+    assert out.loc[1, ["n_lines", "n_removed"]].tolist() == [2, 0]
+    assert out.loc[2, ["n_lines", "n_removed"]].tolist() == [2, 2]
+    assert out.loc[3, ["n_lines", "n_removed"]].tolist() == [1, 1]
+    assert out.loc[4, ["n_lines", "n_removed"]].tolist() == [1, 0]
+    assert out.loc[2, "removed_ratio"] == 1.0
+
+
+def test_q_line_dedup_matches_reference(ray_session, tmp_path):
+    """Random word-stream corpus vs a brute-force keep-first replay."""
+    from pagerank_ray.pipelines.tabular import q_line_dedup
+
+    rng = np.random.default_rng(3)
+    vocab = ["w%d" % i for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 40)))
+        for _ in range(60)
+    ]
+    _write_docs(tmp_path, texts)
+    out = q_line_dedup(str(tmp_path)).set_index("doc_id")
+
+    seen = {}
+    want = {}
+    for di, t in enumerate(texts, start=1):
+        w = t.split()
+        nl = (len(w) + 7) // 8
+        rem = 0
+        for li in range(nl):
+            line = " ".join(w[li * 8:(li + 1) * 8])
+            pos = di * 65536 + li
+            if line in seen:
+                rem += 1
+            else:
+                seen[line] = pos
+        want[di] = (nl, rem)
+    for di, (nl, rem) in want.items():
+        assert out.loc[di, "n_lines"] == nl
+        assert out.loc[di, "n_removed"] == rem
