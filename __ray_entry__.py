@@ -1851,6 +1851,40 @@ SELECT doc_id, n_lines, n_removed,
 FROM per ORDER BY doc_id"""
 
 
+def _mixture_weights_sql(tau: float = 0.7) -> str:
+    """Temperature-scaled mixture weights (tabular.q_mixture_weights):
+    s_i = ROUND(POW(n_tokens, τ)·10⁶) as BIGINT — order-free exact sum —
+    then one mirrored float division + ROUND(6)."""
+    return rf"""
+WITH t AS (
+  SELECT source,
+    CASE WHEN TRIM(COALESCE(text, '')) = '' THEN 0
+         ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS nt
+  FROM documents),
+agg AS (SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS n_tokens
+        FROM t GROUP BY source),
+s AS (SELECT source, n_docs, n_tokens,
+      CAST(ROUND(POW(n_tokens, {tau}) * 1000000, 0) AS BIGINT) AS sc FROM agg),
+tot AS (SELECT SUM(sc)::BIGINT AS ts FROM s)
+SELECT source, n_docs, n_tokens,
+       ROUND(sc::DOUBLE / (SELECT ts FROM tot), 6) AS weight
+FROM s ORDER BY source"""
+
+
+_VOCAB_GROWTH_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+fst AS (SELECT tk, MIN(doc_id) AS fd FROM tok GROUP BY tk),
+per AS (SELECT fd AS doc_id, COUNT(*)::BIGINT AS n_new FROM fst GROUP BY fd)
+SELECT doc_id, n_new,
+       SUM(n_new) OVER (ORDER BY doc_id)::BIGINT AS cum_vocab
+FROM per ORDER BY doc_id"""
+
+
 def _pmi_sql(window: int = 2, min_cnt: int = 5, k: int = 30) -> str:
     """Skip-gram PMI oracle (tabular.q_pmi_topk). The PMI expression mirrors
     the engine's float64 association order verbatim:
@@ -2245,6 +2279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window hash-checks them this round ---
         "katz": tabular.q_katz,  # SQL-oracled (unrolled α·Σ+β recurrence)
         "line_dedup": tabular.q_line_dedup,  # SQL-oracled (string-line mirror)
+        "mixture_weights": tabular.q_mixture_weights,  # SQL-oracled (integer-scaled POW)
+        "vocab_growth": tabular.q_vocab_growth,  # SQL-oracled (MIN first-doc + cumsum)
         "coreness": tabular.q_coreness,  # SQL-oracled (fixed-grid level peel)
         "orders_events_range": tabular.q_orders_events_range,  # SQL-oracled (range join)
         "key_skew": tabular.q_key_skew,  # SQL-oracled (window/CTE mirror)
@@ -2380,6 +2416,8 @@ def oracle_sql() -> dict[str, str]:
     out.update({
         "katz": _katz_sql(iters=8, alpha=0.05, beta=1.0),
         "line_dedup": _line_dedup_sql(line_len=8),
+        "mixture_weights": _mixture_weights_sql(tau=0.7),
+        "vocab_growth": _VOCAB_GROWTH_SQL,
         "coreness": _coreness_sql(levels=10, rounds=10),
         "orders_events_range": _range_join_sql(),
         "key_skew": _key_skew_sql(),

@@ -3674,6 +3674,107 @@ def q_line_dedup(sf_dir: str, line_len: int = 8) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_mixture_weights(sf_dir: str, tau: float = 0.7) -> pd.DataFrame:
+    """Temperature-scaled corpus mixture weights (the multilingual-LM
+    sampling rule of Lample & Conneau 2019 / mT5: q_i ∝ p_i^τ with τ < 1
+    upweighting low-resource sources) per ``source``: weight_i =
+    s_i / Σ_j s_j with s_i = ROUND(n_tokens_i^τ · 10⁶) as an EXACT BIGINT —
+    the integer scaling makes the normalizing sum order-free (the
+    powerlaw_alpha trick), leaving one float division + ROUND(6), mirrored
+    verbatim in the oracle. Per-batch per-source partials (≤ n_sources rows
+    each) combine on the driver — bounded by sources × batches, never
+    corpus-sized."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["text"].fillna("").str.split().str.len().fillna(0).astype(np.int64)
+        part = pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": np.ones(len(df), dtype=np.int64),
+                "n_tokens": nt,
+            }
+        )
+        return part.groupby("source", sort=False).sum().reset_index()
+
+    agg = (
+        docs.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", sort=False)
+        .sum()
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    s = _round_half_away(
+        np.power(agg["n_tokens"].to_numpy(np.float64), tau) * 1e6, 0
+    ).astype(np.int64)
+    tot = int(s.sum())
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    agg["n_tokens"] = agg["n_tokens"].astype(np.int64)
+    agg["weight"] = _round_half_away(s.astype(np.float64) / float(tot), 6)
+    return agg[["source", "n_docs", "n_tokens", "weight"]]
+
+
+def q_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth curve: for every distinct token its
+    FIRST document (min doc_id), histogrammed by that document and
+    cumulatively summed in doc_id order — the V(n) curve corpus studies
+    plot to size tokenizer vocabularies. Per-batch distinct (token →
+    min doc) pre-aggregation, token-hash-bucketed grouped MIN, per-doc
+    counts (≤ n_docs rows) cumsummed on the driver — the vocabulary
+    itself never leaves the cluster unaggregated. Docs contributing no
+    first-seen token produce no row (both engines)."""
+    from pagerank_ray.stages.dedup import _hash_tokens
+
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_first(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), np.maximum(n_tok, 1))
+        if not valid.any():
+            return pd.DataFrame(
+                {
+                    "tok": pd.Series(dtype=object),
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        tf = pd.DataFrame({"tok": flat[valid].to_numpy(), "doc_id": doc[valid]})
+        out = tf.groupby("tok", sort=False)["doc_id"].min().reset_index()
+        h = _hash_tokens(out["tok"].tolist())
+        mixed = (h * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)
+        out["bucket"] = (mixed % np.uint64(n_buckets)).astype(np.int32)
+        return out
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        fst = df.groupby("tok", sort=False)["doc_id"].min().reset_index()
+        out = fst.groupby("doc_id", sort=False).size().reset_index(name="n_new")
+        out["n_new"] = out["n_new"].astype(np.int64)
+        return out
+
+    parts = (
+        docs.map_batches(tok_first, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ n_docs × n_buckets rows
+    )
+    res = (
+        parts.groupby("doc_id", sort=False)["n_new"]
+        .sum()
+        .reset_index()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    res["n_new"] = res["n_new"].astype(np.int64)
+    res["cum_vocab"] = res["n_new"].cumsum().astype(np.int64)
+    return res[["doc_id", "n_new", "cum_vocab"]]
+
+
 def q_pmi_topk(sf_dir: str, window: int = 2, min_cnt: int = 5, k: int = 30) -> pd.DataFrame:
     """Top-k token pairs by pointwise mutual information over a ±window
     skip-gram context (Church & Hanks 1990) — the collocation statistic

@@ -1678,3 +1678,39 @@ def test_q_line_dedup_matches_reference(ray_session, tmp_path):
     for di, (nl, rem) in want.items():
         assert out.loc[di, "n_lines"] == nl
         assert out.loc[di, "n_removed"] == rem
+
+
+def test_q_mixture_weights_planted(ray_session, tmp_path):
+    """Two sources, 4:1 token ratio, τ=0.5 → weights 2:1 exactly."""
+    from pagerank_ray.pipelines.tabular import q_mixture_weights
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d e f g h", "w x", "y z"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["big", "small", "small"]),
+        "n_chars": pa.array([15, 3, 3], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_mixture_weights(str(tmp_path), tau=0.5).set_index("source")
+    assert out.loc["big", "n_tokens"] == 8
+    assert out.loc["small", "n_tokens"] == 4
+    # sqrt(8):sqrt(4) = 2·sqrt2 : 2 → weights  0.585786 / 0.414214
+    assert abs(out.loc["big", "weight"] - 0.585786) < 1e-6
+    assert abs(out.loc["small", "weight"] - 0.414214) < 1e-6
+    assert out["n_docs"].tolist() == [1, 2]
+
+
+def test_q_vocab_growth_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_vocab_growth
+
+    _write_docs(tmp_path, [
+        "a b c",      # doc 1: 3 new
+        "b c d",      # doc 2: 1 new (d)
+        "a b",        # doc 3: 0 new — no row
+        "e e e f",    # doc 4: 2 new (e, f)
+    ])
+    out = q_vocab_growth(str(tmp_path))
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["n_new"].tolist() == [3, 1, 2]
+    assert out["cum_vocab"].tolist() == [3, 4, 6]
