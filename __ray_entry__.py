@@ -1851,6 +1851,45 @@ SELECT doc_id, n_lines, n_removed,
 FROM per ORDER BY doc_id"""
 
 
+def _densest_sql(rounds: int = 12) -> str:
+    """Fixed-unroll Bahmani densest-subgraph peel (tabular.q_densest_subgraph):
+    per-round (n, m) over the undirected simple edge set, removal rule
+    2·deg·n ≤ 5·m in exact BIGINTs (ε = 1/4). Empty rounds produce no row
+    (WHERE n_vertices > 0); the engine raises if its natural round count
+    exceeds the unroll."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "g0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, "
+        "GREATEST(s, d) AS b FROM e WHERE s <> d),",
+    ]
+    for r in range(rounds):
+        p.append(
+            f"deg{r} AS MATERIALIZED (SELECT v, COUNT(*)::BIGINT AS dg FROM "
+            f"(SELECT a AS v FROM g{r} UNION ALL SELECT b FROM g{r}) GROUP BY v),"
+        )
+        p.append(f"st{r} AS (SELECT COUNT(*)::BIGINT AS m FROM g{r}),")
+        p.append(f"nv{r} AS (SELECT COUNT(*)::BIGINT AS n FROM deg{r}),")
+        p.append(
+            f"row{r} AS (SELECT {r}::BIGINT AS peel_round, "
+            f"(SELECT n FROM nv{r}) AS n_vertices, (SELECT m FROM st{r}) AS n_edges),"
+        )
+        p.append(
+            f"rm{r} AS MATERIALIZED (SELECT v FROM deg{r} WHERE "
+            f"2*dg*(SELECT n FROM nv{r}) <= 5*(SELECT m FROM st{r})),"
+        )
+        p.append(
+            f"g{r + 1} AS MATERIALIZED (SELECT a, b FROM g{r} WHERE "
+            f"a NOT IN (SELECT v FROM rm{r}) AND b NOT IN (SELECT v FROM rm{r})),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    unions = " UNION ALL ".join(f"SELECT * FROM row{r}" for r in range(rounds))
+    return body + (
+        f"\nSELECT peel_round, n_vertices, n_edges, "
+        f"ROUND(n_edges::DOUBLE / n_vertices, 6) AS density "
+        f"FROM ({unions}) WHERE n_vertices > 0 ORDER BY peel_round"
+    )
+
+
 def _mixture_weights_sql(tau: float = 0.7) -> str:
     """Temperature-scaled mixture weights (tabular.q_mixture_weights):
     s_i = ROUND(POW(n_tokens, τ)·10⁶) as BIGINT — order-free exact sum —
@@ -2281,6 +2320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": tabular.q_line_dedup,  # SQL-oracled (string-line mirror)
         "mixture_weights": tabular.q_mixture_weights,  # SQL-oracled (integer-scaled POW)
         "vocab_growth": tabular.q_vocab_growth,  # SQL-oracled (MIN first-doc + cumsum)
+        "densest_subgraph": tabular.q_densest_subgraph,  # SQL-oracled (integer peel rule)
         "coreness": tabular.q_coreness,  # SQL-oracled (fixed-grid level peel)
         "orders_events_range": tabular.q_orders_events_range,  # SQL-oracled (range join)
         "key_skew": tabular.q_key_skew,  # SQL-oracled (window/CTE mirror)
@@ -2418,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_sql(line_len=8),
         "mixture_weights": _mixture_weights_sql(tau=0.7),
         "vocab_growth": _VOCAB_GROWTH_SQL,
+        "densest_subgraph": _densest_sql(rounds=12),
         "coreness": _coreness_sql(levels=10, rounds=10),
         "orders_events_range": _range_join_sql(),
         "key_skew": _key_skew_sql(),

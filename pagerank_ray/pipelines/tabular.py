@@ -680,6 +680,36 @@ def q_kcore(sf_dir: str, k: int = 7) -> pd.DataFrame:
     return df[["id", "core_deg"]].sort_values("id").reset_index(drop=True)
 
 
+def q_densest_subgraph(sf_dir: str, unroll: int = 12) -> pd.DataFrame:
+    """Densest-subgraph peel profile (Bahmani, Kumar & Vazirani, VLDB 2012
+    2(1+ε)-approx with ε = 1/4 so the removal rule 2·deg·n ≤ 5·m is exact
+    integer — pipelines/densest.py): one row per peel round with the
+    surviving (n, m) and density m/n; the max-density row is the approximate
+    densest subgraph. Runs over the undirected simple lineitem graph;
+    hash-checked against a fixed-unroll DuckDB oracle with the identical
+    integer rule (__ray_entry__._densest_sql)."""
+    from pagerank_ray.pipelines.densest import densest_subgraph
+    from pagerank_ray.stages.csr import symmetrize
+
+    sym = symmetrize(lineitem_edges(sf_dir))
+
+    def noself(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.equal(t.column("src_id"), t.column("dst_id"))))
+
+    rows = densest_subgraph(sym.map_batches(noself, batch_format="pyarrow"))
+    if len(rows) > unroll:
+        raise RuntimeError(
+            f"densest peel took {len(rows)} rounds; oracle unrolls {unroll}"
+        )
+    df = pd.DataFrame(rows, columns=["peel_round", "n_vertices", "n_edges"])
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    df["density"] = _round_half_away(
+        df["n_edges"].to_numpy(np.float64) / df["n_vertices"].to_numpy(np.float64), 6
+    )
+    return df.sort_values("peel_round").reset_index(drop=True)
+
+
 def q_triangles(sf_dir: str) -> pd.DataFrame:
     """Per-vertex triangle counts of the (undirected, simple) lineitem graph —
     hash-checked against an oriented-wedge self-join DuckDB oracle with the

@@ -1714,3 +1714,78 @@ def test_q_vocab_growth_planted(ray_session, tmp_path):
     assert out["doc_id"].tolist() == [1, 2, 4]
     assert out["n_new"].tolist() == [3, 1, 2]
     assert out["cum_vocab"].tolist() == [3, 4, 6]
+
+
+# ---------------------------------------------------------------------------
+# Densest subgraph (Bahmani peel)
+# ---------------------------------------------------------------------------
+
+
+def _densest_reference(pairs):
+    E = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    rows = []
+    r = 0
+    while E:
+        deg = {}
+        for a, b in E:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        n, m = len(deg), len(E)
+        rows.append((r, n, m))
+        rm = {v for v, d in deg.items() if 2 * d * n <= 5 * m}
+        E = {(a, b) for a, b in E if a not in rm and b not in rm}
+        r += 1
+    return rows
+
+
+def test_q_densest_subgraph_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_densest_subgraph
+
+    # K5 (density 2.0) + a pendant path: the peel sheds the path first,
+    # leaving the clique as the max-density round
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    path = [(5, 10), (10, 11), (11, 12)]
+    edges = k5 + path
+    _write_lineitem_edges(tmp_path, [e[0] for e in edges], [e[1] for e in edges])
+    out = q_densest_subgraph(str(tmp_path))
+    want = _densest_reference(edges)
+    assert list(map(tuple, out[["peel_round", "n_vertices", "n_edges"]].values)) == want
+    # 2(1+ε)-approx guarantee: max round density ≥ OPT/2.5 (OPT = K5's 2.0)
+    assert out["density"].max() >= 2.0 / 2.5
+
+
+def test_q_densest_subgraph_random(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_densest_subgraph
+
+    rng = np.random.default_rng(9)
+    m = 500
+    src = rng.integers(1, 80, m).tolist()
+    dst = rng.integers(1, 80, m).tolist()
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_densest_subgraph(str(tmp_path))
+    want = _densest_reference(list(zip(src, dst)))
+    assert list(map(tuple, out[["peel_round", "n_vertices", "n_edges"]].values)) == want
+
+
+def test_densest_distributed_equals_tail(ray_session):
+    """tail_cutoff=0 forces every round through the distributed path; the
+    profile must match the one-task tail bit-for-bit."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.densest import densest_subgraph
+
+    rng = np.random.default_rng(17)
+    m = 300
+    src = rng.integers(0, 50, m)
+    dst = rng.integers(0, 50, m)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    sym = pa.table({
+        "src_id": pa.array(np.concatenate([pairs[:, 0], pairs[:, 1]]), pa.int64()),
+        "dst_id": pa.array(np.concatenate([pairs[:, 1], pairs[:, 0]]), pa.int64()),
+    })
+    r_tail = densest_subgraph(rd.from_arrow(sym), tail_cutoff=10**9)
+    r_dist = densest_subgraph(rd.from_arrow(sym), tail_cutoff=0)
+    assert r_tail == r_dist
