@@ -853,6 +853,49 @@ m AS (
 SELECT id, MIN(w)::BIGINT AS scc FROM m GROUP BY id ORDER BY id"""
 
 
+# the thinned part-flow graph (tabular.bowtie_edges): raw part-flow is one
+# giant SCC — the thinning keeps a real core plus IN/OUT/OTHER classes
+_BOWTIE_EDGES = (
+    "(SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d "
+    "FROM lineitem a JOIN lineitem b ON b.l_orderkey = a.l_orderkey "
+    "AND b.l_linenumber = a.l_linenumber + 1 "
+    "AND a.l_quantity <= 25 AND a.l_partkey % 3 <= b.l_partkey % 3)"
+)
+
+
+def _bowtie_sql() -> str:
+    """Bow-tie classification oracle (tabular.q_bowtie): reuses the SCC
+    oracle's recursive reachability closure; core = largest SCC (ties →
+    smallest label), IN/OUT read directly off the closure — CASE priority
+    mirrors the engine's core → IN → OUT → OTHER order."""
+    return f"""
+WITH RECURSIVE pe AS MATERIALIZED {_BOWTIE_EDGES},
+v AS MATERIALIZED (SELECT DISTINCT id FROM
+  (SELECT s AS id FROM pe UNION ALL SELECT d FROM pe)),
+r AS (
+  SELECT s AS a, d AS b FROM pe
+  UNION
+  SELECT r.a, pe.d FROM r JOIN pe ON pe.s = r.b
+),
+m AS (
+  SELECT id, id AS w FROM v
+  UNION
+  SELECT r1.a AS id, r1.b AS w FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+scc AS MATERIALIZED (SELECT id, MIN(w)::BIGINT AS scc FROM m GROUP BY id),
+sz AS (SELECT scc, COUNT(*)::BIGINT AS c FROM scc GROUP BY scc),
+core AS (SELECT scc FROM sz ORDER BY c DESC, scc LIMIT 1),
+cm AS MATERIALIZED (SELECT id FROM scc WHERE scc = (SELECT scc FROM core)),
+fwd AS MATERIALIZED (SELECT DISTINCT r.b AS id FROM r JOIN cm ON cm.id = r.a),
+rev AS MATERIALIZED (SELECT DISTINCT r.a AS id FROM r JOIN cm ON cm.id = r.b)
+SELECT v.id,
+  CASE WHEN v.id IN (SELECT id FROM cm) THEN 0
+       WHEN v.id IN (SELECT id FROM rev) THEN 1
+       WHEN v.id IN (SELECT id FROM fwd) THEN 2
+       ELSE 3 END::BIGINT AS cls
+FROM v ORDER BY v.id"""
+
+
 def _salsa_sql(iters: int = 5) -> str:
     """Unrolled SALSA (tabular.q_salsa): HITS with degree-normalized sums —
     each contribution is ``x * (1.0/deg)``, the exact arithmetic of the
@@ -2321,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": tabular.q_mixture_weights,  # SQL-oracled (integer-scaled POW)
         "vocab_growth": tabular.q_vocab_growth,  # SQL-oracled (MIN first-doc + cumsum)
         "densest_subgraph": tabular.q_densest_subgraph,  # SQL-oracled (integer peel rule)
+        "bowtie": tabular.q_bowtie,  # SQL-oracled (shared reachability closure)
         "coreness": tabular.q_coreness,  # SQL-oracled (fixed-grid level peel)
         "orders_events_range": tabular.q_orders_events_range,  # SQL-oracled (range join)
         "key_skew": tabular.q_key_skew,  # SQL-oracled (window/CTE mirror)
@@ -2459,6 +2503,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": _mixture_weights_sql(tau=0.7),
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "densest_subgraph": _densest_sql(rounds=12),
+        "bowtie": _bowtie_sql(),
         "coreness": _coreness_sql(levels=10, rounds=10),
         "orders_events_range": _range_join_sql(),
         "key_skew": _key_skew_sql(),

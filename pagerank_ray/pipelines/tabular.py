@@ -3095,6 +3095,46 @@ def partflow_edges(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
     return dedup_pairs(raw)
 
 
+def bowtie_edges(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
+    """Directed part-flow variant with genuine bow-tie macro-structure: the
+    raw part-flow graph is one giant SCC (everything CORE — a degenerate
+    decomposition), so edges are kept only when the source line item has
+    l_quantity ≤ 25 AND src_part % 3 ≤ dst_part % 3 — the mod-3 ordering
+    makes most flow one-way (mod-class 0 → 1 → 2, DAG-like) while the ≤
+    keeps within-class cycles (a real core), and the quantity thinning
+    disconnects tendrils. All four Broder classes are populated at every
+    test scale. Same co-partitioned self-merge + pair-dedup shape as
+    partflow_edges."""
+    from pagerank_ray.stages.graph_build import dedup_pairs
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey",
+                                    "l_quantity"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("b", pa.array((ok % n_buckets).astype(np.int64)))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"]].rename(
+            columns={"l_partkey": "src_id"}
+        )
+        b = df[["l_orderkey", "l_linenumber", "l_partkey"]].copy()
+        b["l_linenumber"] = b["l_linenumber"] - 1
+        b = b.rename(columns={"l_partkey": "dst_id"})
+        out = a.merge(b, on=["l_orderkey", "l_linenumber"])
+        keep = (out["l_quantity"].to_numpy() <= 25) & (
+            out["src_id"].to_numpy() % 3 <= out["dst_id"].to_numpy() % 3
+        )
+        return out.loc[keep, ["src_id", "dst_id"]]
+
+    raw = (
+        li.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return dedup_pairs(raw)
+
+
 def q_scc(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
     """Strongly connected components (pipelines/scc.py — distributed FW-BW
     coloring, no new superstep mode) over the cyclic part-flow graph;
@@ -3115,6 +3155,69 @@ def q_scc(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
     )
     df = _attach_orig(res.result, id_map, n, ["id", "scc"])
     return df[["id", "scc"]].sort_values("id").reset_index(drop=True)
+
+
+def q_bowtie(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
+    """Bow-tie decomposition of a directed web-style graph (Broder et al.,
+    WWW 2000 — THE Common-Crawl macro-structure analysis): vertices classed
+    against the giant SCC as CORE=0 (the largest SCC, ties → smallest
+    min-member label), IN=1 (reaches the core), OUT=2 (reached from the
+    core), OTHER=3 (tendrils/tubes/disconnected). Runs over the thinned
+    part-flow graph (``bowtie_edges`` — the raw part-flow graph is one
+    giant SCC, a degenerate all-CORE decomposition; the thinned variant
+    populates all four classes at every test scale).
+
+    Composition, no new kernels: distributed FW-BW SCC (pipelines/scc.py) →
+    one multi-source MODE_DIST BFS from the core over the forward CSR (OUT)
+    and one over the reversed CSR (IN). Driver holds only n-row per-vertex
+    frames (the _attach_orig bounded contract; the scale path replaces the
+    driver argmax with a grouped count + limit). Hash-checked against a
+    DuckDB oracle that classifies via the SAME recursive reachability
+    closure the SCC oracle builds (__ray_entry__._bowtie_sql)."""
+    from pagerank_ray.pipelines.cc import bfs_levels
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    from pagerank_ray.pipelines.scc import strongly_connected_components
+
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "bt", lambda: bowtie_edges(sf_dir)
+    )
+    dense_edges = dense_edges.materialize()
+    work = tempfile.mkdtemp(prefix="bowtieq_")
+    res = strongly_connected_components(
+        dense_edges, n, work, n_workers=n_workers
+    )
+    scc = res.result.to_pandas().sort_values("id").reset_index(drop=True)
+    sizes = scc.groupby("scc").size().sort_index()
+    core_label = int(sizes.idxmax())  # sorted index → ties pick min label
+    core_ids = scc.loc[scc["scc"] == core_label, "id"].to_numpy(np.int64)
+
+    csr_fwd = os.path.join(_graph_workdir(sf_dir, "btfwd"), "csr")
+    csr_rev = os.path.join(_graph_workdir(sf_dir, "btrev"), "csr")
+    prepare_csr_from_edges(dense_edges, n, csr_fwd, n_parts=4 * n_workers)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src_id": t.column("dst_id"), "dst_id": t.column("src_id")})
+
+    prepare_csr_from_edges(
+        dense_edges.map_batches(swap, batch_format="pyarrow"),
+        n, csr_rev, n_parts=4 * n_workers,
+    )
+    inf = np.int64(1) << 62
+    out_d = (
+        bfs_levels(csr_fwd, core_ids, n_workers=n_workers)
+        .result.to_pandas().sort_values("id")["dist"].to_numpy(np.int64)
+    )
+    in_d = (
+        bfs_levels(csr_rev, core_ids, n_workers=n_workers)
+        .result.to_pandas().sort_values("id")["dist"].to_numpy(np.int64)
+    )
+    is_core = (scc["scc"] == core_label).to_numpy()
+    cls = np.where(is_core, 0, np.where(in_d < inf, 1, np.where(out_d < inf, 2, 3)))
+    im = id_map.to_pandas().sort_values("dense")
+    out = pd.DataFrame(
+        {"id": im["orig"].to_numpy(np.int64), "cls": cls.astype(np.int64)}
+    )
+    return out.sort_values("id").reset_index(drop=True)
 
 
 def q_random_walks(

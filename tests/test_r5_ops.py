@@ -1789,3 +1789,37 @@ def test_densest_distributed_equals_tail(ray_session):
     r_tail = densest_subgraph(rd.from_arrow(sym), tail_cutoff=10**9)
     r_dist = densest_subgraph(rd.from_arrow(sym), tail_cutoff=0)
     assert r_tail == r_dist
+
+
+# ---------------------------------------------------------------------------
+# Bow-tie decomposition (Broder et al. 2000)
+# ---------------------------------------------------------------------------
+
+
+def test_q_bowtie_planted(ray_session, tmp_path):
+    """Hand bow-tie over the thinned part-flow rule (all parts ≡ 0 mod 3,
+    qty ≤ 25 so every consecutive pair survives the filter): core cycle
+    3→6→9→3, IN 12→3, OUT 9→15, disconnected pair 21→24."""
+    from pagerank_ray.pipelines.tabular import q_bowtie
+
+    orders = [
+        (1, 3, 6), (2, 6, 9), (3, 9, 3),   # the core cycle
+        (4, 12, 3),                        # IN
+        (5, 9, 15),                        # OUT
+        (6, 21, 24),                       # OTHER (disconnected)
+    ]
+    ok, ln, pk, qty = [], [], [], []
+    for o, a, b in orders:
+        ok += [o, o]; ln += [1, 2]; pk += [a, b]; qty += [10.0, 10.0]
+    tbl = pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_linenumber": pa.array(ln, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+        "l_quantity": pa.array(qty, pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_bowtie(str(tmp_path), n_workers=2).set_index("id")["cls"]
+    assert out[3] == 0 and out[6] == 0 and out[9] == 0
+    assert out[12] == 1
+    assert out[15] == 2
+    assert out[21] == 3 and out[24] == 3
