@@ -238,6 +238,10 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
         "ann_recall", "weighted_sample_docs", "powerlaw_alpha", "transitivity",
         "hyperball", "graph_growth", "community_conductance",
     ],
+    "r5e": [
+        "katz", "line_dedup", "mixture_weights", "vocab_growth",
+        "densest_subgraph", "bowtie",
+    ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
 
@@ -366,11 +370,21 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("weighted_sample_docs", lambda: tabular.q_weighted_sample_docs(SF_DIR))
     timed("powerlaw_alpha", lambda: tabular.q_powerlaw_alpha(SF_DIR))
     timed("transitivity", lambda: tabular.q_transitivity(SF_DIR))
-    timed("hyperball", "graph_growth", "community_conductance", lambda: tabular.q_hyperball(SF_DIR))
+    timed("hyperball", lambda: tabular.q_hyperball(SF_DIR))
+    timed("graph_growth", lambda: tabular.q_graph_growth(SF_DIR))
+    timed("community_conductance", lambda: tabular.q_community_conductance(SF_DIR))
     timed("cms_heavy_hitters", lambda: tabular.q_cms_heavy_hitters(SF_DIR))
     timed("gopher_quality", lambda: tabular.q_gopher_quality(SF_DIR))
     timed("repetition_stats", lambda: tabular.q_repetition_stats(SF_DIR))
     timed("doc_entropy", lambda: tabular.q_doc_entropy(SF_DIR))
+    # r5e additions: Katz centrality, C4 line dedup, mixture weights,
+    # Heaps-law vocab growth, densest subgraph, bow-tie decomposition
+    timed("katz", lambda: tabular.q_katz(SF_DIR))
+    timed("line_dedup", lambda: tabular.q_line_dedup(SF_DIR))
+    timed("mixture_weights", lambda: tabular.q_mixture_weights(SF_DIR))
+    timed("vocab_growth", lambda: tabular.q_vocab_growth(SF_DIR))
+    timed("densest_subgraph", lambda: tabular.q_densest_subgraph(SF_DIR))
+    timed("bowtie", lambda: tabular.q_bowtie(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -45,10 +45,83 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from pagerank_ray.pipelines.cc import _run_label_loop
 from pagerank_ray.state.superstep import BSPEngine, MODE_MIN
+
+
+@ray.remote
+def _scc_tail(edge_blocks: list, v_blocks: list, max_rounds: int):
+    """Finish the decomposition in ONE task once the remnant fits a worker:
+    the SAME FW-BW coloring rounds as the distributed loop (module
+    docstring steps 1-5), numpy passes over in-memory arrays instead of
+    supersteps + Dataset joins. Same in-memory-tail shape as
+    coreness._coreness_tail — late rounds settle remnants of a few dozen
+    vertices, where per-round engine spawns are pure fixed latency.
+
+    Each hash-min fixpoint interleaves edge relaxations with pointer-jumping
+    compression (F ← min(F, F[F]) — a min ancestor's min ancestor is an
+    ancestor, so compression is sound and cuts the fixpoint from O(diameter)
+    to O(log) edge passes; Stergiou et al. shortcutting, as in the CC
+    literature). Returns ((id, scc) arrow table, rounds used)."""
+    etabs = [t for t in ray.get(list(edge_blocks)) if t.num_rows]
+    vtabs = [t for t in ray.get(list(v_blocks)) if t.num_rows]
+    src = np.concatenate(
+        [t.column("src_id").to_numpy(zero_copy_only=False) for t in etabs]
+        or [np.array([], np.int64)]
+    )
+    dst = np.concatenate(
+        [t.column("dst_id").to_numpy(zero_copy_only=False) for t in etabs]
+        or [np.array([], np.int64)]
+    )
+    ids = np.unique(
+        np.concatenate(
+            [t.column("id").to_numpy(zero_copy_only=False) for t in vtabs]
+            or [np.array([], np.int64)]
+        )
+    )
+    # order-preserving dense remap: min dense id ≡ min original id
+    s = np.searchsorted(ids, src)
+    d = np.searchsorted(ids, dst)
+    n = len(ids)
+    scc = np.full(n, -1, np.int64)
+    alive = np.ones(n, bool)
+    base = np.arange(n, dtype=np.int64)
+
+    def hash_min_fixpoint(su: np.ndarray, du: np.ndarray) -> np.ndarray:
+        lab = base.copy()
+        while True:
+            while True:  # pointer-jumping compression (O(n) passes)
+                nxt = np.minimum(lab, lab[lab])
+                if np.array_equal(nxt, lab):
+                    break
+                lab = nxt
+            nxt = lab.copy()
+            np.minimum.at(nxt, du, lab[su])
+            if np.array_equal(nxt, lab):
+                return lab
+            lab = nxt
+
+    rounds = 0
+    while alive.any():
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"SCC tail did not finish within {max_rounds} rounds "
+                f"({int(alive.sum())} vertices still active)"
+            )
+        f = hash_min_fixpoint(s, d)
+        same = f[s] == f[d]  # an SCC never spans two colors
+        s2, d2 = s[same], d[same]
+        b = hash_min_fixpoint(d2, s2)  # backward: reversed same-color edges
+        done = alive & (f == b)
+        scc[done] = ids[f[done]]
+        alive &= ~done
+        keep = same & alive[s] & alive[d]
+        s, d = s[keep], d[keep]
+    return pa.table({"id": ids, "scc": scc}), rounds
 
 
 @dataclass
@@ -126,6 +199,7 @@ def strongly_connected_components(
     n_workers: int,
     max_rounds: int = 30,
     max_label_iters: int = 500,
+    tail_cutoff: int = 4_000_000,
 ) -> SCCResult:
     """``edges``: directed (src_id, dst_id) in dense 0..n-1 id space (dense
     ids sorted by original id, so min-label semantics survive the mapping).
@@ -133,6 +207,15 @@ def strongly_connected_components(
 
     ``max_label_iters`` bounds each hash-min fixpoint (O(diameter)
     supersteps) — raise it for high-diameter inputs (ADVICE r4).
+
+    ``tail_cutoff``: once the active remnant (edges AND vertices) fits one
+    worker, the remaining rounds finish in a single ``_scc_tail`` task —
+    the identical FW-BW coloring on in-memory numpy arrays. Late rounds
+    settle remnants of a few dozen vertices where per-round CSR builds +
+    actor spawns are pure fixed latency (measured: the thinned bow-tie
+    graph's rounds 2-7 cost 92 s distributed vs <1 s in the tail). Set 0
+    to force every round through the distributed path (tests do, to keep
+    multi-round coverage).
 
     Per-round remnant compaction (VERDICT r4 item 5): every round densely
     remaps the surviving endpoint universe to 0..n_r-1 before the two
@@ -265,6 +348,24 @@ def strongly_connected_components(
             round_stats.append({"round": rounds, "n_active": _active_in,
                                 "n_endpoints": 0,
                                 "secs": round(_time.perf_counter() - _t0, 2)})
+            break
+
+        if tail_cutoff and m_edges <= tail_cutoff and n_active <= tail_cutoff:
+            # in-memory tail: finish every remaining round in one task
+            tail_tab, tail_rounds = ray.get(
+                _scc_tail.remote(
+                    e.to_arrow_refs(),
+                    active_v.to_arrow_refs(),
+                    max_rounds - rounds + 1,
+                )
+            )
+            settled_r = rd.from_arrow(tail_tab).materialize()
+            settled_parts.append(settled_r)
+            _write_ckpt(rdir, settled_r, True, None, None, 0)
+            round_stats.append({"round": rounds, "n_active": _active_in,
+                                "n_endpoints": int(tail_tab.num_rows),
+                                "secs": round(_time.perf_counter() - _t0, 2),
+                                "tail": True, "tail_rounds": tail_rounds})
             break
 
         if rounds == 1 and n_active == n:

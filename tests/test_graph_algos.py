@@ -453,10 +453,18 @@ def test_scc_random_graph_matches_closure_oracle(ray_session, tmp_path):
     src, dst = pairs[:, 0].copy(), pairs[:, 1].copy()
 
     edges = rd.from_arrow(pa.table({"src_id": src, "dst_id": dst}))
+    # distributed rounds (tail disabled) — the multi-round FW-BW path
     res = strongly_connected_components(
-        edges, n, str(tmp_path / "scc"), n_workers=2
+        edges, n, str(tmp_path / "scc"), n_workers=2, tail_cutoff=0
     )
     got = res.result.to_pandas().sort_values("id").reset_index(drop=True)
+    # in-memory tail path (kicks in at round 1 on this size) must agree
+    res_t = strongly_connected_components(
+        edges, n, str(tmp_path / "scc_tail"), n_workers=2
+    )
+    got_t = res_t.result.to_pandas().sort_values("id").reset_index(drop=True)
+    assert res_t.round_stats and res_t.round_stats[-1].get("tail")
+    np.testing.assert_array_equal(got["scc"].to_numpy(), got_t["scc"].to_numpy())
 
     R = np.eye(n, dtype=bool)
     A = np.zeros((n, n), bool)
@@ -546,11 +554,11 @@ def test_scc_checkpoint_resume_equals_continuous(ray_session, tmp_path):
     edges = rd.from_arrow(pa.table({"src_id": pairs[:, 0].copy(),
                                     "dst_id": pairs[:, 1].copy()}))
     work = str(tmp_path / "scc")
-    r1 = strongly_connected_components(edges, n, work, n_workers=2)
+    r1 = strongly_connected_components(edges, n, work, n_workers=2, tail_cutoff=0)
     g1 = r1.result.to_pandas().sort_values("id").reset_index(drop=True)
 
     # full replay from checkpoints
-    r2 = strongly_connected_components(edges, n, work, n_workers=2)
+    r2 = strongly_connected_components(edges, n, work, n_workers=2, tail_cutoff=0)
     g2 = r2.result.to_pandas().sort_values("id").reset_index(drop=True)
     assert r2.rounds == r1.rounds
     np.testing.assert_array_equal(g1["scc"].to_numpy(), g2["scc"].to_numpy())
@@ -560,7 +568,7 @@ def test_scc_checkpoint_resume_equals_continuous(ray_session, tmp_path):
         shutil.rmtree(f"{work}/ckpt_r{r}", ignore_errors=True)
         shutil.rmtree(f"{work}/r{r}_fwd", ignore_errors=True)
         shutil.rmtree(f"{work}/r{r}_rev", ignore_errors=True)
-    r3 = strongly_connected_components(edges, n, work, n_workers=2)
+    r3 = strongly_connected_components(edges, n, work, n_workers=2, tail_cutoff=0)
     g3 = r3.result.to_pandas().sort_values("id").reset_index(drop=True)
     assert r3.rounds == r1.rounds
     np.testing.assert_array_equal(g1["scc"].to_numpy(), g3["scc"].to_numpy())
@@ -608,9 +616,11 @@ def test_scc_max_label_iters_plumbed(ray_session, tmp_path):
         "dst_id": np.array([p[1] for p in pairs], np.int64)}))
     with pytest.raises(RuntimeError, match="did not converge in 5"):
         strongly_connected_components(
-            edges, k, str(tmp_path / "s1"), n_workers=2, max_label_iters=5)
+            edges, k, str(tmp_path / "s1"), n_workers=2, max_label_iters=5,
+            tail_cutoff=0)
     ok = strongly_connected_components(
-        edges, k, str(tmp_path / "s2"), n_workers=2, max_label_iters=k + 2)
+        edges, k, str(tmp_path / "s2"), n_workers=2, max_label_iters=k + 2,
+        tail_cutoff=0)
     assert set(ok.result.to_pandas()["scc"]) == {0}
 
 
