@@ -2386,11 +2386,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_ratio": tabular.q_dup_ngram_ratio,  # SQL-oracled (string 5-grams)
         "pmi_topk": tabular.q_pmi_topk,  # SQL-oracled (mirrored float expr)
         "adamic_adar": tabular.q_adamic_adar,  # SQL-oracled (ROUND(4) contract)
+        # --- new in r5 (must be driver-checked this round) ---
+        "bpe_token_counts": tabular.q_bpe_token_counts,  # SQL-oracled (_bpe_sql recursive merges)
+        "bpe_token_topk": tabular.q_bpe_token_topk,  # SQL-oracled (token split of the merge walk)
+        "semantic_dedup_docs": tabular.q_semantic_dedup_docs,  # SQL-oracled (embeddings recomputed in SQL)
+        "decontaminate_docs": tabular.q_decontaminate_docs,  # SQL-oracled (3-gram intersect vs holdout)
+        "betweenness": tabular.q_betweenness,  # SQL-oracled (unrolled Brandes)
+        "embed_documents": tabular.q_embed_documents,  # SQL-oracled (_embed_sql feature hashing)
+        "knn_ivf_embedded": tabular.q_knn_ivf_embedded,  # SQL-oracled (inference feeds IVF; nprobe=nlist)
+        "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
         # --- r3-tail rotation (VERDICT r4 item 1): the driver checks ~50
-        # queries per round in dict order; these 22 carry green rows only
-        # from r3 and must lead to get fresh CORRECTNESS_r05 rows.
-        # jaccard_pairs leads: its shared verify kernel's signature changed
-        # since its last green row (only minhash re-verified it in r4). ---
+        # queries per round in dict order. Never-driver-checked entries take
+        # priority above; the remaining window re-checks the riskiest of the
+        # r3-only-green tail (jaccard_pairs leads: its shared verify kernel's
+        # signature changed since its last green row — only minhash
+        # re-verified it in r4). Seven stable pure-relational r3 re-checks
+        # are deferred below the window. ---
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
         "token_counts": tabular.q_token_counts,
         "lang_distribution": tabular.q_lang_distribution,
@@ -2405,23 +2416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_burst": tabular.q_error_burst,  # SQL-oracled (range join)
         "json_extract_stats": tabular.q_json_extract_stats,  # SQL-oracled (json field agg)
         "nation_trade_graph": tabular.q_nation_trade_graph,  # SQL-oracled (quotient graph)
-        "pivot_returnflag": tabular.q_pivot_returnflag,  # SQL-oracled (wide cond. agg)
-        "orders_percent_rank": tabular.q_orders_percent_rank,  # SQL-oracled (window)
-        "parts_shipped_both": tabular.q_parts_shipped_both,  # SQL-oracled (full outer)
-        "qty_price_corr": tabular.q_qty_price_corr,  # SQL-oracled (grouped Pearson)
-        "price_stats_by_flag": tabular.q_price_stats_by_flag,  # SQL-oracled (stddev)
-        "orders_by_month": tabular.q_orders_by_month,  # SQL-oracled (date parts)
-        "parts_shipped_diff": tabular.q_parts_shipped_diff,  # SQL-oracled (EXCEPT)
         "pagerank_top20_profile": tabular.q_pagerank_top20_profile,  # SQL-oracled (composition)
-        # --- new in r5 (must be driver-checked this round) ---
-        "bpe_token_counts": tabular.q_bpe_token_counts,  # SQL-oracled (_bpe_sql recursive merges)
-        "bpe_token_topk": tabular.q_bpe_token_topk,  # SQL-oracled (token split of the merge walk)
-        "semantic_dedup_docs": tabular.q_semantic_dedup_docs,  # SQL-oracled (embeddings recomputed in SQL)
-        "decontaminate_docs": tabular.q_decontaminate_docs,  # SQL-oracled (3-gram intersect vs holdout)
-        "betweenness": tabular.q_betweenness,  # SQL-oracled (unrolled Brandes)
-        "embed_documents": tabular.q_embed_documents,  # SQL-oracled (_embed_sql feature hashing)
-        "knn_ivf_embedded": tabular.q_knn_ivf_embedded,  # SQL-oracled (inference feeds IVF; nprobe=nlist)
-        "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
         # --- execution path CHANGED in r5 (shared cached id compaction /
         # scc remnant compaction) — all must get fresh CORRECTNESS_r05 rows ---
         "scc": tabular.q_scc,  # SQL-oracled (_scc_sql reachability closure)
@@ -2454,6 +2449,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": tabular.q_assortativity,  # SQL-oracled
         "lp_modularity": tabular.q_lp_modularity,  # SQL-oracled (LP ∘ modularity)
         # --- r4-green entries below (byte-unchanged unless noted) ---
+        # (stable pure-relational r3 re-checks deferred below the ~50-row
+        #  driver window in favor of never-checked entries)
+        "pivot_returnflag": tabular.q_pivot_returnflag,  # SQL-oracled (wide cond. agg)
+        "orders_percent_rank": tabular.q_orders_percent_rank,  # SQL-oracled (window)
+        "parts_shipped_both": tabular.q_parts_shipped_both,  # SQL-oracled (full outer)
+        "qty_price_corr": tabular.q_qty_price_corr,  # SQL-oracled (grouped Pearson)
+        "price_stats_by_flag": tabular.q_price_stats_by_flag,  # SQL-oracled (stddev)
+        "orders_by_month": tabular.q_orders_by_month,  # SQL-oracled (date parts)
+        "parts_shipped_diff": tabular.q_parts_shipped_diff,  # SQL-oracled (EXCEPT)
         "simhash_pairs": tabular.q_simhash_pairs,  # SQL-oracled (_simhash_sql)
         "doc_fingerprint": tabular.q_doc_fingerprint,  # SQL-oracled (_fingerprint_sql)
         "doc_quality": tabular.q_doc_quality,  # SQL-oracled
