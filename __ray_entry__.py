@@ -2359,6 +2359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
+        "bm25_topk": tabular.q_bm25_topk,  # SQL-oracled (mirrored Okapi formula)
         "katz": tabular.q_katz,  # SQL-oracled (unrolled α·Σ+β recurrence)
         "line_dedup": tabular.q_line_dedup,  # SQL-oracled (string-line mirror)
         "mixture_weights": tabular.q_mixture_weights,  # SQL-oracled (integer-scaled POW)
@@ -2502,6 +2503,29 @@ def oracle_sql() -> dict[str, str]:
     if pr_iters is not None:
         out["pagerank"] = _pagerank_sql(iters=pr_iters, alpha=0.85)
     out.update({
+        "bm25_topk": (
+            # same whitespace tokenization as tfidf_topk; Lucene-smoothed
+            # idf ln(1+(N-df+0.5)/(df+0.5)), k1=1.2 b=0.75; scores rounded
+            # half-away(6) on both engines, ties break on doc_id
+            "WITH t AS (SELECT doc_id, CASE WHEN TRIM(text)='' THEN []::VARCHAR[] "
+            "ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS w FROM documents), "
+            "tok AS (SELECT doc_id, unnest(w) AS term FROM t), "
+            "dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM t), "
+            "q AS (SELECT unnest(['hash','merge','vector']) AS term), "
+            "tf AS (SELECT dl.doc_id, q.term, "
+            "COALESCE(c.tf, 0)::BIGINT AS tf, dl.dl FROM dl CROSS JOIN q "
+            "LEFT JOIN (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok "
+            "JOIN q USING (term) GROUP BY doc_id, term) c "
+            "ON c.doc_id = dl.doc_id AND c.term = q.term), "
+            "dfreq AS (SELECT term, COUNT(*) FILTER (tf > 0)::BIGINT AS df FROM tf GROUP BY term), "
+            "nn AS (SELECT COUNT(*)::BIGINT AS n, AVG(dl) AS avgdl FROM dl), "
+            "scored AS (SELECT tf.doc_id, SUM( "
+            "LN(1.0 + (nn.n - dfreq.df + 0.5)/(dfreq.df + 0.5)) * tf.tf * 2.2 "
+            "/ (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / nn.avgdl)) ) AS s "
+            "FROM tf JOIN dfreq USING (term) CROSS JOIN nn GROUP BY tf.doc_id) "
+            "SELECT doc_id, ROUND(s, 6) AS score FROM scored "
+            "ORDER BY score DESC, doc_id LIMIT 20"
+        ),
         "katz": _katz_sql(iters=8, alpha=0.05, beta=1.0),
         "line_dedup": _line_dedup_sql(line_len=8),
         "mixture_weights": _mixture_weights_sql(tau=0.7),

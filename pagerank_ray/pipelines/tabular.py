@@ -5880,3 +5880,77 @@ def q_community_conductance(
     return out.sort_values("community").reset_index(drop=True)[
         ["community", "size", "internal_edges", "cut_edges", "volume", "conductance"]
     ]
+
+
+def q_bm25_topk(
+    sf_dir: str,
+    terms: tuple[str, ...] = ("hash", "merge", "vector"),
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pd.DataFrame:
+    """BM25 retrieval (Robertson & Spärck Jones probabilistic ranking, the
+    Okapi/Lucene form): top-k documents for a fixed query term set.
+
+      score(d,Q) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1-b+b·|d|/avgdl)),
+      idf(q) = ln(1 + (N-df+0.5)/(df+0.5))        (Lucene-smoothed)
+
+    Scale shape: tokenization + per-doc query-term tf is ONE vectorized
+    map_batches (a doc's tokens never leave its batch — no corpus-wide
+    term explode for a |Q|-term query); N / Σ|d| / per-term df are three
+    scalar-sized aggregates broadcast back; scoring is a second streaming
+    map_batches; top-k is sort+limit on the scored (doc, score) table.
+    Scores rounded half-away(6) on both engines so a 1-ulp libm log
+    difference cannot flip the ranking; ties break on doc_id."""
+    terms = tuple(terms)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_dl(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)  # explode() indexes by row position
+        toks = df["text"].fillna("").str.split()
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)})
+        out["dl"] = toks.str.len().fillna(0).to_numpy(np.int64)
+        # one explode, then per-term counts via C-level positional bincount
+        flat = toks.explode(ignore_index=False)
+        pos = flat.index.to_numpy(np.int64)
+        words = flat.to_numpy(dtype=object)
+        for i, q in enumerate(terms):
+            hit = words == q
+            out[f"tf{i}"] = np.bincount(pos[hit], minlength=len(df)).astype(np.int64)
+        return out
+
+    stats = ds.map_batches(tf_dl, batch_format="pandas").materialize()
+    n_docs = stats.count()
+    agg = stats.sum(["dl"] + [f"tf{i}" for i in range(len(terms))])
+    sum_dl = agg["sum(dl)"]
+    # df per term: docs with tf>0 — tiny per-batch partial then a scalar sum
+    dfreq = [
+        stats.map_batches(
+            lambda t, _i=i: pa.table(
+                {"c": pa.array([int(pc.sum(pc.greater(t.column(f"tf{_i}"), 0)).as_py() or 0)], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("c")
+        for i in range(len(terms))
+    ]
+    avgdl = sum_dl / n_docs
+    idf = [float(np.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))) for df_ in dfreq]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(np.float64)
+        denom_norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(df), np.float64)
+        for i in range(len(terms)):
+            tf = df[f"tf{i}"].to_numpy(np.float64)
+            s += idf[i] * tf * (k1 + 1.0) / (tf + denom_norm)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64), "score": _round_half_away(s, 6)}
+        )
+
+    top = (
+        stats.map_batches(score, batch_format="pandas")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return top.reset_index(drop=True)

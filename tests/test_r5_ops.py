@@ -1823,3 +1823,34 @@ def test_q_bowtie_planted(ray_session, tmp_path):
     assert out[12] == 1
     assert out[15] == 2
     assert out[21] == 3 and out[24] == 3
+
+
+def test_q_bm25_topk_planted(ray_session, tmp_path):
+    """Hand-checked Okapi BM25: 3 docs, query=('hash',); doc with the
+    higher tf but much longer length loses to the short exact doc."""
+    from pagerank_ray.pipelines.tabular import q_bm25_topk
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "hash join",                       # tf=1, dl=2
+            "hash hash " + "pad " * 20 + "x",  # tf=2, dl=23
+            "no match here",                   # tf=0, dl=3
+        ]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([9, 30, 13], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_bm25_topk(str(tmp_path), terms=("hash",), k=3)
+    # per-row reference
+    N, df_, avgdl = 3, 2, (2 + 23 + 3) / 3
+    idf = math.log(1 + (N - df_ + 0.5) / (df_ + 0.5))
+    k1, b = 1.2, 0.75
+    def ref(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+    want = sorted([(1, ref(1, 2)), (2, ref(2, 23)), (3, ref(0, 3))],
+                  key=lambda t: (-t[1], t[0]))
+    got = list(zip(out["doc_id"], out["score"]))
+    assert got == [(d, round(s, 6)) for d, s in want]
+    assert out.iloc[0]["doc_id"] == 1  # short exact doc wins on length norm
