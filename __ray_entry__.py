@@ -1492,6 +1492,48 @@ tok_hash AS MATERIALIZED (SELECT doc_id, tpos, xor(x, x >> 33) AS h FROM fm4)
 # six times — 64 s → 13 s at sf0.01 after materializing the shared stages.)
 
 
+def _dsir_sql(n_buckets: int = 1024, target_lang: str = "en") -> str:
+    """DuckDB reimplementation of ``tabular.q_dsir_weights``: hashed
+    unigram+bigram features f = h % B / (h1*C + h2 mod 2^64) % B over the
+    shared tok_hash chain, add-1-smoothed target (lang = target_lang) vs
+    raw (all docs) bag-of-ngrams probabilities, per-doc sum of lambda[f]
+    rounded half-away(6). Docs with no tokens score 0."""
+    M64 = "18446744073709551616::HUGEINT"
+    C = "11400714819323198485::HUGEINT"  # 0x9E3779B97F4A7C15
+
+    def mm(x: str, c: str) -> str:
+        return (
+            f"(((({x}) % 4294967296) * ({c}) + (((({x}) // 4294967296) * ({c})) "
+            f"% 4294967296) * 4294967296) % {M64})"
+        )
+
+    B = n_buckets
+    bgf = f"((({mm('t1.h::HUGEINT', C)} + t2.h::HUGEINT) % {M64}) % {B})::BIGINT"
+    return f"""
+WITH RECURSIVE {_TOKEN_HASH_CTES},
+uni AS (SELECT doc_id, (h % {B})::BIGINT AS f FROM tok_hash),
+bg AS (SELECT t1.doc_id, {bgf} AS f
+       FROM tok_hash t1 JOIN tok_hash t2
+         ON t2.doc_id = t1.doc_id AND t2.tpos = t1.tpos + 1),
+occ AS MATERIALIZED (
+    SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bg),
+ctc AS (SELECT o.f, COUNT(*)::BIGINT AS c FROM occ o
+        JOIN documents d USING (doc_id)
+        WHERE COALESCE(d.lang, '') = '{target_lang}' GROUP BY o.f),
+crc AS (SELECT f, COUNT(*)::BIGINT AS c FROM occ GROUP BY f),
+tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM ctc) AS st,
+               (SELECT COALESCE(SUM(c), 0) FROM crc) AS sr),
+lam AS MATERIALIZED (
+    SELECT g.f, LN((COALESCE(ctc.c, 0) + 1.0) / (tot.st + {B}.0))
+              - LN((COALESCE(crc.c, 0) + 1.0) / (tot.sr + {B}.0)) AS l
+    FROM (SELECT unnest(generate_series(0, {B - 1})) AS f) g
+    LEFT JOIN ctc USING (f) LEFT JOIN crc USING (f) CROSS JOIN tot),
+sc AS (SELECT o.doc_id, SUM(lam.l) AS s FROM occ o JOIN lam USING (f)
+       GROUP BY o.doc_id)
+SELECT d.doc_id, ROUND(COALESCE(sc.s, 0.0), 6) AS logw
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""
+
+
 def _minhash_sql(
     num_perm: int = 128, bands: int = 16, shingle_k: int = 3,
     threshold: float = 0.8, seed: int = 7,
@@ -2359,6 +2401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
+        "dsir_weights": tabular.q_dsir_weights,  # SQL-oracled (_dsir_sql shared hash)
         "bm25_topk": tabular.q_bm25_topk,  # SQL-oracled (mirrored Okapi formula)
         "katz": tabular.q_katz,  # SQL-oracled (unrolled α·Σ+β recurrence)
         "line_dedup": tabular.q_line_dedup,  # SQL-oracled (string-line mirror)
@@ -2526,6 +2569,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ROUND(s, 6) AS score FROM scored "
             "ORDER BY score DESC, doc_id LIMIT 20"
         ),
+        "dsir_weights": _dsir_sql(),
         "katz": _katz_sql(iters=8, alpha=0.05, beta=1.0),
         "line_dedup": _line_dedup_sql(line_len=8),
         "mixture_weights": _mixture_weights_sql(tau=0.7),

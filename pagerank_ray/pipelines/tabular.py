@@ -5954,3 +5954,84 @@ def q_bm25_topk(
         .to_pandas()
     )
     return top.reset_index(drop=True)
+
+
+def q_dsir_weights(
+    sf_dir: str, n_buckets: int = 1024, target_lang: str = "en"
+) -> pd.DataFrame:
+    """DSIR data-selection importance weights (Xie et al., NeurIPS 2023,
+    "Data Selection for Language Models via Importance Resampling"): hashed
+    unigram+bigram n-gram features over a B-bucket space, bag-of-ngrams
+    probabilities with add-1 smoothing for a TARGET corpus (docs with
+    lang == target_lang) and the RAW corpus (all docs), and per-doc
+
+        log w(d) = Σ_f n_f(d) · (ln p̂_target[f] − ln p̂_raw[f]).
+
+    Feature hashing reuses the SQL-reproducible token hash
+    (stages/dedup.py:_hash_tokens — byte polynomial + fmix64); the bigram
+    combine is the shingle polynomial fold h1·C + h2 (uint64 wraparound),
+    so DuckDB recomputes identical features (__ray_entry__._dsir_sql).
+
+    Scale shape: pass 1 = per-batch B-vector partials (bincount) reduced by
+    a B-key groupby (B=1024 — counters move, never tokens); λ = the log-ratio
+    vector is BROADCAST in the closure; pass 2 = one streaming map_batches
+    scoring every doc with two positional bincounts. No corpus-cardinality
+    shuffle anywhere; weights rounded half-away(6) on both engines."""
+    from pagerank_ray.stages.dedup import _POLY_C, _hash_tokens
+
+    B = n_buckets
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
+
+    def _feat(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        toks = df["text"].fillna("").str.split()
+        nt = toks.str.len().fillna(0).to_numpy(np.int64)
+        ex = toks.explode()
+        valid = ex.notna().to_numpy()
+        words = ex.to_numpy(dtype=object)[valid]
+        pos = np.repeat(np.arange(len(df)), np.maximum(nt, 1))[valid]
+        h = _hash_tokens(list(words))
+        f_uni = (h % np.uint64(B)).astype(np.int64)
+        if len(pos) > 1:
+            same = pos[1:] == pos[:-1]
+            with np.errstate(over="ignore"):
+                bg = h[:-1] * _POLY_C + h[1:]
+            f_bg = (bg[same] % np.uint64(B)).astype(np.int64)
+            pos_bg = pos[:-1][same]
+        else:
+            f_bg = np.empty(0, np.int64)
+            pos_bg = np.empty(0, np.int64)
+        return np.concatenate([pos, pos_bg]), np.concatenate([f_uni, f_bg])
+
+    def count_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        pos, f = _feat(df)
+        is_tgt = (df["lang"].fillna("").to_numpy(dtype=object) == target_lang)[pos]
+        return pd.DataFrame({
+            "f": np.arange(B, dtype=np.int64),
+            "ct": np.bincount(f[is_tgt], minlength=B).astype(np.int64),
+            "cr": np.bincount(f, minlength=B).astype(np.int64),
+        })
+
+    cdf = (
+        ds.map_batches(count_batch, batch_format="pandas")
+        .groupby("f").sum(["ct", "cr"]).to_pandas()
+    )
+    ct = np.zeros(B, np.int64)
+    cr = np.zeros(B, np.int64)
+    fi = cdf["f"].to_numpy(np.int64)
+    ct[fi] = cdf["sum(ct)"].to_numpy(np.int64)
+    cr[fi] = cdf["sum(cr)"].to_numpy(np.int64)
+    st, sr = int(ct.sum()), int(cr.sum())
+    lam = np.log((ct + 1.0) / (st + float(B))) - np.log((cr + 1.0) / (sr + float(B)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        pos, f = _feat(df)
+        s = np.bincount(pos, weights=lam[f], minlength=len(df))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "logw": _round_half_away(s, 6),
+        })
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1854,3 +1854,44 @@ def test_q_bm25_topk_planted(ray_session, tmp_path):
     got = list(zip(out["doc_id"], out["score"]))
     assert got == [(d, round(s, 6)) for d, s in want]
     assert out.iloc[0]["doc_id"] == 1  # short exact doc wins on length norm
+
+
+def test_q_dsir_weights_planted(ray_session, tmp_path):
+    """DSIR log importance weights vs a per-doc Python reference using the
+    same token hash: target=en, raw=all, add-1 smoothing, uni+bigrams."""
+    from pagerank_ray.pipelines.tabular import q_dsir_weights
+    from pagerank_ray.stages.dedup import _POLY_C, _hash_tokens
+
+    texts = ["a b a", "b c", "a a", ""]
+    langs = ["en", "de", "en", "de"]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([5, 3, 3, 0], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    B = 64
+    out = q_dsir_weights(str(tmp_path), n_buckets=B).set_index("doc_id")
+
+    def feats(t):
+        ws = t.split()
+        h = _hash_tokens(ws)
+        f = list((h % np.uint64(B)).astype(int))
+        with np.errstate(over="ignore"):
+            f += list(((h[:-1] * _POLY_C + h[1:]) % np.uint64(B)).astype(int))
+        return f
+
+    ct = np.zeros(B); cr = np.zeros(B)
+    for t, l in zip(texts, langs):
+        for f in feats(t):
+            cr[f] += 1
+            if l == "en":
+                ct[f] += 1
+    lam = np.log((ct + 1) / (ct.sum() + B)) - np.log((cr + 1) / (cr.sum() + B))
+    for i, t in enumerate(texts):
+        want = round(float(sum(lam[f] for f in feats(t))), 6)
+        assert abs(out.loc[i + 1, "logw"] - want) < 2e-6, (i + 1, want)
+    # en-only features push en docs up relative to the de doc sharing tokens
+    assert out.loc[4, "logw"] == 0.0
