@@ -1534,6 +1534,53 @@ SELECT d.doc_id, ROUND(COALESCE(sc.s, 0.0), 6) AS logw
 FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id"""
 
 
+def _msf_sql(rounds: int = 20) -> str:
+    """DuckDB replay of ``tabular.q_msf``'s Borůvka rounds: per round a
+    window-function argmin picks each component's minimum incident cross
+    edge under the strict (w, s, d) order, and a recursive reachability
+    closure over the chosen edges contracts components to their min label.
+    Over-unrolling is safe — converged rounds produce empty chosen sets and
+    identity labels. The strict total order makes the forest unique, so the
+    replay must match the engine edge-for-edge."""
+    parts = ["""
+WITH RECURSIVE
+e AS MATERIALIZED (
+    SELECT LEAST(l_orderkey, l_partkey) AS s,
+           GREATEST(l_orderkey, l_partkey) AS d,
+           MIN(CAST(l_quantity AS BIGINT)) AS w
+    FROM lineitem WHERE l_orderkey <> l_partkey GROUP BY 1, 2),
+lab0 AS (SELECT id, id AS comp FROM
+         (SELECT s AS id FROM e UNION SELECT d FROM e))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+cross{r} AS MATERIALIZED (
+    SELECT e.s, e.d, e.w, a.comp AS cs, b.comp AS cd
+    FROM e JOIN lab{r-1} a ON a.id = e.s JOIN lab{r-1} b ON b.id = e.d
+    WHERE a.comp <> b.comp),
+ch{r} AS MATERIALIZED (
+    SELECT DISTINCT s, d, w, cs, cd FROM (
+        SELECT * FROM (
+            SELECT cs AS comp, s, d, w, cs, cd FROM cross{r}
+            UNION ALL
+            SELECT cd AS comp, s, d, w, cs, cd FROM cross{r})
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, s, d) = 1)),
+reach{r}(c, x) AS (
+    SELECT cs, cs FROM ch{r} UNION SELECT cd, cd FROM ch{r}
+    UNION
+    SELECT re.c, CASE WHEN re.x = p.cs THEN p.cd ELSE p.cs END
+    FROM reach{r} re JOIN ch{r} p ON re.x = p.cs OR re.x = p.cd),
+map{r} AS MATERIALIZED (SELECT c AS comp, MIN(x) AS newcomp FROM reach{r} GROUP BY c),
+lab{r} AS MATERIALIZED (
+    SELECT l.id, COALESCE(m.newcomp, l.comp) AS comp
+    FROM lab{r-1} l LEFT JOIN map{r} m ON m.comp = l.comp)""")
+    union = " UNION ALL ".join(
+        f"SELECT s, d, w FROM ch{r}" for r in range(1, rounds + 1))
+    parts.append(f"""
+SELECT DISTINCT s AS src_id, d AS dst_id, w FROM ({union})
+ORDER BY src_id, dst_id""")
+    return "".join(parts)
+
+
 def _minhash_sql(
     num_perm: int = 128, bands: int = 16, shingle_k: int = 3,
     threshold: float = 0.8, seed: int = 7,
@@ -2401,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
+        "msf": tabular.q_msf,  # SQL-oracled (_msf_sql unrolled rounds)
         "dsir_weights": tabular.q_dsir_weights,  # SQL-oracled (_dsir_sql shared hash)
         "bm25_topk": tabular.q_bm25_topk,  # SQL-oracled (mirrored Okapi formula)
         "katz": tabular.q_katz,  # SQL-oracled (unrolled α·Σ+β recurrence)
@@ -2569,6 +2617,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ROUND(s, 6) AS score FROM scored "
             "ORDER BY score DESC, doc_id LIMIT 20"
         ),
+        "msf": _msf_sql(),
         "dsir_weights": _dsir_sql(),
         "katz": _katz_sql(iters=8, alpha=0.05, beta=1.0),
         "line_dedup": _line_dedup_sql(line_len=8),

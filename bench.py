@@ -240,7 +240,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     ],
     "r5e": [
         "katz", "line_dedup", "mixture_weights", "vocab_growth",
-        "densest_subgraph", "bowtie", "bm25_topk", "dsir_weights",
+        "densest_subgraph", "bowtie", "bm25_topk", "dsir_weights", "msf",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
@@ -387,6 +387,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("bowtie", lambda: tabular.q_bowtie(SF_DIR))
     timed("bm25_topk", lambda: tabular.q_bm25_topk(SF_DIR))
     timed("dsir_weights", lambda: tabular.q_dsir_weights(SF_DIR))
+    timed("msf", lambda: tabular.q_msf(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -6035,3 +6035,49 @@ def q_dsir_weights(
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def weighted_pair_graph(sf_dir: str) -> rd.Dataset:
+    """Canonical undirected weighted graph over the lineitem id universe:
+    pair (min(orderkey,partkey), max(...)) with w = MIN(l_quantity) over the
+    pair's line items (quantities are integer-valued; cast to int64 so the
+    MSF total order is exact-integer on both engines). Self-loops dropped."""
+    from pagerank_ray.stages.graph_build import grouped_pair_min
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        b = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        w = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = a != b
+        return pa.table({
+            "src_id": pa.array(np.minimum(a, b)[m]),
+            "dst_id": pa.array(np.maximum(a, b)[m]),
+            "w": pa.array(w[m]),
+        })
+
+    return grouped_pair_min(li.map_batches(canon, batch_format="pyarrow"), "w")
+
+
+_MSF_ORACLE_ROUNDS = 20
+
+
+def q_msf(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
+    """Minimum spanning forest (distributed Borůvka, pipelines/msf.py) of
+    the weighted undirected lineitem pair graph. The strict total order
+    (w, src_id, dst_id) makes the forest unique (cut property), so the
+    DuckDB oracle's unrolled Borůvka rounds (__ray_entry__._msf_sql) must
+    produce the identical edge set. Returns (src_id, dst_id, w) sorted."""
+    from pagerank_ray.pipelines.msf import boruvka_msf
+
+    res = boruvka_msf(weighted_pair_graph(sf_dir), n_workers=n_workers)
+    if res.rounds > _MSF_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"Borůvka used {res.rounds} rounds — exceeds the "
+            f"{_MSF_ORACLE_ROUNDS}-round oracle unroll; raise both"
+        )
+    df = res.edges.to_pandas()
+    return df.sort_values(["src_id", "dst_id"]).reset_index(drop=True)[
+        ["src_id", "dst_id", "w"]
+    ]

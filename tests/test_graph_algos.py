@@ -641,3 +641,110 @@ def test_hits_resume_rejects_over_iterated_checkpoint(ray_session, tmp_path):
     hits(fwd, rev, n_workers=2, iters=4, checkpoint_root=ck, checkpoint_every=2)
     with pytest.raises(ValueError, match="3"):
         hits(fwd, rev, n_workers=2, iters=3, checkpoint_root=ck, resume=True)
+
+
+def _kruskal_ref(df, n):
+    """Union-find Kruskal under the strict (w, src, dst) order — the unique
+    MSF any correct algorithm must produce."""
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for r in df.sort_values(["w", "src_id", "dst_id"]).itertuples():
+        a, b = find(r.src_id), find(r.dst_id)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+            out.append((r.src_id, r.dst_id, r.w))
+    import pandas as pd
+    return (pd.DataFrame(out, columns=["src_id", "dst_id", "w"])
+            .sort_values(["src_id", "dst_id"]).reset_index(drop=True))
+
+
+def test_boruvka_msf_matches_kruskal(ray_session):
+    """Distributed Borůvka vs union-find Kruskal on a random weighted graph
+    with duplicate weights (the strict total order settles ties), via both
+    the in-memory and the distributed contraction paths."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.msf import boruvka_msf
+
+    rng = np.random.default_rng(17)
+    n, m = 150, 500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.integers(1, 8, m).astype(np.int64)  # heavy ties on purpose
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    keep = lo != hi
+    df = (pd.DataFrame({"src_id": lo[keep], "dst_id": hi[keep], "w": w[keep]})
+          .sort_values(["src_id", "dst_id", "w"])
+          .drop_duplicates(["src_id", "dst_id"]).reset_index(drop=True))
+    want = _kruskal_ref(df, n)
+
+    # tail path (kicks in at round 1 on this size)
+    res = boruvka_msf(rd.from_pandas(df))
+    assert res.round_stats[-1].get("tail")
+    got = (res.edges.to_pandas().sort_values(["src_id", "dst_id"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    # distributed rounds with the in-memory contraction
+    res_c = boruvka_msf(rd.from_pandas(df), tail_cutoff=0)
+    assert not any(r.get("tail") for r in res_c.round_stats)
+    got_c = (res_c.edges.to_pandas().sort_values(["src_id", "dst_id"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_c, want)
+
+    # distributed rounds with the distributed MODE_MIN contraction
+    res_d = boruvka_msf(rd.from_pandas(df), tail_cutoff=0, contract_cutoff=0,
+                        n_workers=2)
+    got_d = (res_d.edges.to_pandas().sort_values(["src_id", "dst_id"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_d, want)
+
+    # labels agree with union-find components over the forest
+    p2 = np.arange(n)
+
+    def find2(x):
+        while p2[x] != x:
+            p2[x] = p2[p2[x]]
+            x = p2[x]
+        return x
+
+    for r in want.itertuples():
+        a, b = find2(r.src_id), find2(r.dst_id)
+        if a != b:
+            p2[max(a, b)] = min(a, b)
+    lab = res.labels.to_pandas()
+    assert all(find2(int(i)) == int(c) for i, c in zip(lab["id"], lab["comp"]))
+
+
+def test_boruvka_msf_tree_and_empty(ray_session):
+    """A graph that is already a tree returns itself; an empty graph
+    returns an empty forest."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.msf import boruvka_msf
+
+    tree = pd.DataFrame({"src_id": [0, 1, 2], "dst_id": [1, 2, 3],
+                         "w": np.array([5, 3, 9], np.int64)})
+    res = boruvka_msf(rd.from_pandas(tree))
+    got = (res.edges.to_pandas().sort_values(["src_id", "dst_id"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, tree)
+    assert res.rounds == 1  # one round merges the whole path
+
+    empty = rd.from_arrow(pa.table({
+        "src_id": pa.array([], pa.int64()),
+        "dst_id": pa.array([], pa.int64()),
+        "w": pa.array([], pa.int64())}))
+    res_e = boruvka_msf(empty)
+    assert res_e.edges.count() == 0 and res_e.rounds == 0
