@@ -185,6 +185,33 @@ SELECT n_edges, n_self_loops, n_reciprocal,
 FROM agg"""
 
 
+def _rich_club_sql(ks: tuple = (1, 2, 4, 8, 16, 32)) -> str:
+    """Rich-club profile oracle (tabular.q_rich_club): total degree = endpoint
+    count over the deduplicated directed edge table; N_k / E_>k per threshold;
+    φ(k) = E/(N·(N−1)) with the engine's n_rich<2 → 0.0 guard."""
+    klist = ", ".join(str(int(k)) for k in sorted(ks))
+    return f"""
+WITH e AS MATERIALIZED {_EDGES},
+deg AS MATERIALIZED (
+  SELECT id, COUNT(*)::BIGINT AS deg FROM
+  (SELECT s AS id FROM e UNION ALL SELECT d AS id FROM e) GROUP BY id),
+ks AS (SELECT UNNEST([{klist}]::BIGINT[]) AS k),
+nk AS (SELECT ks.k, COUNT(deg.id)::BIGINT AS n_rich
+       FROM ks LEFT JOIN deg ON deg.deg > ks.k GROUP BY ks.k),
+ek AS (SELECT ks.k,
+       COALESCE(SUM(CASE WHEN ds.deg > ks.k AND dd.deg > ks.k
+                          AND e.s <> e.d THEN 1 ELSE 0 END), 0)::BIGINT AS e_rich
+       FROM ks CROSS JOIN e
+       JOIN deg ds ON ds.id = e.s
+       JOIN deg dd ON dd.id = e.d
+       GROUP BY ks.k)
+SELECT nk.k, nk.n_rich, ek.e_rich,
+  CASE WHEN nk.n_rich < 2 THEN 0.0
+       ELSE ROUND(ek.e_rich::DOUBLE / (nk.n_rich * (nk.n_rich - 1)), 6)
+  END AS phi
+FROM nk JOIN ek ON ek.k = nk.k ORDER BY nk.k"""
+
+
 def _spam_mass_sql(iters: int = 20, alpha: float = 0.85, mod: int = 97) -> str:
     """Relative spam mass oracle (tabular.q_spam_mass): composes the uniform
     and personalized unrolled PageRank CTEs; the quotient runs over the same
@@ -2518,6 +2545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": tabular.q_pagerank_weighted,  # SQL-oracled (stored-weight SpMV)
         "host_pagerank": tabular.q_host_pagerank,  # SQL-oracled (coarsened graph, weighted unroll)
         "reciprocity": tabular.q_reciprocity,  # SQL-oracled (canonical-pair direction mask)
+        "rich_club": tabular.q_rich_club,  # SQL-oracled (degree-threshold club density)
         "spam_mass": tabular.q_spam_mass,  # SQL-oracled (uniform + personalized unroll compose)
         "source_quality_report": tabular.q_source_quality_report,  # SQL-oracled
         "ann_recall": tabular.q_ann_recall,  # SQL-oracled (fixed-centroid IVF vs brute force)
@@ -2680,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _pagerank_weighted_sql(iters=20, alpha=0.85),
         "host_pagerank": _host_pagerank_sql(),
         "reciprocity": _reciprocity_sql(),
+        "rich_club": _rich_club_sql(),
         "spam_mass": _spam_mass_sql(),
         "source_quality_report": _source_quality_sql(),
         "ann_recall": _ann_recall_sql(),

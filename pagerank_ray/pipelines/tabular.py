@@ -5449,6 +5449,97 @@ def q_reciprocity(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_rich_club(sf_dir: str, ks: tuple = (1, 2, 4, 8, 16, 32)) -> pd.DataFrame:
+    """Rich-club coefficient profile (Zhou & Mondragón 2004, directed
+    generalization): for each degree threshold k, φ(k) = E_>k / (N_k·(N_k−1))
+    where N_k = |{v : deg(v) > k}| (total degree in+out over the deduplicated
+    directed edge table) and E_>k = directed non-self-loop edges with both
+    endpoints in that set. Measures whether hub pages preferentially link to
+    each other — the classic web-graph core-density diagnostic.
+
+    Scale shape: degrees via the bucketed two-stage count (grouped_count),
+    attached to edges with the broadcast-or-hash join (stages/joins.py); each
+    batch then reduces to len(ks) counters, so only O(#batches × #ks) rows
+    reach the driver — never O(V) or O(E)."""
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.graph_build import grouped_count
+
+    edges = lineitem_edges(sf_dir).materialize()
+    karr = np.asarray(sorted(ks), np.int64)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [
+                        t.column("src_id").combine_chunks().cast(pa.int64()),
+                        t.column("dst_id").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    degs = grouped_count(
+        edges.map_batches(endpoints, batch_format="pyarrow"), "id", "deg"
+    ).materialize()
+
+    def n_partial(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(karr),
+                "c": pa.array((d[None, :] > karr[:, None]).sum(axis=1), pa.int64()),
+            }
+        )
+
+    n_rich = (
+        degs.map_batches(n_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("k")["c"]
+        .sum()
+    )
+
+    es = joins.attach_column(edges, degs, probe_col="src_id", build_key="id",
+                             build_val="deg", out_col="deg_s")
+    es = joins.attach_column(es, degs, probe_col="dst_id", build_key="id",
+                             build_val="deg", out_col="deg_d")
+
+    def e_partial(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        a = t.column("deg_s").to_numpy(zero_copy_only=False)
+        b = t.column("deg_d").to_numpy(zero_copy_only=False)
+        keep = s != d  # self-loops never count toward club density
+        both = (a[None, :] > karr[:, None]) & (b[None, :] > karr[:, None])
+        return pa.table(
+            {
+                "k": pa.array(karr),
+                "c": pa.array((both & keep[None, :]).sum(axis=1), pa.int64()),
+            }
+        )
+
+    e_rich = (
+        es.map_batches(e_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("k")["c"]
+        .sum()
+    )
+
+    nk = n_rich.reindex(karr, fill_value=0).to_numpy(np.int64)
+    ek = e_rich.reindex(karr, fill_value=0).to_numpy(np.int64)
+    phi = np.where(
+        nk < 2, 0.0, _round_half_away(ek / np.maximum(nk * (nk - 1), 1), 6)
+    )
+    return pd.DataFrame(
+        {
+            "k": karr,
+            "n_rich": nk,
+            "e_rich": ek,
+            "phi": phi,
+        }
+    )
+
+
 def q_spam_mass(sf_dir: str, n_workers: int = 4, iters: int = 20, mod: int = 97) -> pd.DataFrame:
     """Relative spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2006,
     'Link Spam Detection Based on Mass Estimation'): m(v) = (p(v) − p′(v)) /

@@ -1895,3 +1895,64 @@ def test_q_dsir_weights_planted(ray_session, tmp_path):
         assert abs(out.loc[i + 1, "logw"] - want) < 2e-6, (i + 1, want)
     # en-only features push en docs up relative to the de doc sharing tokens
     assert out.loc[4, "logw"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# rich-club coefficient
+# ---------------------------------------------------------------------------
+
+
+def _rich_club_reference(edges, ks=(1, 2, 4, 8, 16, 32)):
+    from collections import Counter
+
+    from pagerank_ray.pipelines.tabular import _round_half_away
+
+    dedup = set(edges)
+    deg = Counter()
+    for s, d in dedup:
+        deg[s] += 1
+        deg[d] += 1
+    rows = []
+    for k in sorted(ks):
+        club = {v for v, c in deg.items() if c > k}
+        n = len(club)
+        e = sum(1 for s, d in dedup if s != d and s in club and d in club)
+        phi = 0.0 if n < 2 else float(_round_half_away(e / (n * (n - 1)), 6))
+        rows.append((k, n, e, phi))
+    return rows
+
+
+def test_q_rich_club_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_rich_club
+
+    # directed K4 both ways (every member deg 6) + pendant chain + self-loop
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    extra = [(4, 10), (10, 11), (7, 7), (1, 2)]  # (1,2) is a duplicate row
+    edges = k4 + extra
+    _write_lineitem_edges(tmp_path, [e[0] for e in edges], [e[1] for e in edges])
+    out = q_rich_club(str(tmp_path), ks=(1, 2, 4))
+    want = _rich_club_reference(edges, ks=(1, 2, 4))
+    got = [
+        (int(r.k), int(r.n_rich), int(r.e_rich), float(r.phi))
+        for r in out.itertuples()
+    ]
+    assert got == want
+    # the K4 club at k=4: vertices {1,2,3,4} all have deg >= 6, 12 edges
+    assert got[-1][1] >= 4 and got[-1][2] >= 12
+
+
+def test_q_rich_club_random(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_rich_club
+
+    rng = np.random.default_rng(17)
+    m = 800
+    src = rng.integers(1, 60, m).tolist()
+    dst = rng.integers(1, 60, m).tolist()
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_rich_club(str(tmp_path))
+    want = _rich_club_reference(list(zip(src, dst)))
+    got = [
+        (int(r.k), int(r.n_rich), int(r.e_rich), float(r.phi))
+        for r in out.itertuples()
+    ]
+    assert got == want
