@@ -388,6 +388,37 @@ def _hyperball_sql(rounds: int = 6) -> str:
     return body + f"\nSELECT * FROM (\n{unions}\n) ORDER BY t"
 
 
+def _effective_diameter_sql(rounds: int = 6) -> str:
+    """Effective-diameter oracle (tabular.q_effective_diameter): the full
+    hyperball register replay as a CTE, then the identical interpolation —
+    target = 0.9 * N(T), d_eff = (t−1) + (target − N(t−1))/(N(t) − N(t−1))
+    at the first t whose N(t) meets the target, avg = exact-BIGINT
+    Σ t·ΔN(t) over (N(T) − N(0)). Expressions mirror the engine's float
+    association token-for-token."""
+    return f"""
+WITH nf AS MATERIALIZED ({_hyperball_sql(rounds)}),
+lastr AS (SELECT nf_scaled AS lasti, nf_scaled::DOUBLE AS lastv FROM nf
+          WHERE t = (SELECT MAX(t) FROM nf)),
+tgt AS (SELECT 0.9 * lastv AS target FROM lastr),
+zero AS (SELECT nf_scaled AS n0 FROM nf WHERE t = 0),
+pairs AS (SELECT cur.t, prev.nf_scaled AS pn, cur.nf_scaled AS cn
+          FROM nf cur JOIN nf prev ON prev.t = cur.t - 1),
+cr AS (SELECT p.t, p.pn, p.cn FROM pairs p, tgt
+       WHERE p.cn::DOUBLE >= tgt.target ORDER BY p.t LIMIT 1),
+agg AS (SELECT SUM(t * (cn - pn))::BIGINT AS num FROM pairs)
+SELECT {rounds}::BIGINT AS rounds,
+       lastr.lasti AS nf_last,
+       CASE WHEN zero.n0::DOUBLE >= tgt.target THEN 0.0
+            ELSE ROUND((SELECT (t - 1) + (tgt.target - pn::DOUBLE)
+                               / (cn::DOUBLE - pn::DOUBLE) FROM cr), 6)
+       END AS effective_diameter_90,
+       CASE WHEN lastr.lasti - zero.n0 = 0 THEN 0.0
+            ELSE ROUND(agg.num::DOUBLE
+                       / (lastr.lasti - zero.n0)::DOUBLE, 6)
+       END AS avg_distance
+FROM lastr, tgt, zero, agg"""
+
+
 def _graph_growth_sql() -> str:
     """Temporal densification oracle (tabular.q_graph_growth): first-seen
     month per distinct pair / source / destination, per-month histograms
@@ -2546,6 +2577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": tabular.q_host_pagerank,  # SQL-oracled (coarsened graph, weighted unroll)
         "reciprocity": tabular.q_reciprocity,  # SQL-oracled (canonical-pair direction mask)
         "rich_club": tabular.q_rich_club,  # SQL-oracled (degree-threshold club density)
+        "effective_diameter": tabular.q_effective_diameter,  # SQL-oracled (HyperBall NF derive)
         "spam_mass": tabular.q_spam_mass,  # SQL-oracled (uniform + personalized unroll compose)
         "source_quality_report": tabular.q_source_quality_report,  # SQL-oracled
         "ann_recall": tabular.q_ann_recall,  # SQL-oracled (fixed-centroid IVF vs brute force)
@@ -2709,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_sql(),
         "reciprocity": _reciprocity_sql(),
         "rich_club": _rich_club_sql(),
+        "effective_diameter": _effective_diameter_sql(),
         "spam_mass": _spam_mass_sql(),
         "source_quality_report": _source_quality_sql(),
         "ann_recall": _ann_recall_sql(),

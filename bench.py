@@ -241,6 +241,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     "r5e": [
         "katz", "line_dedup", "mixture_weights", "vocab_growth",
         "densest_subgraph", "bowtie", "bm25_topk", "dsir_weights", "msf",
+        "rich_club", "effective_diameter",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
@@ -388,6 +389,8 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("bm25_topk", lambda: tabular.q_bm25_topk(SF_DIR))
     timed("dsir_weights", lambda: tabular.q_dsir_weights(SF_DIR))
     timed("msf", lambda: tabular.q_msf(SF_DIR))
+    timed("rich_club", lambda: tabular.q_rich_club(SF_DIR))
+    timed("effective_diameter", lambda: tabular.q_effective_diameter(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -5830,6 +5830,41 @@ def q_hyperball(sf_dir: str, rounds: int = 6) -> pd.DataFrame:
     return hyperball(lineitem_edges(sf_dir), rounds=rounds)
 
 
+def q_effective_diameter(sf_dir: str, rounds: int = 6) -> pd.DataFrame:
+    """Effective diameter (90th percentile) and average distance of the
+    symmetrized lineitem graph, read off the HyperBall neighborhood function
+    (Boldi, Rosa & Vigna WWW 2011 — estimating exactly these two metrics is
+    what HyperANF was built for). d_eff = linear interpolation of the
+    smallest t with N(t) ≥ 0.9·N(T); avg = Σ t·(N(t)−N(t−1)) / (N(T)−N(0))
+    over reachable non-self pairs. The NF curve is the integerized
+    hash-checked q_hyperball output, so both metrics are derived from exact
+    integers with one mirrored float expression each (bit-identical to the
+    SQL oracle's)."""
+    nf = q_hyperball(sf_dir, rounds=rounds).sort_values("t")
+    v = nf["nf_scaled"].to_numpy(np.int64)
+    last = int(v[-1])
+    target = 0.9 * float(last)
+    if float(v[0]) >= target:
+        d_eff = 0.0
+    else:
+        t = int(np.argmax(v.astype(np.float64) >= target))
+        d_eff = (t - 1) + (target - float(v[t - 1])) / (
+            float(v[t]) - float(v[t - 1])
+        )
+    deltas = v[1:] - v[:-1]
+    num = int((np.arange(1, len(v), dtype=np.int64) * deltas).sum())
+    den = last - int(v[0])
+    avg = 0.0 if den == 0 else float(num) / float(den)
+    return pd.DataFrame(
+        {
+            "rounds": pd.array([rounds], dtype=np.int64),
+            "nf_last": pd.array([last], dtype=np.int64),
+            "effective_diameter_90": [float(_round_half_away(d_eff, 6))],
+            "avg_distance": [float(_round_half_away(avg, 6))],
+        }
+    )
+
+
 def q_graph_growth(sf_dir: str) -> pd.DataFrame:
     """Temporal graph evolution (densification) — per ship-month: edges first
     observed, sources/destinations first observed, cumulative edge count (the

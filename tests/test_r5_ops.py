@@ -1956,3 +1956,60 @@ def test_q_rich_club_random(ray_session, tmp_path):
         for r in out.itertuples()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# effective diameter (HyperBall NF derivation)
+# ---------------------------------------------------------------------------
+
+
+def test_q_effective_diameter_matches_nf_curve(ray_session, tmp_path):
+    """The derived metrics must equal the documented interpolation applied to
+    the (independently hash-oracled) q_hyperball curve."""
+    from pagerank_ray.pipelines.tabular import (
+        _round_half_away,
+        q_effective_diameter,
+        q_hyperball,
+    )
+
+    rng = np.random.default_rng(23)
+    m = 600
+    src = rng.integers(1, 120, m).tolist()
+    dst = rng.integers(1, 120, m).tolist()
+    _write_lineitem_edges(tmp_path, src, dst)
+
+    out = q_effective_diameter(str(tmp_path), rounds=5)
+    v = (
+        q_hyperball(str(tmp_path), rounds=5)
+        .sort_values("t")["nf_scaled"]
+        .to_numpy(np.int64)
+    )
+    last = int(v[-1])
+    target = 0.9 * float(last)
+    if float(v[0]) >= target:
+        want_d = 0.0
+    else:
+        t = int(np.argmax(v.astype(np.float64) >= target))
+        want_d = (t - 1) + (target - float(v[t - 1])) / (float(v[t]) - float(v[t - 1]))
+    num = int((np.arange(1, len(v), dtype=np.int64) * (v[1:] - v[:-1])).sum())
+    den = last - int(v[0])
+    want_avg = 0.0 if den == 0 else float(num) / float(den)
+    assert out["nf_last"].iloc[0] == last
+    assert out["effective_diameter_90"].iloc[0] == float(_round_half_away(want_d, 6))
+    assert out["avg_distance"].iloc[0] == float(_round_half_away(want_avg, 6))
+    # a 120-vertex dense-ish random graph has a tiny effective diameter
+    assert 0.0 < out["effective_diameter_90"].iloc[0] < 5.0
+
+
+def test_q_effective_diameter_path_graph(ray_session, tmp_path):
+    """On a 30-vertex path the effective diameter must be large (HLL noise
+    cannot collapse a diameter-29 path below the round horizon)."""
+    from pagerank_ray.pipelines.tabular import q_effective_diameter
+
+    src = list(range(1, 30))
+    dst = list(range(2, 31))
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_effective_diameter(str(tmp_path), rounds=8)
+    # after 8 rounds the ball is still growing: the 90% point sits near the
+    # horizon, far above the random-graph regime
+    assert out["effective_diameter_90"].iloc[0] > 4.0
