@@ -69,6 +69,58 @@ def _pagerank_sql(iters: int = 20, alpha: float = 0.85) -> str:
     return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
 
 
+def _pagerank_incremental_sql(
+    base_iters: int = 20,
+    warm_iters: int = 10,
+    alpha: float = 0.85,
+    cutoff: str = "1997-01-01",
+) -> str:
+    """Two-phase incremental-PageRank oracle (tabular.q_pagerank_incremental):
+    base recurrence over the pre-cutoff edge set with the FULL graph's vertex
+    universe and n (delta-only vertices are isolated ⇒ dangling), an
+    inter-phase ROUND(r, 6) mirroring the engine's worker-side rounding, then
+    the warm recurrence over the full edge set starting from that vector."""
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "eb AS MATERIALIZED (SELECT DISTINCT l_orderkey AS s, l_partkey AS d "
+        f"FROM lineitem WHERE l_shipdate < TIMESTAMP '{cutoff} 00:00:00'),",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        "outb AS MATERIALIZED (SELECT s AS id, COUNT(*)::DOUBLE AS deg FROM eb GROUP BY s),",
+        "outf AS MATERIALIZED (SELECT s AS id, COUNT(*)::DOUBLE AS deg FROM e GROUP BY s),",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+        "b0 AS (SELECT id, 1.0::DOUBLE AS r FROM v),",
+    ]
+    for i in range(base_iters):
+        p.append(
+            f"bd{i} AS (SELECT COALESCE(SUM(p.r),0)::DOUBLE AS m FROM b{i} p "
+            f"LEFT JOIN outb o ON o.id=p.id WHERE o.id IS NULL),"
+        )
+        p.append(
+            f"b{i + 1} AS MATERIALIZED (SELECT v.id, ({1 - alpha}) "
+            f"+ {alpha}*(SELECT m FROM bd{i})/(SELECT n FROM nn) "
+            f"+ {alpha}*COALESCE(inc.sm,0) AS r FROM v LEFT JOIN "
+            f"(SELECT eb.d AS id, SUM(p.r/o.deg) AS sm FROM eb "
+            f"JOIN b{i} p ON p.id=eb.s JOIN outb o ON o.id=eb.s GROUP BY eb.d) inc "
+            f"ON inc.id=v.id),"
+        )
+    p.append(f"w0 AS MATERIALIZED (SELECT id, ROUND(r, 6) AS r FROM b{base_iters}),")
+    for i in range(warm_iters):
+        p.append(
+            f"wd{i} AS (SELECT COALESCE(SUM(p.r),0)::DOUBLE AS m FROM w{i} p "
+            f"LEFT JOIN outf o ON o.id=p.id WHERE o.id IS NULL),"
+        )
+        p.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT v.id, ({1 - alpha}) "
+            f"+ {alpha}*(SELECT m FROM wd{i})/(SELECT n FROM nn) "
+            f"+ {alpha}*COALESCE(inc.sm,0) AS r FROM v LEFT JOIN "
+            f"(SELECT e.d AS id, SUM(p.r/o.deg) AS sm FROM e "
+            f"JOIN w{i} p ON p.id=e.s JOIN outf o ON o.id=e.s GROUP BY e.d) inc "
+            f"ON inc.id=v.id),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM w{warm_iters} ORDER BY id"
+
+
 def _pagerank_pers_sql(iters: int = 20, alpha: float = 0.85, mod: int = 97) -> str:
     """Unrolled personalized PageRank (tabular.q_pagerank_personalized):
     p uniform over seeds {v : v % mod == 0}, pn(v) = n·p(v); r⁰ = pn;
@@ -2574,6 +2626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_fixed": tabular.q_pagerank_fixed,  # SQL-oracled (unrolled)
         "pagerank_personalized": tabular.q_pagerank_personalized,  # SQL-oracled (M7)
         "pagerank_weighted": tabular.q_pagerank_weighted,  # SQL-oracled (stored-weight SpMV)
+        "pagerank_incremental": tabular.q_pagerank_incremental,  # SQL-oracled (two-phase warm start)
         "host_pagerank": tabular.q_host_pagerank,  # SQL-oracled (coarsened graph, weighted unroll)
         "reciprocity": tabular.q_reciprocity,  # SQL-oracled (canonical-pair direction mask)
         "rich_club": tabular.q_rich_club,  # SQL-oracled (degree-threshold club density)
@@ -2738,6 +2791,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed": _pagerank_sql(iters=20, alpha=0.85),
         "pagerank_personalized": _pagerank_pers_sql(iters=20, alpha=0.85, mod=97),
         "pagerank_weighted": _pagerank_weighted_sql(iters=20, alpha=0.85),
+        "pagerank_incremental": _pagerank_incremental_sql(),
         "host_pagerank": _host_pagerank_sql(),
         "reciprocity": _reciprocity_sql(),
         "rich_club": _rich_club_sql(),

@@ -241,7 +241,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     "r5e": [
         "katz", "line_dedup", "mixture_weights", "vocab_growth",
         "densest_subgraph", "bowtie", "bm25_topk", "dsir_weights", "msf",
-        "rich_club", "effective_diameter",
+        "rich_club", "effective_diameter", "pagerank_incremental",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
@@ -391,6 +391,8 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("msf", lambda: tabular.q_msf(SF_DIR))
     timed("rich_club", lambda: tabular.q_rich_club(SF_DIR))
     timed("effective_diameter", lambda: tabular.q_effective_diameter(SF_DIR))
+    timed("pagerank_incremental",
+          lambda: tabular.q_pagerank_incremental(SF_DIR, n_workers=min(8, ncpu)))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

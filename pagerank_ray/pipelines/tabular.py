@@ -374,6 +374,67 @@ def q_pagerank_fixed(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.Dat
     return df[["id", "rank"]]
 
 
+def q_pagerank_incremental(
+    sf_dir: str,
+    n_workers: int = 4,
+    base_iters: int = 20,
+    warm_iters: int = 10,
+    cutoff: str = "1997-01-01",
+) -> pd.DataFrame:
+    """Incremental PageRank — the daily-crawl-delta update a production link
+    graph runs instead of a cold start: 20 supersteps on the pre-cutoff edge
+    set (edges shipped before ``cutoff``), then 10 warm supersteps on the
+    FULL edge set starting from the rounded base vector (see
+    pipelines/pagerank.py:pagerank_incremental for the contraction
+    argument). Both phases share one dense vertex universe (the full
+    graph's); delta-only vertices are isolated/dangling in the base phase.
+    Hash-checked against the two-phase unrolled DuckDB oracle
+    (__ray_entry__._pagerank_incremental_sql) whose inter-phase ROUND(r, 6)
+    CTE mirrors the engine's in-place worker-side rounding exactly."""
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    from pagerank_ray.pipelines.pagerank import pagerank_incremental
+    from pagerank_ray.stages import joins
+
+    csr_full, n, id_map = _lineitem_csr(sf_dir, n_workers=n_workers, symmetrize=False)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+    cut = np.datetime64(cutoff, "us")
+
+    def pre_cutoff(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.less(t.column("l_shipdate"), pa.scalar(cut)))
+        return pa.table(
+            {"src_id": f.column("l_orderkey"), "dst_id": f.column("l_partkey")}
+        )
+
+    base_pairs = dedup_pairs(li.map_batches(pre_cutoff, batch_format="pyarrow"))
+    base_dense = joins.attach_column(
+        base_pairs, id_map, probe_col="src_id", build_key="orig",
+        build_val="dense", out_col="s2", build_count=n, drop_probe_col=True,
+    )
+    base_dense = joins.attach_column(
+        base_dense, id_map, probe_col="dst_id", build_key="orig",
+        build_val="dense", out_col="d2", build_count=n, drop_probe_col=True,
+    )
+    base_dense = base_dense.map_batches(
+        lambda t: pa.table({"src_id": t.column("s2"), "dst_id": t.column("d2")}),
+        batch_format="pyarrow",
+    )
+
+    tag = "fwd_inc" + cutoff.replace("-", "")
+    base_csr = os.path.join(_graph_workdir(sf_dir, tag), "csr")
+    prepare_csr_from_edges(base_dense, n, base_csr, n_parts=4 * n_workers)
+    res = pagerank_incremental(
+        base_csr, csr_full, n_workers=n_workers,
+        base_iters=base_iters, warm_iters=warm_iters,
+    )
+    df = _attach_orig(res.result, id_map, n, ["id"])
+    df = df.sort_values("id").reset_index(drop=True)
+    df["rank"] = _round_half_away(df["rank"], 6)
+    return df[["id", "rank"]]
+
+
 def q_pagerank_personalized(
     sf_dir: str, n_workers: int = 4, iters: int = 20, mod: int = 97
 ) -> pd.DataFrame:

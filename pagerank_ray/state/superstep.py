@@ -339,6 +339,17 @@ class ShardWorker:
         self.state += add
         return True
 
+    def round_state(self, ndigits: int) -> bool:
+        """In-place half-away rounding of the local state slice (the repo's
+        DuckDB-ROUND tie rule). Incremental PageRank rounds the base-phase
+        vector before the warm-start transfer so the engine's r⁰ is exactly
+        the vector the SQL oracle's ROUND(r, 6) inter-phase CTE produces —
+        O(n/W) per worker, no state movement."""
+        from pagerank_ray.functions.text import round_half_away
+
+        self.state = round_half_away(self.state, ndigits)
+        return True
+
     def load_state(self, segs: list, scale: float = 1.0) -> bool:
         """Replace the local state slice from another pool's published range
         slices. ``segs`` = [(src_lo, ref_or_array), ...] covering ≥ [lo, hi);

@@ -2013,3 +2013,64 @@ def test_q_effective_diameter_path_graph(ray_session, tmp_path):
     # after 8 rounds the ball is still growing: the 90% point sits near the
     # horizon, far above the random-graph regime
     assert out["effective_diameter_90"].iloc[0] > 4.0
+
+
+# ---------------------------------------------------------------------------
+# incremental (warm-start) PageRank
+# ---------------------------------------------------------------------------
+
+
+def _numpy_pagerank_steps(edges, vertices, r, iters, alpha=0.85):
+    """Reference recurrence on the mass-n scale over an explicit vertex
+    universe: r'(v) = (1-a) + a*D/n + a*sum_{u->v} r(u)/outdeg(u)."""
+    idx = {v: i for i, v in enumerate(vertices)}
+    n = len(vertices)
+    out = np.zeros(n)
+    for s, d in edges:
+        out[idx[s]] += 1
+    for _ in range(iters):
+        nxt = np.full(n, 1 - alpha)
+        dangling = r[out == 0].sum()
+        nxt += alpha * dangling / n
+        for s, d in edges:
+            nxt[idx[d]] += alpha * r[idx[s]] / out[idx[s]]
+        r = nxt
+    return r
+
+
+def test_q_pagerank_incremental_planted(ray_session, tmp_path):
+    from pagerank_ray.functions.text import round_half_away
+    from pagerank_ray.pipelines.tabular import q_pagerank_incremental
+
+    rng = np.random.default_rng(31)
+    m = 400
+    src = rng.integers(1, 50, m)
+    dst = rng.integers(51, 90, m)
+    # first 60% of rows ship before the cutoff, the rest after
+    pre = np.arange(m) < int(0.6 * m)
+    dates = np.where(pre, np.datetime64("1995-06-01"), np.datetime64("1997-06-01"))
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(src, pa.int64()),
+            "l_partkey": pa.array(dst, pa.int64()),
+            "l_shipdate": pa.array(dates.astype("datetime64[us]")),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+
+    out = q_pagerank_incremental(str(tmp_path), base_iters=5, warm_iters=4)
+
+    full = sorted(set(zip(src.tolist(), dst.tolist())))
+    base = sorted(set(zip(src[pre].tolist(), dst[pre].tolist())))
+    vertices = sorted({v for e in full for v in e})
+    r = _numpy_pagerank_steps(base, vertices, np.ones(len(vertices)), 5)
+    r = round_half_away(r, 6)
+    r = _numpy_pagerank_steps(full, vertices, r, 4)
+    want = round_half_away(r, 6)
+    got = out.sort_values("id")["rank"].to_numpy()
+    assert np.allclose(got, want, atol=2e-6)
+    # warm start must beat a cold start at the same extra-iteration budget:
+    # distance to the well-converged vector is smaller from the warm vector
+    ref = _numpy_pagerank_steps(full, vertices, np.ones(len(vertices)), 60)
+    cold = _numpy_pagerank_steps(full, vertices, np.ones(len(vertices)), 4)
+    assert np.abs(r - ref).sum() < np.abs(cold - ref).sum()
