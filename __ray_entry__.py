@@ -1185,6 +1185,82 @@ SELECT n::BIGINT AS n_pairs,
 FROM m"""
 
 
+def _embedding_pca_sql(
+    iters: int = 6, scale: int = 10**4, target: int = 10**6
+) -> str:
+    """Fixed-point power-iteration PCA oracle (tabular.q_embedding_pca):
+    quantize embedding values to integers (round-half-away of value·scale),
+    run ``iters`` exact-HUGEINT centered matvecs w = n·(QᵀQv) − S·(Sᵀv) with
+    the integer renormalization v ← sign(w)·(|w| // max(1, max|w| // target))
+    — every step is order-free integer arithmetic, so DuckDB and the
+    distributed engine cannot diverge; the only float ops (unit-norm column)
+    are the identical CAST/SQRT/ROUND expression on both sides.
+
+    Every per-iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    the v→(p,sv)→w→(m,v') chain references each CTE twice, so un-hinted the
+    plan (and its parquet scans) grows exponentially in ``iters`` — at 6
+    iterations that is hundreds of re-opens of embeddings.parquet and an
+    EMFILE abort before the first row."""
+    p = [
+        "WITH dims AS MATERIALIZED (SELECT UNNEST(generate_series(1, "
+        "(SELECT MAX(len(embedding)) FROM embeddings)))::BIGINT AS j),",
+        f"raw AS (SELECT dims.j, embedding[dims.j]::DOUBLE * {float(scale)} AS y, "
+        "vec_id FROM embeddings, dims),",
+        "tri AS MATERIALIZED (SELECT vec_id AS i, j, CAST(CASE WHEN y < 0 "
+        "THEN -FLOOR(-y + 0.5) ELSE FLOOR(y + 0.5) END AS HUGEINT) AS q FROM raw),",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::HUGEINT AS n FROM embeddings),",
+        "s AS MATERIALIZED (SELECT j, SUM(q)::HUGEINT AS s FROM tri GROUP BY j),",
+        "v0 AS MATERIALIZED (SELECT j, 1::HUGEINT AS v FROM dims),",
+    ]
+    for t in range(iters):
+        p.append(
+            f"p{t} AS MATERIALIZED (SELECT i, SUM(tri.q * v{t}.v)::HUGEINT AS p "
+            f"FROM tri JOIN v{t} USING (j) GROUP BY i),"
+        )
+        p.append(
+            f"a{t} AS MATERIALIZED (SELECT j, SUM(tri.q * p{t}.p)::HUGEINT AS a "
+            f"FROM tri JOIN p{t} USING (i) GROUP BY j),"
+        )
+        p.append(
+            f"sv{t} AS MATERIALIZED (SELECT SUM(s.s * v{t}.v)::HUGEINT AS sv "
+            f"FROM s JOIN v{t} USING (j)),"
+        )
+        p.append(
+            f"w{t} AS MATERIALIZED (SELECT a{t}.j, ((SELECT n FROM nn) * a{t}.a "
+            f"- s.s * (SELECT sv FROM sv{t}))::HUGEINT AS w "
+            f"FROM a{t} JOIN s ON s.j = a{t}.j),"
+        )
+        p.append(
+            f"m{t} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)) // {target}, "
+            f"1::HUGEINT) AS dv FROM w{t}),"
+        )
+        p.append(
+            f"v{t + 1} AS MATERIALIZED (SELECT j, (CASE WHEN w < 0 THEN "
+            f"-((-w) // (SELECT dv FROM m{t})) "
+            f"ELSE w // (SELECT dv FROM m{t}) END)::HUGEINT AS v FROM w{t}),"
+        )
+    p.append(
+        f"sgn AS MATERIALIZED (SELECT CASE WHEN (SELECT v FROM v{iters} "
+        "ORDER BY ABS(v) DESC, j ASC LIMIT 1) < 0 "
+        "THEN -1 ELSE 1 END::HUGEINT AS sg),"
+    )
+    p.append(
+        f"vf AS MATERIALIZED (SELECT j, (v * (SELECT sg FROM sgn))::BIGINT AS v_fixed "
+        f"FROM v{iters}),"
+    )
+    p.append(
+        "nrm AS MATERIALIZED (SELECT SQRT(CAST(SUM(v_fixed::HUGEINT * v_fixed::HUGEINT) "
+        "AS DOUBLE)) AS norm FROM vf)"
+    )
+    p.append(
+        "SELECT j - 1 AS dim, v_fixed, "
+        "CASE WHEN (SELECT norm FROM nrm) = 0 THEN 0.0 "
+        "ELSE ROUND(v_fixed::DOUBLE / (SELECT norm FROM nrm), 6) END AS component "
+        "FROM vf ORDER BY dim"
+    )
+    return "\n".join(p)
+
+
 def _doc_quality_sql() -> str:
     """The identical quality heuristics as functions/text.py, in DuckDB: RE2
     unicode classes mirror Python's unicode \\w for the punct ratio; stopword
@@ -2558,6 +2634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- brand-new late-r5 operators: lead so the driver's ~50-query
         # window hash-checks them this round ---
+        "embedding_pca": tabular.q_embedding_pca,  # SQL-oracled (fixed-point power iter)
         "msf": tabular.q_msf,  # SQL-oracled (_msf_sql unrolled rounds)
         "dsir_weights": tabular.q_dsir_weights,  # SQL-oracled (_dsir_sql shared hash)
         "bm25_topk": tabular.q_bm25_topk,  # SQL-oracled (mirrored Okapi formula)
@@ -2730,6 +2807,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ROUND(s, 6) AS score FROM scored "
             "ORDER BY score DESC, doc_id LIMIT 20"
         ),
+        "embedding_pca": _embedding_pca_sql(),
         "msf": _msf_sql(),
         "dsir_weights": _dsir_sql(),
         "katz": _katz_sql(iters=8, alpha=0.05, beta=1.0),

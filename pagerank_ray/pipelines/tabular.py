@@ -2784,6 +2784,110 @@ def q_embed_documents(sf_dir: str) -> rd.Dataset:
     return emb.map_batches(explode, batch_format="pyarrow")
 
 
+def q_embedding_pca(
+    sf_dir: str, iters: int = 6, scale: int = 10**4, target: int = 10**6
+) -> pd.DataFrame:
+    """Top principal component of the embeddings table by FIXED-POINT
+    distributed power iteration — the tall-skinny linear-algebra primitive
+    (corpus whitening / PCA drift checks) expressed so the oracle is
+    bit-reproducible: values quantize to integers (round-half-away of
+    value·scale), every matvec is an exact integer sum (order-free, so the
+    distributed batch split cannot change it), and each iterate renormalizes
+    by the integer division v ← sign(w)·(|w| // dv) with
+    dv = max(1, max|w| // target) — no float enters until the final cosmetic
+    unit-norm column, computed identically on both engines.
+
+    One pass computes the per-dim quantized column sums S and n; each of the
+    ``iters`` passes streams the table once, fusing p = Q·v and the partial
+    a_b = Q_bᵀ·p_b per batch so only O(#batches × dim) integer rows reach the
+    driver, which combines them as arbitrary-precision Python ints (the
+    centered matvec w = n·a − S·(S·v) overflows int64 by design; per-batch
+    partials stay int64-exact because |q| ≤ scale and batch_size ≤ 1024 — see
+    the bound in the batch kernel). The iterate v (dim ints ≤ 2·target) is a
+    closure broadcast, not a shuffle. At 10⁹ rows this is ``iters`` streaming
+    scans + tiny driver reduces — the standard distributed power method."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def quantize(t: pa.Table) -> np.ndarray:
+        col = t.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.num_rows
+        dim = len(flat) // max(n, 1)
+        if n and len(flat) != n * dim:
+            raise ValueError("ragged embedding lists")
+        y = flat.reshape(n, dim) * float(scale)
+        return (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+
+    def sums_partial(t: pa.Table) -> pa.Table:
+        q = quantize(t)
+        return pa.table(
+            {
+                "j": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+                "s": pa.array(q.sum(axis=0, dtype=np.int64)),
+                "cnt": pa.array(
+                    np.full(q.shape[1], q.shape[0], dtype=np.int64)
+                ),
+            }
+        )
+
+    base = ds.materialize()
+    parts = base.map_batches(
+        sums_partial, batch_format="pyarrow", batch_size=1024
+    ).to_pandas()
+    gs = parts.groupby("j")
+    S = [int(x) for x in gs["s"].sum().sort_index()]
+    n_rows = int(gs["cnt"].sum().iloc[0]) if len(parts) else 0
+    dim = len(S)
+    if n_rows == 0 or dim == 0:
+        return pd.DataFrame(
+            {"dim": pd.array([], dtype=np.int64),
+             "v_fixed": pd.array([], dtype=np.int64),
+             "component": pd.array([], dtype=np.float64)}
+        )
+
+    v = [1] * dim
+    for _ in range(iters):
+        varr = np.asarray(v, dtype=np.int64)  # |v| ≤ 2·target < 2^63
+
+        def matvec_partial(t: pa.Table, varr=varr) -> pa.Table:
+            # int64 bound: |q| ≤ scale·0.6, |p| ≤ dim·scale·2·target ≈ 7e11,
+            # |q·p| ≤ 4e15, batch Σ ≤ 1024·4e15 ≈ 4e18 < 2^63.
+            q = quantize(t)
+            p = q @ varr
+            return pa.table(
+                {
+                    "j": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+                    "a": pa.array(q.T @ p),
+                }
+            )
+
+        ap = base.map_batches(
+            matvec_partial, batch_format="pyarrow", batch_size=1024
+        ).to_pandas()
+        a = [int(x) for x in ap.groupby("j")["a"].sum().sort_index()]
+        sv = sum(S[j] * v[j] for j in range(dim))
+        w = [n_rows * a[j] - S[j] * sv for j in range(dim)]
+        dv = max(1, max(abs(x) for x in w) // target)
+        v = [(-((-x) // dv) if x < 0 else x // dv) for x in w]
+
+    jm = max(range(dim), key=lambda j: (abs(v[j]), -j))
+    if v[jm] < 0:
+        v = [-x for x in v]
+    norm = float(sum(x * x for x in v)) ** 0.5
+    comp = (
+        np.zeros(dim)
+        if norm == 0.0
+        else _round_half_away(np.asarray([float(x) for x in v]) / norm, 6)
+    )
+    return pd.DataFrame(
+        {
+            "dim": pd.array(np.arange(dim), dtype=np.int64),
+            "v_fixed": pd.array([int(x) for x in v], dtype=np.int64),
+            "component": comp,
+        }
+    )
+
+
 def q_knn_ivf_embedded(sf_dir: str) -> pd.DataFrame:
     """End-to-end GPU-pipeline shape: the embedding-inference stage FEEDS the
     IVF index — embed documents, train centroids on the inferred vectors,

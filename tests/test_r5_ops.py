@@ -2074,3 +2074,69 @@ def test_q_pagerank_incremental_planted(ray_session, tmp_path):
     ref = _numpy_pagerank_steps(full, vertices, np.ones(len(vertices)), 60)
     cold = _numpy_pagerank_steps(full, vertices, np.ones(len(vertices)), 4)
     assert np.abs(r - ref).sum() < np.abs(cold - ref).sum()
+
+
+def test_q_embedding_pca_planted(ray_session, tmp_path):
+    """Fixed-point power-iteration PCA: replicate the exact integer
+    algorithm in pure Python on a planted table (bit parity with the
+    distributed engine), then sanity-check the direction against numpy's
+    eigendecomposition of the centered covariance."""
+    from pagerank_ray.pipelines.tabular import q_embedding_pca
+
+    rng = np.random.RandomState(7)
+    t_ = rng.randn(40)
+    pts = np.outer(t_, np.array([0.6, 0.8, 0.0])) + 0.01 * rng.randn(40, 3)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(40), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in pts],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = q_embedding_pca(str(tmp_path))
+
+    # pure-Python reference of the same fixed-point recurrence
+    scale, target, iters = 10**4, 10**6, 6
+    y = pts.astype(np.float32).astype(np.float64) * scale
+    q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(object)
+    q = [[int(x) for x in row] for row in q]
+    n, dim = len(q), 3
+    S = [sum(q[i][j] for i in range(n)) for j in range(dim)]
+    v = [1] * dim
+    for _ in range(iters):
+        p = [sum(q[i][j] * v[j] for j in range(dim)) for i in range(n)]
+        a = [sum(q[i][j] * p[i] for i in range(n)) for j in range(dim)]
+        sv = sum(S[j] * v[j] for j in range(dim))
+        w = [n * a[j] - S[j] * sv for j in range(dim)]
+        dv = max(1, max(abs(x) for x in w) // target)
+        v = [(-((-x) // dv) if x < 0 else x // dv) for x in w]
+    jm = max(range(dim), key=lambda j: (abs(v[j]), -j))
+    if v[jm] < 0:
+        v = [-x for x in v]
+    assert list(out["v_fixed"]) == v
+    assert list(out["dim"]) == [0, 1, 2]
+
+    # direction agrees with numpy PCA of the float data
+    x = pts - pts.mean(axis=0)
+    evals, evecs = np.linalg.eigh(x.T @ x)
+    pc1 = evecs[:, -1]
+    got = np.asarray(out["component"], dtype=float)
+    cos = abs(float(got @ pc1) / (np.linalg.norm(got) * np.linalg.norm(pc1)))
+    assert cos > 0.999
+
+
+def test_q_embedding_pca_axis_aligned(ray_session, tmp_path):
+    """Variance concentrated on axis 1 → component ≈ e1 with positive sign
+    (sign convention: largest-|v| coordinate made positive)."""
+    from pagerank_ray.pipelines.tabular import q_embedding_pca
+
+    vals = [[0.001, -0.9, 0.002], [0.0, 0.8, 0.0], [-0.002, -0.7, 0.001],
+            [0.001, 0.95, -0.001]] * 5
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(20), pa.int64()),
+        "embedding": pa.array(vals, pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = q_embedding_pca(str(tmp_path))
+    comp = np.asarray(out["component"], dtype=float)
+    assert abs(comp[1]) > 0.999 and comp[1] > 0
+    assert abs(comp[0]) < 0.02 and abs(comp[2]) < 0.02
