@@ -385,29 +385,12 @@ SELECT n_tri AS n_triangles, n_wedges,
 FROM agg"""
 
 
-def _hyperball_sql(rounds: int = 6) -> str:
-    """HyperBall oracle (pipelines/hyperball.py, tabular.q_hyperball): exact
-    replay of the register dynamics and the estimator. Init: fmix64 of the
-    original vertex id (the shared _fmix_chain_sql), bucket = h >> 60, rho
-    via the exact power-of-two table (no libm log2). Rounds: per-(id, j)
-    GREATEST of own and max-over-neighbors register, symmetrized edges.
-    Estimate per round: S' = Σ 2^(48 − LEAST(m,48)) as exact HUGEINT →
-    DOUBLE (< 2^53), the identical left-associated bias expression, the
-    linear-counting branch, ROUND(·1e6)::BIGINT per vertex, exact SUM."""
+def _hyperball_chain(rounds: int) -> list[str]:
+    """Shared WITH-chain for the HyperBall-family oracles: fmix64 item
+    hashes, rho via the exact power-of-two table, b0..b{rounds} register
+    CTEs (per-(id, j) GREATEST of own and max-over-neighbors, symmetrized
+    edges). Returned entries all end with a trailing comma."""
     mask = (1 << 60) - 1
-    est = (
-        "SELECT {t} AS t, SUM(e_int)::BIGINT AS nf_scaled, "
-        "SUM(sregs)::BIGINT AS sum_registers FROM ("
-        "  SELECT id, CAST(ROUND(CASE WHEN "
-        "    0.7213/(1 + 1.079/16.0) * 256.0 * 281474976710656.0 / sprime <= 40.0 "
-        "    AND zeros > 0 THEN 16.0 * LN(16.0 / zeros) "
-        "    ELSE 0.7213/(1 + 1.079/16.0) * 256.0 * 281474976710656.0 / sprime END "
-        "    * 1000000.0, 0) AS BIGINT) AS e_int, sregs FROM ("
-        "    SELECT b.id, SUM(p2.v)::DOUBLE AS sprime, "
-        "           SUM(CASE WHEN b.m = 0 THEN 1 ELSE 0 END)::DOUBLE AS zeros, "
-        "           SUM(b.m)::BIGINT AS sregs "
-        "    FROM b{t} b JOIN p2 ON p2.k = 48 - LEAST(b.m, 48) GROUP BY b.id))"
-    )
     p = [
         "WITH RECURSIVE p2(k, v) AS (SELECT 0, 1::HUGEINT "
         "UNION ALL SELECT k + 1, v * 2 FROM p2 WHERE k < 64),",
@@ -433,11 +416,75 @@ def _hyperball_sql(rounds: int = 6) -> str:
             f"JOIN b{t} c ON c.id = es.s GROUP BY es.d, c.j) inc "
             f"ON inc.id = cur.id AND inc.j = cur.j),"
         )
+    return p
+
+
+def _hyperball_sql(rounds: int = 6) -> str:
+    """HyperBall oracle (pipelines/hyperball.py, tabular.q_hyperball): exact
+    replay of the register dynamics and the estimator. Init: fmix64 of the
+    original vertex id (the shared _fmix_chain_sql), bucket = h >> 60, rho
+    via the exact power-of-two table (no libm log2). Rounds: per-(id, j)
+    GREATEST of own and max-over-neighbors register, symmetrized edges.
+    Estimate per round: S' = Σ 2^(48 − LEAST(m,48)) as exact HUGEINT →
+    DOUBLE (< 2^53), the identical left-associated bias expression, the
+    linear-counting branch, ROUND(·1e6)::BIGINT per vertex, exact SUM."""
+    est = (
+        "SELECT {t} AS t, SUM(e_int)::BIGINT AS nf_scaled, "
+        "SUM(sregs)::BIGINT AS sum_registers FROM ("
+        "  SELECT id, CAST(ROUND(CASE WHEN "
+        "    0.7213/(1 + 1.079/16.0) * 256.0 * 281474976710656.0 / sprime <= 40.0 "
+        "    AND zeros > 0 THEN 16.0 * LN(16.0 / zeros) "
+        "    ELSE 0.7213/(1 + 1.079/16.0) * 256.0 * 281474976710656.0 / sprime END "
+        "    * 1000000.0, 0) AS BIGINT) AS e_int, sregs FROM ("
+        "    SELECT b.id, SUM(p2.v)::DOUBLE AS sprime, "
+        "           SUM(CASE WHEN b.m = 0 THEN 1 ELSE 0 END)::DOUBLE AS zeros, "
+        "           SUM(b.m)::BIGINT AS sregs "
+        "    FROM b{t} b JOIN p2 ON p2.k = 48 - LEAST(b.m, 48) GROUP BY b.id))"
+    )
+    p = _hyperball_chain(rounds)
     body = "\n".join(p).rstrip()[:-1]
     unions = "\nUNION ALL\n".join(
         "(" + est.replace("{t}", str(t)) + ")" for t in range(rounds + 1)
     )
     return body + f"\nSELECT * FROM (\n{unions}\n) ORDER BY t"
+
+
+def _harmonic_sql(rounds: int = 6, k: int = 20) -> str:
+    """Harmonic-centrality oracle (tabular.q_harmonic_centrality,
+    pipelines/hyperball.py:harmonic_centrality): the shared register chain,
+    then PER-VERTEX integerized estimates est0..est{rounds} (the identical
+    estimator expression as _hyperball_sql minus the global SUM) folded as
+    Σ_t (e_t − e_{t−1}) · (lcm(1..rounds) // t) — exact int64 both sides.
+    Top-k by (harmonic_scaled DESC, id ASC)."""
+    import math
+
+    lcm = math.lcm(*range(1, rounds + 1))
+    est = (
+        "est{t} AS MATERIALIZED (SELECT id, CAST(ROUND(CASE WHEN "
+        "0.7213/(1 + 1.079/16.0) * 256.0 * 281474976710656.0 / sprime <= 40.0 "
+        "AND zeros > 0 THEN 16.0 * LN(16.0 / zeros) "
+        "ELSE 0.7213/(1 + 1.079/16.0) * 256.0 * 281474976710656.0 / sprime END "
+        "* 1000000.0, 0) AS BIGINT) AS e FROM ("
+        "SELECT b.id, SUM(p2.v)::DOUBLE AS sprime, "
+        "SUM(CASE WHEN b.m = 0 THEN 1 ELSE 0 END)::DOUBLE AS zeros "
+        "FROM b{t} b JOIN p2 ON p2.k = 48 - LEAST(b.m, 48) GROUP BY b.id)),"
+    )
+    p = _hyperball_chain(rounds)
+    for t in range(rounds + 1):
+        p.append(est.replace("{t}", str(t)))
+    terms = " + ".join(
+        f"(e{t}.e - e{t - 1}.e) * {lcm // t}" for t in range(1, rounds + 1)
+    )
+    joins_ = " ".join(
+        f"JOIN est{t} e{t} ON e{t}.id = e0.id" for t in range(1, rounds + 1)
+    )
+    body = "\n".join(p).rstrip()[:-1]
+    return (
+        body
+        + f"\nSELECT e0.id, ({terms})::BIGINT AS harmonic_scaled "
+        f"FROM est0 e0 {joins_} "
+        f"ORDER BY harmonic_scaled DESC, e0.id ASC LIMIT {k}"
+    )
 
 
 def _effective_diameter_sql(rounds: int = 6) -> str:
@@ -2639,6 +2686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verify kernel changed after its r3 green row). Everything below
         # slot 50 keeps a green r3/r4 row over byte-unchanged code, locally
         # re-swept (124/124 OK, bench/sweep_oracle.py at sf0.01). ---
+        "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
         "embedding_pca": tabular.q_embedding_pca,  # SQL-oracled (fixed-point power iter)
         "msf": tabular.q_msf,  # SQL-oracled (_msf_sql unrolled rounds)
         "dsir_weights": tabular.q_dsir_weights,  # SQL-oracled (_dsir_sql shared hash)
@@ -2651,7 +2699,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie": tabular.q_bowtie,  # SQL-oracled (shared reachability closure)
         "coreness": tabular.q_coreness,  # SQL-oracled (fixed-grid level peel)
         "orders_events_range": tabular.q_orders_events_range,  # SQL-oracled (range join)
-        "cohort_retention": tabular.q_cohort_retention,  # SQL-oracled (MIN+DISTINCT)
         "two_hop_reach": tabular.q_two_hop_reach,  # SQL-oracled (capped wedge union)
         "perplexity_filter": tabular.q_perplexity_filter,  # SQL-oracled (bigram LM)
         "partitioned_sink": tabular.q_partitioned_sink,  # SQL-oracled (round-trip)
@@ -2689,10 +2736,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_conductance": tabular.q_community_conductance,  # SQL-oracled (LP + cut/vol)
         "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
-        # --- outside the window: 4 never-driver-checked conformance/rollup
-        # shapes identical to green rows and pytest-gated (csv/jsonl source
-        # round-trips, revenue_rollup, key_skew), then the r3-green tail,
-        # then the 49 r4-green rows. ---
+        # --- outside the window: 5 never-driver-checked conformance/rollup
+        # shapes identical to green rows and pytest-gated (cohort_retention,
+        # csv/jsonl source round-trips, revenue_rollup, key_skew), then the
+        # r3-green tail, then the 49 r4-green rows. ---
+        "cohort_retention": tabular.q_cohort_retention,  # SQL-oracled (MIN+DISTINCT)
         "csv_source": tabular.q_csv_source,  # SQL-oracled (round-trip vs parquet)
         "jsonl_source": tabular.q_jsonl_source,  # SQL-oracled (round-trip vs parquet)
         "revenue_rollup": tabular.q_revenue_rollup,  # SQL-oracled (GROUP BY ROLLUP)
@@ -2801,6 +2849,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, doc_id LIMIT 20"
         ),
         "embedding_pca": _embedding_pca_sql(),
+        "harmonic_centrality": _harmonic_sql(),
         "msf": _msf_sql(),
         "dsir_weights": _dsir_sql(),
         "katz": _katz_sql(iters=8, alpha=0.05, beta=1.0),

@@ -242,6 +242,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
         "katz", "line_dedup", "mixture_weights", "vocab_growth",
         "densest_subgraph", "bowtie", "bm25_topk", "dsir_weights", "msf",
         "rich_club", "effective_diameter", "pagerank_incremental",
+        "embedding_pca", "harmonic_centrality",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
 }
@@ -393,6 +394,8 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("effective_diameter", lambda: tabular.q_effective_diameter(SF_DIR))
     timed("pagerank_incremental",
           lambda: tabular.q_pagerank_incremental(SF_DIR, n_workers=min(8, ncpu)))
+    timed("embedding_pca", lambda: tabular.q_embedding_pca(SF_DIR))
+    timed("harmonic_centrality", lambda: tabular.q_harmonic_centrality(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

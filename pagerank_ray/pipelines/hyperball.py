@@ -174,10 +174,10 @@ def _round_stats(state: rd.Dataset) -> tuple[int, int]:
     return int(parts["nf"].sum()), int(parts["sregs"].sum())
 
 
-def _stats_np(regs: np.ndarray) -> tuple[int, int]:
-    """Vectorized estimator over a dense (n, 16) register matrix — the SAME
-    arithmetic as _round_stats' per-batch kernel (exact integer float sums,
-    identical left-associated expression)."""
+def _est_int_vec(regs: np.ndarray) -> np.ndarray:
+    """Per-vertex integerized HLL estimates over a dense (n, 16) register
+    matrix — the SAME arithmetic as _round_stats' per-batch kernel (exact
+    integer float sums, identical left-associated expression)."""
     clipped = np.minimum(regs, CLIP)
     sprime = (2.0 ** (CLIP - clipped)).sum(axis=1)
     zeros = (regs == 0).sum(axis=1)
@@ -185,8 +185,11 @@ def _stats_np(regs: np.ndarray) -> tuple[int, int]:
     safe_z = np.maximum(zeros, 1).astype(np.float64)
     lin = 16.0 * np.log(16.0 / safe_z)
     e = np.where((raw <= 40.0) & (zeros > 0), lin, raw)
-    e_int = round_half_away(e * 1000000.0, 0).astype(np.int64)
-    return int(e_int.sum()), int(regs.sum())
+    return round_half_away(e * 1000000.0, 0).astype(np.int64)
+
+
+def _stats_np(regs: np.ndarray) -> tuple[int, int]:
+    return int(_est_int_vec(regs).sum()), int(regs.sum())
 
 
 @_ray.remote
@@ -323,3 +326,250 @@ def hyperball(
             "sum_registers": pd.array([r[2] for r in rows], dtype=np.int64),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality via HyperBall (Boldi & Vigna, "In-Core Computation of
+# Geometric Centralities with HyperBall", ICDM workshops 2013): H(v) =
+# Σ_{t≥1} (|B(v,t)| − |B(v,t−1)|) / t, read off the same per-vertex register
+# dynamics. To keep both engines exact-integer, the 1/t weights are scaled by
+# L = lcm(1..rounds): harmonic_scaled(v) = Σ_t ΔE_t(v) · (L // t) where
+# E_t(v) is the integerized (·1e6) per-vertex ball estimate — every term is
+# an int64 product of ints computed identically on both sides.
+# ---------------------------------------------------------------------------
+
+
+def _harmonic_weights(rounds: int) -> list[int]:
+    import math
+
+    lcm = math.lcm(*range(1, rounds + 1))
+    return [lcm // t for t in range(1, rounds + 1)]
+
+
+def _init_state_h(ids: np.ndarray) -> pa.Table:
+    init = _init_state(ids)
+    regs = _unpack(
+        init.column("pk0").to_numpy(zero_copy_only=False),
+        init.column("pk1").to_numpy(zero_copy_only=False),
+    )
+    return init.append_column(
+        "prev_e", pa.array(_est_int_vec(regs), pa.int64())
+    ).append_column("h", pa.array(np.zeros(len(ids), np.int64), pa.int64()))
+
+
+def _lanemax_h_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combine for the h-carrying state: lanewise register max per
+    id + SUM of (prev_e, h). Sum is the correct partial combine because
+    exactly ONE state row per id exists globally and contrib rows carry 0s —
+    so the per-id sum reconstructs the state row's scalars exactly."""
+    regs = _unpack(df["pk0"].to_numpy(np.int64), df["pk1"].to_numpy(np.int64))
+    g = pd.DataFrame(
+        {
+            "id": df["id"].to_numpy(np.int64),
+            **{f"r{j}": regs[:, j] for j in range(M)},
+            "prev_e": df["prev_e"].to_numpy(np.int64),
+            "h": df["h"].to_numpy(np.int64),
+        }
+    )
+    agg = {f"r{j}": "max" for j in range(M)}
+    agg["prev_e"] = "sum"
+    agg["h"] = "sum"
+    g = g.groupby("id", sort=False).agg(agg).reset_index()
+    mx = np.stack([g[f"r{j}"].to_numpy(np.int64) for j in range(M)], axis=1)
+    pk0, pk1 = _pack(mx)
+    return pd.DataFrame(
+        {
+            "id": g["id"].to_numpy(np.int64),
+            "pk0": pk0,
+            "pk1": pk1,
+            "prev_e": g["prev_e"].to_numpy(np.int64),
+            "h": g["h"].to_numpy(np.int64),
+        }
+    )
+
+
+def _grouped_lanemax_h(ds: rd.Dataset, w: int, n_buckets: int = 64) -> rd.Dataset:
+    """Bucketed combine + the round's harmonic update: after the per-id
+    merge, fold h ← h + (E_new − E_prev)·w and roll prev_e forward."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        key = t.column("id").to_numpy(zero_copy_only=False)
+        mixed = (key * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = _lanemax_h_partial(df)
+        regs = _unpack(out["pk0"].to_numpy(np.int64), out["pk1"].to_numpy(np.int64))
+        e_new = _est_int_vec(regs)
+        out["h"] = out["h"].to_numpy(np.int64) + (e_new - out["prev_e"].to_numpy(np.int64)) * np.int64(w)
+        out["prev_e"] = e_new
+        return out
+
+    return (
+        ds.map_batches(_lanemax_h_partial, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["id", "pk0", "pk1", "prev_e", "h"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+@_ray.remote
+def _harmonic_tail(e_blocks: list, rounds: int, k: int) -> pa.Table:
+    """All rounds in ONE task once the edge set fits (same cutoff idiom as
+    _hyperball_tail): identical register dynamics + the same integer
+    harmonic fold; parity-tested against the distributed path."""
+    et = [t for t in _ray.get(list(e_blocks)) if t.num_rows]
+    s = np.concatenate(
+        [t.column("src_id").to_numpy(zero_copy_only=False) for t in et]
+        or [np.array([], np.int64)]
+    ).astype(np.int64)
+    d = np.concatenate(
+        [t.column("dst_id").to_numpy(zero_copy_only=False) for t in et]
+        or [np.array([], np.int64)]
+    ).astype(np.int64)
+    ids = np.unique(np.concatenate([s, d]))
+    if len(ids) == 0:
+        return pa.table(
+            {"id": pa.array([], pa.int64()),
+             "harmonic_scaled": pa.array([], pa.int64())}
+        )
+    si = np.searchsorted(ids, s)
+    di = np.searchsorted(ids, d)
+    v_idx = np.concatenate([si, di])
+    x_idx = np.concatenate([di, si])
+    init = _init_state(ids)
+    regs = _unpack(
+        init.column("pk0").to_numpy(zero_copy_only=False),
+        init.column("pk1").to_numpy(zero_copy_only=False),
+    )
+    weights = _harmonic_weights(rounds)
+    prev = _est_int_vec(regs)
+    h = np.zeros(len(ids), np.int64)
+    for t in range(1, rounds + 1):
+        new = regs.copy()
+        np.maximum.at(new, v_idx, regs[x_idx])
+        regs = new
+        e = _est_int_vec(regs)
+        h += (e - prev) * np.int64(weights[t - 1])
+        prev = e
+    order = np.lexsort((ids, -h))[: min(k, len(ids))]
+    return pa.table(
+        {
+            "id": pa.array(ids[order], pa.int64()),
+            "harmonic_scaled": pa.array(h[order], pa.int64()),
+        }
+    )
+
+
+def harmonic_centrality(
+    edges: rd.Dataset,
+    *,
+    rounds: int = 6,
+    k: int = 20,
+    tail_cutoff: int = 4_000_000,
+) -> pd.DataFrame:
+    """edges (src_id, dst_id; original ids) → top-k vertices of the
+    symmetrized graph by HyperBall harmonic centrality (scaled by 1e6·lcm;
+    ties broken by ascending id). Same two-level shape as hyperball(): the
+    in-memory tail under ``tail_cutoff``, else the distributed per-round
+    path whose h-accumulator rides INSIDE the bucketed lanemax exchange
+    (contrib rows carry zeros; sum reconstructs the unique state row), so
+    the per-round cost is identical to hyperball's + two int64 columns."""
+    edges = edges.materialize()
+    if edges.count() <= tail_cutoff:
+        tbl = _ray.get(_harmonic_tail.remote(edges.to_arrow_refs(), rounds, k))
+        return tbl.to_pandas()
+    adj = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [
+                        t.column("src_id").combine_chunks().cast(pa.int64()),
+                        t.column("dst_id").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "x": pa.concat_arrays(
+                    [
+                        t.column("dst_id").combine_chunks().cast(pa.int64()),
+                        t.column("src_id").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    mentions = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [
+                        t.column("src_id").combine_chunks().cast(pa.int64()),
+                        t.column("dst_id").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    vertices = distinct_values(mentions, "id")
+    state = vertices.map_batches(
+        lambda t: _init_state_h(t.column("id").to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow",
+    ).materialize()
+    n = state.count()
+    weights = _harmonic_weights(rounds)
+    for t in range(1, rounds + 1):
+        contrib = joins.attach_column(
+            joins.attach_column(
+                adj,
+                state,
+                probe_col="x",
+                build_key="id",
+                build_val="pk0",
+                out_col="pk0",
+                build_count=n,
+                drop_probe_col=False,
+            ),
+            state,
+            probe_col="x",
+            build_key="id",
+            build_val="pk1",
+            out_col="pk1",
+            build_count=n,
+            drop_probe_col=True,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "id": t.column("v"),
+                    "pk0": t.column("pk0"),
+                    "pk1": t.column("pk1"),
+                    "prev_e": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "h": pa.array(np.zeros(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        state = _grouped_lanemax_h(
+            contrib.union(state), weights[t - 1]
+        ).materialize()
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -h))[: min(k, len(ids))]
+        return pa.table(
+            {
+                "id": pa.array(ids[order], pa.int64()),
+                "harmonic_scaled": pa.array(h[order], pa.int64()),
+            }
+        )
+
+    cand = state.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["harmonic_scaled", "id"], ascending=[False, True]
+    ).head(k)
+    return cand.reset_index(drop=True)

@@ -5995,6 +5995,19 @@ def q_hyperball(sf_dir: str, rounds: int = 6) -> pd.DataFrame:
     return hyperball(lineitem_edges(sf_dir), rounds=rounds)
 
 
+def q_harmonic_centrality(sf_dir: str, rounds: int = 6, k: int = 20) -> pd.DataFrame:
+    """Top-k vertices of the symmetrized lineitem graph by HyperBall
+    harmonic centrality (Boldi & Vigna ICDM-W 2013: the geometric centrality
+    HyperBall was built to compute at web scale) — H(v) = Σ_t ΔB_t(v)/t over
+    the same per-vertex HLL register dynamics as q_hyperball, with 1/t
+    scaled by lcm(1..rounds) so every term is an exact int64 and even the
+    APPROXIMATE per-vertex estimates hash-match the SQL oracle. Ties break
+    by ascending id."""
+    from pagerank_ray.pipelines.hyperball import harmonic_centrality
+
+    return harmonic_centrality(lineitem_edges(sf_dir), rounds=rounds, k=k)
+
+
 def q_effective_diameter(sf_dir: str, rounds: int = 6) -> pd.DataFrame:
     """Effective diameter (90th percentile) and average distance of the
     symmetrized lineitem graph, read off the HyperBall neighborhood function

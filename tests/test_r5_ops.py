@@ -2140,3 +2140,76 @@ def test_q_embedding_pca_axis_aligned(ray_session, tmp_path):
     comp = np.asarray(out["component"], dtype=float)
     assert abs(comp[1]) > 0.999 and comp[1] > 0
     assert abs(comp[0]) < 0.02 and abs(comp[2]) < 0.02
+
+
+def test_harmonic_distributed_matches_tail(ray_session):
+    """The h-accumulator riding inside the bucketed lanemax exchange must
+    reproduce the single-task tail fold bit-for-bit."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.hyperball import harmonic_centrality
+
+    rng = np.random.default_rng(77)
+    src = rng.integers(0, 80, 300)
+    dst = rng.integers(0, 80, 300)
+    edges = pa.table({
+        "src_id": pa.array(src, pa.int64()),
+        "dst_id": pa.array(dst, pa.int64()),
+    })
+    a = harmonic_centrality(rd.from_arrow(edges), rounds=3, k=15)
+    b = harmonic_centrality(rd.from_arrow(edges), rounds=3, k=15, tail_cutoff=0)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_harmonic_centrality_star_graph(ray_session):
+    """Star graph: the hub reaches all n−1 spokes at distance 1; spokes reach
+    the hub at 1 and each other at 2 — so the hub must rank first. Also
+    pins the exact-integer fold: replicate H from per-round per-vertex
+    estimates computed by the same public estimator."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.hyperball import (
+        _est_int_vec,
+        _harmonic_weights,
+        _init_state,
+        _unpack,
+        harmonic_centrality,
+    )
+
+    n = 30
+    hub = 999
+    spokes = np.arange(n, dtype=np.int64)
+    edges = pa.table({
+        "src_id": pa.array(np.full(n, hub), pa.int64()),
+        "dst_id": pa.array(spokes, pa.int64()),
+    })
+    out = harmonic_centrality(rd.from_arrow(edges), rounds=3, k=n + 1)
+    assert int(out.iloc[0]["id"]) == hub
+    assert len(out) == n + 1
+
+    # independent dense replay of the fold
+    ids = np.unique(np.concatenate([np.full(n, hub), spokes]))
+    init = _init_state(ids)
+    regs = _unpack(
+        init.column("pk0").to_numpy(zero_copy_only=False),
+        init.column("pk1").to_numpy(zero_copy_only=False),
+    )
+    si = np.searchsorted(ids, np.full(n, hub))
+    di = np.searchsorted(ids, spokes)
+    v_idx = np.concatenate([si, di])
+    x_idx = np.concatenate([di, si])
+    W = _harmonic_weights(3)
+    prev = _est_int_vec(regs)
+    h = np.zeros(len(ids), np.int64)
+    for t in range(1, 4):
+        new = regs.copy()
+        np.maximum.at(new, v_idx, regs[x_idx])
+        regs = new
+        e = _est_int_vec(regs)
+        h += (e - prev) * np.int64(W[t - 1])
+        prev = e
+    want = dict(zip(ids.tolist(), h.tolist()))
+    got = dict(zip(out["id"].tolist(), out["harmonic_scaled"].tolist()))
+    assert got == want
