@@ -157,6 +157,59 @@ def _pagerank_pers_sql(iters: int = 20, alpha: float = 0.85, mod: int = 97) -> s
     return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
 
 
+def _ppr_batch_sql(
+    iters: int = 10, alpha: float = 0.85, mods: tuple = (97, 89, 83, 101)
+) -> str:
+    """Unrolled BATCHED personalized PageRank (tabular.q_ppr_batch): the
+    _pagerank_pers_sql recurrence carried as K parallel rank columns of the
+    same CTE chain — one edge scan per level advances all K, mirroring the
+    engine's (n, K) state matrix (pipelines/ppr_batch.py)."""
+    K = len(mods)
+    p = [
+        f"WITH e AS MATERIALIZED {_EDGES},",
+        "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
+        "outd AS MATERIALIZED (SELECT s AS id, COUNT(*)::DOUBLE AS deg FROM e GROUP BY s),",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+    ]
+    for j, m in enumerate(mods):
+        p.append(
+            f"ns{j} AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS k FROM v "
+            f"WHERE id % {m} = 0),"
+        )
+    pn_cols = ", ".join(
+        f"CASE WHEN id % {m} = 0 THEN (1.0/(SELECT k FROM ns{j})) "
+        f"* (SELECT n FROM nn) ELSE 0.0 END::DOUBLE AS w{j}"
+        for j, m in enumerate(mods)
+    )
+    p.append(f"pn AS MATERIALIZED (SELECT id, {pn_cols} FROM v),")
+    r0 = ", ".join(f"w{j} AS r{j}" for j in range(K))
+    p.append(f"pr0 AS (SELECT id, {r0} FROM pn),")
+    for i in range(iters):
+        d_cols = ", ".join(
+            f"COALESCE(SUM(p.r{j}),0)::DOUBLE AS m{j}" for j in range(K)
+        )
+        p.append(
+            f"d{i} AS (SELECT {d_cols} FROM pr{i} p "
+            f"LEFT JOIN outd o ON o.id=p.id WHERE o.id IS NULL),"
+        )
+        inc_cols = ", ".join(f"SUM(p.r{j}/o.deg) AS s{j}" for j in range(K))
+        upd = ", ".join(
+            f"({alpha}*(SELECT m{j} FROM d{i})/(SELECT n FROM nn) + {1 - alpha})"
+            f" * pn.w{j} + {alpha}*COALESCE(inc.s{j},0) AS r{j}"
+            for j in range(K)
+        )
+        p.append(
+            f"pr{i + 1} AS MATERIALIZED (SELECT v.id, {upd} "
+            f"FROM v JOIN pn ON pn.id=v.id LEFT JOIN "
+            f"(SELECT e.d AS id, {inc_cols} FROM e "
+            f"JOIN pr{i} p ON p.id=e.s JOIN outd o ON o.id=e.s GROUP BY e.d) inc "
+            f"ON inc.id=v.id),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    sel = ", ".join(f"ROUND(r{j}, 6) AS rank_{j}" for j in range(K))
+    return body + f"\nSELECT id, {sel} FROM pr{iters} ORDER BY id"
+
+
 def _pagerank_weighted_sql(
     iters: int = 20,
     alpha: float = 0.85,
@@ -2686,6 +2739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verify kernel changed after its r3 green row). Everything below
         # slot 50 keeps a green r3/r4 row over byte-unchanged code, locally
         # re-swept (124/124 OK, bench/sweep_oracle.py at sf0.01). ---
+        "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
+        "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
         "embedding_pca": tabular.q_embedding_pca,  # SQL-oracled (fixed-point power iter)
         "msf": tabular.q_msf,  # SQL-oracled (_msf_sql unrolled rounds)
@@ -2877,6 +2932,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY source ORDER BY source"
         ),
         "csv_source": _SOURCE_ROUNDTRIP_SQL,
+        "orc_source": _SOURCE_ROUNDTRIP_SQL,
         "jsonl_source": _SOURCE_ROUNDTRIP_SQL,
         "copurchase_topk": _copurchase_sql(),
         "revenue_rollup": _rollup_sql(),
@@ -2910,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_fixed": _pagerank_sql(iters=20, alpha=0.85),
         "pagerank_personalized": _pagerank_pers_sql(iters=20, alpha=0.85, mod=97),
+        "ppr_batch": _ppr_batch_sql(iters=10, alpha=0.85),
         "pagerank_weighted": _pagerank_weighted_sql(iters=20, alpha=0.85),
         "pagerank_incremental": _pagerank_incremental_sql(),
         "host_pagerank": _host_pagerank_sql(),

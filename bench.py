@@ -245,6 +245,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
         "embedding_pca", "harmonic_centrality",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
+    "r5f": ["ppr_batch", "orc_source"],
 }
 
 
@@ -396,6 +397,8 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
           lambda: tabular.q_pagerank_incremental(SF_DIR, n_workers=min(8, ncpu)))
     timed("embedding_pca", lambda: tabular.q_embedding_pca(SF_DIR))
     timed("harmonic_centrality", lambda: tabular.q_harmonic_centrality(SF_DIR))
+    timed("ppr_batch", lambda: tabular.q_ppr_batch(SF_DIR))
+    timed("orc_source", lambda: tabular.q_orc_source(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

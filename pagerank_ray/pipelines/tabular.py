@@ -5150,6 +5150,10 @@ def _export_events_subset(sf_dir: str, fmt: str) -> str:
         ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
         if fmt == "csv":
             ds.write_csv(tmp)
+        elif fmt == "orc":
+            from pagerank_ray.sources.orc import write_orc
+
+            write_orc(ds, tmp)
         else:
             ds.write_json(tmp)
         with open(os.path.join(tmp, "_DONE"), "w") as f:
@@ -5169,10 +5173,17 @@ def _source_roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
     the format's native Ray Data reader → per-type aggregate (count, distinct
     users, min/max event id)."""
     path = _export_events_subset(sf_dir, fmt)
-    reader = rd.read_csv if fmt == "csv" else rd.read_json
     # materialized: the per-type aggregate and the distinct-users pass both
     # consume it — one file read/decode, not two
-    ds = reader(path, file_extensions=["csv" if fmt == "csv" else "json"]).materialize()
+    if fmt == "orc":
+        from pagerank_ray.sources.orc import read_orc
+
+        ds = read_orc(path).materialize()
+    else:
+        reader = rd.read_csv if fmt == "csv" else rd.read_json
+        ds = reader(
+            path, file_extensions=["csv" if fmt == "csv" else "json"]
+        ).materialize()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("event_type", sort=False).agg(
@@ -5228,6 +5239,16 @@ def q_csv_source(sf_dir: str) -> pd.DataFrame:
 def q_jsonl_source(sf_dir: str) -> pd.DataFrame:
     """JSONL source conformance: same round-trip through ``ray.data.read_json``."""
     return _source_roundtrip(sf_dir, "jsonl")
+
+
+def q_orc_source(sf_dir: str) -> pd.DataFrame:
+    """ORC source/sink conformance: the events subset is written to ORC by
+    the engine's custom distributed datasink (sources/orc.py — one file per
+    block) and read back through its stripe-streaming FileBasedDatasource,
+    then aggregated per event type against the same parquet oracle. Ray Data
+    ships no ORC connector; this exercises the PUBLIC custom-connector
+    surface end-to-end."""
+    return _source_roundtrip(sf_dir, "orc")
 
 
 def _exploded_tokens(df: pd.DataFrame, id_col: str | None = None):
@@ -6041,6 +6062,21 @@ def q_effective_diameter(sf_dir: str, rounds: int = 6) -> pd.DataFrame:
             "avg_distance": [float(_round_half_away(avg, 6))],
         }
     )
+
+
+def q_ppr_batch(sf_dir: str, iters: int = 10) -> pd.DataFrame:
+    """BATCHED personalized PageRank (pipelines/ppr_batch.py — Haveliwala's
+    topic-sensitive PageRank, WWW 2002, run as a multi-query batch): K = 4
+    teleport vectors (seed sets {v : v % m == 0} for m ∈ {97, 89, 83, 101})
+    advance through the SAME edge pass each superstep — the (n, K) state
+    matrix amortizes the topology scan/shuffle across all K queries, vs K
+    independent runs costing K passes (the reference's kernels are strictly
+    K = 1, kernel_acsr.cu:202). Fixed ``iters`` supersteps of the exact M7
+    recurrence per column; hash-checked against the unrolled K-column DuckDB
+    oracle (__ray_entry__._ppr_batch_sql)."""
+    from pagerank_ray.pipelines.ppr_batch import ppr_batch
+
+    return ppr_batch(lineitem_edges(sf_dir), iters=iters)
 
 
 def q_graph_growth(sf_dir: str) -> pd.DataFrame:
