@@ -540,6 +540,42 @@ def _harmonic_sql(rounds: int = 6, k: int = 20) -> str:
     )
 
 
+def _lin_sql(rounds: int = 6, k: int = 20) -> str:
+    """Lin-closeness oracle (tabular.q_lin_closeness,
+    pipelines/hyperball.py:lin_closeness): the same register chain and
+    per-vertex integerized estimate CTEs as _harmonic_sql, folded with
+    weight t (sum of distances within the radius-`rounds` ball) and paired
+    with the final ball estimate as reach. Exact lexicographic Lin order:
+    reach DESC, sumdist ASC, id ASC."""
+    est = (
+        "est{t} AS MATERIALIZED (SELECT id, CAST(ROUND(CASE WHEN "
+        "0.7213/(1 + 1.079/16.0) * 256.0 * 281474976710656.0 / sprime <= 40.0 "
+        "AND zeros > 0 THEN 16.0 * LN(16.0 / zeros) "
+        "ELSE 0.7213/(1 + 1.079/16.0) * 256.0 * 281474976710656.0 / sprime END "
+        "* 1000000.0, 0) AS BIGINT) AS e FROM ("
+        "SELECT b.id, SUM(p2.v)::DOUBLE AS sprime, "
+        "SUM(CASE WHEN b.m = 0 THEN 1 ELSE 0 END)::DOUBLE AS zeros "
+        "FROM b{t} b JOIN p2 ON p2.k = 48 - LEAST(b.m, 48) GROUP BY b.id)),"
+    )
+    p = _hyperball_chain(rounds)
+    for t in range(rounds + 1):
+        p.append(est.replace("{t}", str(t)))
+    terms = " + ".join(
+        f"(e{t}.e - e{t - 1}.e) * {t}" for t in range(1, rounds + 1)
+    )
+    joins_ = " ".join(
+        f"JOIN est{t} e{t} ON e{t}.id = e0.id" for t in range(1, rounds + 1)
+    )
+    body = "\n".join(p).rstrip()[:-1]
+    return (
+        body
+        + f"\nSELECT e0.id, e{rounds}.e::BIGINT AS reach_scaled, "
+        f"({terms})::BIGINT AS sumdist_scaled "
+        f"FROM est0 e0 {joins_} "
+        f"ORDER BY reach_scaled DESC, sumdist_scaled ASC, e0.id ASC LIMIT {k}"
+    )
+
+
 def _effective_diameter_sql(rounds: int = 6) -> str:
     """Effective-diameter oracle (tabular.q_effective_diameter): the full
     hyperball register replay as a CTE, then the identical interpolation —
@@ -2739,6 +2775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verify kernel changed after its r3 green row). Everything below
         # slot 50 keeps a green r3/r4 row over byte-unchanged code, locally
         # re-swept (124/124 OK, bench/sweep_oracle.py at sf0.01). ---
+        "lin_closeness": tabular.q_lin_closeness,  # SQL-oracled (HyperBall reach/sumdist fold)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -2905,6 +2942,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_pca": _embedding_pca_sql(),
         "harmonic_centrality": _harmonic_sql(),
+        "lin_closeness": _lin_sql(),
         "msf": _msf_sql(),
         "dsir_weights": _dsir_sql(),
         "katz": _katz_sql(iters=8, alpha=0.05, beta=1.0),

@@ -417,11 +417,11 @@ def _grouped_lanemax_h(ds: rd.Dataset, w: int, n_buckets: int = 64) -> rd.Datase
     )
 
 
-@_ray.remote
-def _harmonic_tail(e_blocks: list, rounds: int, k: int) -> pa.Table:
-    """All rounds in ONE task once the edge set fits (same cutoff idiom as
-    _hyperball_tail): identical register dynamics + the same integer
-    harmonic fold; parity-tested against the distributed path."""
+def _tail_fold(e_blocks: list, rounds: int, weights: list[int]):
+    """Single-task register replay + weighted ΔE fold shared by the
+    harmonic and Lin tails: returns (ids, reach, h) where reach is the
+    final integerized per-vertex ball estimate and
+    h = Σ_t ΔE_t · weights[t−1] (exact int64 both engines)."""
     et = [t for t in _ray.get(list(e_blocks)) if t.num_rows]
     s = np.concatenate(
         [t.column("src_id").to_numpy(zero_copy_only=False) for t in et]
@@ -433,10 +433,8 @@ def _harmonic_tail(e_blocks: list, rounds: int, k: int) -> pa.Table:
     ).astype(np.int64)
     ids = np.unique(np.concatenate([s, d]))
     if len(ids) == 0:
-        return pa.table(
-            {"id": pa.array([], pa.int64()),
-             "harmonic_scaled": pa.array([], pa.int64())}
-        )
+        z = np.array([], np.int64)
+        return ids, z, z
     si = np.searchsorted(ids, s)
     di = np.searchsorted(ids, d)
     v_idx = np.concatenate([si, di])
@@ -446,7 +444,6 @@ def _harmonic_tail(e_blocks: list, rounds: int, k: int) -> pa.Table:
         init.column("pk0").to_numpy(zero_copy_only=False),
         init.column("pk1").to_numpy(zero_copy_only=False),
     )
-    weights = _harmonic_weights(rounds)
     prev = _est_int_vec(regs)
     h = np.zeros(len(ids), np.int64)
     for t in range(1, rounds + 1):
@@ -456,11 +453,35 @@ def _harmonic_tail(e_blocks: list, rounds: int, k: int) -> pa.Table:
         e = _est_int_vec(regs)
         h += (e - prev) * np.int64(weights[t - 1])
         prev = e
+    return ids, prev, h
+
+
+@_ray.remote
+def _harmonic_tail(e_blocks: list, rounds: int, k: int) -> pa.Table:
+    """All rounds in ONE task once the edge set fits (same cutoff idiom as
+    _hyperball_tail): identical register dynamics + the same integer
+    harmonic fold; parity-tested against the distributed path."""
+    ids, _, h = _tail_fold(e_blocks, rounds, _harmonic_weights(rounds))
     order = np.lexsort((ids, -h))[: min(k, len(ids))]
     return pa.table(
         {
             "id": pa.array(ids[order], pa.int64()),
             "harmonic_scaled": pa.array(h[order], pa.int64()),
+        }
+    )
+
+
+@_ray.remote
+def _lin_tail(e_blocks: list, rounds: int, k: int) -> pa.Table:
+    """Lin-closeness tail: same replay, weights = t (sum of distances
+    within the radius-`rounds` ball), reach = final ball estimate."""
+    ids, reach, h = _tail_fold(e_blocks, rounds, list(range(1, rounds + 1)))
+    order = np.lexsort((ids, h, -reach))[: min(k, len(ids))]
+    return pa.table(
+        {
+            "id": pa.array(ids[order], pa.int64()),
+            "reach_scaled": pa.array(reach[order], pa.int64()),
+            "sumdist_scaled": pa.array(h[order], pa.int64()),
         }
     )
 
@@ -483,6 +504,33 @@ def harmonic_centrality(
     if edges.count() <= tail_cutoff:
         tbl = _ray.get(_harmonic_tail.remote(edges.to_arrow_refs(), rounds, k))
         return tbl.to_pandas()
+    state = _h_state_loop(edges, _harmonic_weights(rounds))
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -h))[: min(k, len(ids))]
+        return pa.table(
+            {
+                "id": pa.array(ids[order], pa.int64()),
+                "harmonic_scaled": pa.array(h[order], pa.int64()),
+            }
+        )
+
+    cand = state.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["harmonic_scaled", "id"], ascending=[False, True]
+    ).head(k)
+    return cand.reset_index(drop=True)
+
+
+def _h_state_loop(edges: rd.Dataset, weights: list[int]) -> rd.Dataset:
+    """Shared distributed register loop for the HyperBall geometric
+    centralities (harmonic, Lin): symmetrize, init the h-carrying state,
+    then per round one neighbor-state attach + one bucketed lanewise
+    grouped-max folding h ← h + ΔE·weights[t−1]. Returns the final
+    materialized state (id, pk0, pk1, prev_e, h) — prev_e is the
+    integerized radius-`len(weights)` ball estimate."""
     adj = edges.map_batches(
         lambda t: pa.table(
             {
@@ -521,8 +569,7 @@ def harmonic_centrality(
         batch_format="pyarrow",
     ).materialize()
     n = state.count()
-    weights = _harmonic_weights(rounds)
-    for t in range(1, rounds + 1):
+    for t in range(1, len(weights) + 1):
         contrib = joins.attach_column(
             joins.attach_column(
                 adj,
@@ -556,20 +603,50 @@ def harmonic_centrality(
         state = _grouped_lanemax_h(
             contrib.union(state), weights[t - 1]
         ).materialize()
+    return state
+
+
+def lin_closeness(
+    edges: rd.Dataset,
+    *,
+    rounds: int = 6,
+    k: int = 20,
+    tail_cutoff: int = 4_000_000,
+) -> pd.DataFrame:
+    """edges (src_id, dst_id; original ids) → top-k vertices of the
+    symmetrized graph by Lin closeness centrality (Boldi & Vigna, "Axioms
+    for Centrality", Internet Math. 2014 §3 / HyperBall ICDM-W 2013 §3:
+    Lin(v) = |reachable(v)|² / Σ_u d(v,u), the closeness variant that is
+    well-defined on disconnected graphs). Read off the SAME HyperBall
+    register dynamics as harmonic_centrality with weights t instead of
+    lcm/t: reach_scaled = final integerized ball estimate, sumdist_scaled
+    = Σ_t t·ΔE_t — both exact int64 on both engines, so the result is a
+    hash-matchable pair per vertex. Ordering is the exact lexicographic
+    Lin order (reach DESC, sumdist ASC, id ASC): among equal-reach
+    vertices Lin ranks by smaller distance sum, and cross-reach ratio
+    comparison would need 128-bit division both sides — the pair output
+    keeps every engine value an exact integer instead."""
+    edges = edges.materialize()
+    if edges.count() <= tail_cutoff:
+        tbl = _ray.get(_lin_tail.remote(edges.to_arrow_refs(), rounds, k))
+        return tbl.to_pandas()
+    state = _h_state_loop(edges, list(range(1, rounds + 1)))
 
     def topk_partial(t: pa.Table) -> pa.Table:
         ids = t.column("id").to_numpy(zero_copy_only=False)
+        reach = t.column("prev_e").to_numpy(zero_copy_only=False)
         h = t.column("h").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -h))[: min(k, len(ids))]
+        order = np.lexsort((ids, h, -reach))[: min(k, len(ids))]
         return pa.table(
             {
                 "id": pa.array(ids[order], pa.int64()),
-                "harmonic_scaled": pa.array(h[order], pa.int64()),
+                "reach_scaled": pa.array(reach[order], pa.int64()),
+                "sumdist_scaled": pa.array(h[order], pa.int64()),
             }
         )
 
     cand = state.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(
-        ["harmonic_scaled", "id"], ascending=[False, True]
+        ["reach_scaled", "sumdist_scaled", "id"], ascending=[False, True, True]
     ).head(k)
     return cand.reset_index(drop=True)

@@ -6029,6 +6029,18 @@ def q_harmonic_centrality(sf_dir: str, rounds: int = 6, k: int = 20) -> pd.DataF
     return harmonic_centrality(lineitem_edges(sf_dir), rounds=rounds, k=k)
 
 
+def q_lin_closeness(sf_dir: str, rounds: int = 6, k: int = 20) -> pd.DataFrame:
+    """Top-k vertices of the symmetrized lineitem graph by Lin closeness
+    centrality (Boldi & Vigna "Axioms for Centrality" 2014 — the
+    disconnected-graph-safe closeness HyperBall computes alongside
+    harmonic), from the same per-vertex HLL register dynamics: reach_scaled
+    = final integerized ball estimate, sumdist_scaled = Σ_t t·ΔB_t(v).
+    Exact lexicographic Lin order (reach DESC, sumdist ASC, id ASC)."""
+    from pagerank_ray.pipelines.hyperball import lin_closeness
+
+    return lin_closeness(lineitem_edges(sf_dir), rounds=rounds, k=k)
+
+
 def q_effective_diameter(sf_dir: str, rounds: int = 6) -> pd.DataFrame:
     """Effective diameter (90th percentile) and average distance of the
     symmetrized lineitem graph, read off the HyperBall neighborhood function

@@ -2213,3 +2213,84 @@ def test_harmonic_centrality_star_graph(ray_session):
     want = dict(zip(ids.tolist(), h.tolist()))
     got = dict(zip(out["id"].tolist(), out["harmonic_scaled"].tolist()))
     assert got == want
+
+
+def test_lin_closeness_distributed_matches_tail(ray_session):
+    """Lin closeness (weights = t, reach carried as prev_e) must agree
+    bit-for-bit between the bucketed distributed loop and the tail task."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.hyperball import lin_closeness
+
+    rng = np.random.default_rng(78)
+    src = rng.integers(0, 80, 300)
+    dst = rng.integers(0, 80, 300)
+    edges = pa.table({
+        "src_id": pa.array(src, pa.int64()),
+        "dst_id": pa.array(dst, pa.int64()),
+    })
+    a = lin_closeness(rd.from_arrow(edges), rounds=3, k=15)
+    b = lin_closeness(rd.from_arrow(edges), rounds=3, k=15, tail_cutoff=0)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_lin_closeness_two_components(ray_session):
+    """Two disjoint cliques of different sizes: every vertex in the larger
+    clique must outrank every vertex of the smaller one (Lin's point — reach
+    dominates), and within a clique ties break by ascending id. Also pins
+    the exact fold against a dense replay with weights t."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.hyperball import (
+        _est_int_vec,
+        _init_state,
+        _unpack,
+        lin_closeness,
+    )
+
+    big = np.arange(12, dtype=np.int64)          # clique of 12: ids 0..11
+    small = np.arange(100, 105, dtype=np.int64)  # clique of 5: ids 100..104
+    pairs = []
+    for grp in (big, small):
+        for i in grp:
+            for j in grp:
+                if i < j:
+                    pairs.append((i, j))
+    src = np.array([p[0] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs], np.int64)
+    edges = pa.table({
+        "src_id": pa.array(src, pa.int64()),
+        "dst_id": pa.array(dst, pa.int64()),
+    })
+    out = lin_closeness(rd.from_arrow(edges), rounds=3, k=17)
+    ids_ranked = out["id"].to_numpy()
+    assert set(ids_ranked[:12]) == set(big.tolist())
+    assert set(ids_ranked[12:]) == set(small.tolist())
+
+    # dense replay: weights = t, reach = final estimate
+    ids = np.unique(np.concatenate([src, dst]))
+    init = _init_state(ids)
+    regs = _unpack(
+        init.column("pk0").to_numpy(zero_copy_only=False),
+        init.column("pk1").to_numpy(zero_copy_only=False),
+    )
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    v_idx = np.concatenate([si, di])
+    x_idx = np.concatenate([di, si])
+    prev = _est_int_vec(regs)
+    h = np.zeros(len(ids), np.int64)
+    for t in range(1, 4):
+        new = regs.copy()
+        np.maximum.at(new, v_idx, regs[x_idx])
+        regs = new
+        e = _est_int_vec(regs)
+        h += (e - prev) * np.int64(t)
+        prev = e
+    want_reach = dict(zip(ids.tolist(), prev.tolist()))
+    want_sum = dict(zip(ids.tolist(), h.tolist()))
+    for _, row in out.iterrows():
+        assert int(row["reach_scaled"]) == want_reach[int(row["id"])]
+        assert int(row["sumdist_scaled"]) == want_sum[int(row["id"])]
