@@ -2029,7 +2029,8 @@ FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
 ORDER BY d.doc_id"""
 
 
-def _hll_sql(p: int = 12, group_col: str | None = None) -> str:
+def _hll_sql(p: int = 12, group_col: str | None = None,
+             vals_from: str | None = None) -> str:
     """DuckDB reimplementation of the HyperLogLog sketch
     (stages/sketch.py:approx_distinct over lineitem.l_partkey): fmix64 value
     hash (32-bit-split multiplies), rho via an exact power-of-two table join
@@ -2038,7 +2039,10 @@ def _hll_sql(p: int = 12, group_col: str | None = None) -> str:
     APPROXIMATE estimate hash-matches. DISTINCT over the values first is an
     optimization only: duplicate values produce identical registers. With
     ``group_col`` the same machinery runs per group
-    (stages/sketch.py:approx_distinct_grouped)."""
+    (stages/sketch.py:approx_distinct_grouped). ``vals_from`` overrides the
+    source of the (g, x) pairs — a SELECT producing columns ``g`` (when
+    grouped) and ``x`` (UBIGINT value) — for sketches over derived keys
+    such as hopping windows (tabular.q_window_active_users)."""
     m = 1 << p
     wbits = 64 - p
     wmask = (1 << wbits) - 1
@@ -2049,6 +2053,10 @@ def _hll_sql(p: int = 12, group_col: str | None = None) -> str:
     gord = " ORDER BY g" if group_col else ""
 
     fx = _fx_sql  # shared 32-bit-split mod-2^64 multiply
+    vals_clause = (
+        vals_from if vals_from is not None
+        else f"SELECT DISTINCT {gsel}l_partkey::UBIGINT AS x FROM lineitem"
+    )
 
     if group_col:
         allregs = f"""allregs AS (
@@ -2069,7 +2077,7 @@ WITH RECURSIVE p2(k, v) AS (
     SELECT 0, 1::HUGEINT
     UNION ALL SELECT k + 1, v * 2 FROM p2 WHERE k < 64
 ),
-vals AS (SELECT DISTINCT {gsel}l_partkey::UBIGINT AS x FROM lineitem),
+vals AS ({vals_clause}),
 g1 AS (SELECT {gcar}xor(x, x >> 33) AS h FROM vals),
 g2 AS (SELECT {gcar}{fx(0xFF51AFD7ED558CCD)} AS h FROM g1),
 g3 AS (SELECT {gcar}xor(h, h >> 33) AS h FROM g2),
@@ -2776,6 +2784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slot 50 keeps a green r3/r4 row over byte-unchanged code, locally
         # re-swept (124/124 OK, bench/sweep_oracle.py at sf0.01). ---
         "lin_closeness": tabular.q_lin_closeness,  # SQL-oracled (HyperBall reach/sumdist fold)
+        "window_active_users": tabular.q_window_active_users,  # SQL-oracled (hopping-window HLL)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -2943,6 +2952,18 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca": _embedding_pca_sql(),
         "harmonic_centrality": _harmonic_sql(),
         "lin_closeness": _lin_sql(),
+        "window_active_users": _hll_sql(
+            p=12,
+            group_col="window_start",
+            vals_from=(
+                "SELECT DISTINCT g, x FROM ("
+                "SELECT (epoch_us(ts)//43200000000)*43200000000 AS g, "
+                "user_id::UBIGINT AS x FROM events "
+                "UNION ALL "
+                "SELECT ((epoch_us(ts)//43200000000)-1)*43200000000 AS g, "
+                "user_id::UBIGINT AS x FROM events)"
+            ),
+        ),
         "msf": _msf_sql(),
         "dsir_weights": _dsir_sql(),
         "katz": _katz_sql(iters=8, alpha=0.05, beta=1.0),

@@ -1754,6 +1754,41 @@ def q_approx_distinct_by_flag(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_window_active_users(sf_dir: str) -> pd.DataFrame:
+    """Windowed approximate distinct — the streaming-metrics composition of
+    the hopping-window explode (q_events_hopping) and the grouped HLL sketch
+    (q_approx_distinct_by_flag): approximate DISTINCT user_id per hopping
+    24-hour window with a 12-hour hop ("daily active users", the canonical
+    sliding-window cardinality metric). Each event contributes to the TWO
+    windows covering it; the shuffle then carries ≤ n_windows × 2^p register
+    rows, never user ids — the shape that still works when users number in
+    the billions. The deterministic fmix64/rho register replay makes even
+    the APPROXIMATE estimates hash-match the SQL oracle."""
+    from pagerank_ray.stages.sketch import approx_distinct_grouped
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    hop_us = 43_200_000_000  # 12 h; window width = 2 hops = 24 h
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hb = ts // hop_us
+        uid = t.column("user_id").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    np.concatenate([hb * hop_us, (hb - 1) * hop_us]), pa.int64()
+                ),
+                "user_id": pa.concat_arrays([uid] * 2),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    out = approx_distinct_grouped(exploded, "user_id", "window_start", p=12)
+    out["m"] = out["m"].astype(np.int64)
+    out["estimate"] = _round_half_away(out["estimate"].to_numpy(), 3)
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def q_bloom_semi_join(sf_dir: str, mod: int = 7, m_bits: int = 4096) -> pd.DataFrame:
     """Bloom-filter semi-join — the classic distributed-join pre-filter as a
     first-class sketch operator (beside HLL and the histogram quantiles):

@@ -2294,3 +2294,44 @@ def test_lin_closeness_two_components(ray_session):
     for _, row in out.iterrows():
         assert int(row["reach_scaled"]) == want_reach[int(row["id"])]
         assert int(row["sumdist_scaled"]) == want_sum[int(row["id"])]
+
+
+def test_window_active_users_planted(ray_session, tmp_path):
+    """Hopping 24h/12h windows: an event lands in exactly the two windows
+    covering it, per-window distinct users reflect only covered events, and
+    the engine hash-matches the DuckDB oracle on the same file (the driver's
+    check, in miniature)."""
+    import duckdb
+
+    from pagerank_ray.pipelines.tabular import q_window_active_users
+
+    HOP = 43_200_000_000  # 12 h in µs
+    # users 1..40 in half-day 0; users 1..10 again in half-day 1;
+    # users 100..119 in half-day 4 (a gap: half-days 2-3 empty)
+    rows = (
+        [(u, 0 * HOP + 7) for u in range(1, 41)]
+        + [(u, 1 * HOP + 7) for u in range(1, 11)]
+        + [(u, 4 * HOP + 7) for u in range(100, 120)]
+    )
+    _write_events(tmp_path, [r[0] for r in rows], ["view"] * len(rows),
+                  [r[1] for r in rows])
+    out = q_window_active_users(str(tmp_path))
+    # windows present: each occupied half-day h yields starts h·HOP and (h−1)·HOP
+    assert set(out["window_start"]) == {-HOP, 0, HOP, 3 * HOP, 4 * HOP}
+    est = dict(zip(out["window_start"], out["estimate"]))
+    # p=12 linear counting is near-exact at these cardinalities
+    assert abs(est[-HOP] - 40) < 1.0        # covers half-day 0 only
+    assert abs(est[0] - 40) < 1.0           # covers half-days 0+1: union is 40
+    assert abs(est[HOP] - 10) < 1.0         # half-day 1 only
+    assert abs(est[4 * HOP] - 20) < 1.0     # half-day 4 only
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{os.path.join(str(tmp_path), 'events.parquet')}')")
+    want = con.sql(entry.oracle_sql()["window_active_users"]).df()
+    got = out.reset_index(drop=True)
+    assert list(got["window_start"]) == list(want["window_start"])
+    assert list(got["m"]) == list(want["m"])
+    assert list(got["estimate"]) == list(want["estimate"])
