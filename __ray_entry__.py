@@ -2489,6 +2489,54 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _coloring_sql(rounds: int = 60) -> str:
+    """Fixed-unroll Jones–Plassmann coloring oracle (tabular.q_graph_coloring
+    / pipelines/coloring.py): the MIS oracle's priority chain and winner rule
+    (strict < with a NULL escape ≡ the engine's sentinel ≤ under distinct
+    priorities), plus the per-round mex — distinct colored-neighbor colors
+    ranked by ROW_NUMBER, mex = first rank where the sorted color differs
+    from the rank, else the count. Idempotent once every vertex is colored,
+    so unrolling ≥ the engine's actual round count (asserted engine-side)
+    reproduces the exact per-vertex colors."""
+    p = [
+        f"WITH e0 AS MATERIALIZED {_EDGES},",
+        "v0 AS MATERIALIZED (SELECT s AS id FROM e0 UNION SELECT d FROM e0),",
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b "
+        "FROM e0 WHERE s <> d),",
+        "adj AS MATERIALIZED (SELECT a AS v, b AS x FROM und "
+        "UNION ALL SELECT b, a FROM und),",
+        "pv AS (SELECT id, id::UBIGINT AS x FROM v0),",
+        _fmix_chain_sql("p", "pv", carry="id, ") + ",",
+        "s0 AS MATERIALIZED (SELECT id, h, NULL::BIGINT AS c FROM phv),",
+    ]
+    for t in range(1, rounds + 1):
+        p.append(
+            f"u{t} AS MATERIALIZED (SELECT id, h FROM s{t - 1} WHERE c IS NULL),")
+        p.append(
+            f"mn{t} AS MATERIALIZED (SELECT adj.v AS id, MIN(n.h) AS mn FROM adj "
+            f"JOIN u{t} n ON n.id = adj.x GROUP BY adj.v),")
+        p.append(
+            f"rd{t} AS MATERIALIZED (SELECT u.id FROM u{t} u LEFT JOIN mn{t} m "
+            f"ON m.id = u.id WHERE m.id IS NULL OR u.h < m.mn),")
+        p.append(
+            f"nc{t} AS MATERIALIZED (SELECT DISTINCT r.id, s.c FROM rd{t} r "
+            f"JOIN adj ON adj.v = r.id JOIN s{t - 1} s ON s.id = adj.x "
+            f"WHERE s.c IS NOT NULL),")
+        p.append(
+            f"mx{t} AS MATERIALIZED (SELECT id, "
+            f"COALESCE(MIN(CASE WHEN c <> rn THEN rn END), MAX(cnt)) AS mex "
+            f"FROM (SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c) - 1 AS rn, "
+            f"COUNT(*) OVER (PARTITION BY id) AS cnt FROM nc{t}) GROUP BY id),")
+        p.append(
+            f"s{t} AS MATERIALIZED (SELECT s.id, s.h, "
+            f"CASE WHEN s.c IS NOT NULL THEN s.c "
+            f"WHEN r.id IS NOT NULL THEN COALESCE(m.mex, 0) END AS c "
+            f"FROM s{t - 1} s LEFT JOIN rd{t} r ON r.id = s.id "
+            f"LEFT JOIN mx{t} m ON m.id = s.id),")
+    body = "\n".join(p).rstrip()[:-1]
+    return body + f"\nSELECT id, c::BIGINT AS color FROM s{rounds} ORDER BY id"
+
+
 def _perplexity_sql() -> str:
     """Bigram-LM perplexity oracle (tabular.q_perplexity_filter): the LM
     trains on the same corpus (unigram/adjacent-bigram counts, V = distinct
@@ -2785,6 +2833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-swept (124/124 OK, bench/sweep_oracle.py at sf0.01). ---
         "lin_closeness": tabular.q_lin_closeness,  # SQL-oracled (HyperBall reach/sumdist fold)
         "window_active_users": tabular.q_window_active_users,  # SQL-oracled (hopping-window HLL)
+        "graph_coloring": tabular.q_graph_coloring,  # SQL-oracled (fixed-unroll JP rounds)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -2952,6 +3001,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca": _embedding_pca_sql(),
         "harmonic_centrality": _harmonic_sql(),
         "lin_closeness": _lin_sql(),
+        "graph_coloring": _coloring_sql(),
         "window_active_users": _hll_sql(
             p=12,
             group_col="window_start",

@@ -6064,6 +6064,27 @@ def q_harmonic_centrality(sf_dir: str, rounds: int = 6, k: int = 20) -> pd.DataF
     return harmonic_centrality(lineitem_edges(sf_dir), rounds=rounds, k=k)
 
 
+def q_graph_coloring(sf_dir: str, max_rounds: int = 60,
+                     tail_cutoff: int = 150_000) -> pd.DataFrame:
+    """Proper greedy coloring of the undirected simple lineitem graph —
+    round-synchronous Jones–Plassmann (pipelines/coloring.py) with the
+    repo's deterministic fmix64 priorities, hash-checked per vertex against
+    a fixed-unroll DuckDB replay of the same rounds. tail_cutoff keeps the
+    correctness-scale graphs on the in-memory tail (the hyperball-family
+    convention; the distributed round path is parity-tested at
+    tail_cutoff=0 — rounds are O(priority-DAG depth) either way)."""
+    from pagerank_ray.pipelines.coloring import greedy_coloring
+
+    df, rounds = greedy_coloring(
+        lineitem_edges(sf_dir), max_rounds=max_rounds, tail_cutoff=tail_cutoff
+    )
+    if rounds > max_rounds:
+        raise RuntimeError(
+            f"coloring took {rounds} rounds; oracle unrolls {max_rounds}"
+        )
+    return df
+
+
 def q_lin_closeness(sf_dir: str, rounds: int = 6, k: int = 20) -> pd.DataFrame:
     """Top-k vertices of the symmetrized lineitem graph by Lin closeness
     centrality (Boldi & Vigna "Axioms for Centrality" 2014 — the

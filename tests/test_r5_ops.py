@@ -2335,3 +2335,50 @@ def test_window_active_users_planted(ray_session, tmp_path):
     assert list(got["window_start"]) == list(want["window_start"])
     assert list(got["m"]) == list(want["m"])
     assert list(got["estimate"]) == list(want["estimate"])
+
+
+def test_coloring_distributed_matches_tail(ray_session):
+    """The per-round distributed JP path (grouped-min readiness + incremental
+    forbidden-pair mex) must reproduce the single-task tail bit-for-bit, and
+    the result must be a proper coloring consistent with greedy mex."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.coloring import greedy_coloring
+
+    rng = np.random.default_rng(79)
+    src = rng.integers(0, 60, 240)
+    dst = rng.integers(0, 60, 240)
+    edges = pa.table({
+        "src_id": pa.array(src, pa.int64()),
+        "dst_id": pa.array(dst, pa.int64()),
+    })
+    a, _ = greedy_coloring(rd.from_arrow(edges), tail_cutoff=10**9)  # all tail
+    b, rounds = greedy_coloring(rd.from_arrow(edges), tail_cutoff=0)  # all distributed
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert rounds > 1
+    # properness over the simple undirected graph
+    cmap = dict(zip(a["id"], a["color"]))
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            assert cmap[s] != cmap[d]
+
+
+def test_coloring_star_and_isolated(ray_session):
+    """Star + a self-loop-only vertex: the hub and spokes 2-color; the
+    self-loop vertex is independent (loop dropped) and takes color 0."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.coloring import greedy_coloring
+
+    n = 12
+    hub = 500
+    spokes = np.arange(n, dtype=np.int64)
+    edges = pa.table({
+        "src_id": pa.array(np.concatenate([np.full(n, hub), [999]]), pa.int64()),
+        "dst_id": pa.array(np.concatenate([spokes, [999]]), pa.int64()),
+    })
+    out, _ = greedy_coloring(rd.from_arrow(edges), tail_cutoff=0)
+    cmap = dict(zip(out["id"], out["color"]))
+    assert cmap[999] == 0
+    assert all(cmap[int(s)] != cmap[hub] for s in spokes)
+    assert out["color"].max() <= 1  # star is 2-colorable and JP achieves it
