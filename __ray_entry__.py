@@ -1629,6 +1629,40 @@ FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
 ORDER BY d.doc_id"""
 
 
+def _fertility_sql() -> str:
+    """Per-language tokenizer-fertility oracle (tabular.q_tokenizer_fertility):
+    the BPE merge-walk CTEs for per-doc token counts, the token_counts
+    oracle's whitespace-word definition, strlen (VARCHAR byte length) for
+    UTF-8 bytes — exact integer sums per lang, one mirrored ROUND(÷, 6)
+    per ratio."""
+    ctes, n_m = _bpe_enc_ctes()
+    sep = _BPE_SEP
+    return rf"""
+WITH RECURSIVE {ctes},
+final AS (
+  SELECT w, (length(s) - length(replace(s, '{sep}', ''))) // 2 - 1 AS n
+  FROM enc WHERE r = {n_m}
+),
+per_doc AS (
+  SELECT p.doc_id, SUM(f.n)::BIGINT AS n_tokens
+  FROM pre p JOIN final f ON f.w = p.w GROUP BY p.doc_id
+),
+base AS (
+  SELECT d.lang, COALESCE(pd.n_tokens, 0)::BIGINT AS n_tokens,
+         (CASE WHEN TRIM(COALESCE(d.text, '')) = '' THEN 0
+               ELSE LEN(regexp_split_to_array(TRIM(d.text), '\s+')) END)::BIGINT AS n_words,
+         strlen(COALESCE(d.text, ''))::BIGINT AS n_bytes
+  FROM documents d LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id
+)
+SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS n_tokens,
+       SUM(n_words)::BIGINT AS n_words, SUM(n_bytes)::BIGINT AS n_bytes,
+       CASE WHEN SUM(n_words) = 0 THEN 0.0
+            ELSE ROUND(SUM(n_tokens)::DOUBLE / SUM(n_words), 6) END AS fertility,
+       CASE WHEN SUM(n_tokens) = 0 THEN 0.0
+            ELSE ROUND(SUM(n_bytes)::DOUBLE / SUM(n_tokens), 6) END AS bytes_per_token
+FROM base GROUP BY lang ORDER BY lang"""
+
+
 def _bpe_topk_sql(k: int = 25) -> str:
     """Top-k BPE tokens by corpus frequency: split each unique pre-token's
     final symbol string into its tokens (multiplicity preserved by unnest),
@@ -2834,6 +2868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lin_closeness": tabular.q_lin_closeness,  # SQL-oracled (HyperBall reach/sumdist fold)
         "window_active_users": tabular.q_window_active_users,  # SQL-oracled (hopping-window HLL)
         "graph_coloring": tabular.q_graph_coloring,  # SQL-oracled (fixed-unroll JP rounds)
+        "tokenizer_fertility": tabular.q_tokenizer_fertility,  # SQL-oracled (BPE walk x lang group)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -3002,6 +3037,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": _harmonic_sql(),
         "lin_closeness": _lin_sql(),
         "graph_coloring": _coloring_sql(),
+        "tokenizer_fertility": _fertility_sql(),
         "window_active_users": _hll_sql(
             p=12,
             group_col="window_start",

@@ -1950,6 +1950,66 @@ def q_bpe_token_counts(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_tokenizer_fertility(sf_dir: str) -> pd.DataFrame:
+    """Per-language tokenizer-efficiency report — the standard tokenizer
+    evaluation a multilingual training pipeline runs before committing to a
+    vocabulary: fertility = BPE tokens per whitespace word and compression =
+    UTF-8 bytes per BPE token, grouped by the document language. Composes
+    the real merge-table BPE stage (functions/bpe.py, actor-pool with the
+    unique-pretoken cache) with the mirrored whitespace-word and byte-length
+    definitions; each batch pre-aggregates per-language partials (the
+    combiner idiom), so the driver sees O(#batches × #langs) rows. Exact
+    integer sums + one mirrored ROUND(÷, 6) per ratio."""
+    from pagerank_ray.functions.bpe import BPETokenCounter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    class _FertilityStage:
+        def __init__(self):
+            self.bpe = BPETokenCounter()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = self.bpe(t)
+            texts = t.column("text").to_pandas()
+            df = pd.DataFrame(
+                {
+                    "lang": t.column("lang").to_pandas(),
+                    "n_tokens": out.column("n_tokens").to_numpy(zero_copy_only=False),
+                    "n_words": textfn.whitespace_token_count(texts),
+                    "n_bytes": texts.fillna("").str.encode("utf-8").str.len()
+                    .to_numpy(dtype=np.int64),
+                }
+            )
+            g = (
+                df.groupby("lang", sort=False)
+                .agg(
+                    n_docs=("n_tokens", "size"),
+                    n_tokens=("n_tokens", "sum"),
+                    n_words=("n_words", "sum"),
+                    n_bytes=("n_bytes", "sum"),
+                )
+                .reset_index()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(
+        _FertilityStage, batch_format="pyarrow", concurrency=(1, 4), batch_size=256
+    ).to_pandas()
+    agg = parts.groupby("lang", sort=True).sum().reset_index()
+    tok = agg["n_tokens"].to_numpy(np.int64).astype(np.float64)
+    wrd = agg["n_words"].to_numpy(np.int64).astype(np.float64)
+    byt = agg["n_bytes"].to_numpy(np.int64).astype(np.float64)
+    agg["fertility"] = _round_half_away(
+        np.where(wrd == 0, 0.0, tok / np.where(wrd == 0, 1.0, wrd)), 6
+    )
+    agg["bytes_per_token"] = _round_half_away(
+        np.where(tok == 0, 0.0, byt / np.where(tok == 0, 1.0, tok)), 6
+    )
+    for c in ("n_docs", "n_tokens", "n_words", "n_bytes"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.reset_index(drop=True)
+
+
 def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
     out = (
         _read(sf_dir, "documents", ["lang"])

@@ -2382,3 +2382,47 @@ def test_coloring_star_and_isolated(ray_session):
     assert cmap[999] == 0
     assert all(cmap[int(s)] != cmap[hub] for s in spokes)
     assert out["color"].max() <= 1  # star is 2-colorable and JP achieves it
+
+
+def test_tokenizer_fertility_planted(ray_session, tmp_path):
+    """Hand-computed fertility on a two-language corpus: per-lang integer
+    sums and the two mirrored ratios, with an empty doc and a NULL-free
+    byte-length check on non-ASCII text."""
+    from pagerank_ray.functions.bpe import BPETokenizer
+    from pagerank_ray.pipelines.tabular import q_tokenizer_fertility
+
+    docs = [
+        (1, "hello world", "en"),
+        (2, "", "en"),
+        (3, "café au lait", "fr"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[2] for d in docs], pa.string()),
+        "source": pa.array(["t"] * 3, pa.string()),
+        "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_tokenizer_fertility(str(tmp_path)).set_index("lang")
+
+    tok = BPETokenizer()
+    import re as _re
+    from pagerank_ray.functions.bpe import PRETOKEN_RE
+    pat = _re.compile(PRETOKEN_RE)
+
+    def n_bpe(s):
+        return sum(tok.n_tokens_word(w) for w in pat.findall(s))
+
+    en_tok = n_bpe("hello world") + n_bpe("")
+    fr_tok = n_bpe("café au lait")
+    assert out.loc["en", "n_docs"] == 2
+    assert out.loc["en", "n_tokens"] == en_tok
+    assert out.loc["en", "n_words"] == 2
+    assert out.loc["en", "n_bytes"] == len("hello world")
+    assert out.loc["fr", "n_words"] == 3
+    assert out.loc["fr", "n_bytes"] == len("café au lait".encode())
+    assert out.loc["fr", "n_tokens"] == fr_tok
+    assert out.loc["en", "fertility"] == round(en_tok / 2, 6)
+    assert out.loc["fr", "bytes_per_token"] == round(
+        len("café au lait".encode()) / fr_tok, 6)
