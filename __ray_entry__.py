@@ -2571,6 +2571,48 @@ def _coloring_sql(rounds: int = 60) -> str:
     return body + f"\nSELECT id, c::BIGINT AS color FROM s{rounds} ORDER BY id"
 
 
+def _matching_sql(rounds: int = 10) -> str:
+    """Fixed-unroll maximal-matching oracle (tabular.q_maximal_matching /
+    pipelines/matching.py): edge priority h = fmix64((a·1000003 mod 2^64)
+    XOR b) over canonical pairs (the shared _fx_sql/_fmix_chain_sql
+    machinery — unsigned ORDER BY h ≡ the engine's order-preserving int64
+    map); per round each vertex's best incident edge by (h, a, b), an edge
+    matches iff best at BOTH endpoints, matched vertices drop out.
+    Idempotent once no edge survives, so unrolling ≥ the engine's actual
+    round count (asserted engine-side) reproduces the exact matched set."""
+    p = [
+        f"WITH e00 AS MATERIALIZED {_EDGES},",
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b "
+        "FROM e00 WHERE s <> d),",
+        f"um AS (SELECT a, b, {_fx_sql(1000003).replace('h::HUGEINT', 'a::HUGEINT')} AS mh FROM und),",
+        "ux AS (SELECT a, b, xor(mh, b::UBIGINT) AS x FROM um),",
+        _fmix_chain_sql("me", "ux", carry="a, b, ") + ",",
+        "e0 AS MATERIALIZED (SELECT a, b, h FROM mehv),",
+    ]
+    for t in range(1, rounds + 1):
+        p.append(
+            f"pv{t} AS (SELECT a AS v, a, b, h FROM e{t - 1} "
+            f"UNION ALL SELECT b, a, b, h FROM e{t - 1}),")
+        p.append(
+            f"bs{t} AS MATERIALIZED (SELECT v, a AS ba, b AS bb FROM "
+            f"(SELECT v, a, b, ROW_NUMBER() OVER (PARTITION BY v ORDER BY h, a, b) AS rn "
+            f"FROM pv{t}) WHERE rn = 1),")
+        p.append(
+            f"w{t} AS MATERIALIZED (SELECT e.a, e.b FROM e{t - 1} e "
+            f"JOIN bs{t} x ON x.v = e.a AND x.ba = e.a AND x.bb = e.b "
+            f"JOIN bs{t} y ON y.v = e.b AND y.ba = e.a AND y.bb = e.b),")
+        p.append(
+            f"mv{t} AS MATERIALIZED (SELECT a AS id FROM w{t} "
+            f"UNION SELECT b FROM w{t}),")
+        p.append(
+            f"e{t} AS MATERIALIZED (SELECT e.a, e.b, e.h FROM e{t - 1} e "
+            f"LEFT JOIN mv{t} m1 ON m1.id = e.a LEFT JOIN mv{t} m2 ON m2.id = e.b "
+            f"WHERE m1.id IS NULL AND m2.id IS NULL),")
+    body = "\n".join(p).rstrip()[:-1]
+    sel = " UNION ALL ".join(f"SELECT a, b FROM w{t}" for t in range(1, rounds + 1))
+    return body + f"\nSELECT a, b FROM ({sel}) ORDER BY a, b"
+
+
 def _perplexity_sql() -> str:
     """Bigram-LM perplexity oracle (tabular.q_perplexity_filter): the LM
     trains on the same corpus (unigram/adjacent-bigram counts, V = distinct
@@ -2869,6 +2911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_active_users": tabular.q_window_active_users,  # SQL-oracled (hopping-window HLL)
         "graph_coloring": tabular.q_graph_coloring,  # SQL-oracled (fixed-unroll JP rounds)
         "tokenizer_fertility": tabular.q_tokenizer_fertility,  # SQL-oracled (BPE walk x lang group)
+        "maximal_matching": tabular.q_maximal_matching,  # SQL-oracled (fixed-unroll handshake rounds)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -3038,6 +3081,7 @@ def oracle_sql() -> dict[str, str]:
         "lin_closeness": _lin_sql(),
         "graph_coloring": _coloring_sql(),
         "tokenizer_fertility": _fertility_sql(),
+        "maximal_matching": _matching_sql(),
         "window_active_users": _hll_sql(
             p=12,
             group_col="window_start",

@@ -6124,6 +6124,27 @@ def q_harmonic_centrality(sf_dir: str, rounds: int = 6, k: int = 20) -> pd.DataF
     return harmonic_centrality(lineitem_edges(sf_dir), rounds=rounds, k=k)
 
 
+def q_maximal_matching(sf_dir: str, max_rounds: int = 10,
+                       tail_cutoff: int = 150_000) -> pd.DataFrame:
+    """Maximal matching of the undirected simple lineitem graph —
+    deterministic locally-minimal-edge handshake rounds
+    (pipelines/matching.py), hash-checked per matched pair against a
+    fixed-unroll DuckDB replay of the identical rounds. tail_cutoff keeps
+    the correctness-scale graphs on the in-memory tail (the
+    hyperball-family convention; the distributed path is parity-tested at
+    tail_cutoff=0)."""
+    from pagerank_ray.pipelines.matching import maximal_matching
+
+    df, rounds = maximal_matching(
+        lineitem_edges(sf_dir), max_rounds=max_rounds, tail_cutoff=tail_cutoff
+    )
+    if rounds > max_rounds:
+        raise RuntimeError(
+            f"matching took {rounds} rounds; oracle unrolls {max_rounds}"
+        )
+    return df
+
+
 def q_graph_coloring(sf_dir: str, max_rounds: int = 60,
                      tail_cutoff: int = 150_000) -> pd.DataFrame:
     """Proper greedy coloring of the undirected simple lineitem graph —

@@ -2426,3 +2426,53 @@ def test_tokenizer_fertility_planted(ray_session, tmp_path):
     assert out.loc["en", "fertility"] == round(en_tok / 2, 6)
     assert out.loc["fr", "bytes_per_token"] == round(
         len("café au lait".encode()) / fr_tok, 6)
+
+
+def test_matching_distributed_matches_tail(ray_session):
+    """Distributed handshake rounds (grouped-argmin + best-pair attaches)
+    must reproduce the single-task tail bit-for-bit; the result must be a
+    valid MAXIMAL matching."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.matching import maximal_matching
+
+    rng = np.random.default_rng(80)
+    src = rng.integers(0, 70, 260)
+    dst = rng.integers(0, 70, 260)
+    edges = pa.table({
+        "src_id": pa.array(src, pa.int64()),
+        "dst_id": pa.array(dst, pa.int64()),
+    })
+    a, _ = maximal_matching(rd.from_arrow(edges), tail_cutoff=10**9)
+    b, rounds = maximal_matching(rd.from_arrow(edges), tail_cutoff=0)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert rounds >= 1
+    # matching: each vertex appears at most once
+    touched = np.concatenate([a["a"].to_numpy(), a["b"].to_numpy()])
+    assert len(touched) == len(np.unique(touched))
+    # maximality: every simple undirected edge touches a matched vertex
+    tset = set(touched.tolist())
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            assert s in tset or d in tset
+
+
+def test_matching_path_graph(ray_session):
+    """Path 0-1-2-3: a maximal matching has ≥ 1 edge and ≤ 2 edges; a
+    perfect matching {0-1, 2-3} is the unique MAXIMUM; the deterministic
+    rule must at least be maximal and vertex-disjoint."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.matching import maximal_matching
+
+    edges = pa.table({
+        "src_id": pa.array([0, 1, 2], pa.int64()),
+        "dst_id": pa.array([1, 2, 3], pa.int64()),
+    })
+    out, _ = maximal_matching(rd.from_arrow(edges), tail_cutoff=0)
+    touched = np.concatenate([out["a"].to_numpy(), out["b"].to_numpy()])
+    assert len(touched) == len(np.unique(touched))
+    assert 1 <= len(out) <= 2
+    # maximality on the path: if only one edge is matched it must be 1-2
+    if len(out) == 1:
+        assert (int(out.iloc[0]["a"]), int(out.iloc[0]["b"])) == (1, 2)
