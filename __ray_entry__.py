@@ -2912,6 +2912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_coloring": tabular.q_graph_coloring,  # SQL-oracled (fixed-unroll JP rounds)
         "tokenizer_fertility": tabular.q_tokenizer_fertility,  # SQL-oracled (BPE walk x lang group)
         "maximal_matching": tabular.q_maximal_matching,  # SQL-oracled (fixed-unroll handshake rounds)
+        "shuffle_shards": tabular.q_shuffle_shards,  # SQL-oracled (fmix shard + window rank)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -3082,6 +3083,13 @@ def oracle_sql() -> dict[str, str]:
         "graph_coloring": _coloring_sql(),
         "tokenizer_fertility": _fertility_sql(),
         "maximal_matching": _matching_sql(),
+        "shuffle_shards": (
+            "WITH v AS (SELECT doc_id, doc_id::UBIGINT AS x FROM documents), "
+            + _fmix_chain_sql("sh", "v", carry="doc_id, ")
+            + " SELECT doc_id, (h % 16)::BIGINT AS shard, "
+            "(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1)::BIGINT AS pos "
+            "FROM shhv ORDER BY doc_id"
+        ),
         "window_active_users": _hll_sql(
             p=12,
             group_col="window_start",

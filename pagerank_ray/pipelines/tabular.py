@@ -2649,6 +2649,49 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_shuffle_shards(sf_dir: str, n_shards: int = 16) -> pd.DataFrame:
+    """Deterministic global shuffle + shard manifest — the data-ordering
+    step every training run materializes: shard = fmix64(doc_id) mod
+    n_shards, within-shard position = rank by (hash, doc_id). The hash IS
+    the shuffle (a fixed bijection ≡ a reproducible permutation — rerunning
+    the manifest on the same corpus yields byte-identical training order,
+    the property epoch resumption depends on). Ranking runs per shard via
+    groupby(shard).map_groups — shards co-locate and rank independently,
+    so nothing global ever sorts; at 100 TB each shard's manifest writes
+    straight to its own partition."""
+    from pagerank_ray.functions.text import fmix64 as _fmix
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _fmix(ids.astype(np.uint64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+                "h": pa.array((h ^ np.uint64(1 << 63)).view(np.int64)),
+            }
+        )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df["doc_id"].to_numpy(np.int64),
+                            df["h"].to_numpy(np.int64)))
+        out = df.iloc[order][["doc_id", "shard"]].copy()
+        out["pos"] = np.arange(len(out), dtype=np.int64)
+        return out
+
+    out = (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("doc_id", "shard", "pos"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_pagerank_top20_profile(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Composition query: the 20 highest-ranked vertices of the 20-iteration
     PageRank joined with their out/in degrees (rank desc, id asc tie-break).

@@ -2476,3 +2476,30 @@ def test_matching_path_graph(ray_session):
     # maximality on the path: if only one edge is matched it must be 1-2
     if len(out) == 1:
         assert (int(out.iloc[0]["a"]), int(out.iloc[0]["b"])) == (1, 2)
+
+
+def test_shuffle_shards_manifest(ray_session, tmp_path):
+    """The manifest is a permutation: every doc appears once, per-shard
+    positions are 0..len(shard)-1, shard assignment matches fmix64 mod 16,
+    and re-running yields the byte-identical order (epoch resumption)."""
+    from pagerank_ray.functions.text import fmix64
+    from pagerank_ray.pipelines.tabular import q_shuffle_shards
+
+    ids = np.arange(100, 400, 3, dtype=np.int64)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["x"] * len(ids), pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["t"] * len(ids), pa.string()),
+        "n_chars": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_shuffle_shards(str(tmp_path))
+    assert sorted(out["doc_id"]) == sorted(ids.tolist())
+    want_shard = (fmix64(ids.astype(np.uint64)) % np.uint64(16)).astype(np.int64)
+    got = out.set_index("doc_id")
+    assert (got.loc[ids, "shard"].to_numpy() == want_shard).all()
+    for s, sub in out.groupby("shard"):
+        assert sorted(sub["pos"]) == list(range(len(sub)))
+    out2 = q_shuffle_shards(str(tmp_path))
+    pd.testing.assert_frame_equal(out, out2)
