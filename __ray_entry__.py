@@ -2571,15 +2571,9 @@ def _coloring_sql(rounds: int = 60) -> str:
     return body + f"\nSELECT id, c::BIGINT AS color FROM s{rounds} ORDER BY id"
 
 
-def _matching_sql(rounds: int = 10) -> str:
-    """Fixed-unroll maximal-matching oracle (tabular.q_maximal_matching /
-    pipelines/matching.py): edge priority h = fmix64((a·1000003 mod 2^64)
-    XOR b) over canonical pairs (the shared _fx_sql/_fmix_chain_sql
-    machinery — unsigned ORDER BY h ≡ the engine's order-preserving int64
-    map); per round each vertex's best incident edge by (h, a, b), an edge
-    matches iff best at BOTH endpoints, matched vertices drop out.
-    Idempotent once no edge survives, so unrolling ≥ the engine's actual
-    round count (asserted engine-side) reproduces the exact matched set."""
+def _matching_ctes(rounds: int = 10) -> list[str]:
+    """Shared CTE chain of the maximal-matching replay (see _matching_sql);
+    the matched set is the UNION ALL of w1..w{rounds}."""
     p = [
         f"WITH e00 AS MATERIALIZED {_EDGES},",
         "und AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b "
@@ -2608,9 +2602,44 @@ def _matching_sql(rounds: int = 10) -> str:
             f"e{t} AS MATERIALIZED (SELECT e.a, e.b, e.h FROM e{t - 1} e "
             f"LEFT JOIN mv{t} m1 ON m1.id = e.a LEFT JOIN mv{t} m2 ON m2.id = e.b "
             f"WHERE m1.id IS NULL AND m2.id IS NULL),")
+    return p
+
+
+def _matching_sql(rounds: int = 10) -> str:
+    """Fixed-unroll maximal-matching oracle (tabular.q_maximal_matching /
+    pipelines/matching.py): edge priority h = fmix64((a·1000003 mod 2^64)
+    XOR b) over canonical pairs (the shared _fx_sql/_fmix_chain_sql
+    machinery — unsigned ORDER BY h ≡ the engine's order-preserving int64
+    map); per round each vertex's best incident edge by (h, a, b), an edge
+    matches iff best at BOTH endpoints, matched vertices drop out.
+    Idempotent once no edge survives, so unrolling ≥ the engine's actual
+    round count (asserted engine-side) reproduces the exact matched set."""
+    p = _matching_ctes(rounds)
     body = "\n".join(p).rstrip()[:-1]
     sel = " UNION ALL ".join(f"SELECT a, b FROM w{t}" for t in range(1, rounds + 1))
     return body + f"\nSELECT a, b FROM ({sel}) ORDER BY a, b"
+
+
+def _coarsen_sql(rounds: int = 10) -> str:
+    """Matching-contraction coarsening oracle (tabular.q_coarsen_graph /
+    pipelines/matching.py:coarsen_by_matching): the matching replay, then
+    supervertex(v) = a for matched pairs (a < b canonical; a maps to
+    itself), identity otherwise; coarse edges = canonical distinct
+    supervertex pairs weighted by the count of contracted simple edges
+    (self-edges inside a contracted pair drop)."""
+    p = _matching_ctes(rounds)
+    sel = " UNION ALL ".join(f"SELECT a, b FROM w{t}" for t in range(1, rounds + 1))
+    p.append(f"mm AS MATERIALIZED (SELECT b AS v, a AS sv FROM ({sel})),")
+    p.append(
+        "ce AS (SELECT LEAST(COALESCE(ma.sv, u.a), COALESCE(mb.sv, u.b)) AS ca, "
+        "GREATEST(COALESCE(ma.sv, u.a), COALESCE(mb.sv, u.b)) AS cb "
+        "FROM und u LEFT JOIN mm ma ON ma.v = u.a LEFT JOIN mm mb ON mb.v = u.b),")
+    body = "\n".join(p).rstrip()[:-1]
+    return (
+        body
+        + "\nSELECT ca, cb, COUNT(*)::BIGINT AS weight FROM ce "
+        "WHERE ca <> cb GROUP BY ca, cb ORDER BY ca, cb"
+    )
 
 
 def _perplexity_sql() -> str:
@@ -2913,6 +2942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility": tabular.q_tokenizer_fertility,  # SQL-oracled (BPE walk x lang group)
         "maximal_matching": tabular.q_maximal_matching,  # SQL-oracled (fixed-unroll handshake rounds)
         "shuffle_shards": tabular.q_shuffle_shards,  # SQL-oracled (fmix shard + window rank)
+        "coarsen_graph": tabular.q_coarsen_graph,  # SQL-oracled (matching replay + contraction)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -3083,6 +3113,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_coloring": _coloring_sql(),
         "tokenizer_fertility": _fertility_sql(),
         "maximal_matching": _matching_sql(),
+        "coarsen_graph": _coarsen_sql(),
         "shuffle_shards": (
             "WITH v AS (SELECT doc_id, doc_id::UBIGINT AS x FROM documents), "
             + _fmix_chain_sql("sh", "v", carry="doc_id, ")

@@ -245,7 +245,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
         "embedding_pca", "harmonic_centrality",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
-    "r5f": ["ppr_batch", "orc_source", "lin_closeness", "window_active_users", "graph_coloring", "tokenizer_fertility", "maximal_matching", "shuffle_shards"],
+    "r5f": ["ppr_batch", "orc_source", "lin_closeness", "window_active_users", "graph_coloring", "tokenizer_fertility", "maximal_matching", "shuffle_shards", "coarsen_graph"],
 }
 
 

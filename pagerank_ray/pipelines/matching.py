@@ -247,3 +247,74 @@ def maximal_matching(
     df["a"] = df["a"].astype(np.int64)
     df["b"] = df["b"].astype(np.int64)
     return df.sort_values(["a", "b"]).reset_index(drop=True), rounds
+
+
+def coarsen_by_matching(
+    edges: rd.Dataset,
+    *,
+    max_rounds: int = 10,
+    tail_cutoff: int = 2_000_000,
+) -> tuple[pd.DataFrame, int]:
+    """ONE multilevel coarsening step (the METIS/Karypis-Kumar primitive):
+    contract each matched pair to its smaller endpoint (unmatched vertices
+    map to themselves), weight each coarse canonical edge by the number of
+    contracted simple edges, drop intra-pair self-edges. Returns (coarse
+    edge frame (ca, cb, weight) sorted, matching rounds). The mapping is
+    applied with a broadcast-or-hash attach over the distributed edge set —
+    the matched-pair table is the n/2-row build side, never a driver loop —
+    and weights are exact integer pair-counts (grouped_pair_sum)."""
+    from pagerank_ray.pipelines.triangles import _canonical_undirected
+    from pagerank_ray.stages.graph_build import grouped_pair_sum
+
+    pairs, rounds = maximal_matching(
+        edges, max_rounds=max_rounds, tail_cutoff=tail_cutoff
+    )
+    und = dedup_pairs(
+        edges.map_batches(_canonical_undirected, batch_format="pyarrow").map_batches(
+            lambda t: pa.table({"src_id": t.column("a"), "dst_id": t.column("b")}),
+            batch_format="pyarrow",
+        )
+    )
+    mp = rd.from_arrow(
+        pa.table({"v": pa.array(pairs["b"].to_numpy(np.int64), pa.int64()),
+                  "sv": pa.array(pairs["a"].to_numpy(np.int64), pa.int64())})
+    )
+    n_mp = len(pairs)
+    mapped = joins.attach_with_default(
+        joins.attach_with_default(
+            und, mp, probe_col="src_id", build_key="v", build_val="sv",
+            out_col="sa", default=-1, build_count=n_mp,
+        ),
+        mp, probe_col="dst_id", build_key="v", build_val="sv",
+        out_col="sb", default=-1, build_count=n_mp,
+    )
+
+    def contract(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        sa = t.column("sa").to_numpy(zero_copy_only=False)
+        sb = t.column("sb").to_numpy(zero_copy_only=False)
+        ca = np.where(sa >= 0, sa, s)
+        cb = np.where(sb >= 0, sb, d)
+        lo = np.minimum(ca, cb)
+        hi = np.maximum(ca, cb)
+        keep = lo != hi
+        return pa.table(
+            {
+                "src_id": pa.array(lo[keep], pa.int64()),
+                "dst_id": pa.array(hi[keep], pa.int64()),
+                "weight": pa.array(np.ones(int(keep.sum()), np.float64)),
+            }
+        )
+
+    coarse = grouped_pair_sum(
+        mapped.map_batches(contract, batch_format="pyarrow")
+    ).to_pandas()
+    coarse = coarse.rename(columns={"src_id": "ca", "dst_id": "cb"})
+    coarse["weight"] = coarse["weight"].astype(np.int64)
+    for c in ("ca", "cb"):
+        coarse[c] = coarse[c].astype(np.int64)
+    return (
+        coarse.sort_values(["ca", "cb"]).reset_index(drop=True)[["ca", "cb", "weight"]],
+        rounds,
+    )

@@ -6188,6 +6188,26 @@ def q_maximal_matching(sf_dir: str, max_rounds: int = 10,
     return df
 
 
+def q_coarsen_graph(sf_dir: str, max_rounds: int = 10,
+                    tail_cutoff: int = 150_000) -> pd.DataFrame:
+    """One matching-contraction coarsening level of the lineitem graph
+    (pipelines/matching.py:coarsen_by_matching) — the multilevel primitive
+    under METIS-style partitioners and the matching-based sibling of the
+    host coarsening in q_host_pagerank. Coarse canonical edges with exact
+    integer contraction weights, hash-checked against the matching replay
+    + contraction mapping in SQL."""
+    from pagerank_ray.pipelines.matching import coarsen_by_matching
+
+    df, rounds = coarsen_by_matching(
+        lineitem_edges(sf_dir), max_rounds=max_rounds, tail_cutoff=tail_cutoff
+    )
+    if rounds > max_rounds:
+        raise RuntimeError(
+            f"matching took {rounds} rounds; oracle unrolls {max_rounds}"
+        )
+    return df
+
+
 def q_graph_coloring(sf_dir: str, max_rounds: int = 60,
                      tail_cutoff: int = 150_000) -> pd.DataFrame:
     """Proper greedy coloring of the undirected simple lineitem graph —

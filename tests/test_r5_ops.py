@@ -2503,3 +2503,36 @@ def test_shuffle_shards_manifest(ray_session, tmp_path):
         assert sorted(sub["pos"]) == list(range(len(sub)))
     out2 = q_shuffle_shards(str(tmp_path))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_coarsen_by_matching_planted(ray_session):
+    """Path 0-1-2-3 plus a parallel pair of edges: contraction maps matched
+    b→a, drops intra-pair self-edges, and sums parallel coarse edges into
+    exact integer weights; vertex count shrinks by the number of pairs."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.matching import coarsen_by_matching, maximal_matching
+
+    edges = pa.table({
+        "src_id": pa.array([0, 1, 2, 0, 3], pa.int64()),
+        "dst_id": pa.array([1, 2, 3, 1, 2], pa.int64()),
+    })
+    pairs, _ = maximal_matching(rd.from_arrow(edges), tail_cutoff=0)
+    coarse, _ = coarsen_by_matching(rd.from_arrow(edges), tail_cutoff=0)
+    mp = dict(zip(pairs["b"], pairs["a"]))
+
+    def sv(v):
+        return mp.get(v, v)
+
+    # independent contraction of the simple undirected edge set
+    want: dict = {}
+    for s, d in {(0, 1), (1, 2), (2, 3)}:
+        ca, cb = sorted((sv(s), sv(d)))
+        if ca != cb:
+            want[(ca, cb)] = want.get((ca, cb), 0) + 1
+    got = {(int(r["ca"]), int(r["cb"])): int(r["weight"])
+           for _, r in coarse.iterrows()}
+    assert got == want
+    n_orig = 4
+    n_coarse = len({sv(v) for v in range(4)})
+    assert n_coarse == n_orig - len(pairs)
