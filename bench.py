@@ -399,6 +399,13 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("harmonic_centrality", lambda: tabular.q_harmonic_centrality(SF_DIR))
     timed("ppr_batch", lambda: tabular.q_ppr_batch(SF_DIR))
     timed("orc_source", lambda: tabular.q_orc_source(SF_DIR))
+    timed("lin_closeness", lambda: tabular.q_lin_closeness(SF_DIR))
+    timed("window_active_users", lambda: tabular.q_window_active_users(SF_DIR))
+    timed("graph_coloring", lambda: tabular.q_graph_coloring(SF_DIR))
+    timed("tokenizer_fertility", lambda: tabular.q_tokenizer_fertility(SF_DIR))
+    timed("maximal_matching", lambda: tabular.q_maximal_matching(SF_DIR))
+    timed("shuffle_shards", lambda: tabular.q_shuffle_shards(SF_DIR))
+    timed("coarsen_graph", lambda: tabular.q_coarsen_graph(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():
