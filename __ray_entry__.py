@@ -2943,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_matching": tabular.q_maximal_matching,  # SQL-oracled (fixed-unroll handshake rounds)
         "shuffle_shards": tabular.q_shuffle_shards,  # SQL-oracled (fmix shard + window rank)
         "coarsen_graph": tabular.q_coarsen_graph,  # SQL-oracled (matching replay + contraction)
+        "quantiles_by_flag": tabular.q_quantiles_by_flag,  # SQL-oracled (grouped histogram sketch)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -3114,6 +3115,28 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_sql(),
         "maximal_matching": _matching_sql(),
         "coarsen_graph": _coarsen_sql(),
+        "quantiles_by_flag": (
+            # grouped variant of the approx_quantiles_price oracle: per-group
+            # stats fix each group's bin geometry; identical double exprs
+            "WITH stats AS (SELECT l_returnflag AS g, MIN(l_extendedprice) AS mn, "
+            "MAX(l_extendedprice) AS mx, COUNT(*)::BIGINT AS n FROM lineitem GROUP BY 1), "
+            "binned AS (SELECT s.g, LEAST(GREATEST(CAST(FLOOR((l.l_extendedprice - s.mn) / "
+            "((s.mx - s.mn) / 2048.0)) AS BIGINT), 0), 2047) AS bin "
+            "FROM lineitem l JOIN stats s ON s.g = l.l_returnflag), "
+            "counts AS (SELECT g, bin, COUNT(*)::BIGINT AS c FROM binned GROUP BY g, bin), "
+            "cum AS (SELECT g, bin, c, SUM(c) OVER (PARTITION BY g ORDER BY bin)::BIGINT AS cumc "
+            "FROM counts), "
+            "qv(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)), "
+            "t AS (SELECT s.g, q, CEIL(q * s.n) AS target, s.mn, s.mx FROM qv, stats s), "
+            "pick AS (SELECT t.g, t.q, t.target, t.mn, t.mx, MIN(c2.bin) AS b "
+            "FROM t JOIN cum c2 ON c2.g = t.g AND CAST(c2.cumc AS DOUBLE) >= t.target "
+            "GROUP BY t.g, t.q, t.target, t.mn, t.mx) "
+            "SELECT p.g AS l_returnflag, p.q, p.mn + ((p.mx - p.mn) / 2048.0) * "
+            "(CAST(p.b AS DOUBLE) + (p.target - CAST(COALESCE((SELECT cumc FROM cum "
+            "WHERE g = p.g AND bin = (SELECT MAX(bin) FROM cum WHERE g = p.g AND bin < p.b)), 0) "
+            "AS DOUBLE)) / CAST(cb.c AS DOUBLE)) AS estimate "
+            "FROM pick p JOIN cum cb ON cb.g = p.g AND cb.bin = p.b ORDER BY 1, 2"
+        ),
         "shuffle_shards": (
             "WITH v AS (SELECT doc_id, doc_id::UBIGINT AS x FROM documents), "
             + _fmix_chain_sql("sh", "v", carry="doc_id, ")

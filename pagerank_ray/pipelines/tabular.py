@@ -1865,6 +1865,21 @@ def q_approx_quantiles_price(sf_dir: str) -> pd.DataFrame:
     return approx_quantiles_histogram(li, "l_extendedprice", [0.5, 0.9, 0.99], n_bins=2048)
 
 
+def q_quantiles_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-group approximate quantiles (p50/p90/p99 of l_extendedprice per
+    l_returnflag) via the grouped equi-width histogram sketch — the shape a
+    100 TB per-partition length-distribution report needs: one small grouped
+    stats pass, one ≤ n_groups × n_bins count shuffle, closed-form finish.
+    APPROXIMATE estimates hash-match the SQL replay (identical doubles)."""
+    from pagerank_ray.stages.quantiles import approx_quantiles_grouped
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_returnflag"])
+    out = approx_quantiles_grouped(
+        li, "l_extendedprice", "l_returnflag", [0.5, 0.9, 0.99], n_bins=2048
+    )
+    return out.sort_values(["l_returnflag", "q"]).reset_index(drop=True)
+
+
 def q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact distributed quantiles (p25/p50/p75/p95) of document length —
     global sort + block-offset scalar fetch, no driver materialization.

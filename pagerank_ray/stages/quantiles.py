@@ -147,3 +147,75 @@ def approx_quantiles_histogram(
         frac = (float(target) - before) / float(counts[b])
         rows.append((q, mn + width * (float(b) + frac)))
     return pd.DataFrame(rows, columns=["q", "estimate"])
+
+
+def approx_quantiles_grouped(
+    ds: rd.Dataset, col: str, group_col: str, qs: list[float], *, n_bins: int = 2048
+) -> pd.DataFrame:
+    """GROUP BY + the equi-width histogram quantile sketch — the grouped
+    sibling of ``approx_quantiles_histogram`` (the HLL/grouped-HLL pattern):
+    one small grouped min/max/count pass fixes each group's bin geometry
+    (broadcast to the binning stage via the closure — n_groups rows), each
+    batch then folds its rows into per-(group, bin) count partials with ONE
+    dense bincount scatter, and the shuffle carries ≤ n_groups × n_bins
+    count rows — never the values. The closed-form rank/interpolation step
+    runs per group on the driver over sketch-sized state. Assumes group
+    cardinality is register-scale (each group costs n_bins rows in the
+    combine) and every group has a non-degenerate value range.
+
+    Same determinism contract as the ungrouped sketch: bin assignment,
+    ceil-rank targets, and the interpolation are the identical double
+    expressions the SQL oracle evaluates, so even the APPROXIMATE estimates
+    hash-match. Returns (group_col, q, estimate) sorted by (group, q)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    clean = _drop_null_nan(ds, col).select_columns([col, group_col])
+    stats = clean.groupby(group_col).aggregate(Min(col), Max(col), Count()).to_pandas()
+    gvals = stats[group_col].tolist()
+    mn_d = dict(zip(gvals, stats[f"min({col})"].astype(float)))
+    mx_d = dict(zip(gvals, stats[f"max({col})"].astype(float)))
+    n_d = dict(zip(gvals, stats["count()"].astype(int)))
+    for g in gvals:
+        if not n_d[g] or mx_d[g] <= mn_d[g]:
+            raise ValueError(
+                f"approx_quantiles_grouped: degenerate range in group {g!r}"
+            )
+    width_d = {g: (mx_d[g] - mn_d[g]) / float(n_bins) for g in gvals}
+
+    def bincount(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(t.column(group_col).to_pandas(), sort=False)
+        u_mn = np.array([mn_d[g] for g in uniq], np.float64)
+        u_w = np.array([width_d[g] for g in uniq], np.float64)
+        b = np.clip(
+            np.floor((x - u_mn[codes]) / u_w[codes]).astype(np.int64), 0, n_bins - 1
+        )
+        dense = np.zeros(len(uniq) * n_bins, np.int64)
+        np.add.at(dense, codes.astype(np.int64) * n_bins + b, 1)
+        nz = np.flatnonzero(dense)
+        return pa.table(
+            {
+                group_col: pa.array(np.asarray(uniq, object)[nz // n_bins]),
+                "bin": pa.array(nz % n_bins),
+                "c": pa.array(dense[nz]),
+            }
+        )
+
+    final = (
+        clean.map_batches(bincount, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .sum("c")
+        .to_pandas()
+    )
+    rows = []
+    for g, sub in final.groupby(group_col, sort=True):
+        counts = np.zeros(n_bins, np.int64)
+        counts[sub["bin"].to_numpy(np.int64)] = sub["sum(c)"].to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        for q in qs:
+            target = np.ceil(q * n_d[g])
+            b = int(np.searchsorted(cum, target, side="left"))
+            before = float(cum[b - 1]) if b else 0.0
+            frac = (float(target) - before) / float(counts[b])
+            rows.append((g, q, mn_d[g] + width_d[g] * (float(b) + frac)))
+    return pd.DataFrame(rows, columns=[group_col, "q", "estimate"])

@@ -2536,3 +2536,83 @@ def test_coarsen_by_matching_planted(ray_session):
     n_orig = 4
     n_coarse = len({sv(v) for v in range(4)})
     assert n_coarse == n_orig - len(pairs)
+
+
+def test_mex_kernel_property():
+    """_mex_from_pairs vs the obvious per-id set-walk mex on random pairs,
+    including duplicate pairs, color 0 gaps, and contiguous prefixes."""
+    from pagerank_ray.pipelines.coloring import _mex_from_pairs
+
+    rng = np.random.default_rng(81)
+    for trial in range(25):
+        n_ids = int(rng.integers(1, 12))
+        n_pairs = int(rng.integers(0, 60))
+        rv = rng.integers(0, n_ids, n_pairs).astype(np.int64)
+        rc = rng.integers(0, 6, n_pairs).astype(np.int64)
+        ids, mex = _mex_from_pairs(rv.copy(), rc.copy())
+        got = dict(zip(ids.tolist(), mex.tolist()))
+        want = {}
+        for v in set(rv.tolist()):
+            used = set(rc[rv == v].tolist())
+            m = 0
+            while m in used:
+                m += 1
+            want[v] = m
+        assert got == want
+
+
+def test_match_round_kernel_property():
+    """_match_round_np winners are exactly the edges that are rank-1 by
+    (h, a, b) at BOTH endpoints — cross-checked against a per-vertex dict
+    walk; winners are always vertex-disjoint and include the global
+    minimum-priority edge."""
+    from pagerank_ray.pipelines.matching import _edge_prio, _match_round_np
+
+    rng = np.random.default_rng(82)
+    for trial in range(25):
+        n_e = int(rng.integers(1, 80))
+        A = rng.integers(0, 30, n_e).astype(np.int64)
+        B = (rng.integers(0, 30, n_e) + 30).astype(np.int64)  # bipartite, a<b
+        pairs = np.unique(np.stack([A, B], 1), axis=0)
+        A, B = pairs[:, 0], pairs[:, 1]
+        h = _edge_prio(A, B)
+        win = _match_round_np(A, B, h)
+        keys = list(zip(h.tolist(), A.tolist(), B.tolist()))
+        best: dict = {}
+        for i, (hh, a, b) in enumerate(keys):
+            for v in (a, b):
+                if v not in best or keys[i] < keys[best[v]]:
+                    best[v] = i
+        want = np.array([best[a] == i and best[b] == i
+                         for i, (hh, a, b) in enumerate(keys)])
+        assert (win == want).all()
+        touched = np.concatenate([A[win], B[win]])
+        assert len(touched) == len(np.unique(touched))
+        assert win[int(np.lexsort((B, A, h))[0])]
+
+
+def test_quantiles_grouped_matches_ungrouped_on_single_group(ray_session, tmp_path):
+    """A one-group table: the grouped sketch must equal the ungrouped sketch
+    value-for-value (same bin geometry, same closed form); estimates sit
+    within one bin width of the exact quantiles."""
+    import ray.data as rd
+
+    from pagerank_ray.stages.quantiles import (
+        approx_quantiles_grouped,
+        approx_quantiles_histogram,
+    )
+
+    rng = np.random.default_rng(83)
+    x = rng.gamma(2.0, 10.0, 5000)
+    tbl = pa.table({
+        "v": pa.array(x, pa.float64()),
+        "g": pa.array(["only"] * len(x), pa.string()),
+    })
+    ds = rd.from_arrow(tbl)
+    qs = [0.5, 0.9, 0.99]
+    a = approx_quantiles_histogram(ds, "v", qs, n_bins=512)
+    b = approx_quantiles_grouped(ds, "v", "g", qs, n_bins=512)
+    assert list(a["estimate"]) == list(b["estimate"])
+    width = (x.max() - x.min()) / 512
+    for q, est in zip(b["q"], b["estimate"]):
+        assert abs(est - np.quantile(x, q)) <= 2 * width
