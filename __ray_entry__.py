@@ -2944,6 +2944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": tabular.q_shuffle_shards,  # SQL-oracled (fmix shard + window rank)
         "coarsen_graph": tabular.q_coarsen_graph,  # SQL-oracled (matching replay + contraction)
         "quantiles_by_flag": tabular.q_quantiles_by_flag,  # SQL-oracled (grouped histogram sketch)
+        "decayed_activity": tabular.q_decayed_activity,  # SQL-oracled (integer-scaled POW terms)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -3115,6 +3116,17 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _fertility_sql(),
         "maximal_matching": _matching_sql(),
         "coarsen_graph": _coarsen_sql(),
+        "decayed_activity": (
+            # half-life 24h decayed counters at the corpus max ts; each term
+            # one libm POWER on identical doubles, integer-scaled at 1e-9
+            # (the q_powerlaw_alpha convention) so per-user sums are exact
+            "WITH te AS (SELECT MAX(epoch_us(ts))::BIGINT AS t_end FROM events), "
+            "terms AS (SELECT user_id, CAST(ROUND(POWER(0.5, "
+            "CAST(t_end - epoch_us(ts) AS DOUBLE) / 86400000000.0) "
+            "* 1000000000.0, 0) AS BIGINT) AS w FROM events, te) "
+            "SELECT user_id, COUNT(*)::BIGINT AS n_events, SUM(w)::BIGINT AS decayed_scaled "
+            "FROM terms GROUP BY user_id ORDER BY user_id"
+        ),
         "quantiles_by_flag": (
             # grouped variant of the approx_quantiles_price oracle: per-group
             # stats fix each group's bin geometry; identical double exprs

@@ -6054,6 +6054,55 @@ def q_weighted_sample_docs(sf_dir: str, k: int = 50) -> pd.DataFrame:
     )
 
 
+def q_decayed_activity(sf_dir: str, half_life_us: int = 86_400_000_000) -> pd.DataFrame:
+    """Exponentially-decayed per-user activity scores — the streaming
+    recency metric (half-life counters, cf. the decayed aggregates of
+    streaming systems): score(u) = Σ_events 2^(−age/half_life) at the
+    corpus max timestamp, half-life 24 h. Made exactly cross-engine
+    reproducible by the integer-scaling trick (q_powerlaw_alpha's 1e9
+    convention): each event's decay factor is one libm pow on identical
+    doubles, rounded half-away at 1e-9 to an int64 term; per-user sums are
+    then exact integer arithmetic in any order — per-batch partial groupby
+    + one grouped sum, never the event rows."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    from ray.data.aggregate import Max
+
+    t_end = int(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([int(t.column("ts").cast(pa.int64())
+                                    .to_numpy(zero_copy_only=False).max())])}
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Max("m"))["max(m)"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        age = (t_end - ts).astype(np.float64)
+        w = _round_half_away(
+            np.power(0.5, age / float(half_life_us)) * 1e9, 0
+        ).astype(np.int64)
+        df = pd.DataFrame({"user_id": uid, "w": w})
+        g = df.groupby("user_id", sort=False).agg(
+            n_events=("w", "size"), decayed_scaled=("w", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum(["n_events", "decayed_scaled"])
+        .to_pandas()
+    )
+    out = out.rename(columns={"sum(n_events)": "n_events",
+                              "sum(decayed_scaled)": "decayed_scaled"})
+    for c in ("user_id", "n_events", "decayed_scaled"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_powerlaw_alpha(sf_dir: str, dmin: int = 2) -> pd.DataFrame:
     """Power-law exponent of the in-degree distribution — the continuous MLE
     of Clauset, Shalizi & Newman (SIAM Rev. 2009, eq. 3.1): α = 1 + n /

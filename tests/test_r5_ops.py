@@ -2616,3 +2616,19 @@ def test_quantiles_grouped_matches_ungrouped_on_single_group(ray_session, tmp_pa
     width = (x.max() - x.min()) / 512
     for q, est in zip(b["q"], b["estimate"]):
         assert abs(est - np.quantile(x, q)) <= 2 * width
+
+
+def test_decayed_activity_planted(ray_session, tmp_path):
+    """Three events for u1 at 0h/24h/48h before the corpus end, one for u2
+    at the end: u1's score is 1e9·(2^-2 + 2^-1 + 1) exactly; u2's is 1e9."""
+    from pagerank_ray.pipelines.tabular import q_decayed_activity
+
+    DAY = 86_400_000_000
+    t_end = 10 * DAY
+    rows = [(1, t_end - 2 * DAY), (1, t_end - DAY), (1, t_end), (2, t_end)]
+    _write_events(tmp_path, [r[0] for r in rows], ["view"] * 4,
+                  [r[1] for r in rows])
+    out = q_decayed_activity(str(tmp_path)).set_index("user_id")
+    assert out.loc[1, "n_events"] == 3
+    assert out.loc[1, "decayed_scaled"] == 250_000_000 + 500_000_000 + 1_000_000_000
+    assert out.loc[2, "decayed_scaled"] == 1_000_000_000
