@@ -2523,6 +2523,41 @@ def _mis_sql(rounds: int = 12) -> str:
     return body + f"\nSELECT id FROM ({sel}) ORDER BY id"
 
 
+def _hist_median_block(pfx: str, val: str, src: str) -> str:
+    """CTE block estimating the single p50 of ``val`` over ``src`` with the
+    2048-bin equi-width histogram sketch (the approx_quantiles_price
+    machinery reduced to one quantile); final CTE {pfx}m has column med."""
+    return (
+        f"{pfx}s AS (SELECT MIN({val}) AS mn, MAX({val}) AS mx, COUNT(*)::BIGINT AS n FROM {src}), "
+        f"{pfx}b AS (SELECT LEAST(GREATEST(CAST(FLOOR((({val}) - mn) / ((mx - mn) / 2048.0)) "
+        f"AS BIGINT), 0), 2047) AS bin FROM {src}, {pfx}s), "
+        f"{pfx}c AS (SELECT bin, COUNT(*)::BIGINT AS c FROM {pfx}b GROUP BY bin), "
+        f"{pfx}u AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin)::BIGINT AS cumc FROM {pfx}c), "
+        f"{pfx}p AS (SELECT MIN(bin) AS b FROM {pfx}u, {pfx}s "
+        f"WHERE CAST(cumc AS DOUBLE) >= CEIL(0.5 * n)), "
+        f"{pfx}m AS (SELECT s.mn + ((s.mx - s.mn) / 2048.0) * (CAST(p.b AS DOUBLE) + "
+        f"(CEIL(0.5 * s.n) - CAST(COALESCE((SELECT cumc FROM {pfx}u "
+        f"WHERE bin = (SELECT MAX(bin) FROM {pfx}u WHERE bin < p.b)), 0) AS DOUBLE)) "
+        f"/ CAST((SELECT c FROM {pfx}u WHERE bin = p.b) AS DOUBLE)) AS med "
+        f"FROM {pfx}s s, {pfx}p p)"
+    )
+
+
+def _robust_sql() -> str:
+    """Robust-stats oracle (tabular.q_robust_price_stats): the histogram
+    median block twice — pass 2 sketches ABS(x − pass-1 median), with the
+    UNROUNDED pass-1 double feeding pass 2 exactly as the engine does."""
+    return (
+        "WITH "
+        + _hist_median_block("q1", "l_extendedprice", "lineitem")
+        + ", dv AS (SELECT ABS(l_extendedprice - (SELECT med FROM q1m)) AS dev FROM lineitem), "
+        + _hist_median_block("q2", "dev", "dv")
+        + " SELECT (SELECT n FROM q1s)::BIGINT AS n, "
+        "ROUND((SELECT med FROM q1m), 6) AS median_est, "
+        "ROUND((SELECT med FROM q2m), 6) AS mad_est"
+    )
+
+
 def _coloring_sql(rounds: int = 60) -> str:
     """Fixed-unroll Jones–Plassmann coloring oracle (tabular.q_graph_coloring
     / pipelines/coloring.py): the MIS oracle's priority chain and winner rule
@@ -2945,6 +2980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coarsen_graph": tabular.q_coarsen_graph,  # SQL-oracled (matching replay + contraction)
         "quantiles_by_flag": tabular.q_quantiles_by_flag,  # SQL-oracled (grouped histogram sketch)
         "decayed_activity": tabular.q_decayed_activity,  # SQL-oracled (integer-scaled POW terms)
+        "robust_price_stats": tabular.q_robust_price_stats,  # SQL-oracled (two-pass sketch median/MAD)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -3127,6 +3163,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, COUNT(*)::BIGINT AS n_events, SUM(w)::BIGINT AS decayed_scaled "
             "FROM terms GROUP BY user_id ORDER BY user_id"
         ),
+        "robust_price_stats": _robust_sql(),
         "quantiles_by_flag": (
             # grouped variant of the approx_quantiles_price oracle: per-group
             # stats fix each group's bin geometry; identical double exprs

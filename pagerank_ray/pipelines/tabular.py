@@ -1880,6 +1880,41 @@ def q_quantiles_by_flag(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "q"]).reset_index(drop=True)
 
 
+def q_robust_price_stats(sf_dir: str) -> pd.DataFrame:
+    """Robust location/scale of l_extendedprice — approximate median and MAD
+    (median absolute deviation, THE outlier-resistant spread estimate corpus
+    filters use) as TWO DEPENDENT histogram-sketch passes: pass 1 estimates
+    the median; pass 2 sketches |x − median_est| and takes its median. Both
+    passes are the deterministic equi-width sketch, and the pass-1 estimate
+    feeds pass 2 as the identical double on both engines — so even this
+    composed approximation hash-matches the SQL replay."""
+    from pagerank_ray.stages.quantiles import approx_quantiles_histogram
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    med = float(
+        approx_quantiles_histogram(li, "l_extendedprice", [0.5], n_bins=2048)
+        .iloc[0]["estimate"]
+    )
+
+    def absdev(t: pa.Table) -> pa.Table:
+        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"dev": pa.array(np.abs(x - med), pa.float64())})
+
+    devs = li.map_batches(absdev, batch_format="pyarrow")
+    mad = float(
+        approx_quantiles_histogram(devs, "dev", [0.5], n_bins=2048)
+        .iloc[0]["estimate"]
+    )
+    n = li.count()
+    return pd.DataFrame(
+        {
+            "n": pd.array([n], dtype=np.int64),
+            "median_est": [_round_half_away(np.array([med]), 6)[0]],
+            "mad_est": [_round_half_away(np.array([mad]), 6)[0]],
+        }
+    )
+
+
 def q_doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact distributed quantiles (p25/p50/p75/p95) of document length —
     global sort + block-offset scalar fetch, no driver materialization.

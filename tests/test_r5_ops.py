@@ -2632,3 +2632,27 @@ def test_decayed_activity_planted(ray_session, tmp_path):
     assert out.loc[1, "n_events"] == 3
     assert out.loc[1, "decayed_scaled"] == 250_000_000 + 500_000_000 + 1_000_000_000
     assert out.loc[2, "decayed_scaled"] == 1_000_000_000
+
+
+def test_robust_stats_sanity(ray_session, tmp_path):
+    """Median/MAD from the two-pass sketch sit within 2 bin widths of the
+    exact values, and MAD shrugs off a gross outlier that wrecks stddev."""
+    from pagerank_ray.pipelines.tabular import q_robust_price_stats
+
+    rng = np.random.default_rng(84)
+    x = np.concatenate([rng.normal(100.0, 5.0, 4000), [1e6]])  # one outlier
+    n = len(x)
+    tbl = pa.table({
+        "l_extendedprice": pa.array(x, pa.float64()),
+        "l_returnflag": pa.array(["A"] * n, pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_robust_price_stats(str(tmp_path)).iloc[0]
+    assert out["n"] == n
+    w1 = (x.max() - x.min()) / 2048
+    assert abs(out["median_est"] - np.median(x)) <= 2 * w1
+    # the sketch resolves to one bin; the outlier stretches pass-2's range,
+    # so the bound is bin width — still far below the stddev it inflates
+    exact_mad = np.median(np.abs(x - np.median(x)))
+    assert abs(out["mad_est"] - exact_mad) <= 2 * w1
+    assert out["mad_est"] < 0.1 * np.std(x)
