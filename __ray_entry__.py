@@ -2543,6 +2543,40 @@ def _hist_median_block(pfx: str, val: str, src: str) -> str:
     )
 
 
+def _edge_cut_sql(n_parts: int = 16) -> str:
+    """Hash-partition edge-cut oracle (tabular.q_partition_edge_cut): fmix64
+    vertex parts (the shuffle_shards hash), per-part vertex counts,
+    internal/cut edge counters over the simple undirected edge set (cut
+    edges count toward both parts), global cut fraction ROUND(/, 6)."""
+    return (
+        f"WITH e0 AS MATERIALIZED {_EDGES}, "
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b "
+        "FROM e0 WHERE s <> d), "
+        "v0 AS (SELECT s AS id FROM e0 UNION SELECT d FROM e0), "
+        "pv AS (SELECT id, id::UBIGINT AS x FROM v0), "
+        + _fmix_chain_sql("pc", "pv", carry="id, ")
+        + f", vp AS MATERIALIZED (SELECT id, (h % {n_parts})::BIGINT AS part FROM pchv), "
+        "ep AS MATERIALIZED (SELECT va.part AS pa, vb.part AS pb FROM und "
+        "JOIN vp va ON va.id = und.a JOIN vp vb ON vb.id = und.b), "
+        "pieces AS ("
+        "SELECT pa AS part, 0 AS kind, COUNT(*)::BIGINT AS c FROM ep WHERE pa = pb GROUP BY 1 "
+        "UNION ALL SELECT pa, 1, COUNT(*)::BIGINT FROM ep WHERE pa <> pb GROUP BY 1 "
+        "UNION ALL SELECT pb, 1, COUNT(*)::BIGINT FROM ep WHERE pa <> pb GROUP BY 1), "
+        "agg AS (SELECT part, SUM(CASE WHEN kind = 0 THEN c ELSE 0 END)::BIGINT AS ie, "
+        "SUM(CASE WHEN kind = 1 THEN c ELSE 0 END)::BIGINT AS ce FROM pieces GROUP BY part), "
+        "vcount AS (SELECT part, COUNT(*)::BIGINT AS nv FROM vp GROUP BY part), "
+        "tot AS (SELECT (SELECT COUNT(*) FROM ep)::BIGINT AS te, "
+        "(SELECT COUNT(*) FROM ep WHERE pa <> pb)::BIGINT AS tc) "
+        "SELECT gs.p AS part, COALESCE(v.nv, 0)::BIGINT AS n_vertices, "
+        "COALESCE(a.ie, 0)::BIGINT AS internal_edges, "
+        "COALESCE(a.ce, 0)::BIGINT AS cut_edges, "
+        "ROUND(CASE WHEN te = 0 THEN 0.0 ELSE CAST(tc AS DOUBLE) / te END, 6) AS cut_fraction "
+        f"FROM (SELECT unnest(generate_series(0, {n_parts - 1})) AS p) gs "
+        "LEFT JOIN vcount v ON v.part = gs.p LEFT JOIN agg a ON a.part = gs.p, tot "
+        "ORDER BY part"
+    )
+
+
 def _robust_sql() -> str:
     """Robust-stats oracle (tabular.q_robust_price_stats): the histogram
     median block twice — pass 2 sketches ABS(x − pass-1 median), with the
@@ -2981,6 +3015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_flag": tabular.q_quantiles_by_flag,  # SQL-oracled (grouped histogram sketch)
         "decayed_activity": tabular.q_decayed_activity,  # SQL-oracled (integer-scaled POW terms)
         "robust_price_stats": tabular.q_robust_price_stats,  # SQL-oracled (two-pass sketch median/MAD)
+        "partition_edge_cut": tabular.q_partition_edge_cut,  # SQL-oracled (fmix parts, exact counters)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -3164,6 +3199,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM terms GROUP BY user_id ORDER BY user_id"
         ),
         "robust_price_stats": _robust_sql(),
+        "partition_edge_cut": _edge_cut_sql(),
         "quantiles_by_flag": (
             # grouped variant of the approx_quantiles_price oracle: per-group
             # stats fix each group's bin geometry; identical double exprs

@@ -2699,6 +2699,95 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_partition_edge_cut(sf_dir: str, n_parts: int = 16) -> pd.DataFrame:
+    """Partition-quality diagnostic for the default placement strategy:
+    hash-partition the lineitem graph's vertices into 16 parts (the
+    shuffle_shards fmix64 assignment) and report per-part vertex counts,
+    internal/cut edge counts, and the global edge-cut fraction — the number
+    a partitioner (or the decision to invest in one) is judged by. Two
+    counter-sized passes: a bucketed grouped vertex count and per-batch
+    edge partials over the simple undirected edge set; nothing per-vertex
+    reaches the driver. Exact integers + one mirrored ROUND(÷, 6)."""
+    from pagerank_ray.functions.text import fmix64 as _fmix
+    from pagerank_ray.pipelines.triangles import _canonical_undirected
+    from pagerank_ray.stages.graph_build import distinct_values
+
+    edges = lineitem_edges(sf_dir)
+    und = dedup_pairs(
+        edges.map_batches(_canonical_undirected, batch_format="pyarrow").map_batches(
+            lambda t: pa.table({"src_id": t.column("a"), "dst_id": t.column("b")}),
+            batch_format="pyarrow",
+        )
+    )
+
+    def part_of(ids: np.ndarray) -> np.ndarray:
+        return (_fmix(ids.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        pa_ = part_of(t.column("src_id").to_numpy(zero_copy_only=False))
+        pb_ = part_of(t.column("dst_id").to_numpy(zero_copy_only=False))
+        internal = pa_ == pb_
+        # internal edges count toward their part; cut edges toward BOTH
+        parts = np.concatenate([pa_[internal], pa_[~internal], pb_[~internal]])
+        kinds = np.concatenate(
+            [np.zeros(int(internal.sum()), np.int64),
+             np.ones(2 * int((~internal).sum()), np.int64)]
+        )
+        df = pd.DataFrame({"part": parts, "kind": kinds})
+        g = df.groupby(["part", "kind"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ec = (
+        und.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby(["part", "kind"])
+        .sum("c")
+        .to_pandas()
+    )
+    verts = distinct_values(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"id": pa.concat_arrays(
+                    [t.column("src_id").combine_chunks().cast(pa.int64()),
+                     t.column("dst_id").combine_chunks().cast(pa.int64())]
+                )}
+            ),
+            batch_format="pyarrow",
+        ),
+        "id",
+    )
+
+    def vert_partial(t: pa.Table) -> pa.Table:
+        p = part_of(t.column("id").to_numpy(zero_copy_only=False))
+        c = np.bincount(p, minlength=n_parts)
+        nz = np.flatnonzero(c)
+        return pa.table({"part": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(c[nz].astype(np.int64))})
+
+    vc = (
+        verts.map_batches(vert_partial, batch_format="pyarrow")
+        .groupby("part")
+        .sum("c")
+        .to_pandas()
+    )
+    n_vert = dict(zip(vc["part"].astype(int), vc["sum(c)"].astype(int)))
+    rows = []
+    for p in range(n_parts):
+        sub = ec[ec["part"] == p]
+        internal = int(sub[sub["kind"] == 0]["sum(c)"].sum())
+        cut = int(sub[sub["kind"] == 1]["sum(c)"].sum())
+        rows.append((p, n_vert.get(p, 0), internal, cut))
+    out = pd.DataFrame(rows, columns=["part", "n_vertices", "internal_edges",
+                                      "cut_edges"])
+    total_edges = int(out["internal_edges"].sum() + out["cut_edges"].sum() // 2)
+    total_cut = int(out["cut_edges"].sum() // 2)
+    out["cut_fraction"] = _round_half_away(
+        np.full(len(out), 0.0 if total_edges == 0 else total_cut / total_edges), 6
+    )
+    for c in ("part", "n_vertices", "internal_edges", "cut_edges"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("part").reset_index(drop=True)
+
+
 def q_shuffle_shards(sf_dir: str, n_shards: int = 16) -> pd.DataFrame:
     """Deterministic global shuffle + shard manifest — the data-ordering
     step every training run materializes: shard = fmix64(doc_id) mod

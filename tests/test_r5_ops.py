@@ -2656,3 +2656,33 @@ def test_robust_stats_sanity(ray_session, tmp_path):
     exact_mad = np.median(np.abs(x - np.median(x)))
     assert abs(out["mad_est"] - exact_mad) <= 2 * w1
     assert out["mad_est"] < 0.1 * np.std(x)
+
+
+def test_partition_edge_cut_invariants(ray_session, tmp_path):
+    """Counters reconcile: Σ n_vertices = n, Σ internal + Σ cut/2 = simple
+    undirected edge count, cut_fraction = (Σ cut/2) / total; parts match
+    the shared fmix64 hash."""
+    from pagerank_ray.functions.text import fmix64
+    from pagerank_ray.pipelines.tabular import q_partition_edge_cut
+
+    rng = np.random.default_rng(85)
+    s = rng.integers(0, 200, 600)
+    d = rng.integers(0, 200, 600)
+    tbl = pa.table({
+        "l_orderkey": pa.array(s, pa.int64()),
+        "l_partkey": pa.array(d, pa.int64()),
+        # lineitem_edges may read more columns; provide the usual suspects
+        "l_quantity": pa.array(np.ones(600), pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_partition_edge_cut(str(tmp_path))
+    ids = np.unique(np.concatenate([s, d]))
+    a = np.minimum(s, d); b = np.maximum(s, d)
+    und = np.unique(np.stack([a[a != b], b[a != b]], 1), axis=0)
+    assert out["n_vertices"].sum() == len(ids)
+    assert out["internal_edges"].sum() + out["cut_edges"].sum() // 2 == len(und)
+    part = (fmix64(ids.astype(np.uint64)) % np.uint64(16)).astype(np.int64)
+    vcount = np.bincount(part, minlength=16)
+    assert (out.sort_values("part")["n_vertices"].to_numpy() == vcount).all()
+    tc = out["cut_edges"].sum() // 2
+    assert out["cut_fraction"].iloc[0] == round(tc / len(und), 6)
