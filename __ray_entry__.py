@@ -2689,6 +2689,19 @@ def _matching_sql(rounds: int = 10) -> str:
     return body + f"\nSELECT a, b FROM ({sel}) ORDER BY a, b"
 
 
+def _vertex_cover_sql(rounds: int = 10) -> str:
+    """Gavril 2-approx vertex cover oracle (tabular.q_vertex_cover): the
+    matching replay's matched-vertex union, sorted."""
+    p = _matching_ctes(rounds)
+    sel = " UNION ALL ".join(f"SELECT a, b FROM w{t}" for t in range(1, rounds + 1))
+    body = "\n".join(p).rstrip()[:-1]
+    return (
+        body
+        + f"\nSELECT id FROM (SELECT a AS id FROM ({sel}) "
+        f"UNION SELECT b FROM ({sel})) ORDER BY id"
+    )
+
+
 def _coarsen_sql(rounds: int = 10) -> str:
     """Matching-contraction coarsening oracle (tabular.q_coarsen_graph /
     pipelines/matching.py:coarsen_by_matching): the matching replay, then
@@ -3016,6 +3029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_activity": tabular.q_decayed_activity,  # SQL-oracled (integer-scaled POW terms)
         "robust_price_stats": tabular.q_robust_price_stats,  # SQL-oracled (two-pass sketch median/MAD)
         "partition_edge_cut": tabular.q_partition_edge_cut,  # SQL-oracled (fmix parts, exact counters)
+        "vertex_cover": tabular.q_vertex_cover,  # SQL-oracled (matched-vertex union)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
@@ -3186,6 +3200,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_coloring": _coloring_sql(),
         "tokenizer_fertility": _fertility_sql(),
         "maximal_matching": _matching_sql(),
+        "vertex_cover": _vertex_cover_sql(),
         "coarsen_graph": _coarsen_sql(),
         "decayed_activity": (
             # half-life 24h decayed counters at the corpus max ts; each term

@@ -245,7 +245,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
         "embedding_pca", "harmonic_centrality",
     ],
     "superstep": ["pagerank_superstep_40m_edges"],
-    "r5f": ["ppr_batch", "orc_source", "lin_closeness", "window_active_users", "graph_coloring", "tokenizer_fertility", "maximal_matching", "shuffle_shards", "coarsen_graph", "quantiles_by_flag", "decayed_activity", "robust_price_stats", "partition_edge_cut"],
+    "r5f": ["ppr_batch", "orc_source", "lin_closeness", "window_active_users", "graph_coloring", "tokenizer_fertility", "maximal_matching", "shuffle_shards", "coarsen_graph", "quantiles_by_flag", "decayed_activity", "robust_price_stats", "partition_edge_cut", "vertex_cover"],
 }
 
 
@@ -410,6 +410,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("decayed_activity", lambda: tabular.q_decayed_activity(SF_DIR))
     timed("robust_price_stats", lambda: tabular.q_robust_price_stats(SF_DIR))
     timed("partition_edge_cut", lambda: tabular.q_partition_edge_cut(SF_DIR))
+    timed("vertex_cover", lambda: tabular.q_vertex_cover(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -6396,6 +6396,29 @@ def q_coarsen_graph(sf_dir: str, max_rounds: int = 10,
     return df
 
 
+def q_vertex_cover(sf_dir: str, max_rounds: int = 10,
+                   tail_cutoff: int = 150_000) -> pd.DataFrame:
+    """2-approximate minimum vertex cover — Gavril's classical bound: the
+    endpoint set of ANY maximal matching covers every edge and is at most
+    2·OPT (each matched edge forces ≥1 cover vertex and contributes 2).
+    Derived from the deterministic handshake matching, so the cover set is
+    unique and hash-checked against the matching replay's matched-vertex
+    union in SQL. Output: sorted cover vertex ids."""
+    from pagerank_ray.pipelines.matching import maximal_matching
+
+    pairs, rounds = maximal_matching(
+        lineitem_edges(sf_dir), max_rounds=max_rounds, tail_cutoff=tail_cutoff
+    )
+    if rounds > max_rounds:
+        raise RuntimeError(
+            f"matching took {rounds} rounds; oracle unrolls {max_rounds}"
+        )
+    ids = np.unique(np.concatenate(
+        [pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)]
+    ))
+    return pd.DataFrame({"id": pd.array(ids, dtype=np.int64)})
+
+
 def q_graph_coloring(sf_dir: str, max_rounds: int = 60,
                      tail_cutoff: int = 150_000) -> pd.DataFrame:
     """Proper greedy coloring of the undirected simple lineitem graph —

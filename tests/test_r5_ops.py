@@ -2686,3 +2686,29 @@ def test_partition_edge_cut_invariants(ray_session, tmp_path):
     assert (out.sort_values("part")["n_vertices"].to_numpy() == vcount).all()
     tc = out["cut_edges"].sum() // 2
     assert out["cut_fraction"].iloc[0] == round(tc / len(und), 6)
+
+
+def test_vertex_cover_covers_all_edges(ray_session, tmp_path):
+    """Gavril bound: the matched-endpoint set covers every simple edge, and
+    |cover| = 2·|matching| exactly (both endpoints of each matched edge)."""
+    from pagerank_ray.pipelines.tabular import q_vertex_cover
+    from pagerank_ray.pipelines.matching import maximal_matching
+    import ray.data as rd
+
+    rng = np.random.default_rng(86)
+    s = rng.integers(0, 120, 400)
+    d = rng.integers(0, 120, 400)
+    tbl = pa.table({
+        "l_orderkey": pa.array(s, pa.int64()),
+        "l_partkey": pa.array(d, pa.int64()),
+        "l_quantity": pa.array(np.ones(400), pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    cover = set(q_vertex_cover(str(tmp_path))["id"].tolist())
+    edges = pa.table({"src_id": pa.array(s, pa.int64()),
+                      "dst_id": pa.array(d, pa.int64())})
+    pairs, _ = maximal_matching(rd.from_arrow(edges), tail_cutoff=10**9)
+    assert len(cover) == 2 * len(pairs)
+    for a, b in zip(s.tolist(), d.tolist()):
+        if a != b:
+            assert a in cover or b in cover
