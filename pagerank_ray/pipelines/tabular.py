@@ -4249,6 +4249,188 @@ def q_line_dedup(sf_dir: str, line_len: int = 8) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_span_dedup(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Span-level exact-substring dedup trim (the REMOVAL half of Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better" —
+    q_dup_ngram_ratio is the companion diagnostic): a word-k-gram
+    occurrence is a DUPLICATE iff the identical gram occurs earlier in the
+    corpus under the total order pos = (doc_id, start_idx)
+    (keep-first-global-occurrence); a token is REMOVED iff it is covered
+    by at least one duplicate gram span [s, s+k-1]. Overlapping duplicate
+    spans merge (coverage union), so n_removed counts each token once.
+    Per doc with ≥1 token: n_tokens, n_removed, ROUND(6) removed_ratio.
+
+    Shape: one text pass emits gram-occurrence rows (doc_id, gram hash,
+    start) PLUS one per-doc stat row, with pos = doc_id·2²⁰ + start
+    (n_tokens < 2²⁰ enforced loudly); gram-hash bucketed groupby flags
+    duplicate occurrences against the gram's global min pos in one
+    map_groups (every occurrence of a gram lands in its one bucket) and
+    emits ONLY the duplicates; doc-bucketed groupby merges each doc's
+    duplicate starts into a coverage-union length (sorted starts:
+    Σ min(k, next_start − start), last span contributes k — spans never
+    cross the doc end because grams are intra-doc) and joins the stat
+    rows. Nothing corpus-sized touches the driver. The oracle rebuilds
+    grams as STRINGS and the coverage union as a COUNT(DISTINCT token
+    position) range join (__ray_entry__._span_dedup_sql)."""
+    from pagerank_ray.stages.dedup import _POLY_C, _hash_tokens
+
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_and_stat_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        if (n_tok >= (1 << 20)).any():
+            raise ValueError("n_tokens exceeds the 2^20 position encoding")
+        has = n_tok >= 1
+        # kind 0: per-doc stat rows (s carries n_tokens; g unused)
+        stats = pd.DataFrame(
+            {
+                "g": np.zeros(int(has.sum()), dtype=np.uint64),
+                "doc_id": ids[has],
+                "s": n_tok[has],
+                "kind": np.zeros(int(has.sum()), dtype=np.int8),
+            }
+        )
+        if n_tok.sum() == 0:
+            return stats
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), np.maximum(n_tok, 1))
+        h = np.zeros(len(flat), dtype=np.uint64)
+        if valid.any():
+            h[valid] = _hash_tokens(flat[valid].tolist())
+        n = len(h) - k + 1
+        if n <= 0:
+            return stats
+        with np.errstate(over="ignore"):
+            g = np.zeros(n, dtype=np.uint64)
+            for j in range(k):  # k (=5) vectorized passes
+                g = g * _POLY_C + h[j : j + n]
+        ok = valid[:n].copy()
+        for j in range(1, k):
+            ok &= valid[j : j + n]
+        ok &= doc_idx[:n] == doc_idx[k - 1 :]
+        if not ok.any():
+            return stats
+        d_idx = doc_idx[:n][ok]
+        starts = np.concatenate(([0], np.cumsum(np.maximum(n_tok, 1))[:-1]))
+        s = np.flatnonzero(ok) - starts[d_idx]
+        grams = pd.DataFrame(
+            {
+                "g": g[ok],
+                "doc_id": ids[d_idx],
+                "s": s,
+                "kind": np.ones(len(s), dtype=np.int8),
+            }
+        )
+        return pd.concat([stats, grams], ignore_index=True)
+
+    occ = docs.map_batches(gram_and_stat_rows, batch_format="pandas")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        # stat rows (kind 0) route straight to their doc bucket; gram rows
+        # (kind 1) bucket by gram hash for the min-pos stage
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        gm = (g * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)
+        dm = (doc.astype(np.int64) * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        bkt = np.where(
+            kind == 1,
+            (gm % np.uint64(n_buckets)).astype(np.int32),
+            (dm % n_buckets).astype(np.int32) + np.int32(n_buckets),
+        )
+        return t.append_column("bucket", pa.array(bkt.astype(np.int32)))
+
+    def dup_starts_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # stat-row buckets (>= n_buckets) pass through unchanged
+        if (df["kind"].to_numpy() == 0).all():
+            return df[["g", "doc_id", "s", "kind"]]
+        doc = df["doc_id"].to_numpy(np.int64)
+        pos = doc * (1 << 20) + df["s"].to_numpy(np.int64)
+        mp = (
+            pd.Series(pos)
+            .groupby(df["g"].to_numpy(), sort=False)
+            .transform("min")
+            .to_numpy(np.int64)
+        )
+        dup = pos > mp
+        return pd.DataFrame(
+            {
+                "g": np.zeros(int(dup.sum()), dtype=np.uint64),
+                "doc_id": doc[dup],
+                "s": df["s"].to_numpy(np.int64)[dup],
+                "kind": np.full(int(dup.sum()), 2, dtype=np.int8),
+            }
+        )
+
+    def rebucket_by_doc(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dm = (doc.astype(np.int64) * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column(
+            "dbkt", pa.array((dm % n_buckets).astype(np.int32))
+        )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        kind = df["kind"].to_numpy()
+        is_stat = kind == 0
+        stat = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[is_stat],
+                "n_tokens": df["s"].to_numpy(np.int64)[is_stat],
+            }
+        )
+        is_dup = kind == 2
+        doc = df["doc_id"].to_numpy(np.int64)[is_dup]
+        s = df["s"].to_numpy(np.int64)[is_dup]
+        if len(doc):
+            order = np.lexsort((s, doc))
+            doc, s = doc[order], s[order]
+            # coverage union of the length-k spans: sorted starts — each
+            # contributes min(k, gap to next start); the doc's last span k
+            last = np.concatenate((doc[1:] != doc[:-1], [True]))
+            gap = np.empty(len(s), dtype=np.int64)
+            gap[:-1] = s[1:] - s[:-1]
+            contrib = np.where(last, k, np.minimum(gap, k))
+            bounds = np.flatnonzero(np.concatenate(([True], last[:-1])))
+            rem = pd.DataFrame(
+                {
+                    "doc_id": doc[bounds],
+                    "n_removed": np.add.reduceat(contrib, bounds),
+                }
+            )
+            out = stat.merge(rem, on="doc_id", how="left")
+            out["n_removed"] = (
+                out["n_removed"].fillna(0).astype(np.int64)
+            )
+        else:
+            out = stat.assign(n_removed=np.zeros(len(stat), dtype=np.int64))
+        return out
+
+    res = (
+        occ.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_starts_bucket, batch_format="pandas")
+        .map_batches(rebucket_by_doc, batch_format="pyarrow")
+        .groupby("dbkt")
+        .map_groups(per_doc, batch_format="pandas")
+        .to_pandas()
+    )
+    res["n_tokens"] = res["n_tokens"].astype(np.int64)
+    res["n_removed"] = res["n_removed"].astype(np.int64)
+    res["removed_ratio"] = _round_half_away(
+        res["n_removed"].to_numpy(np.float64) / res["n_tokens"].to_numpy(np.float64),
+        6,
+    )
+    return (
+        res[["doc_id", "n_tokens", "n_removed", "removed_ratio"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_mixture_weights(sf_dir: str, tau: float = 0.7) -> pd.DataFrame:
     """Temperature-scaled corpus mixture weights (the multilingual-LM
     sampling rule of Lample & Conneau 2019 / mT5: q_i ∝ p_i^τ with τ < 1

@@ -1680,6 +1680,62 @@ def test_q_line_dedup_matches_reference(ray_session, tmp_path):
         assert out.loc[di, "n_removed"] == rem
 
 
+# ---------------------------------------------------------------------------
+# Span-level exact-substring dedup trim (span_dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_q_span_dedup_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_span_dedup
+
+    _write_docs(tmp_path, [
+        "a b c d e f",          # doc 1: both 5-grams first occurrences
+        "a b c d e x",          # doc 2: gram@0 duplicates doc 1 → tokens 0-4
+        "z a b c d e f",        # doc 3: grams@1,@2 duplicate → union 1-6 (6)
+        "p q",                  # doc 4: < k tokens → no grams
+        "m n o p q r m n o p q r",  # doc 5: intra-doc repeat → union 6-11 (6)
+        "",                     # doc 6: empty → no output row
+    ])
+    out = q_span_dedup(str(tmp_path)).set_index("doc_id")
+    assert 6 not in out.index
+    assert out.loc[1, ["n_tokens", "n_removed"]].tolist() == [6, 0]
+    assert out.loc[2, ["n_tokens", "n_removed"]].tolist() == [6, 5]
+    assert out.loc[3, ["n_tokens", "n_removed"]].tolist() == [7, 6]
+    assert out.loc[4, ["n_tokens", "n_removed"]].tolist() == [2, 0]
+    assert out.loc[5, ["n_tokens", "n_removed"]].tolist() == [12, 6]
+    assert out.loc[5, "removed_ratio"] == 0.5
+
+
+def test_q_span_dedup_matches_reference(ray_session, tmp_path):
+    """Random corpus vs a brute-force keep-first + coverage-union replay."""
+    from pagerank_ray.pipelines.tabular import q_span_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = ["w%d" % i for i in range(9)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 50)))
+        for _ in range(80)
+    ]
+    _write_docs(tmp_path, texts)
+    out = q_span_dedup(str(tmp_path)).set_index("doc_id")
+
+    k = 5
+    seen = {}
+    for di, t in enumerate(texts, start=1):
+        w = t.split()
+        covered = set()
+        for s in range(len(w) - k + 1):
+            gram = " ".join(w[s:s + k])
+            pos = di * (1 << 20) + s
+            if gram in seen:
+                covered.update(range(s, s + k))
+            else:
+                seen[gram] = pos
+        assert out.loc[di, "n_tokens"] == len(w)
+        assert out.loc[di, "n_removed"] == len(covered)
+        assert out.loc[di, "removed_ratio"] == round(len(covered) / len(w), 6)
+
+
 def test_q_mixture_weights_planted(ray_session, tmp_path):
     """Two sources, 4:1 token ratio, τ=0.5 → weights 2:1 exactly."""
     from pagerank_ray.pipelines.tabular import q_mixture_weights
