@@ -1099,6 +1099,46 @@ m AS (
 SELECT id, MIN(w)::BIGINT AS scc FROM m GROUP BY id ORDER BY id"""
 
 
+def _condensation_layers_sql() -> str:
+    """Kahn topological layers of the SCC condensation DAG
+    (tabular.q_condensation_layers): labels via the SAME reachability
+    closure as the SCC oracle over the THINNED part-flow graph
+    (tabular.bowtie_edges — the raw graph is one giant SCC, a degenerate
+    one-point condensation), condensation edges as distinct cross-label
+    pairs, then layer(c) = longest path from a source component — a
+    recursive (c, l) CTE whose UNION dedup bounds it at V·depth rows,
+    folded with MAX. Kahn's peel round equals the longest source path on
+    any DAG, which is what the engine computes."""
+    return f"""
+WITH RECURSIVE pe AS MATERIALIZED {_BOWTIE_EDGES},
+v AS MATERIALIZED (SELECT s AS id FROM pe UNION SELECT d FROM pe),
+r AS (
+  SELECT s AS a, d AS b FROM pe
+  UNION
+  SELECT r.a, pe.d FROM r JOIN pe ON pe.s = r.b
+),
+m AS (
+  SELECT id, id AS w FROM v
+  UNION
+  SELECT r1.a AS id, r1.b AS w FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+lbl AS MATERIALIZED (SELECT id, MIN(w) AS c FROM m GROUP BY id),
+ce AS MATERIALIZED (
+  SELECT DISTINCT l1.c AS s, l2.c AS d
+  FROM pe JOIN lbl l1 ON l1.id = pe.s JOIN lbl l2 ON l2.id = pe.d
+  WHERE l1.c <> l2.c),
+lp AS (
+  SELECT c, 0 AS l FROM (SELECT DISTINCT c FROM lbl)
+  WHERE c NOT IN (SELECT d FROM ce)
+  UNION
+  SELECT ce.d, lp.l + 1 FROM lp JOIN ce ON ce.s = lp.c
+),
+lay AS (SELECT c, MAX(l)::BIGINT AS layer FROM lp GROUP BY c),
+sz AS (SELECT c, COUNT(*)::BIGINT AS nv FROM lbl GROUP BY c)
+SELECT layer, COUNT(*)::BIGINT AS n_components, SUM(nv)::BIGINT AS n_vertices
+FROM lay JOIN sz USING (c) GROUP BY layer ORDER BY layer"""
+
+
 # the thinned part-flow graph (tabular.bowtie_edges): raw part-flow is one
 # giant SCC — the thinning keeps a real core plus IN/OUT/OTHER classes
 _BOWTIE_EDGES = (
@@ -3057,6 +3097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
         "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
+        "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "lin_closeness": tabular.q_lin_closeness,  # SQL-oracled (HyperBall reach/sumdist fold)
         "window_active_users": tabular.q_window_active_users,  # SQL-oracled (hopping-window HLL)
         "graph_coloring": tabular.q_graph_coloring,  # SQL-oracled (fixed-unroll JP rounds)
@@ -3298,6 +3339,7 @@ def oracle_sql() -> dict[str, str]:
         "katz": _katz_sql(iters=8, alpha=0.05, beta=1.0),
         "line_dedup": _line_dedup_sql(line_len=8),
         "span_dedup": _span_dedup_sql(k=5),
+        "condensation_layers": _condensation_layers_sql(),
         "mixture_weights": _mixture_weights_sql(tau=0.7),
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "densest_subgraph": _densest_sql(rounds=12),

@@ -3599,6 +3599,115 @@ def q_scc(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
     return df[["id", "scc"]].sort_values("id").reset_index(drop=True)
 
 
+def q_condensation_layers(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
+    """Kahn topological layers of the SCC condensation DAG (Kahn, CACM
+    1962 — the dependency-scheduling primitive; the condensation of any
+    directed graph is acyclic, so layers always exist): layer(c) = the
+    round in which component c's remaining in-degree reaches 0, which
+    equals the longest path from any source component. Output: one row per
+    layer with n_components and n_vertices (sum of member counts) —
+    the DAG's depth profile, ordered by layer.
+
+    Composition, no new kernels: distributed FW-BW SCC over the thinned
+    part-flow graph (``bowtie_edges`` — the raw part-flow graph is one
+    giant SCC whose condensation is a single layer-0 point; the thinned
+    variant has a real multi-layer DAG at every test scale, the same
+    reasoning as q_bowtie) → one broadcast of the n-slot label
+    array (`ray.put` once, per-worker cached via joins.broadcast_get) maps
+    edge endpoints to components → `dedup_pairs` builds the distinct
+    condensation edge set distributed → the Kahn peel itself runs on the
+    condensation ONLY, which is bounded by the component count, not V or E
+    (same bounded-remnant contract as the minhash union-find: the heavy
+    passes — SCC, the endpoint rewrite, the pair dedup — are distributed;
+    the peel input is the already-contracted DAG). Vectorized rounds:
+    np.add.at in-degree decrements, one round per layer. Hash-checked
+    against a DuckDB oracle that derives labels via the SAME reachability
+    closure the SCC oracle uses and layers via a recursive longest-path
+    CTE (__ray_entry__._condensation_layers_sql)."""
+    import ray
+
+    from pagerank_ray.pipelines.scc import strongly_connected_components
+    from pagerank_ray.stages import joins
+
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "bt", lambda: bowtie_edges(sf_dir)
+    )
+    work = tempfile.mkdtemp(prefix="condq_")
+    res = strongly_connected_components(
+        dense_edges.materialize(), n, work, n_workers=n_workers
+    )
+    # n-row label frame on the driver: the _attach_orig bounded contract
+    lab_df = res.result.to_pandas()
+    lab = np.full(n, -1, dtype=np.int64)
+    lab[lab_df["id"].to_numpy(np.int64)] = lab_df["scc"].to_numpy(np.int64)
+    lab_ref = ray.put(lab)
+
+    def to_comp_edges(t: pa.Table) -> pa.Table:
+        la = joins.broadcast_get(lab_ref, lambda a: a, "cond_labels")
+        cs = la[t.column("src_id").to_numpy(zero_copy_only=False)]
+        cd = la[t.column("dst_id").to_numpy(zero_copy_only=False)]
+        keep = cs != cd
+        return pa.table(
+            {"src_id": pa.array(cs[keep]), "dst_id": pa.array(cd[keep])}
+        )
+
+    ce = dedup_pairs(
+        dense_edges.map_batches(to_comp_edges, batch_format="pyarrow")
+    ).to_pandas()  # bounded by the condensation size (≤ #components²-sparse)
+    if ce.empty:  # a single giant SCC condenses to one edge-free point
+        ce = pd.DataFrame({"src_id": pd.Series(dtype=np.int64),
+                           "dst_id": pd.Series(dtype=np.int64)})
+
+    sizes = lab_df.groupby("scc", sort=False).size()
+    comps = sizes.index.to_numpy(np.int64)
+    nv = sizes.to_numpy(np.int64)
+    # dense comp remap for the peel
+    order = np.argsort(comps)
+    comps, nv = comps[order], nv[order]
+    s = np.searchsorted(comps, ce["src_id"].to_numpy(np.int64))
+    d = np.searchsorted(comps, ce["dst_id"].to_numpy(np.int64))
+    m = len(comps)
+    indeg = np.bincount(d, minlength=m)
+    layer = np.full(m, -1, dtype=np.int64)
+    frontier = indeg == 0
+    rnd = 0
+    # CSR over condensation edges so each round touches only the frontier's
+    # out-edges (total work across all rounds = O(|ce|), not rounds·|ce|)
+    eo = np.argsort(s, kind="stable")
+    s_sorted, d_sorted = s[eo], d[eo]
+    offs = np.searchsorted(s_sorted, np.arange(m + 1))
+    while frontier.any():
+        layer[frontier] = rnd
+        fidx = np.flatnonzero(frontier)
+        starts, ends = offs[fidx], offs[fidx + 1]
+        # gather the frontier's out-neighbor slices (vectorized ragged take)
+        lens = ends - starts
+        total = int(lens.sum())
+        if total:
+            base = np.repeat(starts, lens)
+            within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+            take = d_sorted[base + within]
+            indeg = indeg - np.bincount(take, minlength=m)
+        else:
+            indeg = indeg.copy()
+        indeg[fidx] = -1  # peeled — never re-enters the frontier
+        frontier = indeg == 0
+        rnd += 1
+    if (layer < 0).any():
+        raise RuntimeError("condensation peel left unpeeled components "
+                           "(cycle in the condensation — SCC labels broken)")
+    out = (
+        pd.DataFrame({"layer": layer, "nv": nv})
+        .groupby("layer", sort=True)
+        .agg(n_components=("nv", "size"), n_vertices=("nv", "sum"))
+        .reset_index()
+    )
+    out["layer"] = out["layer"].astype(np.int64)
+    out["n_components"] = out["n_components"].astype(np.int64)
+    out["n_vertices"] = out["n_vertices"].astype(np.int64)
+    return out[["layer", "n_components", "n_vertices"]]
+
+
 def q_bowtie(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
     """Bow-tie decomposition of a directed web-style graph (Broder et al.,
     WWW 2000 — THE Common-Crawl macro-structure analysis): vertices classed

@@ -1881,6 +1881,123 @@ def test_q_bowtie_planted(ray_session, tmp_path):
     assert out[21] == 3 and out[24] == 3
 
 
+# ---------------------------------------------------------------------------
+# Kahn topological layers of the SCC condensation (condensation_layers)
+# ---------------------------------------------------------------------------
+
+
+def _write_bowtie_orders(tmp_path, orders):
+    """orders: list of (orderkey, part_a, part_b) pairs; parts should be
+    ≡ 0 mod 3 and qty=10 so every consecutive pair survives the bowtie
+    thinning rule."""
+    ok, ln, pk, qty = [], [], [], []
+    for o, a, b in orders:
+        ok += [o, o]; ln += [1, 2]; pk += [a, b]; qty += [10.0, 10.0]
+    tbl = pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_linenumber": pa.array(ln, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+        "l_quantity": pa.array(qty, pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+
+
+def _condensation_layers_reference(pairs):
+    """Brute-force Kosaraju SCC + Kahn peel → [(layer, n_comps, n_verts)].
+    ``pairs`` may include self-loops: their endpoints stay in the vertex
+    set (isolated layer-0 components) but the loop edge itself is dropped,
+    matching the engine's cross-component filter."""
+    verts = sorted({v for e in pairs for v in e})
+    edges = sorted({(a, b) for a, b in pairs if a != b})
+    adj = {v: [] for v in verts}
+    radj = {v: [] for v in verts}
+    for a, b in edges:
+        adj[a].append(b); radj[b].append(a)
+    seen, order = set(), []
+    for v0 in verts:           # iterative DFS, finish order
+        if v0 in seen:
+            continue
+        stack = [(v0, iter(adj[v0]))]
+        seen.add(v0)
+        while stack:
+            v, it = stack[-1]
+            nxt = next((u for u in it if u not in seen), None)
+            if nxt is None:
+                order.append(v); stack.pop()
+            else:
+                seen.add(nxt); stack.append((nxt, iter(adj[nxt])))
+    comp = {}
+    for v0 in reversed(order):  # reverse graph sweep
+        if v0 in comp:
+            continue
+        stack, comp[v0] = [v0], v0
+        while stack:
+            v = stack.pop()
+            for u in radj[v]:
+                if u not in comp:
+                    comp[u] = v0; stack.append(u)
+    ce = {(comp[a], comp[b]) for a, b in edges if comp[a] != comp[b]}
+    comps = sorted(set(comp.values()))
+    indeg = {c: 0 for c in comps}
+    for _, d in ce:
+        indeg[d] += 1
+    layer, rnd, remaining = {}, 0, set(comps)
+    while remaining:
+        front = [c for c in remaining if indeg[c] == 0]
+        for c in front:
+            layer[c] = rnd
+            remaining.discard(c)
+            for s2, d2 in ce:
+                if s2 == c:
+                    indeg[d2] -= 1
+        rnd += 1
+    sizes = {}
+    for v, c in comp.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    hist = {}
+    for c in comps:
+        l = layer[c]
+        nc, nvv = hist.get(l, (0, 0))
+        hist[l] = (nc + 1, nvv + sizes[c])
+    return [(l, *hist[l]) for l in sorted(hist)]
+
+
+def test_q_condensation_layers_planted(ray_session, tmp_path):
+    """Core cycle 3→6→9→3 with an IN chain 18→12→3, an OUT edge 9→15 and a
+    disconnected pair 21→24: layers (18,21)=0, (12,24)=1, core=2, 15=3."""
+    from pagerank_ray.pipelines.tabular import q_condensation_layers
+
+    _write_bowtie_orders(tmp_path, [
+        (1, 3, 6), (2, 6, 9), (3, 9, 3),   # the core cycle (one SCC)
+        (4, 12, 3), (5, 18, 12),           # IN chain
+        (6, 9, 15),                        # OUT
+        (7, 21, 24),                       # disconnected pair
+    ])
+    out = q_condensation_layers(str(tmp_path), n_workers=2)
+    assert list(map(tuple, out.values)) == [
+        (0, 2, 2),   # {18}, {21}
+        (1, 2, 2),   # {12}, {24}
+        (2, 1, 3),   # the 3-cycle core
+        (3, 1, 1),   # {15}
+    ]
+
+
+def test_q_condensation_layers_matches_reference(ray_session, tmp_path):
+    """Random mod-3-friendly order graph vs Kosaraju+Kahn brute force."""
+    from pagerank_ray.pipelines.tabular import q_condensation_layers
+
+    rng = np.random.default_rng(11)
+    parts = np.arange(1, 13) * 3  # all ≡ 0 mod 3
+    orders = [
+        (o, int(rng.choice(parts)), int(rng.choice(parts)))
+        for o in range(1, 41)
+    ]
+    _write_bowtie_orders(tmp_path, orders)
+    want = _condensation_layers_reference([(a, b) for _, a, b in orders])
+    out = q_condensation_layers(str(tmp_path), n_workers=2)
+    assert list(map(tuple, out.values)) == want
+
+
 def test_q_bm25_topk_planted(ray_session, tmp_path):
     """Hand-checked Okapi BM25: 3 docs, query=('hash',); doc with the
     higher tf but much longer length loses to the short exact doc."""
