@@ -1888,6 +1888,65 @@ tok_hash AS MATERIALIZED (SELECT doc_id, tpos, xor(x, x >> 33) AS h FROM fm4)
 # six times — 64 s → 13 s at sf0.01 after materializing the shared stages.)
 
 
+def _winnowing_sql(k: int = 4, w: int = 5) -> str:
+    """Winnowing fingerprint oracle (tabular.q_winnowing_fp — Schleimer
+    et al. SIGMOD 2003): identical token hashes via _TOKEN_HASH_CTES,
+    k-gram polynomial fold in staged CTEs (each ·C multiply via the 32-bit
+    HUGEINT split), window starts 0..GREATEST(ng−w, 0) with membership
+    s ≤ ws+w−1 (docs with fewer than w grams get one truncated window),
+    per-window rightmost minimum as MAX(s) among g = MIN(g), and the
+    shared-hash count over distinct (doc, fingerprint-hash) pairs."""
+    M64 = "18446744073709551616::HUGEINT"
+    C = "11400714819323198485::HUGEINT"  # 0x9E3779B97F4A7C15 (_POLY_C)
+
+    def mm(x: str) -> str:
+        return (f"((({x}::HUGEINT % 4294967296) * {C} "
+                f"+ ((({x}::HUGEINT // 4294967296) * {C}) % 4294967296) "
+                f"* 4294967296) % {M64})")
+
+    folds = []
+    for j in range(2, k + 1):
+        src = "t1.h" if j == 2 else "x"
+        frm = "tok_hash t1" if j == 2 else f"f{j - 1}"
+        alias = "t1" if j == 2 else f"f{j - 1}"
+        folds.append(
+            f"f{j} AS (SELECT {alias}.doc_id, {alias}.tpos, "
+            f"(({mm(src)} + t{j}.h::HUGEINT) % {M64})::UBIGINT AS x "
+            f"FROM {frm} JOIN tok_hash t{j} ON t{j}.doc_id = {alias}.doc_id "
+            f"AND t{j}.tpos = {alias}.tpos + {j - 1})"
+        )
+    fold_ctes = ",\n".join(folds)
+    return f"""
+WITH RECURSIVE {_TOKEN_HASH_CTES},
+{fold_ctes},
+g1 AS MATERIALIZED (SELECT doc_id, tpos - 1 AS s, x AS g FROM f{k}),
+tcnt AS (SELECT doc_id, MAX(tpos) AS n FROM tok_hash GROUP BY doc_id),
+base AS (SELECT doc_id, GREATEST(n - {k - 1}, 0)::BIGINT AS n_grams FROM tcnt),
+win AS (SELECT b.doc_id, u.i AS ws
+        FROM base b, UNNEST(generate_series(0, GREATEST(b.n_grams - {w}, 0))) u(i)
+        WHERE b.n_grams >= 1),
+memb AS (SELECT wn.doc_id, wn.ws, g1.s, g1.g
+         FROM win wn JOIN g1 ON g1.doc_id = wn.doc_id
+          AND g1.s BETWEEN wn.ws AND wn.ws + {w - 1}),
+mnw AS (SELECT doc_id, ws, MIN(g) AS mg FROM memb GROUP BY doc_id, ws),
+selw AS (SELECT m.doc_id, m.ws, MAX(m.s) AS s
+         FROM memb m JOIN mnw ON mnw.doc_id = m.doc_id AND mnw.ws = m.ws
+          AND m.g = mnw.mg
+         GROUP BY m.doc_id, m.ws),
+fp AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM selw),
+fpg AS MATERIALIZED (SELECT DISTINCT f.doc_id, g1.g
+                     FROM fp f JOIN g1 ON g1.doc_id = f.doc_id AND g1.s = f.s),
+shg AS (SELECT g FROM (SELECT g, COUNT(*) AS nd FROM fpg GROUP BY g) WHERE nd >= 2),
+nfp AS (SELECT doc_id, COUNT(*)::BIGINT AS n_fp FROM fp GROUP BY doc_id),
+nsh AS (SELECT doc_id, COUNT(*)::BIGINT AS n_shared FROM fpg
+        WHERE g IN (SELECT g FROM shg) GROUP BY doc_id)
+SELECT b.doc_id, b.n_grams,
+       COALESCE(nfp.n_fp, 0)::BIGINT AS n_fp,
+       COALESCE(nsh.n_shared, 0)::BIGINT AS n_shared
+FROM base b LEFT JOIN nfp USING (doc_id) LEFT JOIN nsh USING (doc_id)
+ORDER BY b.doc_id"""
+
+
 def _dsir_sql(n_buckets: int = 1024, target_lang: str = "en") -> str:
     """DuckDB reimplementation of ``tabular.q_dsir_weights``: hashed
     unigram+bigram features f = h % B / (h1*C + h2 mod 2^64) % B over the
@@ -3093,11 +3152,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # no driver hash-row yet (the r5 operator batches, newest first).
         # Everything below slot 50 keeps a green r3/r4 row over
         # byte-unchanged code, locally re-swept (bench/sweep_oracle.py at
-        # sf0.01: 138/138 OK). ---
+        # sf0.01: 141/141 OK on 2026-08-20, before the winnowing_fp entry;
+        # winnowing_fp swept green separately the same day). ---
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
         "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
+        "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
         "lin_closeness": tabular.q_lin_closeness,  # SQL-oracled (HyperBall reach/sumdist fold)
         "window_active_users": tabular.q_window_active_users,  # SQL-oracled (hopping-window HLL)
         "graph_coloring": tabular.q_graph_coloring,  # SQL-oracled (fixed-unroll JP rounds)
@@ -3340,6 +3401,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_sql(line_len=8),
         "span_dedup": _span_dedup_sql(k=5),
         "condensation_layers": _condensation_layers_sql(),
+        "winnowing_fp": _winnowing_sql(k=4, w=5),
         "mixture_weights": _mixture_weights_sql(tau=0.7),
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "densest_subgraph": _densest_sql(rounds=12),

@@ -4540,6 +4540,191 @@ def q_span_dedup(sf_dir: str, k: int = 5) -> pd.DataFrame:
     )
 
 
+def q_winnowing_fp(sf_dir: str, k: int = 4, w: int = 5) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    word-k-gram, slide a w-gram window over each doc, and in every window
+    select the minimum hash, ties broken to the RIGHTMOST position (the
+    paper's rule — it maximizes selection overlap between neighboring
+    windows). The fingerprint set is the distinct selected positions; the
+    guarantee is one fingerprint per w consecutive grams, so any shared
+    substring of ≥ w+k-1 tokens is always detected. Docs with fewer than w
+    grams get one truncated window over all their grams (≥1 fingerprint
+    per doc with ≥1 gram). Per doc with ≥1 token: n_grams, n_fp (distinct
+    selected positions), n_shared (distinct fingerprint hashes also
+    fingerprinted by ≥2 distinct docs — the MOSS match signal).
+
+    Shape: one text pass per batch computes token hashes
+    (stages/dedup.py:_hash_tokens — SQL-reproducible by design), the
+    k-gram polynomial fold, and the FULL winnowing selection (docs never
+    split across batch rows, so selection is batch-local): full windows
+    via a stride view + reversed argmin (rightmost min), truncated-window
+    docs via one lexsort. Only the distinct (doc, fingerprint-hash) pairs
+    and the per-doc stat rows leave the batch; a gram-hash bucketed
+    groupby marks hashes fingerprinted by ≥2 docs and a doc-bucketed
+    groupby folds the counts — shuffles carry fingerprints (a 1/w sample
+    of grams), never the corpus. The oracle recomputes the identical
+    token hashes (_TOKEN_HASH_CTES), gram folds and window argmins in SQL
+    (__ray_entry__._winnowing_sql)."""
+    from pagerank_ray.stages.dedup import _POLY_C, _hash_tokens
+
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fingerprint_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        has = n_tok >= 1
+        ng_doc = np.maximum(n_tok - k + 1, 0)
+        stats = pd.DataFrame(
+            {
+                "g": np.zeros(int(has.sum()), dtype=np.uint64),
+                "doc_id": ids[has],
+                "a": ng_doc[has],  # kind 0: a = n_grams, b = n_fp (below)
+                "b": np.zeros(int(has.sum()), dtype=np.int64),
+                "kind": np.zeros(int(has.sum()), dtype=np.int8),
+            }
+        )
+        if ng_doc.sum() == 0:
+            return stats
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), np.maximum(n_tok, 1))
+        h = np.zeros(len(flat), dtype=np.uint64)
+        if valid.any():
+            h[valid] = _hash_tokens(flat[valid].tolist())
+        n = len(h) - k + 1
+        with np.errstate(over="ignore"):
+            g = np.zeros(n, dtype=np.uint64)
+            for j in range(k):  # k (=4) vectorized passes
+                g = g * _POLY_C + h[j : j + n]
+        ok = valid[:n].copy()
+        for j in range(1, k):
+            ok &= valid[j : j + n]
+        ok &= doc_idx[:n] == doc_idx[k - 1 :]
+        tok_starts = np.concatenate(([0], np.cumsum(np.maximum(n_tok, 1))[:-1]))
+        # compressed gram arrays — contiguous per doc, in position order
+        gpos = np.flatnonzero(ok)
+        gd = doc_idx[gpos]                       # batch-local doc index
+        gs = gpos - tok_starts[gd]               # in-doc gram start
+        gh = g[gpos]
+        m = len(gh)
+        sel_d: list[np.ndarray] = []
+        sel_s: list[np.ndarray] = []
+        if m >= w:
+            win = np.lib.stride_tricks.sliding_window_view(gh, w)
+            full = gd[: m - w + 1] == gd[w - 1 :]  # window stays in one doc
+            if full.any():
+                ws = np.flatnonzero(full)
+                # rightmost min: argmin over the REVERSED window axis
+                j = np.argmin(win[ws, ::-1], axis=1)
+                p = ws + (w - 1 - j)
+                sel_d.append(gd[p])
+                sel_s.append(gs[p])
+        ngd = np.bincount(gd, minlength=len(df))
+        short = (ngd >= 1) & (ngd < w)
+        if short.any():
+            sm = short[gd]
+            d2, s2, h2 = gd[sm], gs[sm], gh[sm]
+            # rightmost min per short doc: one lexsort, first row per doc
+            order = np.lexsort((-s2, h2, d2))
+            first = np.concatenate(([True], d2[order][1:] != d2[order][:-1]))
+            sel_d.append(d2[order][first])
+            sel_s.append(s2[order][first])
+        if not sel_d:
+            return stats
+        sd = np.concatenate(sel_d)
+        ss = np.concatenate(sel_s)
+        # distinct selected positions per doc (windows re-select positions)
+        upos = np.unique(np.stack([sd, ss], axis=1), axis=0)
+        n_fp = np.bincount(upos[:, 0], minlength=len(df))
+        stats["b"] = n_fp[np.flatnonzero(has)]
+        # distinct (doc, fingerprint hash) pairs for the shared-hash stages
+        fp_h = gh[np.searchsorted(  # gram hash at each selected (doc, s):
+            gd * (1 << 40) + gs, upos[:, 0] * (1 << 40) + upos[:, 1]
+        )]
+        ufp = np.unique(np.stack([ids[upos[:, 0]].astype(np.uint64), fp_h], axis=1), axis=0)
+        fps = pd.DataFrame(
+            {
+                "g": ufp[:, 1],
+                "doc_id": ufp[:, 0].astype(np.int64),
+                "a": np.zeros(len(ufp), dtype=np.int64),
+                "b": np.zeros(len(ufp), dtype=np.int64),
+                "kind": np.ones(len(ufp), dtype=np.int8),
+            }
+        )
+        return pd.concat([stats, fps], ignore_index=True)
+
+    occ = docs.map_batches(fingerprint_rows, batch_format="pandas")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        gm = (g * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)
+        dm = (doc.astype(np.int64) * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        bkt = np.where(
+            kind == 1,
+            (gm % np.uint64(n_buckets)).astype(np.int32),
+            (dm % n_buckets).astype(np.int32) + np.int32(n_buckets),
+        )
+        return t.append_column("bucket", pa.array(bkt.astype(np.int32)))
+
+    def shared_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if (df["kind"].to_numpy() == 0).all():  # stat-row bucket: pass through
+            return df[["g", "doc_id", "a", "b", "kind"]]
+        # rows are distinct (doc, g): per-g row count = distinct-doc count
+        cnt = df.groupby("g", sort=False)["doc_id"].transform("size").to_numpy()
+        shared = cnt >= 2
+        out = df.loc[shared, ["g", "doc_id", "a", "b"]].copy()
+        out["kind"] = np.full(int(shared.sum()), 2, dtype=np.int8)
+        return out
+
+    def rebucket_by_doc(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dm = (doc.astype(np.int64) * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column("dbkt", pa.array((dm % n_buckets).astype(np.int32)))
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        kind = df["kind"].to_numpy()
+        is_stat = kind == 0
+        stat = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[is_stat],
+                "n_grams": df["a"].to_numpy(np.int64)[is_stat],
+                "n_fp": df["b"].to_numpy(np.int64)[is_stat],
+            }
+        )
+        sh = (
+            df.loc[kind == 2]
+            .groupby("doc_id", sort=False)
+            .size()
+            .rename("n_shared")
+            .reset_index()
+        )
+        out = stat.merge(sh, on="doc_id", how="left")
+        out["n_shared"] = out["n_shared"].fillna(0).astype(np.int64)
+        return out
+
+    res = (
+        occ.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(shared_bucket, batch_format="pandas")
+        .map_batches(rebucket_by_doc, batch_format="pyarrow")
+        .groupby("dbkt")
+        .map_groups(per_doc, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n_grams", "n_fp", "n_shared"):
+        res[c] = res[c].astype(np.int64)
+    return (
+        res[["doc_id", "n_grams", "n_fp", "n_shared"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_mixture_weights(sf_dir: str, tau: float = 0.7) -> pd.DataFrame:
     """Temperature-scaled corpus mixture weights (the multilingual-LM
     sampling rule of Lample & Conneau 2019 / mT5: q_i ∝ p_i^τ with τ < 1

@@ -1736,6 +1736,89 @@ def test_q_span_dedup_matches_reference(ray_session, tmp_path):
         assert out.loc[di, "removed_ratio"] == round(len(covered) / len(w), 6)
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003)
+# ---------------------------------------------------------------------------
+
+
+def _winnowing_reference(texts, k=4, w=5):
+    """Pure-Python per-doc winnowing replay over the engine's own token
+    hashes: fold k-gram hashes, slide truncation-aware windows, rightmost
+    minimum, distinct positions; shared = fp hash seen in ≥2 docs."""
+    from pagerank_ray.stages.dedup import _POLY_C, _hash_tokens
+
+    per_doc = {}
+    for di, t in enumerate(texts, start=1):
+        toks = t.split()
+        if not toks:
+            continue
+        th = _hash_tokens(toks)
+        ng = max(len(toks) - k + 1, 0)
+        grams = []
+        with np.errstate(over="ignore"):
+            for s in range(ng):
+                g = np.uint64(0)
+                for j in range(k):
+                    g = g * _POLY_C + th[s + j]
+                grams.append(int(g))
+        sel = set()
+        for ws in range(max(ng - w, 0) + 1):
+            windowed = grams[ws:ws + w]
+            if not windowed:
+                continue
+            mg = min(windowed)
+            s = max(i for i, gv in enumerate(windowed, start=ws) if gv == mg)
+            sel.add(s)
+        per_doc[di] = (ng, sel, {grams[s] for s in sel})
+    counts = {}
+    for di, (_, _, hs) in per_doc.items():
+        for g in hs:
+            counts[g] = counts.get(g, 0) + 1
+    out = {}
+    for di, (ng, sel, hs) in per_doc.items():
+        out[di] = (ng, len(sel), sum(1 for g in hs if counts[g] >= 2))
+    return out
+
+
+def test_q_winnowing_fp_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_winnowing_fp
+
+    _write_docs(tmp_path, [
+        "a b c d",                 # 1 gram → 1 truncated window → 1 fp
+        "a b c d",                 # identical twin: fp hash shared
+        "p q r s t u v w x y",     # 7 grams, no overlap with the twins
+        "m n",                     # < k tokens: 0 grams, row still present
+        "",                        # empty: no row
+    ])
+    out = q_winnowing_fp(str(tmp_path)).set_index("doc_id")
+    assert 5 not in out.index
+    assert out.loc[1, ["n_grams", "n_fp", "n_shared"]].tolist() == [1, 1, 1]
+    assert out.loc[2, ["n_grams", "n_fp", "n_shared"]].tolist() == [1, 1, 1]
+    assert out.loc[3, "n_grams"] == 7
+    assert 1 <= out.loc[3, "n_fp"] <= 7
+    assert out.loc[3, "n_shared"] == 0
+    assert out.loc[4, ["n_grams", "n_fp", "n_shared"]].tolist() == [0, 0, 0]
+
+
+def test_q_winnowing_fp_matches_reference(ray_session, tmp_path):
+    """Random corpus (small vocab so grams recur across docs) vs the pure
+    per-doc winnowing replay over the same token hashes."""
+    from pagerank_ray.pipelines.tabular import q_winnowing_fp
+
+    rng = np.random.default_rng(13)
+    vocab = ["w%d" % i for i in range(7)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 40)))
+        for _ in range(70)
+    ]
+    _write_docs(tmp_path, texts)
+    out = q_winnowing_fp(str(tmp_path)).set_index("doc_id")
+    want = _winnowing_reference(texts)
+    assert set(out.index) == set(want)
+    for di, (ng, nfp, nsh) in want.items():
+        assert out.loc[di, ["n_grams", "n_fp", "n_shared"]].tolist() == [ng, nfp, nsh]
+
+
 def test_q_mixture_weights_planted(ray_session, tmp_path):
     """Two sources, 4:1 token ratio, τ=0.5 → weights 2:1 exactly."""
     from pagerank_ray.pipelines.tabular import q_mixture_weights
