@@ -210,6 +210,61 @@ def _ppr_batch_sql(
     return body + f"\nSELECT id, {sel} FROM pr{iters} ORDER BY id"
 
 
+def _sweep_cut_sql(
+    iters: int = 8, alpha: float = 0.85, mod: int = 97, prefixes: int = 60
+) -> str:
+    """ACL sweep-cut oracle (tabular.q_ppr_sweep_cut): K=1 unrolled PPR
+    (the _ppr_batch_sql recurrence) over the SYMMETRIZED simple edge set,
+    sweep order via ROW_NUMBER on the integer key round(r·10⁶)·10⁶ // deg
+    (ties → id), per-prefix crossing as the XOR count over directed
+    symmetric edges halved — equal to the engine's Σdeg − 2·Σe_j fold on a
+    loop-free simple graph."""
+    return rf"""
+WITH e0 AS MATERIALIZED {_EDGES},
+ud AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+                    FROM e0 WHERE s <> d),
+e AS MATERIALIZED (SELECT a AS s, b AS d FROM ud
+                   UNION ALL SELECT b, a FROM ud),
+v AS MATERIALIZED (SELECT DISTINCT s AS id FROM e),
+outd AS MATERIALIZED (SELECT s AS id, COUNT(*)::BIGINT AS deg FROM e GROUP BY s),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),
+ns AS (SELECT COUNT(*)::DOUBLE AS k FROM v WHERE id % {mod} = 0),
+pn AS MATERIALIZED (SELECT id,
+    CASE WHEN id % {mod} = 0 THEN (1.0/(SELECT k FROM ns)) * (SELECT n FROM nn)
+         ELSE 0.0 END::DOUBLE AS w FROM v),
+pr0 AS (SELECT id, w AS r FROM pn),
+{",".join(
+    f'''pr{i + 1} AS MATERIALIZED (SELECT v.id,
+    {1 - alpha} * pn.w + {alpha} * COALESCE(inc.s0, 0) AS r
+    FROM v JOIN pn ON pn.id = v.id LEFT JOIN
+    (SELECT e.d AS id, SUM(p.r / o.deg) AS s0 FROM e
+     JOIN pr{i} p ON p.id = e.s JOIN outd o ON o.id = e.s GROUP BY e.d) inc
+    ON inc.id = v.id)''' for i in range(iters))},
+pr AS (SELECT id, ROUND(r, 6) AS r FROM pr{iters}),
+ranked AS (SELECT p.id, o.deg,
+    ROW_NUMBER() OVER (ORDER BY
+        (CAST(ROUND(p.r * 1000000, 0) AS BIGINT) * 1000000) // o.deg DESC,
+        p.id ASC) AS pos
+    FROM pr p JOIN outd o ON o.id = p.id),
+teff AS (SELECT LEAST({prefixes}, (SELECT COUNT(*) FROM v) - 1)::BIGINT AS t),
+top AS MATERIALIZED (SELECT id, deg, pos FROM ranked
+                     WHERE pos <= (SELECT t FROM teff)),
+ks AS (SELECT u.i AS k FROM UNNEST(generate_series(1, (SELECT t FROM teff))) u(i)),
+cutk AS (SELECT ks.k,
+    (SUM(CASE WHEN (COALESCE(ts.pos, 4611686018427387904) <= ks.k)
+              <> (COALESCE(td.pos, 4611686018427387904) <= ks.k)
+         THEN 1 ELSE 0 END) // 2)::BIGINT AS cut
+    FROM ks, e LEFT JOIN top ts ON ts.id = e.s LEFT JOIN top td ON td.id = e.d
+    GROUP BY ks.k),
+volk AS (SELECT ks.k, SUM(t.deg)::BIGINT AS vol
+         FROM ks JOIN top t ON t.pos <= ks.k GROUP BY ks.k),
+tot AS (SELECT COUNT(*)::BIGINT AS m2 FROM e)
+SELECT c.k AS prefix_k, c.cut, w.vol,
+       ROUND(c.cut::DOUBLE / LEAST(w.vol, (SELECT m2 FROM tot) - w.vol), 6)
+         AS conductance
+FROM cutk c JOIN volk w ON w.k = c.k ORDER BY c.k"""
+
+
 def _pagerank_weighted_sql(
     iters: int = 20,
     alpha: float = 0.85,
@@ -3159,6 +3214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
+        "ppr_sweep_cut": tabular.q_ppr_sweep_cut,  # SQL-oracled (K=1 PPR unroll + XOR crossing)
         "lin_closeness": tabular.q_lin_closeness,  # SQL-oracled (HyperBall reach/sumdist fold)
         "window_active_users": tabular.q_window_active_users,  # SQL-oracled (hopping-window HLL)
         "graph_coloring": tabular.q_graph_coloring,  # SQL-oracled (fixed-unroll JP rounds)
@@ -3402,6 +3458,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _span_dedup_sql(k=5),
         "condensation_layers": _condensation_layers_sql(),
         "winnowing_fp": _winnowing_sql(k=4, w=5),
+        "ppr_sweep_cut": _sweep_cut_sql(iters=8, mod=97, prefixes=60),
         "mixture_weights": _mixture_weights_sql(tau=0.7),
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "densest_subgraph": _densest_sql(rounds=12),

@@ -6978,6 +6978,126 @@ def q_ppr_batch(sf_dir: str, iters: int = 10) -> pd.DataFrame:
     return ppr_batch(lineitem_edges(sf_dir), iters=iters)
 
 
+def q_ppr_sweep_cut(
+    sf_dir: str, mod: int = 97, iters: int = 8, prefixes: int = 60
+) -> pd.DataFrame:
+    """Local-clustering sweep cut (Andersen, Chung & Lang, FOCS 2006 — the
+    PPR sweep that powers local community detection / seed-set expansion on
+    web graphs): run personalized PageRank from a seed set over the
+    SYMMETRIZED lineitem graph, order vertices by rank/degree descending,
+    and for every prefix S_k of the sweep order report the undirected cut,
+    volume and conductance φ(S_k) = cut/min(vol(S_k), vol(V)−vol(S_k)).
+    The ACL theorem says a low-conductance community near the seed shows up
+    as a conductance dip along this sweep.
+
+    Determinism contract: PPR ranks are the engine's half-away-rounded 6
+    decimals (the same values the hash-checked ``ppr_batch`` entry pins),
+    and the sweep key is the INTEGER ``round(rank·10⁶)·10⁶ // deg`` (ties →
+    smaller id), so engine and oracle cannot disagree on the order via
+    float division. Only the first ``prefixes`` sweep positions are
+    reported (the local-cluster regime; k = n is excluded anyway since its
+    denominator is 0).
+
+    Shape: symmetrize via one map + pair dedup; PPR via pipelines/
+    ppr_batch (one rank column, fixed ``iters``); degrees via grouped
+    count; the sweep itself needs only the top-``prefixes`` positions, so
+    one broadcast of that tiny (id → pos) table lets a single edge pass
+    count each top vertex's earlier-position neighbors (e_j) as O(W)
+    partials — cut(k) = Σ_{j≤k} deg_j − 2·Σ_{j≤k} e_j, all integers until
+    the final division. Oracle: __ray_entry__._sweep_cut_sql (K=1 unrolled
+    PPR over the same symmetric edge set + ROW_NUMBER sweep + per-k XOR
+    crossing count — the two cut formulas agree on simple loop-free
+    graphs)."""
+    import ray
+
+    from pagerank_ray.pipelines.ppr_batch import ppr_batch
+    from pagerank_ray.stages import joins
+
+    base = lineitem_edges(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table(
+            {
+                "src_id": pa.array(np.minimum(s[keep], d[keep]), pa.int64()),
+                "dst_id": pa.array(np.maximum(s[keep], d[keep]), pa.int64()),
+            }
+        )
+
+    und = dedup_pairs(base.map_batches(undirect, batch_format="pyarrow"))
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").combine_chunks().cast(pa.int64())
+        d = t.column("dst_id").combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "src_id": pa.concat_arrays([s, d]),
+                "dst_id": pa.concat_arrays([d, s]),
+            }
+        )
+
+    sym = und.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    vol_tot = sym.count()  # Σ deg = 2 × undirected edge count
+
+    pr = ppr_batch(sym, mods=(mod,), iters=iters)  # (id, rank_0), rounded(6)
+    deg = grouped_count(sym, "src_id", "deg").to_pandas()
+    df = pr.merge(deg.rename(columns={"src_id": "id"}), on="id", how="inner")
+    rank_int = np.round(df["rank_0"].to_numpy(np.float64) * 1e6).astype(np.int64)
+    df["key"] = rank_int * np.int64(1_000_000) // df["deg"].to_numpy(np.int64)
+    t_eff = min(prefixes, len(df) - 1)
+    top = df.sort_values(["key", "id"], ascending=[False, True]).head(t_eff)
+    tid = top["id"].to_numpy(np.int64)
+    tdeg = top["deg"].to_numpy(np.int64)
+    order = np.argsort(tid)
+    ref = ray.put((tid[order], (np.arange(t_eff, dtype=np.int64) + 1)[order]))
+
+    def e_partial(t: pa.Table) -> pa.Table:
+        ids_s, pos_s = joins.broadcast_get(ref, lambda x: x, "sweep_pos")
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+
+        def lookup(x: np.ndarray) -> np.ndarray:
+            if len(ids_s) == 0:
+                return np.zeros(len(x), dtype=np.int64)
+            i = np.clip(np.searchsorted(ids_s, x), 0, len(ids_s) - 1)
+            return np.where(ids_s[i] == x, pos_s[i], 0)
+
+        ps, pd_ = lookup(s), lookup(d)
+        m = (ps > 0) & (pd_ > 0) & (pd_ < ps)
+        cnt = np.bincount(ps[m], minlength=len(ids_s) + 1)[1:]
+        return pa.table(
+            {
+                "pos": pa.array(np.arange(1, len(ids_s) + 1, dtype=np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    ep = (
+        sym.map_batches(e_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("pos")["cnt"]
+        .sum()
+        .reindex(np.arange(1, t_eff + 1), fill_value=0)
+        .to_numpy(np.int64)
+    )
+    vol = np.cumsum(tdeg)
+    cut = vol - 2 * np.cumsum(ep)
+    denom = np.minimum(vol, vol_tot - vol)
+    out = pd.DataFrame(
+        {
+            "prefix_k": np.arange(1, t_eff + 1, dtype=np.int64),
+            "cut": cut.astype(np.int64),
+            "vol": vol.astype(np.int64),
+            "conductance": _round_half_away(
+                cut.astype(np.float64) / denom.astype(np.float64), 6
+            ),
+        }
+    )
+    return out
+
+
 def q_graph_growth(sf_dir: str) -> pd.DataFrame:
     """Temporal graph evolution (densification) — per ship-month: edges first
     observed, sources/destinations first observed, cumulative edge count (the

@@ -1737,6 +1737,88 @@ def test_q_span_dedup_matches_reference(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# ACL sweep cut (Andersen-Chung-Lang 2006)
+# ---------------------------------------------------------------------------
+
+
+def _sweep_cut_reference(pairs, mod, iters=8, alpha=0.85, prefixes=60):
+    """Pure-numpy replay: symmetrize, K=1 PPR power iteration (no dangling
+    on a symmetric graph), half-away round(6), integer sweep key, brute
+    crossing count per prefix."""
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    ids = sorted({v for e in und for v in e})
+    ix = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    deg = np.zeros(n, dtype=np.int64)
+    for a, b in und:
+        deg[ix[a]] += 1
+        deg[ix[b]] += 1
+    seeds = np.array([v % mod == 0 for v in ids])
+    pn = np.where(seeds, n / seeds.sum(), 0.0)
+    r = pn.copy()
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        contrib = r / deg
+        for a, b in und:
+            nxt[ix[b]] += contrib[ix[a]]
+            nxt[ix[a]] += contrib[ix[b]]
+        r = (1 - alpha) * pn + alpha * nxt
+    ri = np.floor(np.abs(r * 1e6) + 0.5).astype(np.int64)  # half-away
+    key = ri * 1_000_000 // deg
+    order = sorted(range(n), key=lambda i: (-key[i], ids[i]))
+    t_eff = min(prefixes, n - 1)
+    vol_tot = 2 * len(und)
+    rows = []
+    inset = set()
+    cut = vol = 0
+    for k in range(1, t_eff + 1):
+        v = order[k - 1]
+        e_in = sum(1 for a, b in und
+                   if (ix[a] == v and ix[b] in inset) or (ix[b] == v and ix[a] in inset))
+        cut += deg[v] - 2 * e_in
+        vol += deg[v]
+        inset.add(v)
+        phi = cut / min(vol, vol_tot - vol)
+        rows.append((k, cut, vol, float(np.floor(abs(phi) * 1e6 + 0.5) / 1e6)))
+    return rows
+
+
+def test_q_ppr_sweep_cut_barbell(ray_session, tmp_path):
+    """Two K4 clusters joined by one bridge, seed (mod 5) inside cluster A:
+    the sweep's first four positions are A, so k=4 is the planted dip —
+    cut 1, vol 13, conductance 1/13."""
+    from pagerank_ray.pipelines.tabular import q_ppr_sweep_cut
+
+    A, B = [5, 1, 2, 3], [6, 7, 8, 9]
+    pairs = [(a, b) for i, a in enumerate(A) for b in A[i + 1:]]
+    pairs += [(a, b) for i, a in enumerate(B) for b in B[i + 1:]]
+    pairs.append((3, 6))  # the bridge
+    _write_lineitem_edges(tmp_path, [a for a, _ in pairs], [b for _, b in pairs])
+    out = q_ppr_sweep_cut(str(tmp_path), mod=5).set_index("prefix_k")
+    assert len(out) == 7  # n=8 → n-1 prefixes
+    assert out.loc[4, ["cut", "vol"]].tolist() == [1, 13]
+    assert out.loc[4, "conductance"] == round(1 / 13, 6)
+    assert out["conductance"].idxmin() == 4  # the planted dip is the argmin
+
+
+def test_q_ppr_sweep_cut_matches_reference(ray_session, tmp_path):
+    """Random multigraph-ish edge list vs the pure-numpy PPR+sweep replay."""
+    from pagerank_ray.pipelines.tabular import q_ppr_sweep_cut
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(1, 30, 120).tolist()
+    dst = rng.integers(1, 30, 120).tolist()
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_ppr_sweep_cut(str(tmp_path), mod=3)
+    want = _sweep_cut_reference(list(zip(src, dst)), mod=3)
+    got = [
+        (int(r.prefix_k), int(r.cut), int(r.vol), float(r.conductance))
+        for r in out.itertuples()
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003)
 # ---------------------------------------------------------------------------
 
