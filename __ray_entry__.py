@@ -265,6 +265,52 @@ SELECT c.k AS prefix_k, c.cut, w.vol,
 FROM cutk c JOIN volk w ON w.k = c.k ORDER BY c.k"""
 
 
+def _wl_sql(iters: int = 3) -> str:
+    """Weisfeiler-Lehman refinement oracle (tabular.q_wl_refinement):
+    identical arithmetic in HUGEINT — per-edge fmix64 of the source color
+    (shared _fmix_chain_sql), commutative SUM % 2⁶⁴ per destination, then
+    fmix64(c·C + S) with the ·C multiply 32-bit-split; final color
+    sign-cast to BIGINT."""
+    M64 = "18446744073709551616::HUGEINT"
+    C = "11400714819323198485::HUGEINT"  # 0x9E3779B97F4A7C15 (_POLY_C)
+
+    def mm(x: str) -> str:
+        return (f"((({x}::HUGEINT % 4294967296) * {C} "
+                f"+ ((({x}::HUGEINT // 4294967296) * {C}) % 4294967296) "
+                f"* 4294967296) % {M64})")
+
+    p = [
+        f"WITH e0 AS MATERIALIZED {_EDGES},",
+        "ud AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b "
+        "FROM e0 WHERE s <> d),",
+        "e AS MATERIALIZED (SELECT a AS s, b AS d FROM ud UNION ALL SELECT b, a FROM ud),",
+        "outd AS MATERIALIZED (SELECT s AS id, COUNT(*)::UBIGINT AS deg FROM e GROUP BY s),",
+        "c0 AS MATERIALIZED (SELECT id, deg AS c FROM outd),",
+    ]
+    for t in range(iters):
+        p.append(
+            f"xv{t} AS (SELECT e.d AS id, c.c::UBIGINT AS x "
+            f"FROM e JOIN c{t} c ON c.id = e.s),"
+        )
+        p.append(_fmix_chain_sql(f"a{t}", f"xv{t}", carry="id, ") + ",")
+        p.append(
+            f"s{t} AS MATERIALIZED (SELECT id, (SUM(h::HUGEINT) % {M64})::UBIGINT AS s "
+            f"FROM a{t}hv GROUP BY id),"
+        )
+        p.append(
+            f"yv{t} AS (SELECT c.id, "
+            f"(({mm('c.c')} + COALESCE(s.s, 0)::HUGEINT) % {M64})::UBIGINT AS x "
+            f"FROM c{t} c LEFT JOIN s{t} s ON s.id = c.id),"
+        )
+        p.append(_fmix_chain_sql(f"b{t}", f"yv{t}", carry="id, ") + ",")
+        p.append(f"c{t + 1} AS MATERIALIZED (SELECT id, h AS c FROM b{t}hv),")
+    body = "\n".join(p).rstrip()[:-1]
+    return body + f"""
+SELECT id, (CASE WHEN c::HUGEINT >= 9223372036854775808::HUGEINT
+            THEN c::HUGEINT - {M64} ELSE c::HUGEINT END)::BIGINT AS color
+FROM c{iters} ORDER BY id"""
+
+
 def _pagerank_weighted_sql(
     iters: int = 20,
     alpha: float = 0.85,
@@ -3215,6 +3261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
         "ppr_sweep_cut": tabular.q_ppr_sweep_cut,  # SQL-oracled (K=1 PPR unroll + XOR crossing)
+        "wl_refinement": tabular.q_wl_refinement,  # SQL-oracled (fmix chain + wraparound SUM rounds)
         "lin_closeness": tabular.q_lin_closeness,  # SQL-oracled (HyperBall reach/sumdist fold)
         "window_active_users": tabular.q_window_active_users,  # SQL-oracled (hopping-window HLL)
         "graph_coloring": tabular.q_graph_coloring,  # SQL-oracled (fixed-unroll JP rounds)
@@ -3459,6 +3506,7 @@ def oracle_sql() -> dict[str, str]:
         "condensation_layers": _condensation_layers_sql(),
         "winnowing_fp": _winnowing_sql(k=4, w=5),
         "ppr_sweep_cut": _sweep_cut_sql(iters=8, mod=97, prefixes=60),
+        "wl_refinement": _wl_sql(iters=3),
         "mixture_weights": _mixture_weights_sql(tau=0.7),
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "densest_subgraph": _densest_sql(rounds=12),

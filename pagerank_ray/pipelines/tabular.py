@@ -6978,6 +6978,40 @@ def q_ppr_batch(sf_dir: str, iters: int = 10) -> pd.DataFrame:
     return ppr_batch(lineitem_edges(sf_dir), iters=iters)
 
 
+def _sym_lineitem_edges(sf_dir: str) -> rd.Dataset:
+    """Symmetrized simple lineitem graph at ORIGINAL ids: distinct
+    undirected pairs (self-loops dropped), emitted in both directions —
+    every vertex therefore has out-edges (no dangling) and sym out-degree
+    equals undirected degree. Materialized (two consumers per caller)."""
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").to_numpy(zero_copy_only=False)
+        d = t.column("dst_id").to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table(
+            {
+                "src_id": pa.array(np.minimum(s[keep], d[keep]), pa.int64()),
+                "dst_id": pa.array(np.maximum(s[keep], d[keep]), pa.int64()),
+            }
+        )
+
+    und = dedup_pairs(
+        lineitem_edges(sf_dir).map_batches(undirect, batch_format="pyarrow")
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src_id").combine_chunks().cast(pa.int64())
+        d = t.column("dst_id").combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "src_id": pa.concat_arrays([s, d]),
+                "dst_id": pa.concat_arrays([d, s]),
+            }
+        )
+
+    return und.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+
 def q_ppr_sweep_cut(
     sf_dir: str, mod: int = 97, iters: int = 8, prefixes: int = 60
 ) -> pd.DataFrame:
@@ -7013,32 +7047,7 @@ def q_ppr_sweep_cut(
     from pagerank_ray.pipelines.ppr_batch import ppr_batch
     from pagerank_ray.stages import joins
 
-    base = lineitem_edges(sf_dir)
-
-    def undirect(t: pa.Table) -> pa.Table:
-        s = t.column("src_id").to_numpy(zero_copy_only=False)
-        d = t.column("dst_id").to_numpy(zero_copy_only=False)
-        keep = s != d
-        return pa.table(
-            {
-                "src_id": pa.array(np.minimum(s[keep], d[keep]), pa.int64()),
-                "dst_id": pa.array(np.maximum(s[keep], d[keep]), pa.int64()),
-            }
-        )
-
-    und = dedup_pairs(base.map_batches(undirect, batch_format="pyarrow"))
-
-    def both_dirs(t: pa.Table) -> pa.Table:
-        s = t.column("src_id").combine_chunks().cast(pa.int64())
-        d = t.column("dst_id").combine_chunks().cast(pa.int64())
-        return pa.table(
-            {
-                "src_id": pa.concat_arrays([s, d]),
-                "dst_id": pa.concat_arrays([d, s]),
-            }
-        )
-
-    sym = und.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    sym = _sym_lineitem_edges(sf_dir)
     vol_tot = sym.count()  # Σ deg = 2 × undirected edge count
 
     pr = ppr_batch(sym, mods=(mod,), iters=iters)  # (id, rank_0), rounded(6)
@@ -7096,6 +7105,103 @@ def q_ppr_sweep_cut(
         }
     )
     return out
+
+
+def q_wl_refinement(sf_dir: str, iters: int = 3) -> pd.DataFrame:
+    """Weisfeiler-Lehman color refinement (Weisfeiler & Leman 1968; the
+    1-WL vertex-refinement pass behind WL graph kernels — Shervashidze et
+    al. JMLR 2011 — and the expressiveness bound of message-passing GNNs):
+    c⁰(v) = deg(v); cᵗ⁺¹(v) = fmix64(cᵗ(v)·C + Σ_{u∈N(v)} fmix64(cᵗ(u)))
+    over the symmetrized simple graph, where the neighbor fold is a
+    commutative mod-2⁶⁴ SUM of finalized colors — an order-free injective-
+    in-practice stand-in for the paper's sorted-multiset relabeling, which
+    is what makes the step one shuffle instead of a per-vertex sort. After
+    ``iters`` rounds two vertices share a color iff 1-WL cannot distinguish
+    their radius-``iters`` neighborhoods (up to 64-bit collisions). Output:
+    (id, color) with color sign-cast to BIGINT (doc_fingerprint's
+    convention).
+
+    Shape per round: one broadcast-or-hash join attaches cᵗ to edge
+    sources, one vectorized fmix per batch, one bucketed wraparound-SUM
+    groupby by dst, one left-attach back onto the n-row state — O(E)
+    shuffled bytes per round, state never on the driver until the final
+    per-vertex contract. Oracle: identical fmix64/·C arithmetic in HUGEINT
+    (shared _fmix_chain_sql / 32-bit-split multiply), SUM % 2⁶⁴ per
+    neighbor group (__ray_entry__._wl_sql)."""
+    from pagerank_ray.functions.text import fmix64
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.dedup import _POLY_C
+
+    sym = _sym_lineitem_edges(sf_dir)
+    deg = grouped_count(sym, "src_id", "deg").materialize()
+    n = deg.count()
+
+    def init_state(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t.column("src_id"),
+                "c": pa.array(
+                    t.column("deg").to_numpy(zero_copy_only=False).astype(np.uint64)
+                ),
+            }
+        )
+
+    state = deg.map_batches(init_state, batch_format="pyarrow").materialize()
+    n_buckets = 64
+
+    def bucketize_dst(t: pa.Table) -> pa.Table:
+        d = t.column("id").to_numpy(zero_copy_only=False)
+        dm = (d.astype(np.int64) * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column("bkt", pa.array((dm % n_buckets).astype(np.int32)))
+
+    def wrap_sum(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy(np.int64)
+        f = df["f"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, f = ids[order], f[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], ids[1:] != ids[:-1]))
+        )
+        with np.errstate(over="ignore"):
+            s = np.add.reduceat(f, bounds)  # uint64 wraparound sum
+        return pd.DataFrame({"id": ids[bounds], "s": s})
+
+    for _ in range(iters):
+        edges_c = joins.attach_column(
+            sym, state, probe_col="src_id", build_key="id", build_val="c",
+            out_col="cs", build_count=n, drop_probe_col=True,
+        )
+
+        def to_fmix(t: pa.Table) -> pa.Table:
+            cs = t.column("cs").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table(
+                {"id": t.column("dst_id"), "f": pa.array(fmix64(cs))}
+            )
+
+        sums = (
+            edges_c.map_batches(to_fmix, batch_format="pyarrow")
+            .map_batches(bucketize_dst, batch_format="pyarrow")
+            .groupby("bkt")
+            .map_groups(wrap_sum, batch_format="pandas")
+            .materialize()
+        )
+        state = joins.attach_with_default(
+            state, sums, probe_col="id", build_key="id", build_val="s",
+            out_col="s", default=0, out_type=pa.uint64(), build_count=n,
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            c = t.column("c").to_numpy(zero_copy_only=False).astype(np.uint64)
+            s = t.column("s").to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                y = c * _POLY_C + s
+            return pa.table({"id": t.column("id"), "c": pa.array(fmix64(y))})
+
+        state = state.map_batches(update, batch_format="pyarrow").materialize()
+
+    df = state.to_pandas()
+    df["color"] = df["c"].to_numpy().astype(np.uint64).view(np.int64)
+    return df[["id", "color"]].sort_values("id").reset_index(drop=True)
 
 
 def q_graph_growth(sf_dir: str) -> pd.DataFrame:

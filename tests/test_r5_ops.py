@@ -1737,6 +1737,65 @@ def test_q_span_dedup_matches_reference(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Weisfeiler-Lehman color refinement (1-WL)
+# ---------------------------------------------------------------------------
+
+
+def _wl_reference(pairs, iters=3):
+    """Pure-Python replay of the engine's 1-WL arithmetic."""
+    from pagerank_ray.functions.text import fmix64
+    from pagerank_ray.stages.dedup import _POLY_C
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    ids = sorted({v for e in und for v in e})
+    nbr = {v: [] for v in ids}
+    for a, b in und:
+        nbr[a].append(b)
+        nbr[b].append(a)
+    c = {v: np.uint64(len(nbr[v])) for v in ids}
+    for _ in range(iters):
+        with np.errstate(over="ignore"):
+            f = {v: fmix64(np.array([c[v]], dtype=np.uint64))[0] for v in ids}
+            nxt = {}
+            for v in ids:
+                s = np.uint64(0)
+                for u in nbr[v]:
+                    s += f[u]
+                nxt[v] = fmix64(np.array([c[v] * _POLY_C + s], dtype=np.uint64))[0]
+        c = nxt
+    return {v: int(np.uint64(c[v]).view(np.int64)) for v in ids}
+
+
+def test_q_wl_refinement_symmetry(ray_session, tmp_path):
+    """Path 1-2-3-4-5: WL must merge the mirror-symmetric vertices
+    (1,5) and (2,4) and separate the three orbit classes; a 6-cycle is
+    vertex-transitive so all its vertices keep ONE color."""
+    from pagerank_ray.pipelines.tabular import q_wl_refinement
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    cyc = [(11, 12), (12, 13), (13, 14), (14, 15), (15, 16), (16, 11)]
+    pairs = path + cyc
+    _write_lineitem_edges(tmp_path, [a for a, _ in pairs], [b for _, b in pairs])
+    out = q_wl_refinement(str(tmp_path)).set_index("id")["color"]
+    assert out[1] == out[5] and out[2] == out[4]
+    assert len({out[1], out[2], out[3]}) == 3
+    assert len({out[v] for v in range(11, 17)}) == 1
+    assert out[11] != out[3]  # deg-2 path middle vs deg-2 cycle differ by round 2
+
+
+def test_q_wl_refinement_matches_reference(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_wl_refinement
+
+    rng = np.random.default_rng(29)
+    src = rng.integers(1, 40, 150).tolist()
+    dst = rng.integers(1, 40, 150).tolist()
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_wl_refinement(str(tmp_path)).set_index("id")["color"].to_dict()
+    want = _wl_reference(list(zip(src, dst)))
+    assert out == want
+
+
+# ---------------------------------------------------------------------------
 # ACL sweep cut (Andersen-Chung-Lang 2006)
 # ---------------------------------------------------------------------------
 
