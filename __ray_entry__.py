@@ -311,6 +311,58 @@ SELECT id, (CASE WHEN c::HUGEINT >= 9223372036854775808::HUGEINT
 FROM c{iters} ORDER BY id"""
 
 
+def _spectral_sql(iters: int = 12, target: int = 10**6) -> str:
+    """Spectral-bisection oracle (tabular.q_spectral_bisection): the
+    identical all-integer power iteration on M = c·I − L — fmix64 init
+    (shared _fmix_chain_sql), exact BIGINT matvec per round, integer
+    centering wc = n·w − Σw and renormalization wc // dv with dv =
+    max(1, max|wc| // target) — bit-exact by construction."""
+    span = 2 * target + 1
+    p = [
+        f"WITH e0 AS MATERIALIZED {_EDGES},",
+        "ud AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b "
+        "FROM e0 WHERE s <> d),",
+        "e AS MATERIALIZED (SELECT a AS s, b AS d FROM ud UNION ALL SELECT b, a FROM ud),",
+        "outd AS MATERIALIZED (SELECT s AS id, COUNT(*)::BIGINT AS deg FROM e GROUP BY s),",
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM outd),",
+        "cdeg AS (SELECT MAX(deg)::BIGINT AS c FROM outd),",
+        "xv AS (SELECT id, id::UBIGINT AS x FROM outd),",
+        _fmix_chain_sql("i", "xv", carry="id, ") + ",",
+        f"v0 AS MATERIALIZED (SELECT id, "
+        f"((h % {span})::BIGINT - {target})::BIGINT AS v FROM ihv),",
+    ]
+    for t in range(iters):
+        p.append(
+            f"av{t} AS (SELECT e.d AS id, SUM(vv.v)::BIGINT AS av "
+            f"FROM e JOIN v{t} vv ON vv.id = e.s GROUP BY e.d),"
+        )
+        p.append(
+            f"w{t} AS MATERIALIZED (SELECT o.id, "
+            f"((SELECT c FROM cdeg) - o.deg) * s.v + COALESCE(a.av, 0) AS w "
+            f"FROM outd o JOIN v{t} s ON s.id = o.id "
+            f"LEFT JOIN av{t} a ON a.id = o.id),"
+        )
+        p.append(f"sc{t} AS (SELECT SUM(w)::BIGINT AS sw FROM w{t}),")
+        p.append(
+            f"wc{t} AS MATERIALIZED (SELECT id, "
+            f"(SELECT n FROM nn) * w - (SELECT sw FROM sc{t}) AS wc FROM w{t}),"
+        )
+        p.append(
+            f"dv{t} AS (SELECT GREATEST(1, GREATEST(MAX(wc), MAX(-wc)) "
+            f"// {target})::BIGINT AS dv FROM wc{t}),"
+        )
+        p.append(
+            f"v{t + 1} AS MATERIALIZED (SELECT id, "
+            f"(CASE WHEN wc >= 0 THEN wc // (SELECT dv FROM dv{t}) "
+            f"ELSE -((-wc) // (SELECT dv FROM dv{t})) END)::BIGINT AS v "
+            f"FROM wc{t}),"
+        )
+    body = "\n".join(p).rstrip()[:-1]
+    return body + f"""
+SELECT id, (CASE WHEN v >= 0 THEN 1 ELSE 0 END)::BIGINT AS side
+FROM v{iters} ORDER BY id"""
+
+
 def _pagerank_weighted_sql(
     iters: int = 20,
     alpha: float = 0.85,
@@ -3262,6 +3314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
         "ppr_sweep_cut": tabular.q_ppr_sweep_cut,  # SQL-oracled (K=1 PPR unroll + XOR crossing)
         "wl_refinement": tabular.q_wl_refinement,  # SQL-oracled (fmix chain + wraparound SUM rounds)
+        "spectral_bisection": tabular.q_spectral_bisection,  # SQL-oracled (all-integer power iteration)
         "lin_closeness": tabular.q_lin_closeness,  # SQL-oracled (HyperBall reach/sumdist fold)
         "window_active_users": tabular.q_window_active_users,  # SQL-oracled (hopping-window HLL)
         "graph_coloring": tabular.q_graph_coloring,  # SQL-oracled (fixed-unroll JP rounds)
@@ -3507,6 +3560,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fp": _winnowing_sql(k=4, w=5),
         "ppr_sweep_cut": _sweep_cut_sql(iters=8, mod=97, prefixes=60),
         "wl_refinement": _wl_sql(iters=3),
+        "spectral_bisection": _spectral_sql(iters=12, target=10**6),
         "mixture_weights": _mixture_weights_sql(tau=0.7),
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "densest_subgraph": _densest_sql(rounds=12),

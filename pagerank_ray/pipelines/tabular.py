@@ -7204,6 +7204,129 @@ def q_wl_refinement(sf_dir: str, iters: int = 3) -> pd.DataFrame:
     return df[["id", "color"]].sort_values("id").reset_index(drop=True)
 
 
+def q_spectral_bisection(
+    sf_dir: str, iters: int = 12, target: int = 10**6
+) -> pd.DataFrame:
+    """Spectral graph bisection (Fiedler 1973; the power-iteration
+    formulation of Pothen, Simon & Liou 1990): approximate the Fiedler
+    vector of L = D − A on the symmetrized simple graph by power iteration
+    on the spectrum-flipped operator M = c·I − L (c = max degree, so M is
+    PSD with dominant eigenvector 1), deflating the trivial all-ones
+    component by exact centering each round; side(v) = [v_fiedler ≥ 0] is
+    the classic 2-way partition seed.
+
+    Determinism contract (the embedding_pca fixed-point recipe): v⁰(id) =
+    fmix64(id) % (2·target+1) − target; every matvec w = (c−deg)·v + A·v is
+    an exact int64 sum (order-free — the distributed batch split cannot
+    change it); centering is the integer form wc = n·w − Σw; each round
+    renormalizes by integer division v ← sign(wc)·(|wc| // dv) with
+    dv = max(1, max|wc| // target). No float anywhere, so the unrolled
+    DuckDB oracle (__ray_entry__._spectral_sql) matches bit-exactly.
+    int64 bound: |wc| ≤ 2·n·(c+max_deg)·target — checked loudly each round.
+
+    Shape per round: one broadcast-or-hash join attaches v to edge
+    sources, one bucketed exact-int sum by dst, O(#batches) scalar
+    partials for Σw / max|wc|, one vectorized renormalize — O(E) shuffled
+    bytes, state stays distributed until the final per-vertex contract."""
+    from pagerank_ray.functions.text import fmix64
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.graph_build import grouped_sum
+
+    sym = _sym_lineitem_edges(sf_dir)
+    deg = grouped_count(sym, "src_id", "deg").materialize()
+    n = deg.count()
+    cmax = deg.map_batches(
+        lambda t: pa.table(
+            {"m": pa.array([int(t.column("deg").to_numpy(zero_copy_only=False).max())])}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()["m"].max()
+    span = 2 * target + 1
+
+    def init_state(t: pa.Table) -> pa.Table:
+        ids = t.column("src_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v0 = (fmix64(ids) % np.uint64(span)).astype(np.int64) - np.int64(target)
+        return pa.table(
+            {
+                "id": t.column("src_id"),
+                "deg": t.column("deg").cast(pa.int64()),
+                "v": pa.array(v0),
+            }
+        )
+
+    state = deg.map_batches(init_state, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        edges_v = joins.attach_column(
+            sym, state, probe_col="src_id", build_key="id", build_val="v",
+            out_col="vs", build_count=n, drop_probe_col=True,
+        )
+        av = grouped_sum(
+            edges_v.map_batches(
+                lambda t: pa.table({"id": t.column("dst_id"), "vs": t.column("vs")}),
+                batch_format="pyarrow",
+            ),
+            "id", "vs", "av",
+        ).materialize()
+        state = joins.attach_with_default(
+            state, av, probe_col="id", build_key="id", build_val="av",
+            out_col="av", default=0, build_count=n,
+        )
+
+        def matvec(t: pa.Table) -> pa.Table:
+            d = t.column("deg").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            a = t.column("av").to_numpy(zero_copy_only=False)
+            w = (int(cmax) - d) * v + a
+            return pa.table(
+                {"id": t.column("id"), "deg": t.column("deg"), "w": pa.array(w)}
+            )
+
+        wds = state.map_batches(matvec, batch_format="pyarrow").materialize()
+        part = wds.map_batches(
+            lambda t: pa.table(
+                {
+                    "sw": pa.array([int(t.column("w").to_numpy(zero_copy_only=False).sum())]),
+                    "mw": pa.array([int(np.abs(t.column("w").to_numpy(zero_copy_only=False)).max())]),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        sw = int(part["sw"].sum())  # exact (Python int combine)
+        if n * int(part["mw"].max()) + abs(sw) >= 2**62:
+            raise OverflowError("spectral_bisection: n·max|w| near int64 range "
+                                "— lower `target` for this graph size")
+        mx_parts = wds.map_batches(
+            lambda t: pa.table(
+                {
+                    "m": pa.array([int(np.abs(
+                        int(n) * t.column("w").to_numpy(zero_copy_only=False) - sw
+                    ).max())])
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        dv = max(1, int(mx_parts["m"].max()) // target)
+
+        def renorm(t: pa.Table) -> pa.Table:
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            wc = int(n) * w - sw
+            vn = np.sign(wc) * (np.abs(wc) // dv)
+            return pa.table(
+                {
+                    "id": t.column("id"),
+                    "deg": t.column("deg"),
+                    "v": pa.array(vn.astype(np.int64)),
+                }
+            )
+
+        state = wds.map_batches(renorm, batch_format="pyarrow").materialize()
+
+    df = state.to_pandas()
+    df["side"] = (df["v"] >= 0).astype(np.int64)
+    return df[["id", "side"]].sort_values("id").reset_index(drop=True)
+
+
 def q_graph_growth(sf_dir: str) -> pd.DataFrame:
     """Temporal graph evolution (densification) — per ship-month: edges first
     observed, sources/destinations first observed, cumulative edge count (the

@@ -1737,6 +1737,66 @@ def test_q_span_dedup_matches_reference(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Spectral bisection (Fiedler vector by integer power iteration)
+# ---------------------------------------------------------------------------
+
+
+def _spectral_reference(pairs, iters=12, target=10**6):
+    """Pure-Python replay of the all-integer power iteration."""
+    from pagerank_ray.functions.text import fmix64
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    ids = sorted({v for e in und for v in e})
+    n = len(ids)
+    ix = {v: i for i, v in enumerate(ids)}
+    deg = np.zeros(n, dtype=np.int64)
+    for a, b in und:
+        deg[ix[a]] += 1
+        deg[ix[b]] += 1
+    c = int(deg.max())
+    h = fmix64(np.array(ids, dtype=np.uint64))
+    v = (h % np.uint64(2 * target + 1)).astype(np.int64) - target
+    for _ in range(iters):
+        av = np.zeros(n, dtype=np.int64)
+        for a, b in und:
+            av[ix[a]] += v[ix[b]]
+            av[ix[b]] += v[ix[a]]
+        w = (c - deg) * v + av
+        sw = int(w.sum())
+        wc = n * w - sw
+        dv = max(1, int(np.abs(wc).max()) // target)
+        v = np.sign(wc) * (np.abs(wc) // dv)
+    return {ids[i]: int(v[i] >= 0) for i in range(n)}
+
+
+def test_q_spectral_bisection_barbell(ray_session, tmp_path):
+    """Two K5 clusters joined by one bridge: the Fiedler sign must put each
+    clique entirely on one side, and the two cliques on OPPOSITE sides."""
+    from pagerank_ray.pipelines.tabular import q_spectral_bisection
+
+    A, B = [1, 2, 3, 4, 5], [11, 12, 13, 14, 15]
+    pairs = [(a, b) for i, a in enumerate(A) for b in A[i + 1:]]
+    pairs += [(a, b) for i, a in enumerate(B) for b in B[i + 1:]]
+    pairs.append((5, 11))
+    _write_lineitem_edges(tmp_path, [a for a, _ in pairs], [b for _, b in pairs])
+    out = q_spectral_bisection(str(tmp_path)).set_index("id")["side"]
+    assert len(set(out[A])) == 1 and len(set(out[B])) == 1
+    assert out[1] != out[11]
+
+
+def test_q_spectral_bisection_matches_reference(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_spectral_bisection
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(1, 35, 100).tolist()
+    dst = rng.integers(1, 35, 100).tolist()
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_spectral_bisection(str(tmp_path)).set_index("id")["side"].to_dict()
+    want = _spectral_reference(list(zip(src, dst)))
+    assert out == want
+
+
+# ---------------------------------------------------------------------------
 # Weisfeiler-Lehman color refinement (1-WL)
 # ---------------------------------------------------------------------------
 
