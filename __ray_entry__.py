@@ -2599,6 +2599,43 @@ SELECT doc_id, n_lines, n_removed,
 FROM per ORDER BY doc_id"""
 
 
+def _boilerplate_sql(
+    line_len: int = 8, min_df: int = 2, frac_num: int = 1, frac_den: int = 20
+) -> str:
+    """Boilerplate-line oracle (tabular.q_boilerplate_lines): lines rebuilt
+    as STRINGS (the _line_dedup_sql idiom, with source carried), document
+    frequency per (source, line), exact-integer threshold df ≥ min_df AND
+    df·frac_den ≥ frac_num·n_docs(source), per-doc occurrence sums."""
+    ll = line_len
+    return rf"""
+WITH t AS (
+  SELECT doc_id, source,
+    CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents),
+lines AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(w, g.i*{ll} + 1, (g.i + 1)*{ll}), ' ') AS line
+  FROM t, UNNEST(generate_series(0, CAST(CEIL(len(w)/{ll}.0) AS BIGINT) - 1)) AS g(i)
+  WHERE len(w) >= 1),
+docline AS (SELECT doc_id, source, line, COUNT(*)::BIGINT AS occ
+            FROM lines GROUP BY doc_id, source, line),
+nsrc AS (SELECT source, COUNT(*)::BIGINT AS nd FROM documents GROUP BY source),
+dfreq AS (SELECT source, line, COUNT(*)::BIGINT AS df
+          FROM docline GROUP BY source, line),
+boiler AS (SELECT d.source, d.line FROM dfreq d JOIN nsrc USING (source)
+           WHERE df >= {min_df} AND df * {frac_den} >= {frac_num} * nd),
+per AS (
+  SELECT dl.doc_id, SUM(dl.occ)::BIGINT AS n_lines,
+         SUM(CASE WHEN b.line IS NOT NULL THEN dl.occ ELSE 0 END)::BIGINT AS n_boiler
+  FROM docline dl LEFT JOIN boiler b
+    ON b.source = dl.source AND b.line = dl.line
+  GROUP BY dl.doc_id)
+SELECT doc_id, n_lines, n_boiler,
+       ROUND(n_boiler::DOUBLE / n_lines, 6) AS boiler_ratio
+FROM per ORDER BY doc_id"""
+
+
 def _span_dedup_sql(k: int = 5) -> str:
     """Span-level exact-substring dedup trim oracle (tabular.q_span_dedup,
     the Lee et al. 2022 removal rule): word-k-grams rebuilt as STRINGS, a
@@ -3315,6 +3352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_sweep_cut": tabular.q_ppr_sweep_cut,  # SQL-oracled (K=1 PPR unroll + XOR crossing)
         "wl_refinement": tabular.q_wl_refinement,  # SQL-oracled (fmix chain + wraparound SUM rounds)
         "spectral_bisection": tabular.q_spectral_bisection,  # SQL-oracled (all-integer power iteration)
+        "boilerplate_lines": tabular.q_boilerplate_lines,  # SQL-oracled (string-line df mirror)
         "lin_closeness": tabular.q_lin_closeness,  # SQL-oracled (HyperBall reach/sumdist fold)
         "window_active_users": tabular.q_window_active_users,  # SQL-oracled (hopping-window HLL)
         "graph_coloring": tabular.q_graph_coloring,  # SQL-oracled (fixed-unroll JP rounds)
@@ -3561,6 +3599,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_sweep_cut": _sweep_cut_sql(iters=8, mod=97, prefixes=60),
         "wl_refinement": _wl_sql(iters=3),
         "spectral_bisection": _spectral_sql(iters=12, target=10**6),
+        "boilerplate_lines": _boilerplate_sql(line_len=8, min_df=2, frac_num=1, frac_den=20),
         "mixture_weights": _mixture_weights_sql(tau=0.7),
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "densest_subgraph": _densest_sql(rounds=12),

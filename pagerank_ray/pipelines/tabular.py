@@ -4358,6 +4358,166 @@ def q_line_dedup(sf_dir: str, line_len: int = 8) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_boilerplate_lines(
+    sf_dir: str, line_len: int = 8, min_df: int = 2,
+    frac_num: int = 1, frac_den: int = 20,
+) -> pd.DataFrame:
+    """Frequency-based boilerplate line detection (the template-removal
+    rule of C4 — Raffel et al. 2020 §2.2 "lines appearing in multiple
+    pages" — and CCNet's per-snapshot paragraph-frequency dedup, Wenzek et
+    al. 2020), scoped PER SOURCE the way real pipelines scope it per host:
+    a ``line_len``-word segment is BOILERPLATE for source s iff its
+    document frequency within s satisfies df ≥ min_df AND
+    df·frac_den ≥ frac_num·n_docs(s) (default: ≥5% of the source's docs
+    and at least 2, exact integer inequality — C4 removes at df ≥ 2; the
+    percentage guard keeps tiny sources from flagging every repeat). Per doc with ≥1 token: n_lines, n_boiler
+    (line OCCURRENCES whose segment is boilerplate), ROUND(6) ratio.
+
+    Shape: one text pass emits one row per distinct (doc, line-hash) with
+    its occurrence count (docs never split across rows, so the per-doc
+    reduce is batch-local); a line-hash bucketed groupby computes each
+    (source, line)'s document frequency — rows ARE distinct docs — and
+    flags against the broadcast per-source doc counts; a doc-bucketed
+    groupby folds Σocc / Σocc·flag. Nothing corpus-sized on the driver.
+    Line hashes are the position-weighted polynomial of q_line_dedup
+    (equal hash ≡ equal joined string modulo 64-bit collisions); the
+    oracle rebuilds lines as STRINGS (__ray_entry__._boilerplate_sql)."""
+    import ray
+
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.dedup import _POLY_C, _hash_tokens
+
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    # per-source doc counts: O(#batches) partials → tiny broadcast
+    nsrc_parts = docs.map_batches(
+        lambda df: df.groupby("source", sort=False)
+        .size()
+        .rename("c")
+        .reset_index(),
+        batch_format="pandas",
+    ).to_pandas()
+    nsrc = nsrc_parts.groupby("source", sort=True)["c"].sum()
+    src_names = nsrc.index.to_numpy()
+    src_counts = nsrc.to_numpy(np.int64)
+    nsrc_ref = ray.put((src_names, src_counts))
+
+    with np.errstate(over="ignore"):
+        pw = np.ones(line_len, dtype=np.uint64)
+        for j in range(1, line_len):
+            pw[j] = pw[j - 1] * _POLY_C
+
+    def line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        empty = pd.DataFrame(
+            {
+                "g": pd.Series(dtype=np.uint64),
+                "doc_id": pd.Series(dtype=np.int64),
+                "source": pd.Series(dtype=object),
+                "occ": pd.Series(dtype=np.int64),
+            }
+        )
+        if n_tok.sum() == 0:
+            return empty
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        h = np.zeros(len(flat), dtype=np.uint64)
+        h[valid] = _hash_tokens(flat[valid].tolist())
+        h = h[valid]
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), n_tok)
+        starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        p = np.arange(len(h), dtype=np.int64) - starts[doc_idx]
+        li = p // line_len
+        q = p % line_len
+        ll = np.minimum(line_len, n_tok[doc_idx] - li * line_len)
+        with np.errstate(over="ignore"):
+            w = h * pw[ll - 1 - q]
+        if ((n_tok + line_len - 1) // line_len >= (1 << 16)).any():
+            raise ValueError("line_idx exceeds the 2^16 position encoding")
+        key = doc_idx * (1 << 16) + li
+        order = np.argsort(key, kind="stable")
+        ks, ws = key[order], w[order]
+        bounds = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        with np.errstate(over="ignore"):
+            g = np.add.reduceat(ws, bounds)  # per-(doc,line) polynomial hash
+        d_idx = (ks[bounds] >> 16).astype(np.int64)
+        # distinct (doc, line-hash) with occurrence counts — batch-local ≡
+        # global because docs never split across rows
+        dg = pd.DataFrame({"d": d_idx, "g": g})
+        red = dg.groupby(["d", "g"], sort=False).size().rename("occ").reset_index()
+        ids = df["doc_id"].to_numpy(np.int64)
+        srcs = df["source"].to_numpy()
+        return pd.DataFrame(
+            {
+                "g": red["g"].to_numpy(),
+                "doc_id": ids[red["d"].to_numpy()],
+                "source": srcs[red["d"].to_numpy()],
+                "occ": red["occ"].to_numpy(np.int64),
+            }
+        )
+
+    occ = docs.map_batches(line_rows, batch_format="pandas")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        mixed = (g * np.uint64(0x9E3779B1)) & np.uint64(0x7FFFFFFF)
+        return t.append_column(
+            "bucket", pa.array((mixed % np.uint64(n_buckets)).astype(np.int32))
+        )
+
+    def flag_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        names, counts = joins.broadcast_get(nsrc_ref, lambda x: x, "boiler_nsrc")
+        dfreq = (
+            df.groupby(["source", "g"], sort=False)["doc_id"]
+            .transform("size")
+            .to_numpy(np.int64)
+        )
+        pos = np.searchsorted(names, df["source"].to_numpy())
+        nd = counts[np.clip(pos, 0, len(counts) - 1)]
+        boiler = (dfreq >= min_df) & (dfreq * frac_den >= frac_num * nd)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "occ": df["occ"].to_numpy(np.int64),
+                "boil": df["occ"].to_numpy(np.int64) * boiler.astype(np.int64),
+            }
+        )
+        agg = out.groupby("doc_id", sort=False).sum().reset_index()
+        h = (agg["doc_id"].to_numpy(np.int64) * np.int64(0x9E3779B1)) & np.int64(
+            0x7FFFFFFF
+        )
+        agg["dbkt"] = (h % n_buckets).astype(np.int32)
+        return agg
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("doc_id", sort=False)[["occ", "boil"]].sum().reset_index()
+        )
+
+    res = (
+        occ.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(flag_bucket, batch_format="pandas")
+        .groupby("dbkt")
+        .map_groups(per_doc, batch_format="pandas")
+        .to_pandas()
+    )
+    res = res.rename(columns={"occ": "n_lines", "boil": "n_boiler"})
+    res["n_lines"] = res["n_lines"].astype(np.int64)
+    res["n_boiler"] = res["n_boiler"].astype(np.int64)
+    res["boiler_ratio"] = _round_half_away(
+        res["n_boiler"].to_numpy(np.float64) / res["n_lines"].to_numpy(np.float64),
+        6,
+    )
+    return (
+        res[["doc_id", "n_lines", "n_boiler", "boiler_ratio"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_span_dedup(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Span-level exact-substring dedup trim (the REMOVAL half of Lee et
     al. 2022 "Deduplicating Training Data Makes Language Models Better" —

@@ -1681,6 +1681,88 @@ def test_q_line_dedup_matches_reference(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Frequency-based boilerplate line detection (boilerplate_lines)
+# ---------------------------------------------------------------------------
+
+
+def _write_docs_src(tmp_path, texts, sources):
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "documents.parquet"))
+
+
+def test_q_boilerplate_lines_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_boilerplate_lines
+
+    hdr = "h1 h2 h3 h4 h5 h6 h7 h8"
+    uniq = ["u%d" % i for i in range(40)]
+    texts = [
+        hdr + " " + " ".join(uniq[0:8]),    # src a: header + unique line
+        hdr + " " + " ".join(uniq[8:16]),   # src a: header + unique line
+        hdr,                                # src a: header only
+        " ".join(uniq[16:24]),              # src a: no header (df(hdr)=3/4)
+        " ".join(uniq[24:32]),              # src b: unique
+        " ".join(uniq[24:32]),              # src b: duplicate of doc 5 (df=2/2)
+        " ".join(uniq[32:40]) + " " + " ".join(uniq[32:40]),  # src c:
+        # same line TWICE in ONE doc → df=1, not boilerplate, n_lines=2
+    ]
+    srcs = ["a", "a", "a", "a", "b", "b", "c"]
+    _write_docs_src(tmp_path, texts, srcs)
+    out = q_boilerplate_lines(str(tmp_path)).set_index("doc_id")
+    assert out.loc[1, ["n_lines", "n_boiler"]].tolist() == [2, 1]
+    assert out.loc[1, "boiler_ratio"] == 0.5
+    assert out.loc[2, ["n_lines", "n_boiler"]].tolist() == [2, 1]
+    assert out.loc[3, ["n_lines", "n_boiler"]].tolist() == [1, 1]
+    assert out.loc[4, ["n_lines", "n_boiler"]].tolist() == [1, 0]
+    assert out.loc[5, ["n_lines", "n_boiler"]].tolist() == [1, 1]
+    assert out.loc[6, ["n_lines", "n_boiler"]].tolist() == [1, 1]
+    assert out.loc[7, ["n_lines", "n_boiler"]].tolist() == [2, 0]
+
+
+def test_q_boilerplate_lines_matches_reference(ray_session, tmp_path):
+    """Random corpus with planted per-source headers vs a brute replay."""
+    from pagerank_ray.pipelines.tabular import q_boilerplate_lines
+
+    rng = np.random.default_rng(37)
+    vocab = ["w%d" % i for i in range(30)]
+    texts, srcs = [], []
+    for si in range(3):
+        hdr = " ".join("s%d_%d" % (si, j) for j in range(8))
+        for di in range(12):
+            body = " ".join(rng.choice(vocab, rng.integers(1, 30)))
+            texts.append((hdr + " " + body) if di % 2 == 0 else body)
+            srcs.append("src%d" % si)
+    _write_docs_src(tmp_path, texts, srcs)
+    out = q_boilerplate_lines(str(tmp_path)).set_index("doc_id")
+
+    ll, min_df, fn, fd = 8, 2, 1, 20
+    nd = {}
+    for s in srcs:
+        nd[s] = nd.get(s, 0) + 1
+    docline = {}
+    for di, (t, s) in enumerate(zip(texts, srcs), start=1):
+        w = t.split()
+        for li in range((len(w) + ll - 1) // ll):
+            line = " ".join(w[li * ll:(li + 1) * ll])
+            docline[(di, s, line)] = docline.get((di, s, line), 0) + 1
+    dfreq = {}
+    for (di, s, line) in docline:
+        dfreq[(s, line)] = dfreq.get((s, line), 0) + 1
+    for di, (t, s) in enumerate(zip(texts, srcs), start=1):
+        nl = sum(occ for (d2, _, _), occ in docline.items() if d2 == di)
+        nb = sum(occ for (d2, s2, l2), occ in docline.items()
+                 if d2 == di and dfreq[(s2, l2)] >= min_df
+                 and dfreq[(s2, l2)] * fd >= fn * nd[s2])
+        assert out.loc[di, "n_lines"] == nl
+        assert out.loc[di, "n_boiler"] == nb
+
+
+# ---------------------------------------------------------------------------
 # Span-level exact-substring dedup trim (span_dedup)
 # ---------------------------------------------------------------------------
 
