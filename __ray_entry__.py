@@ -316,7 +316,7 @@ def _spectral_sql(iters: int = 12, target: int = 10**6) -> str:
     identical all-integer power iteration on M = c·I − L — fmix64 init
     (shared _fmix_chain_sql), exact BIGINT matvec per round, integer
     centering wc = n·w − Σw and renormalization wc // dv with dv =
-    max(1, max|wc| // target) — bit-exact by construction."""
+    max(1, (n·max|w| + |Σw|) // target) — bit-exact by construction."""
     span = 2 * target + 1
     p = [
         f"WITH e0 AS MATERIALIZED {_EDGES},",
@@ -348,8 +348,10 @@ def _spectral_sql(iters: int = 12, target: int = 10**6) -> str:
             f"(SELECT n FROM nn) * w - (SELECT sw FROM sc{t}) AS wc FROM w{t}),"
         )
         p.append(
-            f"dv{t} AS (SELECT GREATEST(1, GREATEST(MAX(wc), MAX(-wc)) "
-            f"// {target})::BIGINT AS dv FROM wc{t}),"
+            f"dv{t} AS (SELECT GREATEST(1, "
+            f"((SELECT n FROM nn) * GREATEST(MAX(w), MAX(-w)) "
+            f"+ ABS((SELECT sw FROM sc{t}))) // {target})::BIGINT AS dv "
+            f"FROM w{t}),"
         )
         p.append(
             f"v{t + 1} AS MATERIALIZED (SELECT id, "

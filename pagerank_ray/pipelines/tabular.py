@@ -7380,9 +7380,12 @@ def q_spectral_bisection(
     an exact int64 sum (order-free — the distributed batch split cannot
     change it); centering is the integer form wc = n·w − Σw; each round
     renormalizes by integer division v ← sign(wc)·(|wc| // dv) with
-    dv = max(1, max|wc| // target). No float anywhere, so the unrolled
-    DuckDB oracle (__ray_entry__._spectral_sql) matches bit-exactly.
-    int64 bound: |wc| ≤ 2·n·(c+max_deg)·target — checked loudly each round.
+    dv = max(1, (n·max|w| + |Σw|) // target) — an upper bound of max|wc|
+    computable from the SAME one-pass (Σw, max|w|) partials, so each round
+    costs one scalar scan instead of two. No float anywhere, so the
+    unrolled DuckDB oracle (__ray_entry__._spectral_sql) matches
+    bit-exactly. int64 bound: |wc| ≤ 2·n·(c+max_deg)·target — checked
+    loudly each round.
 
     Shape per round: one broadcast-or-hash join attaches v to edge
     sources, one bucketed exact-int sum by dst, O(#batches) scalar
@@ -7453,20 +7456,11 @@ def q_spectral_bisection(
             batch_format="pyarrow",
         ).to_pandas()
         sw = int(part["sw"].sum())  # exact (Python int combine)
-        if n * int(part["mw"].max()) + abs(sw) >= 2**62:
+        bound = n * int(part["mw"].max()) + abs(sw)
+        if bound >= 2**62:
             raise OverflowError("spectral_bisection: n·max|w| near int64 range "
                                 "— lower `target` for this graph size")
-        mx_parts = wds.map_batches(
-            lambda t: pa.table(
-                {
-                    "m": pa.array([int(np.abs(
-                        int(n) * t.column("w").to_numpy(zero_copy_only=False) - sw
-                    ).max())])
-                }
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
-        dv = max(1, int(mx_parts["m"].max()) // target)
+        dv = max(1, bound // target)
 
         def renorm(t: pa.Table) -> pa.Table:
             w = t.column("w").to_numpy(zero_copy_only=False)

@@ -1846,7 +1846,7 @@ def _spectral_reference(pairs, iters=12, target=10**6):
         w = (c - deg) * v + av
         sw = int(w.sum())
         wc = n * w - sw
-        dv = max(1, int(np.abs(wc).max()) // target)
+        dv = max(1, (n * int(np.abs(w).max()) + abs(sw)) // target)
         v = np.sign(wc) * (np.abs(wc) // dv)
     return {ids[i]: int(v[i] >= 0) for i in range(n)}
 
