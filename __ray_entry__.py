@@ -16,9 +16,10 @@ cannot disagree on the count within float noise. ``doc_fingerprint`` and
 ``simhash_pairs`` are hash-checked by reimplementing the engine's 64-bit
 hashes in pure DuckDB SQL (``_fingerprint_sql`` / ``_TOKEN_HASH_CTES`` —
 the round-3 token hash is a byte polynomial + fmix64 chosen to be
-SQL-reproducible). The remaining rows-only entries:
-``multimodal_image_features`` (binary image decode) is inherently
-non-SQL-reproducible; its gate is the NumPy-oracle pytest suite.
+SQL-reproducible). ``multimodal_image_features`` (binary image decode) is
+inherently non-SQL-reproducible; since r5 its oracle is a checked-in golden
+parquet (generated once by bench/make_multimodal_golden.py from the
+pytest-gated pure-NumPy codecs), so every queries() entry has an oracle.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ray.init()/ray.shutdown().
@@ -3343,9 +3344,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # golden-parquet oracle, shedding no_oracle) — then every entry with
         # no driver hash-row yet (the r5 operator batches, newest first).
         # Everything below slot 50 keeps a green r3/r4 row over
-        # byte-unchanged code, locally re-swept (bench/sweep_oracle.py at
-        # sf0.01: 141/141 OK on 2026-08-20, before the winnowing_fp entry;
-        # winnowing_fp swept green separately the same day). ---
+        # byte-unchanged code, locally re-swept (bench/sweep_oracle.py full
+        # roster at sf0.01 on 2026-08-20: 146/146 OK — includes all seven
+        # same-day additions; the post-sweep spectral dv change re-swept
+        # green at both sf0.001 and sf0.01). ---
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
         "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
