@@ -266,6 +266,70 @@ SELECT c.k AS prefix_k, c.cut, w.vol,
 FROM cutk c JOIN volk w ON w.k = c.k ORDER BY c.k"""
 
 
+def _simrank_sql(
+    mod: int = 512, length: int = 5, n_seeds: int = 3,
+    decay: float = 0.8, topk: int = 5,
+) -> str:
+    """Fingerprint-SimRank oracle (tabular.q_simrank_topk): replays the
+    coupled walk fields exactly — x = pos·1000003 + (k·1000 + t), fmix64
+    (shared chain), rank = h % deg against the dst-sorted adjacency (the
+    _walks_sql convention) — then MIN meeting step per (seed, q, v), the
+    integer decay table c_int[t] = round(C^t·10⁶), and top-k by the EXACT
+    integer Σc_int (ties → smaller v)."""
+    import numpy as _np
+
+    c_int = {
+        t: int(_np.floor(abs(decay**t) * 1e6 + 0.5)) for t in range(1, length + 1)
+    }
+    case = " ".join(f"WHEN {t} THEN {c}" for t, c in c_int.items())
+    p = [
+        f"WITH e0 AS MATERIALIZED {_EDGES},",
+        "ud AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b "
+        "FROM e0 WHERE s <> d),",
+        "es AS MATERIALIZED (SELECT a AS s, b AS d FROM ud UNION ALL SELECT b, a FROM ud),",
+        "v AS MATERIALIZED (SELECT DISTINCT s AS id FROM es),",
+        "deg AS MATERIALIZED (SELECT s, COUNT(*)::UBIGINT AS dg FROM es GROUP BY s),",
+        "nbr AS MATERIALIZED (SELECT s, d, (ROW_NUMBER() OVER "
+        "(PARTITION BY s ORDER BY d) - 1)::UBIGINT AS rnk FROM es),",
+    ]
+    m_names = []
+    for k in range(n_seeds):
+        p.append(f"p{k}0 AS (SELECT id AS w, id AS pos FROM v),")
+        for t in range(1, length + 1):
+            salt = k * 1000 + t
+            p.append(
+                f"x{k}{t} AS (SELECT w, pos, "
+                f"(pos::UBIGINT * 1000003 + {salt})::UBIGINT AS x "
+                f"FROM p{k}{t - 1}),"
+            )
+            p.append(_fmix_chain_sql(f"f{k}t{t}", f"x{k}{t}", carry="w, pos, ") + ",")
+            p.append(
+                f"p{k}{t} AS MATERIALIZED (SELECT h.w, nbr.d AS pos "
+                f"FROM f{k}t{t}hv h JOIN deg ON deg.s = h.pos "
+                f"JOIN nbr ON nbr.s = h.pos AND nbr.rnk = (h.h % deg.dg)),"
+            )
+            p.append(
+                f"m{k}{t} AS (SELECT {k} AS k, qq.w AS q, p.w AS v, {t} AS t "
+                f"FROM p{k}{t} p JOIN p{k}{t} qq ON qq.pos = p.pos "
+                f"AND qq.w % {mod} = 0 AND qq.w <> p.w),"
+            )
+            m_names.append(f"m{k}{t}")
+    unions = " UNION ALL ".join(f"SELECT * FROM {m}" for m in m_names)
+    p.append(f"mt AS ({unions}),")
+    p.append("fst AS (SELECT k, q, v, MIN(t) AS t FROM mt GROUP BY k, q, v),")
+    p.append(
+        f"ci AS (SELECT q, v, SUM(CASE t {case} END)::BIGINT AS ci "
+        f"FROM fst GROUP BY q, v),"
+    )
+    p.append(
+        "rk AS (SELECT q, v, ci, ROW_NUMBER() OVER "
+        "(PARTITION BY q ORDER BY ci DESC, v ASC) AS rank FROM ci)"
+    )
+    return "\n".join(p) + f"""
+SELECT q, v, ROUND(ci::DOUBLE / {n_seeds * 10**6}, 6) AS score, rank::BIGINT AS rank
+FROM rk WHERE rank <= {topk} ORDER BY q, rank"""
+
+
 def _wl_sql(iters: int = 3) -> str:
     """Weisfeiler-Lehman refinement oracle (tabular.q_wl_refinement):
     identical arithmetic in HUGEINT — per-edge fmix64 of the source color
@@ -3357,6 +3421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_refinement": tabular.q_wl_refinement,  # SQL-oracled (fmix chain + wraparound SUM rounds)
         "spectral_bisection": tabular.q_spectral_bisection,  # SQL-oracled (all-integer power iteration)
         "boilerplate_lines": tabular.q_boilerplate_lines,  # SQL-oracled (string-line df mirror)
+        "simrank_topk": tabular.q_simrank_topk,  # SQL-oracled (coupled-walk replay + integer fold)
         "lin_closeness": tabular.q_lin_closeness,  # SQL-oracled (HyperBall reach/sumdist fold)
         "window_active_users": tabular.q_window_active_users,  # SQL-oracled (hopping-window HLL)
         "graph_coloring": tabular.q_graph_coloring,  # SQL-oracled (fixed-unroll JP rounds)
@@ -3604,6 +3669,7 @@ def oracle_sql() -> dict[str, str]:
         "wl_refinement": _wl_sql(iters=3),
         "spectral_bisection": _spectral_sql(iters=12, target=10**6),
         "boilerplate_lines": _boilerplate_sql(line_len=8, min_df=2, frac_num=1, frac_den=20),
+        "simrank_topk": _simrank_sql(mod=512, length=5, n_seeds=3, decay=0.8, topk=5),
         "mixture_weights": _mixture_weights_sql(tau=0.7),
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "densest_subgraph": _densest_sql(rounds=12),

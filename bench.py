@@ -247,7 +247,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     "superstep": ["pagerank_superstep_40m_edges"],
     "r5f": ["ppr_batch", "orc_source", "lin_closeness", "window_active_users", "graph_coloring", "tokenizer_fertility", "maximal_matching", "shuffle_shards", "coarsen_graph", "quantiles_by_flag", "decayed_activity", "robust_price_stats", "partition_edge_cut", "vertex_cover"],
     "r5g": ["span_dedup", "winnowing_fp", "condensation_layers", "ppr_sweep_cut",
-            "wl_refinement", "spectral_bisection", "boilerplate_lines"],
+            "wl_refinement", "spectral_bisection", "boilerplate_lines",
+            "simrank_topk"],
 }
 
 
@@ -421,6 +422,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("wl_refinement", lambda: tabular.q_wl_refinement(SF_DIR))
     timed("spectral_bisection", lambda: tabular.q_spectral_bisection(SF_DIR))
     timed("boilerplate_lines", lambda: tabular.q_boilerplate_lines(SF_DIR))
+    timed("simrank_topk", lambda: tabular.q_simrank_topk(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -7267,6 +7267,25 @@ def q_ppr_sweep_cut(
     return out
 
 
+def q_simrank_topk(
+    sf_dir: str, mod: int = 512, length: int = 5, n_seeds: int = 3,
+    decay: float = 0.8, topk: int = 5,
+) -> pd.DataFrame:
+    """Fingerprint SimRank top-k (Fogaras & Rácz WWW 2005 — see
+    pipelines/simrank.py): coupled deterministic walk fields over the
+    symmetrized lineitem graph, first-meeting-time decay C^τ averaged over
+    ``n_seeds`` fields, top-``topk`` similar vertices per query
+    (ids % mod == 0). Hash-checked against a DuckDB oracle replaying the
+    identical fmix64 walk choices and integer meeting fold
+    (__ray_entry__._simrank_sql)."""
+    from pagerank_ray.pipelines.simrank import simrank_fingerprints
+
+    return simrank_fingerprints(
+        _sym_lineitem_edges(sf_dir), mod=mod, length=length,
+        n_seeds=n_seeds, decay=decay, topk=topk,
+    )
+
+
 def q_wl_refinement(sf_dir: str, iters: int = 3) -> pd.DataFrame:
     """Weisfeiler-Lehman color refinement (Weisfeiler & Leman 1968; the
     1-WL vertex-refinement pass behind WL graph kernels — Shervashidze et

@@ -1819,6 +1819,87 @@ def test_q_span_dedup_matches_reference(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Fingerprint SimRank (Fogaras-Rácz coupled walks)
+# ---------------------------------------------------------------------------
+
+
+def _simrank_reference(pairs, mod, length=5, n_seeds=3, decay=0.8, topk=5):
+    """Pure-Python replay of the coupled deterministic walk fields."""
+    from pagerank_ray.functions.text import fmix64
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    ids = sorted({v for e in und for v in e})
+    nbr = {v: [] for v in ids}
+    for a, b in und:
+        nbr[a].append(b)
+        nbr[b].append(a)
+    for v in ids:
+        nbr[v].sort()
+    c_int = {t: int(np.floor(abs(decay**t) * 1e6 + 0.5)) for t in range(1, length + 1)}
+    queries = [v for v in ids if v % mod == 0]
+    first = {}
+    for k in range(n_seeds):
+        pos = {v: v for v in ids}
+        for t in range(1, length + 1):
+            with np.errstate(over="ignore"):
+                nxt = {}
+                for v in ids:
+                    p = pos[v]
+                    x = np.uint64(p) * np.uint64(1000003) + np.uint64(k * 1000 + t)
+                    h = int(fmix64(np.array([x], dtype=np.uint64))[0])
+                    nxt[v] = nbr[p][h % len(nbr[p])]
+                pos = nxt
+            for q in queries:
+                for v in ids:
+                    if v != q and pos[v] == pos[q]:
+                        first.setdefault((k, q, v), t)
+    ci = {}
+    for (k, q, v), t in first.items():
+        ci[(q, v)] = ci.get((q, v), 0) + c_int[t]
+    out = {}
+    for q in queries:
+        rows = sorted(
+            ((c, v) for (q2, v), c in ci.items() if q2 == q),
+            key=lambda cv: (-cv[0], cv[1]),
+        )[:topk]
+        out[q] = [
+            (v, float(np.floor(abs(c / (n_seeds * 1e6)) * 1e6 + 0.5) / 1e6), r + 1)
+            for r, (c, v) in enumerate(rows)
+        ]
+    return out
+
+
+def test_q_simrank_topk_star(ray_session, tmp_path):
+    """Star graph: every leaf's only move is onto the hub, so all leaves
+    meet at t=1 in every field — pairwise leaf similarity is exactly C."""
+    from pagerank_ray.pipelines.tabular import q_simrank_topk
+
+    pairs = [(3, 512), (3, 7), (3, 9), (3, 11)]  # hub 3, leaves incl query 512
+    _write_lineitem_edges(tmp_path, [a for a, _ in pairs], [b for _, b in pairs])
+    out = q_simrank_topk(str(tmp_path), mod=512)
+    top3 = out[out["q"] == 512].head(3)
+    assert top3["v"].tolist() == [7, 9, 11]
+    assert (top3["score"] == 0.8).all()
+
+
+def test_q_simrank_topk_matches_reference(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_simrank_topk
+
+    rng = np.random.default_rng(41)
+    src = rng.integers(1, 25, 80).tolist()
+    dst = rng.integers(1, 25, 80).tolist()
+    _write_lineitem_edges(tmp_path, src, dst)
+    out = q_simrank_topk(str(tmp_path), mod=6)
+    want = _simrank_reference(list(zip(src, dst)), mod=6)
+    got = {}
+    for r in out.itertuples():
+        got.setdefault(int(r.q), []).append(
+            (int(r.v), float(r.score), int(r.rank))
+        )
+    assert got == {q: rows for q, rows in want.items() if rows}
+
+
+# ---------------------------------------------------------------------------
 # Spectral bisection (Fiedler vector by integer power iteration)
 # ---------------------------------------------------------------------------
 
