@@ -38,7 +38,9 @@ _STEP_MUL = np.uint64(1000003)  # the walks-family step-salt convention
 
 def _ranked_edges(sym: rd.Dataset, *, n_buckets: int = 64) -> rd.Dataset:
     """(key = src·2²¹ + rank, dst) with rank = 0-based position of dst in
-    the dst-sorted adjacency of src — the join target for one walk step."""
+    the dst-sorted adjacency of src — the join target for one walk step.
+    ``simrank_fingerprints`` packs the destination's degree into the value
+    (val = dst·2²¹ + deg(dst)) so each step costs ONE join, not two."""
 
     def bucketize(t: pa.Table) -> pa.Table:
         s = t.column("src_id").to_numpy(zero_copy_only=False)
@@ -85,7 +87,19 @@ def simrank_fingerprints(
     m_edges = sym.count()
     deg = grouped_count(sym, "src_id", "deg").materialize()
     n = deg.count()
-    ranked = _ranked_edges(sym).materialize()
+    ranked_raw = joins.attach_column(
+        _ranked_edges(sym), deg, probe_col="dst", build_key="src_id",
+        build_val="deg", out_col="ddeg", build_count=n,
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        dd = t.column("ddeg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": t.column("key"), "val": pa.array(d * (1 << 21) + dd)}
+        )
+
+    ranked = ranked_raw.map_batches(pack, batch_format="pyarrow").materialize()
     c_int = {t: int(np.floor(abs(decay**t) * 1e6 + 0.5)) for t in range(1, length + 1)}
 
     all_matches: list[pd.DataFrame] = []
@@ -112,14 +126,21 @@ def simrank_fingerprints(
 
             moved = joins.attach_column(
                 state.map_batches(to_key, batch_format="pyarrow"),
-                ranked, probe_col="key", build_key="key", build_val="dst",
-                out_col="pos", build_count=m_edges, drop_probe_col=True,
+                ranked, probe_col="key", build_key="key", build_val="val",
+                out_col="pv", build_count=m_edges, drop_probe_col=True,
             )
-            # re-attach the NEW position's degree for the next step
-            state = joins.attach_column(
-                moved, deg, probe_col="pos", build_key="src_id",
-                build_val="deg", out_col="deg", build_count=n,
-            ).materialize()
+
+            def unpack(tb: pa.Table) -> pa.Table:
+                pv = tb.column("pv").to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "w": tb.column("w"),
+                        "pos": pa.array(pv >> 21),
+                        "deg": pa.array(pv & ((1 << 21) - 1)),
+                    }
+                )
+
+            state = moved.map_batches(unpack, batch_format="pyarrow").materialize()
 
             # query walkers' positions: |Q| rows of driver traffic per step
             qdf = state.map_batches(
