@@ -58,7 +58,8 @@ def _ranked_edges(sym: rd.Dataset, *, n_buckets: int = 64) -> rd.Dataset:
         gid = np.cumsum(newg) - 1
         starts = np.flatnonzero(newg)
         rank = np.arange(len(s), dtype=np.int64) - starts[gid]
-        if (rank >= (1 << 21)).any():
+        # deg = max rank + 1 must itself fit the 21-bit packed-value field
+        if (rank >= (1 << 21) - 1).any():
             raise ValueError("degree exceeds the 2^21 key encoding")
         return pd.DataFrame({"key": s * (1 << 21) + rank, "dst": d})
 

@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -1816,6 +1817,45 @@ def test_q_span_dedup_matches_reference(ray_session, tmp_path):
         assert out.loc[di, "n_tokens"] == len(w)
         assert out.loc[di, "n_removed"] == len(covered)
         assert out.loc[di, "removed_ratio"] == round(len(covered) / len(w), 6)
+
+
+# ---------------------------------------------------------------------------
+# Loud-guard paths of the r5 extension operators
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_position_encoding_guard(ray_session, tmp_path):
+    """A doc with ≥ 2^20 tokens must fail loudly, not silently mis-encode."""
+    from pagerank_ray.pipelines.tabular import q_span_dedup
+
+    _write_docs(tmp_path, ["w " * (1 << 20)])
+    with pytest.raises(Exception, match="2\\^20 position encoding"):
+        q_span_dedup(str(tmp_path))
+
+
+def test_simrank_ranked_edges_degree_guard(ray_session):
+    """A vertex with degree ≥ 2^21 must fail loudly in the key encoding."""
+    import ray.data as rd
+
+    from pagerank_ray.pipelines.simrank import _ranked_edges
+
+    hub = np.zeros(1 << 21, dtype=np.int64) + 1
+    leaves = np.arange(2, (1 << 21) + 2, dtype=np.int64)
+    sym = rd.from_arrow(pa.table({
+        "src_id": pa.array(hub), "dst_id": pa.array(leaves),
+    }))
+    with pytest.raises(Exception, match="2\\^21 key encoding"):
+        _ranked_edges(sym).materialize()
+
+
+def test_spectral_overflow_guard(ray_session, tmp_path):
+    """target high enough that n·max|w| crosses 2^62 must raise, not wrap."""
+    from pagerank_ray.pipelines.tabular import q_spectral_bisection
+
+    pairs = [(1, 2), (2, 3), (3, 1)]
+    _write_lineitem_edges(tmp_path, [a for a, _ in pairs], [b for _, b in pairs])
+    with pytest.raises(OverflowError, match="int64 range"):
+        q_spectral_bisection(str(tmp_path), target=2**60)
 
 
 # ---------------------------------------------------------------------------
