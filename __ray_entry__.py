@@ -3414,6 +3414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green at both sf0.001 and sf0.01). ---
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
         "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
+        "graph_compress": tabular.q_graph_compress,  # SQL-oracled (gap+varint CASE chain)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3724,6 +3725,27 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT dst_id, COUNT(*)::DOUBLE AS in_deg FROM e GROUP BY dst_id) "
             "SELECT (FLOOR(LOG2(in_deg)) + 1)::BIGINT AS bin, COUNT(*)::BIGINT AS n_vertices "
             "FROM d GROUP BY 1 ORDER BY bin"
+        ),
+        "graph_compress": (
+            # WebGraph gap + LEB128 varint audit: first value dst_0+1 then
+            # successive gaps; byte cost = ceil(bitlen/7) via an exact CASE
+            # chain; degree bin = LENGTH(BIN(deg))-1 ≡ floor(log2 deg)
+            # exactly (no float log) — mirrors np.frexp in the engine
+            f"WITH e AS {edges}, "
+            "g AS (SELECT src_id, COALESCE(dst_id - LAG(dst_id) OVER "
+            "(PARTITION BY src_id ORDER BY dst_id), dst_id + 1) AS val FROM e), "
+            "b AS (SELECT src_id, COUNT(*)::BIGINT AS deg, SUM(CASE "
+            "WHEN val < 128 THEN 1 WHEN val < 16384 THEN 2 "
+            "WHEN val < 2097152 THEN 3 WHEN val < 268435456 THEN 4 "
+            "WHEN val < 34359738368 THEN 5 WHEN val < 4398046511104 THEN 6 "
+            "WHEN val < 562949953421312 THEN 7 "
+            "WHEN val < 72057594037927936 THEN 8 ELSE 9 END)::BIGINT AS bytes "
+            "FROM g GROUP BY src_id) "
+            "SELECT (LENGTH(BIN(deg)) - 1)::BIGINT AS degree_bin, "
+            "COUNT(*)::BIGINT AS n_src, SUM(deg)::BIGINT AS n_edges, "
+            "SUM(bytes)::BIGINT AS total_bytes, "
+            "ROUND(8.0 * SUM(bytes) / SUM(deg), 6) AS bits_per_edge "
+            "FROM b GROUP BY 1 ORDER BY degree_bin"
         ),
         "pagerank_fixed": _pagerank_sql(iters=20, alpha=0.85),
         "pagerank_personalized": _pagerank_pers_sql(iters=20, alpha=0.85, mod=97),

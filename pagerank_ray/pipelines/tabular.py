@@ -140,6 +140,85 @@ def q_degree_histogram(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("bin").reset_index(drop=True)
 
 
+_VARINT_BOUNDS = np.array([1 << (7 * k) for k in range(1, 9)], dtype=np.int64)
+
+
+def q_graph_compress(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """WebGraph-style successor-list compression audit (Boldi & Vigna
+    2004 "The WebGraph Framework I" — gap encoding of sorted adjacency
+    lists + instantaneous codes; LEB128 varint stands in for their ζ
+    codes so byte counts are exact integers): each source's successors
+    are sorted ascending and coded as first = dst_0 + 1 then gaps
+    dst_i − dst_{i−1} (≥1 after dedup), each value costing one byte per
+    started 7-bit group. Reports, per out-degree bin b = floor(log2 deg)
+    (exact via ``np.frexp``, mirroring LENGTH(BIN(deg))−1 in the
+    oracle): n_src, n_edges, total_bytes and
+    bits_per_edge = ROUND(8·total_bytes / n_edges, 6).
+
+    Shape: edges are hash-bucketed by src (every src lands wholly in one
+    bucket) → per-bucket vectorized lexsort + reduceat fold to per-src
+    (deg, bytes) → per-bucket partial per-bin rows; the driver folds
+    ≤ n_buckets·64 partial rows. Nothing edge- or vertex-sized leaves
+    the bucketed stage, so the plan is one shuffle of the edge table."""
+    edges = lineitem_edges(sf_dir)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        src = t.column("src_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mixed = (src * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        return t.append_column(
+            "bucket", pa.array((mixed % n_buckets).astype(np.int32))
+        )
+
+    def fold_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src_id"].to_numpy(np.int64)
+        dst = df["dst_id"].to_numpy(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        first = np.concatenate(([True], src[1:] != src[:-1]))
+        val = dst - np.concatenate(([0], dst[:-1]))
+        val[first] = dst[first] + 1
+        if (val <= 0).any():
+            raise ValueError("non-positive gap: edge table is not deduplicated")
+        nbytes = np.digitize(val, _VARINT_BOUNDS) + 1
+        starts = np.flatnonzero(first)
+        deg = np.diff(np.concatenate((starts, [len(src)])))
+        per_src_bytes = np.add.reduceat(nbytes, starts)
+        _, ex = np.frexp(deg)
+        dbin = (ex - 1).astype(np.int64)
+        agg = (
+            pd.DataFrame(
+                {"degree_bin": dbin, "n_src": 1, "deg": deg, "b": per_src_bytes}
+            )
+            .groupby("degree_bin", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "degree_bin": agg["degree_bin"].to_numpy(np.int64),
+                "n_src": agg["n_src"].to_numpy(np.int64),
+                "n_edges": agg["deg"].to_numpy(np.int64),
+                "total_bytes": agg["b"].to_numpy(np.int64),
+            }
+        )
+
+    parts = (
+        edges.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    res = parts.groupby("degree_bin", sort=True).sum().reset_index()
+    res["bits_per_edge"] = _round_half_away(
+        8.0 * res["total_bytes"].to_numpy(np.float64)
+        / res["n_edges"].to_numpy(np.float64),
+        6,
+    )
+    return res[
+        ["degree_bin", "n_src", "n_edges", "total_bytes", "bits_per_edge"]
+    ].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # iterative graph algorithms on the same edge table (rows-only checks)
 # ---------------------------------------------------------------------------

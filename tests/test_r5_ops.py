@@ -3372,3 +3372,48 @@ def test_vertex_cover_covers_all_edges(ray_session, tmp_path):
     for a, b in zip(s.tolist(), d.tolist()):
         if a != b:
             assert a in cover or b in cover
+
+
+# ---------------------------------------------------------------------------
+# WebGraph gap+varint adjacency compression audit (graph_compress)
+# ---------------------------------------------------------------------------
+
+
+def test_q_graph_compress_planted(ray_session, tmp_path):
+    """Hand-computed byte counts: src 1 -> [1,2,130] codes (2,1,128) =
+    1+1+2 bytes, deg 3 -> bin 1; src 2 -> [200] codes (201,) = 2 bytes,
+    deg 1 -> bin 0; src 3 -> [5,6,7,8] codes (6,1,1,1) = 4 bytes, deg 4
+    -> bin 2. Duplicate edge (1,2) must not create a zero gap."""
+    from pagerank_ray.pipelines.tabular import q_graph_compress
+
+    edges = [(1, 1), (1, 2), (1, 130), (2, 200), (1, 2),
+             (3, 5), (3, 6), (3, 7), (3, 8)]
+    tbl = pa.table({
+        "l_orderkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_graph_compress(str(tmp_path)).set_index("degree_bin")
+    assert out.loc[0, ["n_src", "n_edges", "total_bytes"]].tolist() == [1, 1, 2]
+    assert out.loc[0, "bits_per_edge"] == 16.0
+    assert out.loc[1, ["n_src", "n_edges", "total_bytes"]].tolist() == [1, 3, 4]
+    assert out.loc[2, ["n_src", "n_edges", "total_bytes"]].tolist() == [1, 4, 4]
+    assert out.loc[2, "bits_per_edge"] == 8.0
+
+
+def test_q_graph_compress_varint_thresholds(ray_session, tmp_path):
+    """First-value encoding crosses every varint boundary exactly at
+    2^(7k): dst+1 = 128 costs 2 bytes while 127 costs 1, etc."""
+    from pagerank_ray.pipelines.tabular import q_graph_compress
+
+    dsts = [126, 127, 16382, 16383, 2097150, 2097151]
+    # each as its own singleton src: val = dst + 1
+    tbl = pa.table({
+        "l_orderkey": pa.array(list(range(1, len(dsts) + 1)), pa.int64()),
+        "l_partkey": pa.array(dsts, pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_graph_compress(str(tmp_path))
+    assert out["degree_bin"].tolist() == [0]
+    # 127->1, 128->2, 16383->2, 16384->3, 2097151->3, 2097152->4
+    assert out.loc[0, "total_bytes"] == 1 + 2 + 2 + 3 + 3 + 4
