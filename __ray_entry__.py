@@ -2841,6 +2841,37 @@ SELECT pa AS a, pb AS b, c AS n_pair,
 FROM cand ORDER BY pmi DESC, a, b LIMIT {k}"""
 
 
+def _kn_bigrams_sql(min_cnt: int = 3, k: int = 20) -> str:
+    """Interpolated Kneser-Ney bigram oracle (tabular.q_kn_bigrams).
+    All four statistics are exact integers over the DISTINCT bigram
+    table; the float expression mirrors the engine's order verbatim:
+    GREATEST(c−D,0)/cw1 + ((D·n1w1)/cw1)·(ncw2/ntot), D = 0.75."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents),
+tok AS (
+  SELECT doc_id, g.i AS i, w[g.i] AS tk
+  FROM t, UNNEST(generate_series(1, len(w))) AS g(i)),
+bg AS (
+  SELECT a.tk AS w1, b.tk AS w2, COUNT(*)::BIGINT AS c
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY a.tk, b.tk),
+m1 AS (SELECT w1, SUM(c)::BIGINT AS cw1, COUNT(*)::BIGINT AS n1w1
+       FROM bg GROUP BY w1),
+m2 AS (SELECT w2, COUNT(*)::BIGINT AS ncw2 FROM bg GROUP BY w2),
+nt AS (SELECT COUNT(*)::BIGINT AS ntot FROM bg)
+SELECT w1, w2, c AS n_pair,
+  ROUND(GREATEST(c::DOUBLE - 0.75, 0) / cw1
+        + ((0.75 * n1w1) / cw1)
+          * (ncw2::DOUBLE / (SELECT ntot FROM nt)), 6) AS p_kn
+FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2)
+WHERE c >= {min_cnt}
+ORDER BY p_kn DESC, w1, w2 LIMIT {k}"""
+
+
 def _adamic_adar_sql(k: int = 20, max_degree: int = 64) -> str:
     """Adamic-Adar link-prediction oracle (tabular.q_adamic_adar): same
     undirected simple edge set as the triangles oracle, same deg ∈
@@ -3415,6 +3446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": tabular.q_jaccard_pairs,  # SQL-oracled (exact all-pairs)
         "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
         "graph_compress": tabular.q_graph_compress,  # SQL-oracled (gap+varint CASE chain)
+        "kn_bigrams": tabular.q_kn_bigrams,  # SQL-oracled (exact-integer KN statistics)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3706,6 +3738,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_sql(),
         "dup_ngram_ratio": _dup_ngram_sql(),
         "pmi_topk": _pmi_sql(),
+        "kn_bigrams": _kn_bigrams_sql(),
         "adamic_adar": _adamic_adar_sql(),
         "edges_dedup": f"SELECT src_id, dst_id FROM {edges} e",
         "out_degree": (

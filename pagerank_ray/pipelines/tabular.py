@@ -5181,6 +5181,134 @@ def q_pmi_topk(sf_dir: str, window: int = 2, min_cnt: int = 5, k: int = 30) -> p
     return top.reset_index(drop=True)
 
 
+def q_kn_bigrams(sf_dir: str, min_cnt: int = 3, k: int = 20) -> pd.DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    the Chen & Goodman 1998 interpolated form with fixed discount
+    D = 0.75) — the n-gram LM estimator corpus pipelines run before
+    KenLM-style filtering. For each corpus bigram (w1, w2) with
+    c ≥ min_cnt:
+
+        P_kn = max(c − D, 0) / c(w1·)
+             + (D · N1+(w1·)) / c(w1·) · N1+(·w2) / N1+(··)
+
+    where c(w1·) = Σ_w c(w1,w) , N1+(w1·) = |{w : c(w1,w) > 0}| (the
+    normalizing back-off weight λ), N1+(·w2) = |{w : c(w,w2) > 0}| (the
+    CONTINUATION count — KN's signature statistic: "how many contexts
+    does w2 complete"), N1+(··) = total distinct bigrams. Top-k by
+    (ROUND(P_kn, 6) desc, w1, w2).
+
+    Shape: adjacent-pair partials pre-aggregate per batch (one row per
+    DISTINCT bigram per batch) then merge by bigram-hash buckets — the
+    pmi_topk idiom; all three marginals derive from the merged DISTINCT
+    bigram table with w1-/w2-bucketed folds (vocab-bounded rows), attach
+    back by broadcast-or-hash join; the float expression order is
+    mirrored verbatim in the oracle. Nothing corpus-sized on the driver."""
+    from pagerank_ray.stages import joins
+
+    n_buckets = 64
+    D = 0.75
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w, valid, doc_idx = _exploded_tokens(df)
+        empty = pd.DataFrame(
+            {"w1": pd.Series(dtype=object), "w2": pd.Series(dtype=object),
+             "cnt": pd.Series(dtype=np.int64)}
+        )
+        if len(w) < 2:
+            return empty
+        m = valid[:-1] & valid[1:] & (doc_idx[:-1] == doc_idx[1:])
+        if not m.any():
+            return empty
+        pairs = pd.DataFrame({"w1": w[:-1][m], "w2": w[1:][m]})
+        out = pairs.groupby(["w1", "w2"], sort=False).size().reset_index(name="cnt")
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    def bucketize_on(cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            key = (
+                df[cols[0]]
+                if len(cols) == 1
+                else df[cols[0]].str.cat(df[cols[1]], sep="\x1f")
+            )
+            h = pd.util.hash_array(key.to_numpy(dtype=object))
+            df = df.copy()
+            df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+            return df
+        return fn
+
+    def merge_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["w1", "w2"], sort=False)["cnt"].sum().reset_index()
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    bg = (
+        ds.map_batches(bigram_partial, batch_format="pandas")
+        .map_batches(bucketize_on(["w1", "w2"]), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_bigrams, batch_format="pandas")
+        .materialize()
+    )
+    ntot = bg.count()  # distinct bigrams = N1+(··)
+
+    def m1_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w1", sort=False)["cnt"]
+        out = g.sum().rename("cw1").reset_index()
+        out["n1w1"] = g.size().to_numpy(np.int64)
+        out["cw1"] = out["cw1"].astype(np.int64)
+        return out
+
+    def m2_fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("w2", sort=False).size().rename("ncw2").reset_index()
+        out["ncw2"] = out["ncw2"].astype(np.int64)
+        return out
+
+    # marginals fold over DISTINCT bigram rows (w1/w2-bucketed so each key
+    # lands wholly in one group)
+    m1 = (
+        bg.map_batches(bucketize_on(["w1"]), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(m1_fold, batch_format="pandas")
+        .materialize()
+    )
+    m2 = (
+        bg.map_batches(bucketize_on(["w2"]), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(m2_fold, batch_format="pandas")
+        .materialize()
+    )
+    cand = bg.map_batches(
+        lambda df: df[df["cnt"] >= min_cnt], batch_format="pandas"
+    )
+    cand = joins.attach_column(cand, m1, probe_col="w1", build_key="w1",
+                               build_val="cw1", out_col="cw1")
+    cand = joins.attach_column(cand, m1, probe_col="w1", build_key="w1",
+                               build_val="n1w1", out_col="n1w1")
+    cand = joins.attach_column(cand, m2, probe_col="w2", build_key="w2",
+                               build_val="ncw2", out_col="ncw2")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cnt"].to_numpy(np.float64)
+        cw1 = df["cw1"].to_numpy(np.float64)
+        n1 = df["n1w1"].to_numpy(np.float64)
+        cc = df["ncw2"].to_numpy(np.float64)
+        # expression order mirrored verbatim in the oracle
+        val = np.maximum(c - D, 0.0) / cw1 + ((D * n1) / cw1) * (cc / float(ntot))
+        out = df[["w1", "w2"]].copy()
+        out["n_pair"] = df["cnt"].to_numpy(np.int64)
+        out["p_kn"] = _round_half_away(val, 6)
+        return out
+
+    top = (
+        cand.map_batches(score, batch_format="pandas")
+        .sort(["p_kn", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return top.reset_index(drop=True)
+
+
 def q_adamic_adar(sf_dir: str, k: int = 20, max_degree: int = 64) -> pd.DataFrame:
     """Adamic-Adar link prediction (Adamic & Adar 2003) over the undirected
     simple lineitem graph: for every NON-adjacent pair (a < b) sharing at

@@ -3417,3 +3417,36 @@ def test_q_graph_compress_varint_thresholds(ray_session, tmp_path):
     assert out["degree_bin"].tolist() == [0]
     # 127->1, 128->2, 16383->2, 16384->3, 2097151->3, 2097152->4
     assert out.loc[0, "total_bytes"] == 1 + 2 + 2 + 3 + 3 + 4
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram probabilities (kn_bigrams)
+# ---------------------------------------------------------------------------
+
+
+def test_q_kn_bigrams_planted(ray_session, tmp_path):
+    """Hand-computed KN: docs 'a b a b a c' + 'b c' give the distinct
+    bigram table {(a,b):2,(b,a):2,(a,c):1,(b,c):1}, ntot=4,
+    c(a·)=c(b·)=3, N1+(a·)=N1+(b·)=2, N1+(·a)=N1+(·b)=1, N1+(·c)=2:
+    P(a,b)=1.25/3+0.5·0.25=0.541667; P(a,c)=0.25/3+0.5·0.5=0.333333."""
+    from pagerank_ray.pipelines.tabular import q_kn_bigrams
+
+    _write_docs_src(tmp_path, ["a b a b a c", "b c"], ["s", "s"])
+    out = q_kn_bigrams(str(tmp_path), min_cnt=1, k=10)
+    got = list(zip(out["w1"], out["w2"], out["n_pair"], out["p_kn"]))
+    assert got == [
+        ("a", "b", 2, 0.541667),
+        ("b", "a", 2, 0.541667),
+        ("a", "c", 1, 0.333333),
+        ("b", "c", 1, 0.333333),
+    ]
+
+
+def test_q_kn_bigrams_no_cross_doc_pairs(ray_session, tmp_path):
+    """The last token of one doc never pairs with the first of the next."""
+    from pagerank_ray.pipelines.tabular import q_kn_bigrams
+
+    _write_docs_src(tmp_path, ["x y", "z w"], ["s", "s"])
+    out = q_kn_bigrams(str(tmp_path), min_cnt=1, k=10)
+    pairs = set(zip(out["w1"], out["w2"]))
+    assert pairs == {("x", "y"), ("z", "w")}
