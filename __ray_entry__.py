@@ -3447,6 +3447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": tabular.q_multimodal_features,  # golden-parquet oracle (r5)
         "graph_compress": tabular.q_graph_compress,  # SQL-oracled (gap+varint CASE chain)
         "kn_bigrams": tabular.q_kn_bigrams,  # SQL-oracled (exact-integer KN statistics)
+        "butterflies": tabular.q_butterflies,  # SQL-oracled (exact-integer 4-cycle census)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3729,6 +3730,24 @@ def oracle_sql() -> dict[str, str]:
         "orc_source": _SOURCE_ROUNDTRIP_SQL,
         "jsonl_source": _SOURCE_ROUNDTRIP_SQL,
         "copurchase_topk": _copurchase_sql(),
+        "butterflies": (
+            # exact bipartite 4-cycle census + Robins-Alexander cc4; all
+            # integer until the single 4.0*B/L3 divide (ROUND 6)
+            f"WITH e AS {edges}, "
+            "co AS (SELECT a.dst_id AS p1, b.dst_id AS p2, COUNT(*)::BIGINT AS co "
+            "FROM e a JOIN e b ON a.src_id = b.src_id AND a.dst_id < b.dst_id "
+            "GROUP BY 1, 2), "
+            "b AS (SELECT COALESCE(SUM(co * (co - 1) // 2), 0)::BIGINT AS bf, "
+            "COALESCE(MAX(co), 0)::BIGINT AS mx FROM co), "
+            "ds AS (SELECT src_id, COUNT(*)::BIGINT AS d FROM e GROUP BY src_id), "
+            "dp AS (SELECT dst_id, COUNT(*)::BIGINT AS d FROM e GROUP BY dst_id), "
+            "l AS (SELECT SUM((ds.d - 1) * (dp.d - 1))::BIGINT AS l3 "
+            "FROM e JOIN ds USING (src_id) JOIN dp USING (dst_id)) "
+            "SELECT bf AS n_butterflies, l3 AS n_l3_paths, "
+            "CASE WHEN l3 = 0 THEN 0 ELSE ROUND(4.0 * bf / l3, 6) END AS cc4, "
+            "mx AS max_co FROM b, l"
+        ),
+
         "revenue_rollup": _rollup_sql(),
         "fuzzy_join_parts": _fuzzy_join_sql(),
         "event_funnel": _funnel_sql(),

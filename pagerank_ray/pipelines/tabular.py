@@ -5851,6 +5851,101 @@ def q_copurchase_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return top.reset_index(drop=True)
 
 
+def q_butterflies(sf_dir: str) -> pd.DataFrame:
+    """Exact butterfly (bipartite 4-cycle) census of the order→part graph
+    (Sanei-Mehri, Sariyüce & Tirthapura 2018 "Butterfly Counting in
+    Bipartite Networks") plus the Robins-Alexander 2004 bipartite
+    clustering coefficient cc4 = 4·B / L3: B = Σ_{p1<p2} C(co(p1,p2), 2)
+    over part pairs with co co-containing orders; L3 (3-paths) counts
+    each path by its MIDDLE edge, L3 = Σ_{(o,p)∈E} (deg(o)−1)·(deg(p)−1).
+    One row: n_butterflies, n_l3_paths, cc4 (ROUND 6; 0 when L3 = 0),
+    max_co.
+
+    Shape: part-pair co-counts reuse the copurchase_topk kernel (per-order
+    segment pairs — order sizes are basket-bounded so the fan-out is
+    small; a skewed source side would be salted the same way triangles
+    splits hubs), folded to Σ C(co,2) partials per block so only O(#blocks)
+    scalar rows reach the driver; L3 attaches both degree tables to the
+    edge list by broadcast-or-hash join and folds per-batch partial sums.
+    Everything is exact integer arithmetic until the single cc4 divide."""
+    from pagerank_ray.pipelines.triangles import _bucketize_src, _segment_pairs
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.graph_build import grouped_count, grouped_sum
+
+    edges = lineitem_edges(sf_dir).materialize()
+    lp = edges.map_batches(
+        lambda t: pa.table({"src": t.column("src_id"), "dst": t.column("dst_id")}),
+        batch_format="pyarrow",
+    )
+    n_buckets = 256
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        o = df["src"].to_numpy(np.int64)
+        p = df["dst"].to_numpy(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        if not len(o):
+            return pd.DataFrame(
+                {"key": pd.Series(dtype=np.int64), "cnt": pd.Series(dtype=np.int64)}
+            )
+        if p.max() >= np.int64(1) << 31:
+            raise RuntimeError(
+                "butterflies: part ids must fit 31 bits for the pair key "
+                "encoding — compact ids first (see q_ktruss)"
+            )
+        starts = np.flatnonzero(np.concatenate([[True], o[1:] != o[:-1]]))
+        lengths = np.diff(np.append(starts, len(o)))
+        first, second = _segment_pairs(lengths)
+        key = (p[first] << 32) | p[second]
+        uk, inv = np.unique(key, return_inverse=True)
+        return pd.DataFrame({"key": uk, "cnt": np.bincount(inv).astype(np.int64)})
+
+    contribs = (
+        lp.map_batches(lambda t: _bucketize_src(t, n_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    counts = grouped_sum(contribs, "key", "cnt", "n")
+
+    def fold_b(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bf": pa.array([int((n * (n - 1) // 2).sum())], pa.int64()),
+                "mx": pa.array([int(n.max()) if len(n) else 0], pa.int64()),
+            }
+        )
+
+    bparts = counts.map_batches(fold_b, batch_format="pyarrow").to_pandas()
+    n_butterflies = int(bparts["bf"].sum())
+    max_co = int(bparts["mx"].max()) if len(bparts) else 0
+
+    d_src = grouped_count(edges, "src_id", "d")
+    d_dst = grouped_count(edges, "dst_id", "d")
+    e2 = joins.attach_column(edges, d_src, probe_col="src_id", build_key="src_id",
+                             build_val="d", out_col="do")
+    e2 = joins.attach_column(e2, d_dst, probe_col="dst_id", build_key="dst_id",
+                             build_val="d", out_col="dp")
+
+    def fold_l3(df: pd.DataFrame) -> pd.DataFrame:
+        do = df["do"].to_numpy(np.int64)
+        dp = df["dp"].to_numpy(np.int64)
+        return pd.DataFrame({"l3": [int(((do - 1) * (dp - 1)).sum())]})
+
+    l3 = int(e2.map_batches(fold_l3, batch_format="pandas").to_pandas()["l3"].sum())
+    cc4 = 0.0 if l3 == 0 else float(
+        _round_half_away(np.array([4.0 * n_butterflies / l3]), 6)[0]
+    )
+    return pd.DataFrame(
+        {
+            "n_butterflies": np.array([n_butterflies], np.int64),
+            "n_l3_paths": np.array([l3], np.int64),
+            "cc4": [cc4],
+            "max_co": np.array([max_co], np.int64),
+        }
+    )
+
+
 def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     """ROLLUP aggregate: lineitem revenue at three granularities in ONE
     input pass — (returnflag, linestatus), per-returnflag subtotal, grand

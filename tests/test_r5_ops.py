@@ -3450,3 +3450,39 @@ def test_q_kn_bigrams_no_cross_doc_pairs(ray_session, tmp_path):
     out = q_kn_bigrams(str(tmp_path), min_cnt=1, k=10)
     pairs = set(zip(out["w1"], out["w2"]))
     assert pairs == {("x", "y"), ("z", "w")}
+
+
+# ---------------------------------------------------------------------------
+# Bipartite butterfly census (butterflies)
+# ---------------------------------------------------------------------------
+
+
+def test_q_butterflies_planted(ray_session, tmp_path):
+    """o1,o2,o3 all contain {p1,p2}; o3 adds p3: co(p1,p2)=3 -> C(3,2)=3
+    butterflies; L3 = 2+2+2+2+4+4+0 = 16; cc4 = 12/16 = 0.75."""
+    from pagerank_ray.pipelines.tabular import q_butterflies
+
+    edges = [(1, 11), (1, 12), (2, 11), (2, 12), (3, 11), (3, 12), (3, 13),
+             (1, 11)]  # duplicate edge must not change counts
+    tbl = pa.table({
+        "l_orderkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_butterflies(str(tmp_path))
+    assert out.iloc[0].tolist() == [3, 16, 0.75, 3]
+
+
+def test_q_butterflies_no_cycles(ray_session, tmp_path):
+    """A star (one order, many parts) has wedges but zero butterflies and
+    zero 3-paths (every part has degree 1) -> cc4 = 0 sentinel."""
+    from pagerank_ray.pipelines.tabular import q_butterflies
+
+    edges = [(1, p) for p in range(10, 16)]
+    tbl = pa.table({
+        "l_orderkey": pa.array([e[0] for e in edges], pa.int64()),
+        "l_partkey": pa.array([e[1] for e in edges], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_butterflies(str(tmp_path))
+    assert out.iloc[0].tolist() == [0, 0, 0.0, 1]
