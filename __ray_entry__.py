@@ -2872,6 +2872,51 @@ WHERE c >= {min_cnt}
 ORDER BY p_kn DESC, w1, w2 LIMIT {k}"""
 
 
+def _textrank_sql(window: int = 2, iters: int = 10, k: int = 20) -> str:
+    """Corpus TextRank oracle (tabular.q_textrank_keywords): the identical
+    all-integer damped iteration at scale 10⁶ — per-edge mass
+    (w·s) // wdeg, per-dst BIGINT sums, s' = 150000 + (85·Σ) // 100 —
+    unrolled ``iters`` rounds, bit-exact by construction."""
+    p = [
+        r"""WITH t AS (
+  SELECT doc_id,
+    CASE WHEN TRIM(COALESCE(text, '')) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(TRIM(text), '\s+') END AS w
+  FROM documents),
+tok AS (
+  SELECT doc_id, g.i AS i, w[g.i] AS tk
+  FROM t, UNNEST(generate_series(1, len(w))) AS g(i)),
+pr AS (
+  SELECT LEAST(a.tk, b.tk) AS pa, GREATEST(a.tk, b.tk) AS pb
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND """ + str(window)
+        + """ AND a.tk <> b.tk),
+pc AS (SELECT pa, pb, COUNT(*)::BIGINT AS w FROM pr GROUP BY pa, pb),
+e AS MATERIALIZED (
+  SELECT pa AS s, pb AS d, w FROM pc UNION ALL SELECT pb, pa, w FROM pc),
+wd AS MATERIALIZED (SELECT s AS id, SUM(w)::BIGINT AS wd FROM e GROUP BY s),
+v0 AS MATERIALIZED (SELECT id, 1000000::BIGINT AS s FROM wd),"""
+    ]
+    for t in range(iters):
+        p.append(
+            f"ag{t} AS (SELECT e.d AS id, "
+            f"SUM((e.w * v.s) // wd.wd)::BIGINT AS a "
+            f"FROM e JOIN v{t} v ON v.id = e.s JOIN wd ON wd.id = e.s "
+            f"GROUP BY e.d),"
+        )
+        p.append(
+            f"v{t + 1} AS MATERIALIZED (SELECT w0.id, "
+            f"(150000 + (85 * COALESCE(ag.a, 0)) // 100)::BIGINT AS s "
+            f"FROM wd w0 LEFT JOIN ag{t} ag ON ag.id = w0.id),"
+        )
+    body = "\n".join(p).rstrip(",")
+    return (
+        body
+        + f"\nSELECT id AS term, s AS score FROM v{iters} "
+        f"ORDER BY score DESC, term LIMIT {k}"
+    )
+
+
 def _adamic_adar_sql(k: int = 20, max_degree: int = 64) -> str:
     """Adamic-Adar link-prediction oracle (tabular.q_adamic_adar): same
     undirected simple edge set as the triangles oracle, same deg ∈
@@ -3448,6 +3493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_compress": tabular.q_graph_compress,  # SQL-oracled (gap+varint CASE chain)
         "kn_bigrams": tabular.q_kn_bigrams,  # SQL-oracled (exact-integer KN statistics)
         "butterflies": tabular.q_butterflies,  # SQL-oracled (exact-integer 4-cycle census)
+        "textrank_keywords": tabular.q_textrank_keywords,  # SQL-oracled (all-integer damped iteration)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3758,6 +3804,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_ratio": _dup_ngram_sql(),
         "pmi_topk": _pmi_sql(),
         "kn_bigrams": _kn_bigrams_sql(),
+        "textrank_keywords": _textrank_sql(),
         "adamic_adar": _adamic_adar_sql(),
         "edges_dedup": f"SELECT src_id, dst_id FROM {edges} e",
         "out_degree": (

@@ -5309,6 +5309,174 @@ def q_kn_bigrams(sf_dir: str, min_cnt: int = 3, k: int = 20) -> pd.DataFrame:
     return top.reset_index(drop=True)
 
 
+def q_textrank_keywords(
+    sf_dir: str, window: int = 2, iters: int = 10, k: int = 20
+) -> pd.DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004):
+    PageRank with damping d = 0.85 over the undirected word co-occurrence
+    graph (±window skip-gram, self-pairs excluded, weight = co-occurrence
+    count), run ``iters`` fixed rounds from the uniform start and report
+    the top-k terms by final score.
+
+    Determinism contract (the spectral_bisection all-integer recipe,
+    adapted to the weighted-PageRank update): scores are int64 at scale
+    10⁶, s⁰ = 10⁶; each round the per-edge mass is the exact integer
+    (w_uv · s_u) // wdeg_u, per-dst sums are order-free int64, and
+    s' = 150000 + (85 · Σ) // 100 — the 0.85-damped update with both
+    divisions pinned to floor, so the unrolled DuckDB oracle matches
+    bit-exactly. Terms never co-occurring with another term have no
+    vertex (TextRank is defined on the co-occurrence graph).
+
+    Shape: pair counts pre-aggregate per batch then merge by pair-hash
+    buckets (the pmi_topk idiom); wdeg attaches to the symmetrized edge
+    table ONCE before the loop; each round is one broadcast-or-hash
+    attach of s onto edge sources + one bucketed exact-int sum by dst +
+    one vectorized update (missing dsts get the teleport base via a
+    zero-row union, not a driver loop). State stays vocab-bounded and
+    distributed until the final top-k contract."""
+    from pagerank_ray.stages import joins
+
+    n_buckets = 64
+    S = 10**6
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w, valid, doc_idx = _exploded_tokens(df)
+        lo_all, hi_all = [], []
+        for d in range(1, window + 1):
+            if len(w) <= d:
+                break
+            m = valid[:-d] & valid[d:] & (doc_idx[:-d] == doc_idx[d:])
+            if m.any():
+                m &= w[:-d] != w[d:]  # no self-loops
+            if not m.any():
+                continue
+            x = pd.Series(w[:-d][m])
+            y = pd.Series(w[d:][m])
+            swap = x > y
+            lo_all.append(x.where(~swap, y))
+            hi_all.append(y.where(~swap, x))
+        if not lo_all:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+                 "w": pd.Series(dtype=np.int64)}
+            )
+        pairs = pd.DataFrame({"a": pd.concat(lo_all, ignore_index=True),
+                              "b": pd.concat(hi_all, ignore_index=True)})
+        out = pairs.groupby(["a", "b"], sort=False).size().reset_index(name="w")
+        out["w"] = out["w"].astype(np.int64)
+        return out
+
+    def bucketize_pair(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(
+            df["a"].str.cat(df["b"], sep="\x1f").to_numpy(dtype=object)
+        )
+        df = df.copy()
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def merge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["a", "b"], sort=False)["w"].sum().reset_index()
+        out["w"] = out["w"].astype(np.int64)
+        return out
+
+    pc = (
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .map_batches(bucketize_pair, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_pairs, batch_format="pandas")
+    )
+    edges = pc.map_batches(
+        lambda df: pd.concat(
+            [
+                df.rename(columns={"a": "s", "b": "d"})[["s", "d", "w"]],
+                df.rename(columns={"b": "s", "a": "d"})[["s", "d", "w"]],
+            ],
+            ignore_index=True,
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def str_grouped_sum(d: rd.Dataset, key: str, val: str, out: str) -> rd.Dataset:
+        # string-keyed sibling of graph_build.grouped_sum (whose int-mix
+        # bucketing rejects object keys loudly)
+        def bkt(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_array(df[key].to_numpy(dtype=object))
+            df = df.copy()
+            df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+            return df
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            o = df.groupby(key, sort=False)[val].sum().reset_index()
+            o[val] = o[val].astype(np.int64)
+            return o.rename(columns={val: out})
+
+        return (
+            d.map_batches(bkt, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(merge, batch_format="pandas")
+        )
+
+    wdeg = str_grouped_sum(edges, "s", "w", "wd").materialize()
+    n_terms = wdeg.count()
+    # static: weighted out-degree rides on the edge table across all rounds
+    ew = joins.attach_column(edges, wdeg, probe_col="s", build_key="s",
+                             build_val="wd", out_col="wd",
+                             build_count=n_terms).materialize()
+
+    state = wdeg.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": df["s"], "s": np.full(len(df), S, np.int64)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    zeros = wdeg.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": df["s"], "agg": np.zeros(len(df), np.int64)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(iters):
+        es = joins.attach_column(ew, state, probe_col="s", build_key="id",
+                                 build_val="s", out_col="sv",
+                                 build_count=n_terms)
+
+        def mass(df: pd.DataFrame) -> pd.DataFrame:
+            w = df["w"].to_numpy(np.int64)
+            sv = df["sv"].to_numpy(np.int64)
+            wd = df["wd"].to_numpy(np.int64)
+            if len(sv) and sv.max() >= (1 << 40):
+                raise RuntimeError("textrank: score overflow guard tripped")
+            return pd.DataFrame({"id": df["d"], "agg": (w * sv) // wd})
+
+        agg = str_grouped_sum(
+            es.map_batches(mass, batch_format="pandas").union(zeros),
+            "id", "agg", "agg",
+        )
+        state = agg.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "id": df["id"],
+                    "s": 150000 + (85 * df["agg"].to_numpy(np.int64)) // 100,
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    top = (
+        state.map_batches(
+            lambda df: df.rename(columns={"id": "term", "s": "score"}),
+            batch_format="pandas",
+        )
+        .sort(["score", "term"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["score"] = top["score"].astype(np.int64)
+    return top.reset_index(drop=True)
+
+
 def q_adamic_adar(sf_dir: str, k: int = 20, max_degree: int = 64) -> pd.DataFrame:
     """Adamic-Adar link prediction (Adamic & Adar 2003) over the undirected
     simple lineitem graph: for every NON-adjacent pair (a < b) sharing at

@@ -476,6 +476,13 @@ def grouped_sum(
 
     def bucketize(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(k.dtype, np.integer):
+            # a string key would make `k * int` PYTHON STRING REPETITION —
+            # a silent multi-GiB hang, not an error; fail loudly instead
+            raise TypeError(
+                f"grouped_sum expects an integer key column, got {k.dtype!r} "
+                f"for {key!r} — hash string keys into buckets explicitly"
+            )
         mixed = (k * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
         return t.append_column("bucket", pa.array(mixed % n_buckets, pa.int32()))
 

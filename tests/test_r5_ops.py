@@ -3486,3 +3486,44 @@ def test_q_butterflies_no_cycles(ray_session, tmp_path):
     pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
     out = q_butterflies(str(tmp_path))
     assert out.iloc[0].tolist() == [0, 0, 0.0, 1]
+
+
+# ---------------------------------------------------------------------------
+# Corpus TextRank keywords (textrank_keywords)
+# ---------------------------------------------------------------------------
+
+
+def test_q_textrank_planted_two_rounds(ray_session, tmp_path):
+    """Star a-{b,c}: wdeg a=2, b=c=1. Round 1: s_a = 150000+(85*2e6)//100
+    = 1850000, s_b = 150000+(85*(1e6//2))//100 = 575000. Round 2:
+    s_a = 150000+(85*1150000)//100 = 1127500, s_b = 150000+(85*925000)//100
+    = 936250."""
+    from pagerank_ray.pipelines.tabular import q_textrank_keywords
+
+    _write_docs_src(tmp_path, ["a b", "a c"], ["s", "s"])
+    out = q_textrank_keywords(str(tmp_path), iters=2, k=10)
+    got = dict(zip(out["term"], out["score"]))
+    assert got == {"a": 1127500, "b": 936250, "c": 936250}
+    assert out["term"].tolist() == ["a", "b", "c"]  # tie-break term asc
+
+
+def test_q_textrank_uniform_fixed_point(ray_session, tmp_path):
+    """A regular graph (single pair) is a fixed point at exactly 10^6,
+    and self-pairs ('a a') contribute no edge."""
+    from pagerank_ray.pipelines.tabular import q_textrank_keywords
+
+    _write_docs_src(tmp_path, ["a b a b", "x x x"], ["s", "s"])
+    out = q_textrank_keywords(str(tmp_path), iters=5, k=10)
+    got = dict(zip(out["term"], out["score"]))
+    assert got == {"a": 1000000, "b": 1000000}  # 'x' has no co-occurrence vertex
+
+
+def test_grouped_sum_rejects_string_keys(ray_session):
+    """String keys would silently become string-repetition hangs; the
+    guard fails loudly instead."""
+    import ray.data as rd
+    from pagerank_ray.stages.graph_build import grouped_sum
+
+    ds = rd.from_items([{"k": "abc", "v": 1}, {"k": "abc", "v": 2}])
+    with pytest.raises((TypeError, Exception), match="integer key"):
+        grouped_sum(ds, "k", "v", "s").to_pandas()
