@@ -3494,6 +3494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigrams": tabular.q_kn_bigrams,  # SQL-oracled (exact-integer KN statistics)
         "butterflies": tabular.q_butterflies,  # SQL-oracled (exact-integer 4-cycle census)
         "textrank_keywords": tabular.q_textrank_keywords,  # SQL-oracled (all-integer damped iteration)
+        "skyline_parts": tabular.q_skyline_parts,  # SQL-oracled (window strict-min dominance)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3805,6 +3806,23 @@ def oracle_sql() -> dict[str, str]:
         "pmi_topk": _pmi_sql(),
         "kn_bigrams": _kn_bigrams_sql(),
         "textrank_keywords": _textrank_sql(),
+        "skyline_parts": (
+            # 2-D skyline: dominated iff a strictly-cheaper price group has
+            # min size <= s, or the same price group has min size < s
+            "WITH p AS (SELECT p_partkey, p_size::BIGINT AS p_size, "
+            "p_retailprice FROM part), "
+            "g AS (SELECT p_retailprice, MIN(p_size) AS msz FROM p "
+            "GROUP BY p_retailprice), "
+            "c AS (SELECT p_retailprice, msz, MIN(msz) OVER (ORDER BY "
+            "p_retailprice ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS mbefore FROM g) "
+            "SELECT p.p_partkey, p.p_size, p.p_retailprice "
+            "FROM p JOIN c USING (p_retailprice) "
+            "WHERE (c.mbefore IS NULL OR p.p_size < c.mbefore) "
+            "AND p.p_size = c.msz "
+            "ORDER BY p_retailprice, p_size, p_partkey"
+        ),
+
         "adamic_adar": _adamic_adar_sql(),
         "edges_dedup": f"SELECT src_id, dst_id FROM {edges} e",
         "out_degree": (

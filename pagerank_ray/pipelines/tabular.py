@@ -6114,6 +6114,67 @@ def q_butterflies(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_skyline_parts(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline / Pareto front (Börzsönyi, Kossmann & Stocker 2001
+    "The Skyline Operator"): parts not dominated on (p_retailprice min,
+    p_size min) — b dominates a iff b.price ≤ a.price ∧ b.size ≤ a.size
+    with at least one strict; exact duplicates are mutually undominated
+    and all kept. Sorted (p_retailprice, p_size, p_partkey).
+
+    Shape: the distributive-skyline identity — skyline(S) =
+    skyline(∪ skyline(blockᵢ)) — gives an embarrassingly parallel local
+    pass (vectorized sort + running-strict-min scan per block, O(B log B))
+    whose survivors are Pareto-front-bounded (O(log n) expected for
+    independent dims), then ONE single-group fold of the same kernel.
+    A loud cap guards the adversarial all-on-the-front case where the
+    fold group would not be small (the fix there is a price-range
+    partitioned second pass, not silent truncation)."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    _IMAX = np.iinfo(np.int64).max
+
+    def local_sky(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        price = df["p_retailprice"].to_numpy(np.float64)
+        size = df["p_size"].to_numpy(np.int64)
+        key = df["p_partkey"].to_numpy(np.int64)
+        order = np.lexsort((key, size, price))
+        p_s, s_s, k_s = price[order], size[order], key[order]
+        grp_start = np.concatenate(([True], p_s[1:] != p_s[:-1]))
+        gidx = np.cumsum(grp_start) - 1
+        gmin = s_s[np.flatnonzero(grp_start)]  # per-price min size
+        mbefore = np.concatenate(([_IMAX], np.minimum.accumulate(gmin)[:-1]))[gidx]
+        keep = (s_s < mbefore) & (s_s == gmin[gidx])
+        return pd.DataFrame(
+            {"p_partkey": k_s[keep], "p_size": s_s[keep],
+             "p_retailprice": p_s[keep]}
+        )
+
+    def final_sky(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > 5_000_000:
+            raise RuntimeError(
+                "skyline fold group exceeds 5M candidates — the front is "
+                "not small on this input; use a price-range partitioned "
+                "second pass instead"
+            )
+        return local_sky(df.drop(columns=["one"]))
+
+    cand = parts.map_batches(local_sky, batch_format="pandas").map_batches(
+        lambda df: df.assign(one=np.zeros(len(df), np.int8)),
+        batch_format="pandas",
+    )
+    out = (
+        cand.groupby("one")
+        .map_groups(final_sky, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["p_retailprice", "p_size", "p_partkey"])
+        .reset_index(drop=True)
+    )
+    out["p_partkey"] = out["p_partkey"].astype(np.int64)
+    out["p_size"] = out["p_size"].astype(np.int64)
+    return out
+
+
 def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     """ROLLUP aggregate: lineitem revenue at three granularities in ONE
     input pass — (returnflag, linestatus), per-returnflag subtotal, grand

@@ -3527,3 +3527,48 @@ def test_grouped_sum_rejects_string_keys(ray_session):
     ds = rd.from_items([{"k": "abc", "v": 1}, {"k": "abc", "v": 2}])
     with pytest.raises((TypeError, Exception), match="integer key"):
         grouped_sum(ds, "k", "v", "s").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline / Pareto front (skyline_parts)
+# ---------------------------------------------------------------------------
+
+
+def _write_parts(tmp_path, rows):
+    tbl = pa.table({
+        "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "p_name": pa.array(["p%d" % r[0] for r in rows]),
+        "p_brand": pa.array(["b"] * len(rows)),
+        "p_type": pa.array(["t"] * len(rows)),
+        "p_size": pa.array([r[1] for r in rows], pa.int64()),
+        "p_retailprice": pa.array([float(r[2]) for r in rows], pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "part.parquet"))
+
+
+def test_q_skyline_planted(ray_session, tmp_path):
+    """(key, size, price): exact-duplicate front points are BOTH kept;
+    equal-price larger size and dominated interior points drop."""
+    from pagerank_ray.pipelines.tabular import q_skyline_parts
+
+    rows = [
+        (1, 5, 10.0),   # front
+        (2, 5, 10.0),   # exact duplicate of 1 -> also front
+        (3, 7, 10.0),   # same price, larger size -> dominated by 1
+        (4, 3, 20.0),   # front (cheaper points all have size 5 > 3)
+        (5, 4, 30.0),   # dominated by 4 (price 20<30, size 3<4)
+        (6, 2, 30.0),   # front
+        (7, 5, 15.0),   # dominated by 1 (10<=15, 5<=5, strict on price)
+    ]
+    _write_parts(tmp_path, rows)
+    out = q_skyline_parts(str(tmp_path))
+    assert out["p_partkey"].tolist() == [1, 2, 4, 6]
+
+
+def test_q_skyline_single_point_and_column_order(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_skyline_parts
+
+    _write_parts(tmp_path, [(9, 1, 1.0)])
+    out = q_skyline_parts(str(tmp_path))
+    assert out.columns.tolist() == ["p_partkey", "p_size", "p_retailprice"]
+    assert out.iloc[0].tolist() == [9, 1, 1.0]
