@@ -2485,6 +2485,23 @@ def _fmix_chain_sql(prefix: str, src: str, carry: str = "k, ") -> str:
     )
 
 
+
+
+def _per_source_cap_sql(cap: int = 15) -> str:
+    """Per-source doc budget oracle (tabular.q_per_source_cap): identical
+    fmix64 rank within each source, keep the cap smallest (h, doc_id)."""
+    return (
+        "WITH dv AS (SELECT doc_id, source, doc_id::UBIGINT AS x "
+        "FROM documents), "
+        + _fmix_chain_sql("c", "dv", carry="doc_id, source, ")
+        + ", r AS (SELECT doc_id, source, ROW_NUMBER() OVER "
+        "(PARTITION BY source ORDER BY h, doc_id) AS rk FROM chv) "
+        f"SELECT doc_id, source FROM r WHERE rk <= {cap} "
+        "ORDER BY source, doc_id"
+    )
+
+
+
 def _bloom_sql(mod: int = 7, m_bits: int = 4096) -> str:
     """DuckDB reimplementation of the Bloom semi-join
     (tabular.q_bloom_semi_join): identical fmix64 (32-bit-split multiplies,
@@ -3495,6 +3512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterflies": tabular.q_butterflies,  # SQL-oracled (exact-integer 4-cycle census)
         "textrank_keywords": tabular.q_textrank_keywords,  # SQL-oracled (all-integer damped iteration)
         "skyline_parts": tabular.q_skyline_parts,  # SQL-oracled (window strict-min dominance)
+        "per_source_cap": tabular.q_per_source_cap,  # SQL-oracled (fmix rank per source)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3806,6 +3824,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_topk": _pmi_sql(),
         "kn_bigrams": _kn_bigrams_sql(),
         "textrank_keywords": _textrank_sql(),
+        "per_source_cap": _per_source_cap_sql(),
         "skyline_parts": (
             # 2-D skyline: dominated iff a strictly-cheaper price group has
             # min size <= s, or the same price group has min size < s

@@ -6114,6 +6114,57 @@ def q_butterflies(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_per_source_cap(sf_dir: str, cap: int = 15) -> pd.DataFrame:
+    """Per-source document budget (the per-domain cap of RefinedWeb /
+    Dolma-style corpus builds — no host may contribute more than ``cap``
+    docs): keep each source's ``cap`` lowest-(fmix64(doc_id), doc_id)
+    documents — a deterministic uniform draw (the stratified_sample hash
+    convention) that every re-run and the oracle reproduce exactly.
+
+    Shape: a per-batch partial selection keeps ≤ cap rows per (batch,
+    source) BEFORE the shuffle — the classic top-k combiner — so the
+    source-bucketed fold moves O(#batches · cap) rows per source, never
+    the full per-host corpus; the fold re-selects the global cap
+    smallest. Sorted (source, doc_id)."""
+    from pagerank_ray.functions.text import fmix64
+
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = fmix64(ids.astype(np.uint64))
+        order = np.lexsort((ids, h))
+        df = pd.DataFrame(
+            {"doc_id": ids[order], "source": df["source"].to_numpy()[order],
+             "h": h[order]}
+        )
+        keep = df.groupby("source", sort=False).cumcount() < cap
+        return df[keep.to_numpy()]
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        hb = pd.util.hash_array(df["source"].to_numpy(dtype=object))
+        df = df.copy()
+        df["bucket"] = (hb % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = select(df[["doc_id", "source"]])
+        return out[["doc_id", "source"]]
+
+    kept = (
+        docs.map_batches(select, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    kept["doc_id"] = kept["doc_id"].astype(np.int64)
+    return kept
+
+
 def q_skyline_parts(sf_dir: str) -> pd.DataFrame:
     """2-D skyline / Pareto front (Börzsönyi, Kossmann & Stocker 2001
     "The Skyline Operator"): parts not dominated on (p_retailprice min,

@@ -3572,3 +3572,26 @@ def test_q_skyline_single_point_and_column_order(ray_session, tmp_path):
     out = q_skyline_parts(str(tmp_path))
     assert out.columns.tolist() == ["p_partkey", "p_size", "p_retailprice"]
     assert out.iloc[0].tolist() == [9, 1, 1.0]
+
+
+# ---------------------------------------------------------------------------
+# Per-source document budget (per_source_cap)
+# ---------------------------------------------------------------------------
+
+
+def test_q_per_source_cap_planted(ray_session, tmp_path):
+    """Source 'big' (8 docs) is capped to 3 by fmix64 rank; 'small'
+    (2 docs) keeps both; the draw matches a NumPy replay exactly."""
+    from pagerank_ray.functions.text import fmix64
+    from pagerank_ray.pipelines.tabular import q_per_source_cap
+
+    texts = ["t%d" % i for i in range(10)]
+    srcs = ["big"] * 8 + ["small"] * 2
+    _write_docs_src(tmp_path, texts, srcs)
+    out = q_per_source_cap(str(tmp_path), cap=3)
+    ids = np.arange(1, 11, dtype=np.int64)
+    h = fmix64(ids.astype(np.uint64))
+    big = sorted(ids[:8][np.lexsort((ids[:8], h[:8]))][:3].tolist())
+    assert out[out.source == "big"]["doc_id"].tolist() == big
+    assert out[out.source == "small"]["doc_id"].tolist() == [9, 10]
+    assert out["source"].tolist() == ["big"] * 3 + ["small"] * 2
