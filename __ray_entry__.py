@@ -3513,6 +3513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": tabular.q_textrank_keywords,  # SQL-oracled (all-integer damped iteration)
         "skyline_parts": tabular.q_skyline_parts,  # SQL-oracled (window strict-min dominance)
         "per_source_cap": tabular.q_per_source_cap,  # SQL-oracled (fmix rank per source)
+        "event_transitions": tabular.q_event_transitions,  # SQL-oracled (LEAD window mirror)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3825,6 +3826,18 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigrams": _kn_bigrams_sql(),
         "textrank_keywords": _textrank_sql(),
         "per_source_cap": _per_source_cap_sql(),
+        "event_transitions": (
+            # first-order Markov transition counts of the per-user stream,
+            # row-normalized; (ts, event_id) pins the order deterministically
+            "WITH s AS (SELECT user_id, event_type, LEAD(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), "
+            "c AS (SELECT event_type AS cur, nxt AS next, COUNT(*)::BIGINT AS n "
+            "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2), "
+            "m AS (SELECT cur, SUM(n)::BIGINT AS tot FROM c GROUP BY cur) "
+            "SELECT cur, next, n, ROUND(n::DOUBLE / tot, 6) AS p "
+            "FROM c JOIN m USING (cur) ORDER BY cur, next"
+        ),
+
         "skyline_parts": (
             # 2-D skyline: dominated iff a strictly-cheaper price group has
             # min size <= s, or the same price group has min size < s

@@ -6114,6 +6114,67 @@ def q_butterflies(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix of the per-user event stream
+    (the clickstream model of Chierichetti et al. 2012 / classic web-usage
+    mining): for consecutive events of the same user ordered by
+    (ts, event_id), count (cur_type → next_type) and row-normalize:
+    p = ROUND(n / Σ_next n, 6). Sorted (cur, next). The matrix is
+    |event_types|²-bounded, so the result is contract-sized.
+
+    Shape: events bucket by user hash (each user's stream co-locates);
+    per bucket one vectorized lexsort + shifted same-user adjacency mask
+    + pair value_counts — partials are ≤ T² rows per bucket, folded by a
+    tiny driver-side groupby (T is the event-type vocabulary, single
+    digits here; a million-type stream would fold in one more bucketed
+    stage, not on the driver)."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        df = df.copy()
+        df["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return df
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame(
+                {"cur": pd.Series(dtype=object), "next": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        out = (
+            pd.DataFrame({"cur": et[:-1][same], "next": et[1:][same]})
+            .groupby(["cur", "next"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = (
+        ev.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    mat = parts.groupby(["cur", "next"], sort=True)["n"].sum().reset_index()
+    tot = mat.groupby("cur")["n"].transform("sum")
+    mat["p"] = _round_half_away(
+        mat["n"].to_numpy(np.float64) / tot.to_numpy(np.float64), 6
+    )
+    mat["n"] = mat["n"].astype(np.int64)
+    return mat.reset_index(drop=True)
+
+
 def q_per_source_cap(sf_dir: str, cap: int = 15) -> pd.DataFrame:
     """Per-source document budget (the per-domain cap of RefinedWeb /
     Dolma-style corpus builds — no host may contribute more than ``cap``

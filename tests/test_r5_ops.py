@@ -3595,3 +3595,35 @@ def test_q_per_source_cap_planted(ray_session, tmp_path):
     assert out[out.source == "big"]["doc_id"].tolist() == big
     assert out[out.source == "small"]["doc_id"].tolist() == [9, 10]
     assert out["source"].tolist() == ["big"] * 3 + ["small"] * 2
+
+
+# ---------------------------------------------------------------------------
+# Per-user event transition matrix (event_transitions)
+# ---------------------------------------------------------------------------
+
+
+def test_q_event_transitions_planted(ray_session, tmp_path):
+    """User 1: a->b->a (pairs ab, ba); user 2: a->c. No cross-user pair.
+    P(b|a)=0.5, P(c|a)=0.5, P(a|b)=1.0. Tie timestamps order by event_id."""
+    from pagerank_ray.pipelines.tabular import q_event_transitions
+
+    ts = pd.to_datetime([
+        "2026-01-01 00:00:00", "2026-01-01 00:00:01", "2026-01-01 00:00:01",
+        "2026-01-02 00:00:00", "2026-01-02 00:00:05",
+    ])
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "c"]),
+        "value": pa.array([0.0] * 5, pa.float64()),
+        "props": pa.array(["{}"] * 5),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    out = q_event_transitions(str(tmp_path))
+    got = list(zip(out["cur"], out["next"], out["n"], out["p"]))
+    assert got == [
+        ("a", "b", 1, 0.5),
+        ("a", "c", 1, 0.5),
+        ("b", "a", 1, 1.0),
+    ]
