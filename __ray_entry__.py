@@ -3514,6 +3514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": tabular.q_skyline_parts,  # SQL-oracled (window strict-min dominance)
         "per_source_cap": tabular.q_per_source_cap,  # SQL-oracled (fmix rank per source)
         "event_transitions": tabular.q_event_transitions,  # SQL-oracled (LEAD window mirror)
+        "table_profile": tabular.q_table_profile,  # SQL-oracled (per-column UNION ALL mirror)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3826,6 +3827,20 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigrams": _kn_bigrams_sql(),
         "textrank_keywords": _textrank_sql(),
         "per_source_cap": _per_source_cap_sql(),
+        "table_profile": (
+            # per-column profile of orders: one distributive aggregate row
+            # per column; BIGINT casts pin the driver's hash to the engine's
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, COUNT(*)::BIGINT AS n_rows, "
+                f"(COUNT(*) - COUNT({c}))::BIGINT AS n_null, "
+                f"COUNT(DISTINCT {c})::BIGINT AS n_distinct FROM orders"
+                for c in (
+                    "o_custkey", "o_orderdate", "o_orderkey",
+                    "o_orderpriority", "o_orderstatus", "o_totalprice",
+                )
+            )
+            + " ORDER BY col_name"
+        ),
         "event_transitions": (
             # first-order Markov transition counts of the per-user stream,
             # row-normalized; (ts, event_id) pins the order deterministically

@@ -8485,3 +8485,70 @@ def q_msf(sf_dir: str, n_workers: int = 4) -> pd.DataFrame:
     return df.sort_values(["src_id", "dst_id"]).reset_index(drop=True)[
         ["src_id", "dst_id", "w"]
     ]
+
+
+def q_table_profile(sf_dir: str, table: str = "orders") -> pd.DataFrame:
+    """Per-column data-profiling summary of a table (the single-pass column
+    profiler of Deequ / Great-Expectations-style data validation — the
+    stage every corpus build runs before training): for every column of
+    ``table`` report row count, null count and EXACT distinct count, all
+    BIGINT, sorted by column name.
+
+    Shape: counts are distributive — per-batch (col, n, n_null) partials
+    fold on the driver (k · n_batches rows, tiny). Exact distinct is the
+    shuffle-bounded part: each batch first collapses to its LOCAL unique
+    value strings per column (the combiner — low-cardinality columns
+    shrink to their vocabulary before any exchange), then rows route by
+    fingerprint64(col, value) bucket so every distinct value lives in
+    exactly one bucket and per-bucket distinct counts sum exactly. The
+    driver only ever sees k·n_buckets partial counts, never a value set.
+    String rendering is injective per column (pandas shortest-roundtrip
+    repr for floats, full-precision timestamps), so distinct-of-repr
+    equals distinct-of-value."""
+    n_buckets = 64
+    ds = _read(sf_dir, table)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "col_name": list(df.columns),
+                "n": np.full(len(df.columns), len(df), np.int64),
+                "n_null": [int(df[c].isna().sum()) for c in df.columns],
+            }
+        )
+
+    base = (
+        ds.map_batches(counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("col_name", sort=True)
+        .agg(n_rows=("n", "sum"), n_null=("n_null", "sum"))
+        .reset_index()
+    )
+
+    def uniq_long(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in df.columns:
+            v = pd.unique(df[c].dropna().astype(str))
+            frames.append(pd.DataFrame({"col_name": c, "v": v}))
+        out = pd.concat(frames, ignore_index=True)
+        h = textfn.fingerprint64(out["col_name"] + "\x1f" + out["v"])
+        out["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return out
+
+    def bucket_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["col_name", "v"]].drop_duplicates()
+        g = d.groupby("col_name", sort=False).size().reset_index(name="nd")
+        return g
+
+    dparts = (
+        ds.map_batches(uniq_long, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .to_pandas()
+    )
+    nd = dparts.groupby("col_name", sort=True)["nd"].sum().reset_index(name="n_distinct")
+    out = base.merge(nd, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0)
+    for c in ("n_rows", "n_null", "n_distinct"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("col_name").reset_index(drop=True)

@@ -3627,3 +3627,33 @@ def test_q_event_transitions_planted(ray_session, tmp_path):
         ("a", "c", 1, 0.5),
         ("b", "a", 1, 1.0),
     ]
+
+
+def test_q_table_profile_planted_with_nulls(ray_session, tmp_path):
+    """4 rows, one null per nullable column; distinct counts exclude nulls
+    (SQL COUNT(DISTINCT) semantics). Float repr injectivity: 1.5 vs 1.50
+    are the same double, counted once."""
+    from pagerank_ray.pipelines.tabular import q_table_profile
+
+    tbl = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 10, None, 20], pa.int64()),
+        "o_orderstatus": pa.array(["O", "F", "O", None]),
+        "o_totalprice": pa.array([1.5, 1.50, 2.25, None], pa.float64()),
+        "o_orderdate": pa.array(
+            pd.to_datetime(["2026-01-01", "2026-01-01", None, "2026-01-02"]),
+            pa.timestamp("us"),
+        ),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_table_profile(str(tmp_path))
+    assert list(out["col_name"]) == sorted(tbl.column_names)
+    rec = {r.col_name: (r.n_rows, r.n_null, r.n_distinct) for r in out.itertuples()}
+    assert rec["o_orderkey"] == (4, 0, 4)
+    assert rec["o_custkey"] == (4, 1, 2)
+    assert rec["o_orderstatus"] == (4, 1, 2)
+    assert rec["o_totalprice"] == (4, 1, 2)
+    assert rec["o_orderdate"] == (4, 1, 2)
+    assert rec["o_orderpriority"] == (4, 0, 1)
+    assert all(out[c].dtype == np.int64 for c in ("n_rows", "n_null", "n_distinct"))
