@@ -249,6 +249,9 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     "r5g": ["span_dedup", "winnowing_fp", "condensation_layers", "ppr_sweep_cut",
             "wl_refinement", "spectral_bisection", "boilerplate_lines",
             "simrank_topk"],
+    "r5h": ["butterflies", "kn_bigrams", "graph_compress", "textrank_keywords",
+            "skyline_parts", "per_source_cap", "event_transitions",
+            "table_profile"],
 }
 
 
@@ -423,6 +426,14 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("spectral_bisection", lambda: tabular.q_spectral_bisection(SF_DIR))
     timed("boilerplate_lines", lambda: tabular.q_boilerplate_lines(SF_DIR))
     timed("simrank_topk", lambda: tabular.q_simrank_topk(SF_DIR))
+    timed("butterflies", lambda: tabular.q_butterflies(SF_DIR))
+    timed("kn_bigrams", lambda: tabular.q_kn_bigrams(SF_DIR))
+    timed("graph_compress", lambda: tabular.q_graph_compress(SF_DIR))
+    timed("textrank_keywords", lambda: tabular.q_textrank_keywords(SF_DIR))
+    timed("skyline_parts", lambda: tabular.q_skyline_parts(SF_DIR))
+    timed("per_source_cap", lambda: tabular.q_per_source_cap(SF_DIR))
+    timed("event_transitions", lambda: tabular.q_event_transitions(SF_DIR))
+    timed("table_profile", lambda: tabular.q_table_profile(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():
