@@ -3515,6 +3515,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": tabular.q_per_source_cap,  # SQL-oracled (fmix rank per source)
         "event_transitions": tabular.q_event_transitions,  # SQL-oracled (LEAD window mirror)
         "table_profile": tabular.q_table_profile,  # SQL-oracled (per-column UNION ALL mirror)
+        "orders_reconciliation": tabular.q_orders_reconciliation,  # SQL-oracled (FULL OUTER mirror)
+        "interarrival_stats": tabular.q_interarrival_stats,  # SQL-oracled (LAG gap mirror)
+        "lineitem_hist2d": tabular.q_lineitem_hist2d,  # SQL-oracled (binned GROUP BY mirror)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3840,6 +3843,37 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             + " ORDER BY col_name"
+        ),
+        "orders_reconciliation": (
+            # full-outer referential audit; revenue folds as integer cents
+            # (the region_revenue convention) so ordering can't flip cents
+            "WITH l AS (SELECT l_orderkey, COUNT(*)::BIGINT AS n, "
+            "SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))::BIGINT AS rc "
+            "FROM lineitem GROUP BY 1), "
+            "j AS (SELECT CASE WHEN o.o_orderkey IS NULL THEN 'lineitem_only' "
+            "WHEN l.l_orderkey IS NULL THEN 'order_only' ELSE 'matched' END AS cat, "
+            "COALESCE(l.n, 0) AS n, COALESCE(l.rc, 0) AS rc "
+            "FROM orders o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey) "
+            "SELECT cat, COUNT(*)::BIGINT AS n_keys, SUM(n)::BIGINT AS n_lineitems, "
+            "ROUND(SUM(rc)/100.0, 2) AS revenue FROM j GROUP BY cat ORDER BY cat"
+        ),
+        "interarrival_stats": (
+            # per-type inter-arrival gap stats, gap attributed to the later
+            # event; integer-us sums so only the final mean divides
+            "WITH s AS (SELECT user_id, event_id, ts, event_type, LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events) "
+            "SELECT event_type, COUNT(*)::BIGINT AS n_pairs, "
+            "ROUND(SUM(epoch_us(ts)-epoch_us(pts))::DOUBLE / COUNT(*) / 1e6, 6) AS mean_gap_s, "
+            "ROUND(MAX(epoch_us(ts)-epoch_us(pts))::DOUBLE / 1e6, 6) AS max_gap_s "
+            "FROM s WHERE pts IS NOT NULL GROUP BY event_type ORDER BY event_type"
+        ),
+        "lineitem_hist2d": (
+            # joint (quantity, discount) histogram: width-5 qty bins, exact
+            # percent-point discount bins via half-away ROUND
+            "SELECT CAST(FLOOR(l_quantity/5) AS BIGINT) AS qty_bin, "
+            "CAST(ROUND(l_discount*100) AS BIGINT) AS disc_bin, "
+            "COUNT(*)::BIGINT AS n FROM lineitem "
+            "GROUP BY 1, 2 ORDER BY qty_bin, disc_bin"
         ),
         "event_transitions": (
             # first-order Markov transition counts of the per-user stream,

@@ -251,7 +251,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "simrank_topk"],
     "r5h": ["butterflies", "kn_bigrams", "graph_compress", "textrank_keywords",
             "skyline_parts", "per_source_cap", "event_transitions",
-            "table_profile"],
+            "table_profile", "orders_reconciliation", "interarrival_stats",
+            "lineitem_hist2d"],
 }
 
 
@@ -434,6 +435,9 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("per_source_cap", lambda: tabular.q_per_source_cap(SF_DIR))
     timed("event_transitions", lambda: tabular.q_event_transitions(SF_DIR))
     timed("table_profile", lambda: tabular.q_table_profile(SF_DIR))
+    timed("orders_reconciliation", lambda: tabular.q_orders_reconciliation(SF_DIR))
+    timed("interarrival_stats", lambda: tabular.q_interarrival_stats(SF_DIR))
+    timed("lineitem_hist2d", lambda: tabular.q_lineitem_hist2d(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -8552,3 +8552,182 @@ def q_table_profile(sf_dir: str, table: str = "orders") -> pd.DataFrame:
     for c in ("n_rows", "n_null", "n_distinct"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("col_name").reset_index(drop=True)
+
+
+def q_orders_reconciliation(sf_dir: str) -> pd.DataFrame:
+    """Full-outer reconciliation audit between orders and lineitem (the
+    referential-integrity report every warehouse load runs): classify every
+    orderkey as 'matched' (in both tables), 'order_only' (order with no
+    lineitems) or 'lineitem_only' (lineitems whose order is missing), and
+    report per category the key count, lineitem row count and cents-exact
+    revenue. Empty categories are omitted (SQL GROUP BY semantics).
+
+    Shape: the lineitem side first collapses per batch to (key, n,
+    rev_cents) partials — the combiner — so the exchange carries one row
+    per (batch, key), never raw lineitems. Both sides then route by the
+    same key-hash bucket (a key lives in exactly one bucket) and each
+    bucket's map_groups joins its local key sets and emits ≤3 category
+    partials; the driver folds ≤ 3·n_buckets rows. Revenue is summed as
+    half-away-rounded integer cents, so distributed summation order can
+    never flip the 2-decimal output (the region_revenue convention)."""
+    n_buckets = 64
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"key": k, "is_order": np.ones(len(k), np.int8),
+             "n": np.zeros(len(k), np.int64), "rc": np.zeros(len(k), np.int64)}
+        )
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].to_numpy(np.int64)
+        price = df["l_extendedprice"].to_numpy(np.float64)
+        disc = df["l_discount"].to_numpy(np.float64)
+        rc = _round_half_away(price * (1.0 - disc) * 100.0, 0).astype(np.int64)
+        g = (
+            pd.DataFrame({"key": k, "n": np.ones(len(k), np.int64), "rc": rc})
+            .groupby("key", sort=False)
+            .agg(n=("n", "sum"), rc=("rc", "sum"))
+            .reset_index()
+        )
+        g["is_order"] = np.int8(0)
+        return g[["key", "is_order", "n", "rc"]]
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["key"].to_numpy(np.int64)
+        mixed = (k * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        df = df.copy()
+        df["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return df
+
+    both = orders.map_batches(o_side, batch_format="pandas").union(
+        li.map_batches(l_side, batch_format="pandas")
+    )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        okeys = set(df.loc[df["is_order"] == 1, "key"].tolist())
+        ldf = df[df["is_order"] == 0]
+        lagg = ldf.groupby("key", sort=False).agg(n=("n", "sum"), rc=("rc", "sum"))
+        lkeys = set(lagg.index.tolist())
+        rows = []
+        matched = okeys & lkeys
+        if matched:
+            sel = lagg.loc[sorted(matched)]
+            rows.append(("matched", len(matched), int(sel["n"].sum()), int(sel["rc"].sum())))
+        o_only = okeys - lkeys
+        if o_only:
+            rows.append(("order_only", len(o_only), 0, 0))
+        l_only = lkeys - okeys
+        if l_only:
+            sel = lagg.loc[sorted(l_only)]
+            rows.append(("lineitem_only", len(l_only), int(sel["n"].sum()), int(sel["rc"].sum())))
+        return pd.DataFrame(rows, columns=["cat", "n_keys", "n_lineitems", "rc"])
+
+    parts = (
+        both.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(classify, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("cat", sort=True).agg(
+        n_keys=("n_keys", "sum"), n_lineitems=("n_lineitems", "sum"), rc=("rc", "sum")
+    ).reset_index()
+    out["revenue"] = _round_half_away(out["rc"].to_numpy(np.int64) / 100.0, 2)
+    for c in ("n_keys", "n_lineitems"):
+        out[c] = out[c].astype(np.int64)
+    return out[["cat", "n_keys", "n_lineitems", "revenue"]].reset_index(drop=True)
+
+
+def q_interarrival_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type inter-arrival statistics of the per-user stream (the
+    streaming-engine latency/cadence audit): for consecutive events of the
+    same user ordered by (ts, event_id), attribute the gap to the LATER
+    event's type and report pair count, mean gap seconds (ROUND 6) and max
+    gap seconds. Gaps accumulate as exact integer microseconds, so the
+    only float op is the final mean division — summation order can never
+    change the output.
+
+    Shape: events route by user hash (a user's stream co-locates); one
+    vectorized lexsort + shifted same-user mask per bucket; per-bucket
+    partials are ≤ |event_types| rows, folded by a tiny driver groupby."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        df = df.copy()
+        df["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return df
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype=object),
+                 "n_pairs": pd.Series(dtype=np.int64),
+                 "sum_us": pd.Series(dtype=np.int64),
+                 "max_us": pd.Series(dtype=np.int64)}
+            )
+        gap = (ts[1:] - ts[:-1])[same]
+        g = (
+            pd.DataFrame({"event_type": et[1:][same], "gap": gap})
+            .groupby("event_type", sort=False)["gap"]
+            .agg(n_pairs="size", sum_us="sum", max_us="max")
+            .reset_index()
+        )
+        for c in ("n_pairs", "sum_us", "max_us"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    parts = (
+        ev.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("event_type", sort=True).agg(
+        n_pairs=("n_pairs", "sum"), sum_us=("sum_us", "sum"), max_us=("max_us", "max")
+    ).reset_index()
+    out["mean_gap_s"] = _round_half_away(
+        out["sum_us"].to_numpy(np.int64) / out["n_pairs"].to_numpy(np.int64) / 1e6, 6
+    )
+    out["max_gap_s"] = _round_half_away(out["max_us"].to_numpy(np.int64) / 1e6, 6)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out[["event_type", "n_pairs", "mean_gap_s", "max_gap_s"]].reset_index(drop=True)
+
+
+def q_lineitem_hist2d(sf_dir: str) -> pd.DataFrame:
+    """2-D histogram of (quantity, discount) over lineitem (the joint-
+    distribution profile behind discount-policy dashboards): qty bins of
+    width 5 (floor(q/5)), discount bins in exact percent points
+    (half-away ROUND(d*100) — 0.05 stored as 0.050000000000000003 still
+    lands in bin 5 on both engines). Bins are bounded (≤ 11×11), so this
+    is a pure distributive count: per-batch crosstab partials fold on the
+    driver; no shuffle at any scale."""
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qb = np.floor(df["l_quantity"].to_numpy(np.float64) / 5.0).astype(np.int64)
+        db = _round_half_away(df["l_discount"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        g = (
+            pd.DataFrame({"qty_bin": qb, "disc_bin": db})
+            .groupby(["qty_bin", "disc_bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["qty_bin", "disc_bin"], sort=True)["n"].sum().reset_index()
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)

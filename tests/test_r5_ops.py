@@ -3657,3 +3657,61 @@ def test_q_table_profile_planted_with_nulls(ray_session, tmp_path):
     assert rec["o_orderdate"] == (4, 1, 2)
     assert rec["o_orderpriority"] == (4, 0, 1)
     assert all(out[c].dtype == np.int64 for c in ("n_rows", "n_null", "n_distinct"))
+
+
+def test_q_orders_reconciliation_all_categories(ray_session, tmp_path):
+    """Orders 1,2,3; lineitems for 1 (two rows) and 9 (one row, no order):
+    matched={1}, order_only={2,3}, lineitem_only={9}. Revenue is cents-exact:
+    10.005*(1-0.0) → 1001 cents (half-away), plus 5.00 → 500."""
+    from pagerank_ray.pipelines.tabular import q_orders_reconciliation
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 9], pa.int64()),
+        "l_extendedprice": pa.array([10.005, 5.0, 7.25], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_orders_reconciliation(str(tmp_path))
+    rec = {r.cat: (r.n_keys, r.n_lineitems, r.revenue) for r in out.itertuples()}
+    assert rec["matched"] == (1, 2, 15.01)
+    assert rec["order_only"] == (2, 0, 0.0)
+    assert rec["lineitem_only"] == (1, 1, 7.25)
+    assert list(out["cat"]) == ["lineitem_only", "matched", "order_only"]
+
+
+def test_q_interarrival_stats_planted(ray_session, tmp_path):
+    """User 1: a @0s → b @10s → a @40s (gaps 10 to b, 30 to a); user 2: one
+    event (no pair). Ties impossible here; gap goes to the LATER event."""
+    from pagerank_ray.pipelines.tabular import q_interarrival_stats
+
+    ts = pd.to_datetime([
+        "2026-01-01 00:00:00", "2026-01-01 00:00:10", "2026-01-01 00:00:40",
+        "2026-01-05 12:00:00",
+    ])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a"]),
+        "value": pa.array([0.0] * 4, pa.float64()),
+        "props": pa.array(["{}"] * 4),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    out = q_interarrival_stats(str(tmp_path))
+    got = list(zip(out["event_type"], out["n_pairs"], out["mean_gap_s"], out["max_gap_s"]))
+    assert got == [("a", 1, 30.0, 30.0), ("b", 1, 10.0, 10.0)]
+
+
+def test_q_lineitem_hist2d_planted(ray_session, tmp_path):
+    """q=4.9 → bin 0, q=5 → bin 1, q=50 → bin 10; d=0.05 (stored as the
+    nearest double) → bin 5 via half-away rounding on both engines."""
+    from pagerank_ray.pipelines.tabular import q_lineitem_hist2d
+
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([4.9, 5.0, 50.0, 50.0], pa.float64()),
+        "l_discount": pa.array([0.05, 0.0, 0.1, 0.1], pa.float64()),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_lineitem_hist2d(str(tmp_path))
+    got = list(zip(out["qty_bin"], out["disc_bin"], out["n"]))
+    assert got == [(0, 5, 1), (1, 0, 1), (10, 10, 2)]
