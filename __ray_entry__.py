@@ -3518,6 +3518,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_reconciliation": tabular.q_orders_reconciliation,  # SQL-oracled (FULL OUTER mirror)
         "interarrival_stats": tabular.q_interarrival_stats,  # SQL-oracled (LAG gap mirror)
         "lineitem_hist2d": tabular.q_lineitem_hist2d,  # SQL-oracled (binned GROUP BY mirror)
+        "changelog_compact": tabular.q_changelog_compact,  # SQL-oracled (ROW_NUMBER latest-wins mirror)
+        "revenue_mom_growth": tabular.q_revenue_mom_growth,  # SQL-oracled (LAG-on-aggregate mirror)
+        "lang_vocab_overlap": tabular.q_lang_vocab_overlap,  # SQL-oracled (distinct-pair self-join mirror)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3843,6 +3846,42 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             + " ORDER BY col_name"
+        ),
+        "changelog_compact": (
+            # latest-wins CDC snapshot per user; (ts DESC, event_id DESC)
+            # pins the winner deterministically, value passes through
+            "WITH r AS (SELECT user_id, ts, event_type, value, "
+            "COUNT(*) OVER (PARTITION BY user_id)::BIGINT AS n_versions, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) "
+            "SELECT user_id, ts AS last_ts, event_type AS last_event_type, "
+            "value AS last_value, n_versions FROM r WHERE rn = 1 ORDER BY user_id"
+        ),
+        "revenue_mom_growth": (
+            # monthly cents-exact revenue + calendar-aware LAG growth: a
+            # month after a gap gets NULL, matching the engine's shift rule
+            "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
+            "SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))::BIGINT AS rc FROM orders GROUP BY 1), "
+            "g AS (SELECT month, rc, LAG(month) OVER (ORDER BY month) AS pm, "
+            "LAG(rc) OVER (ORDER BY month) AS pr FROM m) "
+            "SELECT month, ROUND(rc/100.0, 2) AS revenue, "
+            "CASE WHEN pm = month - INTERVAL 1 MONTH AND pr <> 0 "
+            "THEN ROUND((rc - pr)::DOUBLE / pr, 6) END AS growth FROM g ORDER BY month"
+        ),
+        "lang_vocab_overlap": (
+            # pairwise lang vocabulary Jaccard over whitespace token sets
+            # (the tfidf/bm25 tokenization); empty intersections drop out
+            "WITH tl AS (SELECT DISTINCT lang, "
+            "unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS tok "
+            "FROM documents WHERE TRIM(COALESCE(text,'')) <> ''), "
+            "n AS (SELECT lang, COUNT(*)::BIGINT AS nt FROM tl GROUP BY 1), "
+            "c AS (SELECT a.lang AS la, b.lang AS lb, COUNT(*)::BIGINT AS nc "
+            "FROM tl a JOIN tl b ON a.tok = b.tok AND a.lang < b.lang GROUP BY 1, 2) "
+            "SELECT la AS lang_a, lb AS lang_b, nc AS n_common, "
+            "(na.nt + nb.nt - nc)::BIGINT AS n_union, "
+            "ROUND(nc::DOUBLE / (na.nt + nb.nt - nc), 6) AS jaccard "
+            "FROM c JOIN n na ON na.lang = la JOIN n nb ON nb.lang = lb "
+            "ORDER BY lang_a, lang_b"
         ),
         "orders_reconciliation": (
             # full-outer referential audit; revenue folds as integer cents

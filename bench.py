@@ -252,7 +252,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     "r5h": ["butterflies", "kn_bigrams", "graph_compress", "textrank_keywords",
             "skyline_parts", "per_source_cap", "event_transitions",
             "table_profile", "orders_reconciliation", "interarrival_stats",
-            "lineitem_hist2d"],
+            "lineitem_hist2d", "changelog_compact", "revenue_mom_growth",
+            "lang_vocab_overlap"],
 }
 
 
@@ -438,6 +439,9 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("orders_reconciliation", lambda: tabular.q_orders_reconciliation(SF_DIR))
     timed("interarrival_stats", lambda: tabular.q_interarrival_stats(SF_DIR))
     timed("lineitem_hist2d", lambda: tabular.q_lineitem_hist2d(SF_DIR))
+    timed("changelog_compact", lambda: tabular.q_changelog_compact(SF_DIR))
+    timed("revenue_mom_growth", lambda: tabular.q_revenue_mom_growth(SF_DIR))
+    timed("lang_vocab_overlap", lambda: tabular.q_lang_vocab_overlap(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

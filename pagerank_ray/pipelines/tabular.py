@@ -8731,3 +8731,180 @@ def q_lineitem_hist2d(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby(["qty_bin", "disc_bin"], sort=True)["n"].sum().reset_index()
     out["n"] = out["n"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def q_changelog_compact(sf_dir: str) -> pd.DataFrame:
+    """Compact the event changelog to a latest-wins snapshot per user (the
+    CDC/upsert materialization every lakehouse MERGE performs): for each
+    user keep the fields of their latest event by (ts, event_id) and the
+    total version count. No float arithmetic — `value` passes through.
+
+    Shape: each batch first reduces to ONE candidate row per user (its
+    local latest, plus a local version count) — the arg-max combiner — so
+    the exchange carries O(users·batches) candidate rows, never the raw
+    changelog; candidates then route by user hash and each bucket picks
+    the global winner with one vectorized lexsort. Nothing driver-side
+    but the snapshot contract itself."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def local_latest(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))  # ascending; last per user wins
+        d = df.iloc[order]
+        u_s = d["user_id"].to_numpy(np.int64)
+        last = np.r_[u_s[1:] != u_s[:-1], True]
+        win = d.iloc[last].copy()
+        counts = pd.Series(u).value_counts()
+        win["n_versions"] = counts.loc[win["user_id"].to_numpy()].to_numpy(np.int64)
+        mixed = (win["user_id"].to_numpy(np.int64) * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        win["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return win
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        d = df.iloc[order]
+        u_s = d["user_id"].to_numpy(np.int64)
+        last = np.r_[u_s[1:] != u_s[:-1], True]
+        nv = d.groupby("user_id", sort=False)["n_versions"].sum()
+        win = d.iloc[last].copy()
+        win["n_versions"] = nv.loc[win["user_id"].to_numpy()].to_numpy(np.int64)
+        return win[["user_id", "ts", "event_type", "value", "n_versions"]]
+
+    out = (
+        ev.map_batches(local_latest, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.rename(columns={"ts": "last_ts", "event_type": "last_event_type",
+                              "value": "last_value"})
+    out["n_versions"] = out["n_versions"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "last_ts", "last_event_type", "last_value", "n_versions"]
+    ]
+
+
+def q_revenue_mom_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue growth (the reporting lag-on-aggregate):
+    monthly order revenue summed as exact integer cents, then growth
+    = ROUND((cur - prev) / prev, 6) against the previous CALENDAR month —
+    a missing month yields NULL growth for the month after the gap, SQL
+    LAG-over-months semantics. Only the final division touches floats.
+
+    Shape: per-batch (month, cents) partials fold on the driver (months
+    are calendar-bounded — a century is 1200 rows); the lag itself is a
+    driver-side shift over that tiny series."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["o_orderdate"].to_numpy().astype("datetime64[M]")
+        cents = _round_half_away(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        g = pd.DataFrame({"month": ts, "rc": cents}).groupby("month", sort=False)[
+            "rc"
+        ].sum().reset_index()
+        return g
+
+    parts = orders.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby("month", sort=True)["rc"].sum().reset_index()
+    months = m["month"].to_numpy().astype("datetime64[M]")
+    prev_has = np.r_[False, (months[1:] - months[:-1]) == np.timedelta64(1, "M")]
+    rc = m["rc"].to_numpy(np.int64)
+    prev_rc = np.r_[0, rc[:-1]]
+    growth = np.full(len(m), np.nan)
+    ok = prev_has & (prev_rc != 0)
+    growth[ok] = (rc[ok] - prev_rc[ok]) / prev_rc[ok]
+    out = pd.DataFrame(
+        {
+            "month": months.astype("datetime64[us]"),
+            "revenue": _round_half_away(rc / 100.0, 2),
+            "growth": np.where(np.isnan(growth), np.nan, _round_half_away(growth, 6)),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def q_lang_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise vocabulary overlap between languages (the cross-lingual
+    contamination / shared-token audit of multilingual corpus builds):
+    whitespace token sets per lang (the tfidf/bm25 convention), exact
+    Jaccard = |A∩B| / |A∪B| per unordered lang pair, ROUND 6; pairs with
+    empty intersection are omitted (SQL inner-join semantics).
+
+    Shape: batches emit locally-distinct (lang, token) pairs (the
+    combiner), tokens route by fingerprint64 hash so each token's lang
+    set assembles in exactly one bucket; per-bucket output is per-lang
+    partial vocabulary sizes plus per-pair co-occurrence counts (≤ L²
+    rows), folded by a tiny driver groupby — the corpus vocabulary never
+    converges on one node."""
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def pairs_local(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        langs = np.repeat(df["lang"].to_numpy(), np.maximum(n_tok, 1))
+        d = pd.DataFrame(
+            {"lang": langs[valid], "tok": flat.to_numpy()[valid]}
+        ).drop_duplicates()
+        if not len(d):
+            return pd.DataFrame({"lang": pd.Series(dtype=object),
+                                 "tok": pd.Series(dtype=object),
+                                 "bucket": pd.Series(dtype=np.int32)})
+        h = textfn.fingerprint64(d["tok"])
+        d["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return d
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["lang", "tok"]].drop_duplicates()
+        sizes = d.groupby("lang", sort=False).size().reset_index(name="n")
+        sizes.insert(0, "kind", "size")
+        sizes = sizes.rename(columns={"lang": "a"})
+        sizes["b"] = ""
+        co = d.merge(d, on="tok")
+        co = co[co["lang_x"] < co["lang_y"]]
+        com = (
+            co.groupby(["lang_x", "lang_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"lang_x": "a", "lang_y": "b"})
+        )
+        com.insert(0, "kind", "common")
+        out = pd.concat([sizes[["kind", "a", "b", "n"]], com[["kind", "a", "b", "n"]]],
+                        ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = (
+        docs.map_batches(pairs_local, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .to_pandas()
+    )
+    sizes = (
+        parts[parts["kind"] == "size"].groupby("a", sort=True)["n"].sum().to_dict()
+    )
+    com = (
+        parts[parts["kind"] == "common"]
+        .groupby(["a", "b"], sort=True)["n"]
+        .sum()
+        .reset_index(name="n_common")
+    )
+    na = com["a"].map(sizes).to_numpy(np.int64)
+    nb = com["b"].map(sizes).to_numpy(np.int64)
+    nc = com["n_common"].to_numpy(np.int64)
+    com["n_union"] = na + nb - nc
+    com["jaccard"] = _round_half_away(nc / (na + nb - nc), 6)
+    com = com.rename(columns={"a": "lang_a", "b": "lang_b"})
+    com["n_common"] = com["n_common"].astype(np.int64)
+    com["n_union"] = com["n_union"].astype(np.int64)
+    return com.reset_index(drop=True)

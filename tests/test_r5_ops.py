@@ -3715,3 +3715,59 @@ def test_q_lineitem_hist2d_planted(ray_session, tmp_path):
     out = q_lineitem_hist2d(str(tmp_path))
     got = list(zip(out["qty_bin"], out["disc_bin"], out["n"]))
     assert got == [(0, 5, 1), (1, 0, 1), (10, 10, 2)]
+
+
+def test_q_changelog_compact_planted(ray_session, tmp_path):
+    """User 1 has 3 versions; tie on ts between event_id 2 and 3 resolves to
+    the higher event_id. User 2 has a single version."""
+    from pagerank_ray.pipelines.tabular import q_changelog_compact
+
+    ts = pd.to_datetime([
+        "2026-01-01 00:00:00", "2026-01-02 00:00:00", "2026-01-02 00:00:00",
+        "2026-01-01 00:00:00",
+    ])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "d"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "props": pa.array(["{}"] * 4),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    out = q_changelog_compact(str(tmp_path))
+    got = list(zip(out["user_id"], out["last_event_type"], out["last_value"], out["n_versions"]))
+    assert got == [(1, "c", 3.0, 3), (2, "d", 4.0, 1)]
+
+
+def test_q_revenue_mom_growth_gap_month(ray_session, tmp_path):
+    """Jan 100.00, Feb 150.00 (growth 0.5), April 90.00 — March missing, so
+    April's growth is NULL (no previous calendar month)."""
+    from pagerank_ray.pipelines.tabular import q_revenue_mom_growth
+
+    dates = pd.to_datetime(["2026-01-15", "2026-02-10", "2026-04-01"])
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 150.0, 90.0], pa.float64()),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_revenue_mom_growth(str(tmp_path))
+    assert list(out["revenue"]) == [100.0, 150.0, 90.0]
+    assert np.isnan(out["growth"].iloc[0])
+    assert out["growth"].iloc[1] == 0.5
+    assert np.isnan(out["growth"].iloc[2])
+
+
+def test_q_lang_vocab_overlap_partial(ray_session, tmp_path):
+    """en={a,b,c}, fr={b,c,d}, zh={x} → en∩fr={b,c} (J=2/4=0.5); zh shares
+    nothing and must be absent from the pair list."""
+    from pagerank_ray.pipelines.tabular import q_lang_vocab_overlap
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c", "b  c d", "x", ""]),
+        "lang": pa.array(["en", "fr", "zh", "en"]),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([5, 6, 1, 0], pa.int64()),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_lang_vocab_overlap(str(tmp_path))
+    got = list(zip(out["lang_a"], out["lang_b"], out["n_common"], out["n_union"], out["jaccard"]))
+    assert got == [("en", "fr", 2, 4, 0.5)]
