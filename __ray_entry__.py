@@ -3521,6 +3521,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changelog_compact": tabular.q_changelog_compact,  # SQL-oracled (ROW_NUMBER latest-wins mirror)
         "revenue_mom_growth": tabular.q_revenue_mom_growth,  # SQL-oracled (LAG-on-aggregate mirror)
         "lang_vocab_overlap": tabular.q_lang_vocab_overlap,  # SQL-oracled (distinct-pair self-join mirror)
+        "label_centroids": tabular.q_label_centroids,  # SQL-oracled (exact-integer quantized folds)
+        "llr_bigrams": tabular.q_llr_bigrams,  # SQL-oracled (Dunning 2x2 verbatim expression)
+        "region_homophily": tabular.q_region_homophily,  # SQL-oracled (integer assortativity fold)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3846,6 +3849,59 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             + " ORDER BY col_name"
+        ),
+        "label_centroids": (
+            # exact-integer quantized per-label mean vectors (the
+            # embedding_pca fixed-point convention, scale 10^4)
+            "WITH e AS (SELECT label::BIGINT AS label, "
+            "(generate_subscripts(embedding,1)-1)::BIGINT AS dim, "
+            "unnest(embedding) AS v FROM embeddings), "
+            "q AS (SELECT label, dim, CAST(ROUND(v::DOUBLE * 10000) AS BIGINT) AS qv FROM e) "
+            "SELECT label, dim, COUNT(*)::BIGINT AS n, "
+            "ROUND(SUM(qv)::DOUBLE / (10000.0 * COUNT(*)), 6) AS centroid "
+            "FROM q GROUP BY label, dim ORDER BY label, dim"
+        ),
+        "llr_bigrams": (
+            # Dunning LLR over adjacent bigrams; the 2x2 term expression
+            # mirrors the engine's float order verbatim, empty cells -> 0
+            "WITH t AS (SELECT doc_id, CASE WHEN TRIM(COALESCE(text,''))='' "
+            "THEN []::VARCHAR[] ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS w "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, g.i AS i, w[g.i] AS tk FROM t, "
+            "UNNEST(generate_series(1, len(w))) AS g(i)), "
+            "bg AS (SELECT a.tk AS a, b.tk AS b, COUNT(*)::BIGINT AS c FROM tok a "
+            "JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1 GROUP BY 1,2), "
+            "ml AS (SELECT a, SUM(c)::BIGINT AS ca FROM bg GROUP BY a), "
+            "mr AS (SELECT b, SUM(c)::BIGINT AS cb FROM bg GROUP BY b), "
+            "nt AS (SELECT SUM(c)::BIGINT AS N FROM bg), "
+            "s AS (SELECT bg.a, bg.b, c, ca, cb, (SELECT N FROM nt) AS N FROM bg "
+            "JOIN ml USING(a) JOIN mr USING(b) WHERE c >= 5) "
+            "SELECT a, b, c AS n_pair, ROUND(2*("
+            "CASE WHEN c=0 THEN 0 ELSE c*LN((c::DOUBLE*N)/(ca::DOUBLE*cb)) END + "
+            "CASE WHEN ca-c=0 THEN 0 ELSE (ca-c)*LN(((ca-c)::DOUBLE*N)/(ca::DOUBLE*(N-cb))) END + "
+            "CASE WHEN cb-c=0 THEN 0 ELSE (cb-c)*LN(((cb-c)::DOUBLE*N)/((N-ca)::DOUBLE*cb)) END + "
+            "CASE WHEN N-ca-cb+c=0 THEN 0 ELSE "
+            "(N-ca-cb+c)*LN(((N-ca-cb+c)::DOUBLE*N)/((N-ca)::DOUBLE*(N-cb))) END"
+            "), 6) AS llr FROM s ORDER BY llr DESC, a, b LIMIT 30"
+        ),
+        "region_homophily": (
+            # Newman attribute assortativity on the region-contracted trade
+            # graph; HUGEINT keeps m*m and the marginal products exact
+            "WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), "
+            "e AS (SELECT cn.n_regionkey AS ra, sn.n_regionkey AS rb FROM p "
+            "JOIN orders o ON o.o_orderkey=p.l_orderkey "
+            "JOIN customer c ON c.c_custkey=o.o_custkey "
+            "JOIN nation cn ON cn.n_nationkey=c.c_nationkey "
+            "JOIN supplier s ON s.s_suppkey=p.l_suppkey "
+            "JOIN nation sn ON sn.n_nationkey=s.s_nationkey), "
+            "cnt AS (SELECT ra, rb, COUNT(*)::BIGINT AS w FROM e GROUP BY 1,2), "
+            "tot AS (SELECT SUM(w)::HUGEINT AS m, "
+            "SUM(CASE WHEN ra=rb THEN w ELSE 0 END)::HUGEINT AS eii FROM cnt), "
+            "ab AS (SELECT COALESCE(SUM(a.wo*b.wi),0)::HUGEINT AS s FROM "
+            "(SELECT ra, SUM(w)::HUGEINT AS wo FROM cnt GROUP BY 1) a JOIN "
+            "(SELECT rb, SUM(w)::HUGEINT AS wi FROM cnt GROUP BY 1) b ON a.ra=b.rb) "
+            "SELECT m::BIGINT AS n_edges, eii::BIGINT AS n_same, "
+            "ROUND((m*eii - s)::DOUBLE / (m*m - s), 6) AS assortativity FROM tot, ab"
         ),
         "changelog_compact": (
             # latest-wins CDC snapshot per user; (ts DESC, event_id DESC)

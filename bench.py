@@ -253,7 +253,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "skyline_parts", "per_source_cap", "event_transitions",
             "table_profile", "orders_reconciliation", "interarrival_stats",
             "lineitem_hist2d", "changelog_compact", "revenue_mom_growth",
-            "lang_vocab_overlap"],
+            "lang_vocab_overlap", "label_centroids", "llr_bigrams",
+            "region_homophily"],
 }
 
 
@@ -442,6 +443,9 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("changelog_compact", lambda: tabular.q_changelog_compact(SF_DIR))
     timed("revenue_mom_growth", lambda: tabular.q_revenue_mom_growth(SF_DIR))
     timed("lang_vocab_overlap", lambda: tabular.q_lang_vocab_overlap(SF_DIR))
+    timed("label_centroids", lambda: tabular.q_label_centroids(SF_DIR))
+    timed("llr_bigrams", lambda: tabular.q_llr_bigrams(SF_DIR))
+    timed("region_homophily", lambda: tabular.q_region_homophily(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -8908,3 +8908,246 @@ def q_lang_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     com["n_common"] = com["n_common"].astype(np.int64)
     com["n_union"] = com["n_union"].astype(np.int64)
     return com.reset_index(drop=True)
+
+
+def q_label_centroids(sf_dir: str, scale: int = 10**4) -> pd.DataFrame:
+    """Per-label embedding centroids (the nearest-class-mean prototypes of
+    embedding-space diagnostics): mean vector per label, computed with the
+    embedding_pca fixed-point convention — values quantize to integers
+    (half-away round of value·scale) so the distributed per-label sums are
+    EXACT int64 and batch split order cannot change the result; the only
+    float op is the final centroid = ROUND(S / (scale·n), 6).
+
+    Shape: one streaming pass; each batch emits ≤ |labels|·dim partial
+    (label, dim, s, n) rows — the combiner — folded by a tiny driver
+    groupby (labels × dim is contract-sized). No shuffle."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.num_rows
+        dim = len(flat) // max(n, 1)
+        if n and len(flat) != n * dim:
+            raise ValueError("ragged embedding lists")
+        y = flat.reshape(n, dim) * float(scale)
+        q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        labs, starts = np.unique(labels[order], return_index=True)
+        sums = np.add.reduceat(q[order], starts, axis=0)
+        cnts = np.diff(np.r_[starts, len(labels)])
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labs, dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), len(labs)),
+                "s": sums.ravel(),
+                "n": np.repeat(cnts.astype(np.int64), dim),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["label", "dim"], sort=True).agg(
+        s=("s", "sum"), n=("n", "sum")
+    ).reset_index()
+    g["centroid"] = _round_half_away(
+        g["s"].to_numpy(np.int64) / (float(scale) * g["n"].to_numpy(np.int64)), 6
+    )
+    g["label"] = g["label"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    return g[["label", "dim", "n", "centroid"]].reset_index(drop=True)
+
+
+def q_llr_bigrams(sf_dir: str, min_cnt: int = 5, k: int = 30) -> pd.DataFrame:
+    """Top-k adjacent bigrams by Dunning's log-likelihood ratio (Dunning
+    CL 1993) — the collocation significance test corpus pipelines run
+    beside PMI (LLR does not over-reward rare pairs). For the 2×2 table
+    k11=c(ab), k12=c(a·)−c, k21=c(·b)−c, k22=N−c(a·)−c(·b)+c:
+    LLR = 2·Σ k·ln(k·N / (rowsum·colsum)), empty cells contribute 0. One
+    deterministic float expression mirrored verbatim in the oracle,
+    rounded half-away(6), ordered (llr DESC, a, b), LIMIT k.
+
+    Shape: per-batch bigram partials (the combiner) merge by hash-bucket
+    groupby; both marginals are bucketed folds OVER THE MERGED bigram
+    table (vocab-bounded, never per-occurrence); marginals attach to the
+    ≥min_cnt candidates broadcast-or-hash. All counts exact int64."""
+    from pagerank_ray.stages import joins
+
+    n_buckets = 64
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w, valid, doc_idx = _exploded_tokens(df)
+        if len(w) <= 1:
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype=np.int64)})
+        m = valid[:-1] & valid[1:] & (doc_idx[:-1] == doc_idx[1:])
+        if not m.any():
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype=np.int64)})
+        out = (
+            pd.DataFrame({"a": w[:-1][m], "b": w[1:][m]})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    def bucketize_on(cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            key = df[cols[0]].astype(str)
+            for c in cols[1:]:
+                key = key + "\x1f" + df[c].astype(str)
+            h = textfn.fingerprint64(key)
+            df = df.copy()
+            df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+            return df
+        return fn
+
+    def merge_on(cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(cols, sort=False)["cnt"].sum().reset_index()
+            out["cnt"] = out["cnt"].astype(np.int64)
+            return out
+        return fn
+
+    bg = (
+        ds.map_batches(big_partial, batch_format="pandas")
+        .map_batches(bucketize_on(["a", "b"]), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_on(["a", "b"]), batch_format="pandas")
+        .materialize()
+    )
+    n_total = int(bg.sum("cnt"))
+    left = (
+        bg.map_batches(
+            lambda df: df.groupby("a", sort=False)["cnt"].sum().reset_index(),
+            batch_format="pandas",
+        )
+        .map_batches(bucketize_on(["a"]), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_on(["a"]), batch_format="pandas")
+    )
+    right = (
+        bg.map_batches(
+            lambda df: df.groupby("b", sort=False)["cnt"].sum().reset_index(),
+            batch_format="pandas",
+        )
+        .map_batches(bucketize_on(["b"]), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_on(["b"]), batch_format="pandas")
+    )
+    cand = bg.map_batches(lambda df: df[df["cnt"] >= min_cnt], batch_format="pandas")
+    cand = joins.attach_column(cand, left, probe_col="a", build_key="a",
+                               build_val="cnt", out_col="ca")
+    cand = joins.attach_column(cand, right, probe_col="b", build_key="b",
+                               build_val="cnt", out_col="cb")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cnt"].to_numpy(np.int64)
+        ca = df["ca"].to_numpy(np.int64)
+        cb = df["cb"].to_numpy(np.int64)
+        N = n_total
+
+        def term(kk, row, col):
+            kk = kk.astype(np.float64)
+            arg = (kk * N) / (row.astype(np.float64) * col.astype(np.float64))
+            # k==0 cells contribute 0 (lim x·ln x = 0); mask keeps log finite
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = kk * np.log(arg)
+            return np.where(kk == 0, 0.0, v)
+
+        llr = 2.0 * (
+            term(c, ca, cb)
+            + term(ca - c, ca, N - cb)
+            + term(cb - c, N - ca, cb)
+            + term(N - ca - cb + c, N - ca, N - cb)
+        )
+        out = df[["a", "b"]].copy()
+        out["n_pair"] = c
+        out["llr"] = _round_half_away(llr, 6)
+        return out
+
+    top = (
+        cand.map_batches(score, batch_format="pandas")
+        .sort(["llr", "a", "b"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return top.reset_index(drop=True)
+
+
+def q_region_homophily(sf_dir: str) -> pd.DataFrame:
+    """Newman attribute assortativity of the order→supplier trade graph
+    contracted to REGIONS (Newman PRE 2003 eq. 2, the homophily test of
+    network analysis — do customers buy within their own region?): over
+    distinct (orderkey, suppkey) edges labeled (customer region, supplier
+    region), r = (M·Σe_ii − Σa_i·b_i) / (M² − Σa_i·b_i) with edge counts
+    M, diagonal e_ii, out/in marginals a,b — all EXACT integers folded as
+    Python ints on the driver (the ≤R² matrix), one final float division,
+    ROUND 6.
+
+    Shape: the nation_trade_graph contraction plan (bucketed pair dedup →
+    broadcast-or-hash dimension attaches), then each batch maps nations to
+    regions through a ≤25-entry broadcast dict and emits ≤R² count
+    partials. Nothing bigger than R² leaves any stage."""
+    from pagerank_ray.stages import joins
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region_of = dict(zip(nation["n_nationkey"].astype(np.int64),
+                         nation["n_regionkey"].astype(np.int64)))
+
+    edges = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"src_id": t.column("l_orderkey"), "dst_id": t.column("l_suppkey")})
+
+    pairs = dedup_pairs(edges.map_batches(rename, batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    pairs = joins.attach_with_default(pairs, orders, probe_col="src_id",
+                                      build_key="o_orderkey", build_val="o_custkey",
+                                      out_col="custkey", default=-1)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    pairs = joins.attach_with_default(pairs, cust, probe_col="custkey",
+                                      build_key="c_custkey", build_val="c_nationkey",
+                                      out_col="cust_nation", default=-1)
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    pairs = joins.attach_with_default(pairs, sup, probe_col="dst_id",
+                                      build_key="s_suppkey", build_val="s_nationkey",
+                                      out_col="supp_nation", default=-1)
+
+    def count_regions(df: pd.DataFrame) -> pd.DataFrame:
+        cn = df["cust_nation"].to_numpy(np.int64)
+        sn = df["supp_nation"].to_numpy(np.int64)
+        keep = (cn >= 0) & (sn >= 0)
+        ra = pd.Series(cn[keep]).map(region_of).to_numpy(np.int64)
+        rb = pd.Series(sn[keep]).map(region_of).to_numpy(np.int64)
+        g = (
+            pd.DataFrame({"ra": ra, "rb": rb})
+            .groupby(["ra", "rb"], sort=False)
+            .size()
+            .reset_index(name="w")
+        )
+        g["w"] = g["w"].astype(np.int64)
+        return g
+
+    parts = pairs.map_batches(count_regions, batch_format="pandas").to_pandas()
+    mat = parts.groupby(["ra", "rb"], sort=True)["w"].sum().reset_index()
+    m = int(mat["w"].sum())
+    eii = int(mat.loc[mat["ra"] == mat["rb"], "w"].sum())
+    a_out = mat.groupby("ra")["w"].sum()
+    b_in = mat.groupby("rb")["w"].sum()
+    s_ab = sum(int(a_out.get(i, 0)) * int(b_in.get(i, 0))
+               for i in set(a_out.index) | set(b_in.index))
+    denom = m * m - s_ab
+    r = float("nan") if denom == 0 else (m * eii - s_ab) / denom
+    return pd.DataFrame(
+        {
+            "n_edges": np.array([m], np.int64),
+            "n_same": np.array([eii], np.int64),
+            "assortativity": [r if denom == 0 else _round_half_away(np.array([r]), 6)[0]],
+        }
+    )

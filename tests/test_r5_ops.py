@@ -3771,3 +3771,83 @@ def test_q_lang_vocab_overlap_partial(ray_session, tmp_path):
     out = q_lang_vocab_overlap(str(tmp_path))
     got = list(zip(out["lang_a"], out["lang_b"], out["n_common"], out["n_union"], out["jaccard"]))
     assert got == [("en", "fr", 2, 4, 0.5)]
+
+
+def test_q_label_centroids_planted(ray_session, tmp_path):
+    """Label 1: vectors (1.0, -0.5) and (2.0, 0.5) → centroid (1.5, 0.0);
+    label 2: one vector. Quantization at scale 1e4 is exact here."""
+    from pagerank_ray.pipelines.tabular import q_label_centroids
+
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, -0.5], [2.0, 0.5], [0.25, 0.75]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([1, 1, 2], pa.int32()),
+    }), os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = q_label_centroids(str(tmp_path))
+    got = list(zip(out["label"], out["dim"], out["n"], out["centroid"]))
+    assert got == [(1, 0, 2, 1.5), (1, 1, 2, 0.0), (2, 0, 1, 0.25), (2, 1, 1, 0.75)]
+
+
+def test_q_llr_bigrams_planted(ray_session, tmp_path):
+    """Corpus engineered so the bigram 'x y' appears 5 times out of 10 total
+    bigrams with c(x·)=5, c(·y)=5; hand-computed Dunning LLR against the
+    scalar formula."""
+    import math
+    from pagerank_ray.pipelines.tabular import q_llr_bigrams
+
+    docs = ["x y"] * 5 + ["a b"] * 5
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(docs),
+        "lang": pa.array(["en"] * 10),
+        "source": pa.array(["s"] * 10),
+        "n_chars": pa.array([3] * 10, pa.int64()),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_llr_bigrams(str(tmp_path))
+
+    def ref_llr(c, ca, cb, N):
+        total = 0.0
+        for kk, r, cc in ((c, ca, cb), (ca - c, ca, N - cb),
+                          (cb - c, N - ca, cb), (N - ca - cb + c, N - ca, N - cb)):
+            if kk:
+                total += kk * math.log((kk * N) / (r * cc))
+        return 2 * total
+
+    got = {(r.a, r.b): (r.n_pair, r.llr) for r in out.itertuples()}
+    assert got[("x", "y")][0] == 5
+    assert abs(got[("x", "y")][1] - round(ref_llr(5, 5, 5, 10), 6)) < 1e-9
+    assert got[("a", "b")][0] == 5
+
+
+def test_q_region_homophily_planted(ray_session, tmp_path):
+    """Two regions; the single cross-region edge drives assortativity below
+    1: edges (o1→s1) within region 0, (o2→s2) within region 1, (o3→s1)
+    cross. Marginals a=(1,2), b=(2,1) → Σab=4; r = (3·2 − 4)/(9 − 4) = 0.4."""
+    from pagerank_ray.pipelines.tabular import q_region_homophily
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["N0", "N1"]),
+        "n_regionkey": pa.array([0, 1], pa.int64()),
+    }), os.path.join(str(tmp_path), "nation.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([10, 20, 10], pa.int64()),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([100, 200, 201], pa.int64()),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([100, 200, 201], pa.int64()),
+        "c_nationkey": pa.array([0, 1, 1], pa.int64()),
+    }), os.path.join(str(tmp_path), "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 20], pa.int64()),
+        "s_nationkey": pa.array([0, 1], pa.int64()),
+    }), os.path.join(str(tmp_path), "supplier.parquet"))
+    out = q_region_homophily(str(tmp_path))
+    assert out["n_edges"].iloc[0] == 3
+    assert out["n_same"].iloc[0] == 2
+    assert out["assortativity"].iloc[0] == 0.4
