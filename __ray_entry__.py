@@ -3524,6 +3524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": tabular.q_label_centroids,  # SQL-oracled (exact-integer quantized folds)
         "llr_bigrams": tabular.q_llr_bigrams,  # SQL-oracled (Dunning 2x2 verbatim expression)
         "region_homophily": tabular.q_region_homophily,  # SQL-oracled (integer assortativity fold)
+        "chi2_independence": tabular.q_chi2_independence,  # SQL-oracled (per-cell single-expression floats)
+        "benford_prices": tabular.q_benford_prices,  # SQL-oracled (cents-string first digit)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3849,6 +3851,34 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             + " ORDER BY col_name"
+        ),
+        "chi2_independence": (
+            # event_type x ISO-weekday independence cells; every float is a
+            # single expression over exact counts (no accumulated sums)
+            "WITH m AS (SELECT event_type, isodow(ts)::BIGINT AS dow, "
+            "COUNT(*)::BIGINT AS n FROM events GROUP BY 1,2), "
+            "r AS (SELECT event_type, SUM(n)::BIGINT AS rn FROM m GROUP BY 1), "
+            "c AS (SELECT dow, SUM(n)::BIGINT AS cn FROM m GROUP BY 1), "
+            "t AS (SELECT SUM(n)::BIGINT AS tot FROM m) "
+            "SELECT event_type, dow, n, "
+            "ROUND((rn::DOUBLE * cn) / (SELECT tot FROM t), 6) AS expected, "
+            "ROUND(CASE WHEN n::DOUBLE - (rn::DOUBLE * cn)/(SELECT tot FROM t) < 0 "
+            "THEN -1 ELSE 1 END * ((n::DOUBLE - (rn::DOUBLE * cn)/(SELECT tot FROM t)) "
+            "* (n::DOUBLE - (rn::DOUBLE * cn)/(SELECT tot FROM t))) "
+            "/ ((rn::DOUBLE * cn)/(SELECT tot FROM t)), 6) AS contrib "
+            "FROM m JOIN r USING (event_type) JOIN c USING (dow) "
+            "ORDER BY event_type, dow"
+        ),
+        "benford_prices": (
+            # Benford first-digit audit; digit from the exact cents string,
+            # no float log10 near power-of-10 boundaries
+            "WITH ce AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents FROM orders), "
+            "d AS (SELECT CAST(LEFT(CAST(cents AS VARCHAR),1) AS BIGINT) AS digit "
+            "FROM ce WHERE cents > 0), "
+            "m AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY 1), "
+            "t AS (SELECT SUM(n)::BIGINT AS tot FROM m) "
+            "SELECT digit, n, ROUND(n::DOUBLE / (SELECT tot FROM t), 6) AS freq, "
+            "ROUND(LN(1.0 + 1.0/digit) / LN(10.0), 6) AS benford FROM m ORDER BY digit"
         ),
         "label_centroids": (
             # exact-integer quantized per-label mean vectors (the

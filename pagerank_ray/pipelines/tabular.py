@@ -9151,3 +9151,78 @@ def q_region_homophily(sf_dir: str) -> pd.DataFrame:
             "assortativity": [r if denom == 0 else _round_half_away(np.array([r]), 6)[0]],
         }
     )
+
+
+def q_chi2_independence(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence cells for event_type × ISO weekday (the
+    categorical-association audit behind "does activity mix shift by
+    day?"): per cell the observed count, the independence expectation
+    e = (rowsum·colsum)/N and the signed contribution (o−e)²/e·sign(o−e),
+    each a SINGLE float expression over exact integer counts (no float
+    accumulation anywhere, so the distributed fold cannot perturb it),
+    ROUND 6, sorted (event_type, dow).
+
+    Shape: per-batch (type, dow) count partials — the T×7-bounded
+    distributive combiner — fold on the driver; marginals derive from the
+    folded matrix. No shuffle."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dow = (df["ts"].dt.dayofweek.to_numpy(np.int64) + 1)  # ISO: Mon=1
+        g = (
+            pd.DataFrame({"event_type": df["event_type"].to_numpy(), "dow": dow})
+            .groupby(["event_type", "dow"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    mat = parts.groupby(["event_type", "dow"], sort=True)["n"].sum().reset_index()
+    total = int(mat["n"].sum())
+    row = mat.groupby("event_type")["n"].sum()
+    col = mat.groupby("dow")["n"].sum()
+    r = mat["event_type"].map(row).to_numpy(np.int64)
+    c = mat["dow"].map(col).to_numpy(np.int64)
+    o = mat["n"].to_numpy(np.int64)
+    e = (r.astype(np.float64) * c.astype(np.float64)) / float(total)
+    d = o.astype(np.float64) - e
+    contrib = np.sign(d) * (d * d) / e
+    out = mat.copy()
+    out["n"] = o
+    out["expected"] = _round_half_away(e, 6)
+    out["contrib"] = _round_half_away(contrib, 6)
+    return out.reset_index(drop=True)
+
+
+def q_benford_prices(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit of order totals (the classic fraud /
+    data-quality screen): first significant digit extracted from the
+    EXACT cents integer's decimal string (no float log10 near power-of-10
+    boundaries), observed frequency vs the Benford expectation
+    ln(1+1/d)/ln(10), both ROUND 6, sorted by digit.
+
+    Shape: per-batch 9-row digit-count partials fold on the driver —
+    distributive, no shuffle."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _round_half_away(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        first = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        vc = first.value_counts()
+        return pd.DataFrame({"digit": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    parts = orders.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("digit", sort=True)["n"].sum().reset_index()
+    total = int(out["n"].sum())
+    out["freq"] = _round_half_away(out["n"].to_numpy(np.int64) / float(total), 6)
+    out["benford"] = _round_half_away(
+        np.log(1.0 + 1.0 / out["digit"].to_numpy(np.float64)) / np.log(10.0), 6
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)

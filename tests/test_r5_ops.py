@@ -3851,3 +3851,38 @@ def test_q_region_homophily_planted(ray_session, tmp_path):
     assert out["n_edges"].iloc[0] == 3
     assert out["n_same"].iloc[0] == 2
     assert out["assortativity"].iloc[0] == 0.4
+
+
+def test_q_chi2_independence_planted(ray_session, tmp_path):
+    """2 types × 2 weekdays, 10 events: a(Mon)=4, a(Tue)=2, b(Mon)=1,
+    b(Tue)=3. Expected a-Mon = 6·5/10 = 3, contrib = +1/3."""
+    from pagerank_ray.pipelines.tabular import q_chi2_independence
+
+    # 2026-01-05 is a Monday, 2026-01-06 a Tuesday
+    ts = pd.to_datetime(["2026-01-05"] * 5 + ["2026-01-06"] * 5)
+    types = ["a"] * 4 + ["b"] + ["a"] * 2 + ["b"] * 3
+    pq.write_table(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(types),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    out = q_chi2_independence(str(tmp_path))
+    rec = {(r.event_type, r.dow): (r.n, r.expected, r.contrib) for r in out.itertuples()}
+    assert rec[("a", 1)] == (4, 3.0, round(1 / 3, 6))
+    assert rec[("a", 2)] == (2, 3.0, -round(1 / 3, 6))
+    assert rec[("b", 1)] == (1, 2.0, -0.5)
+    assert rec[("b", 2)] == (3, 2.0, 0.5)
+
+
+def test_q_benford_prices_planted(ray_session, tmp_path):
+    """Prices 1.00, 19.99, 150.00, 0.09 → cents 100, 1999, 15000, 9 → first
+    digits 1, 1, 1, 9. Zero price is excluded."""
+    from pagerank_ray.pipelines.tabular import q_benford_prices
+    import math
+
+    pq.write_table(pa.table({
+        "o_totalprice": pa.array([1.00, 19.99, 150.00, 0.09, 0.0], pa.float64()),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_benford_prices(str(tmp_path))
+    got = {r.digit: (r.n, r.freq, r.benford) for r in out.itertuples()}
+    assert got[1] == (3, 0.75, round(math.log10(2), 6))
+    assert got[9] == (1, 0.25, round(math.log(1 + 1 / 9) / math.log(10), 6))
