@@ -2487,6 +2487,38 @@ def _fmix_chain_sql(prefix: str, src: str, carry: str = "k, ") -> str:
 
 
 
+
+
+def _greedy_coverage_sql(k: int = 5) -> str:
+    """Greedy max-coverage oracle (tabular.q_greedy_coverage): K unrolled
+    rounds; each round counts per-doc tokens outside the accumulated
+    covered set, picks (gain DESC, doc_id) and unions the winner's tokens.
+    Zero-gain docs drop out of the round's GROUP BY, so an exhausted
+    corpus yields fewer than K rows — mirroring the engine's early stop."""
+    parts = [
+        "WITH " + _DOC_WORDS_CTE + ", ",
+        "dt AS (SELECT DISTINCT doc_id, unnest(arr) AS tok FROM d), ",
+        "cov0 AS (SELECT NULL::VARCHAR AS tok WHERE FALSE)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f", r{i} AS (SELECT doc_id, COUNT(*)::BIGINT AS g FROM dt "
+            f"WHERE tok NOT IN (SELECT tok FROM cov{i-1}) GROUP BY doc_id)"
+            f", p{i} AS (SELECT doc_id, g FROM r{i} ORDER BY g DESC, doc_id LIMIT 1)"
+            f", cov{i} AS (SELECT tok FROM cov{i-1} UNION "
+            f"SELECT tok FROM dt WHERE doc_id = (SELECT doc_id FROM p{i}))"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS round, doc_id, g AS gain, "
+        f"(SELECT COUNT(*)::BIGINT FROM cov{i}) AS covered FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + " SELECT * FROM (" + sel + ") ORDER BY round"
+
+
+
+
+
 def _per_source_cap_sql(cap: int = 15) -> str:
     """Per-source doc budget oracle (tabular.q_per_source_cap): identical
     fmix64 rank within each source, keep the cap smallest (h, doc_id)."""
@@ -3526,6 +3558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_homophily": tabular.q_region_homophily,  # SQL-oracled (integer assortativity fold)
         "chi2_independence": tabular.q_chi2_independence,  # SQL-oracled (per-cell single-expression floats)
         "benford_prices": tabular.q_benford_prices,  # SQL-oracled (cents-string first digit)
+        "greedy_coverage": tabular.q_greedy_coverage,  # SQL-oracled (K-round unrolled greedy)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3852,6 +3885,7 @@ def oracle_sql() -> dict[str, str]:
             )
             + " ORDER BY col_name"
         ),
+        "greedy_coverage": _greedy_coverage_sql(),
         "chi2_independence": (
             # event_type x ISO-weekday independence cells; every float is a
             # single expression over exact counts (no accumulated sums)

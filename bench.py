@@ -254,7 +254,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "table_profile", "orders_reconciliation", "interarrival_stats",
             "lineitem_hist2d", "changelog_compact", "revenue_mom_growth",
             "lang_vocab_overlap", "label_centroids", "llr_bigrams",
-            "region_homophily", "chi2_independence", "benford_prices"],
+            "region_homophily", "chi2_independence", "benford_prices",
+            "greedy_coverage"],
 }
 
 
@@ -448,6 +449,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("region_homophily", lambda: tabular.q_region_homophily(SF_DIR))
     timed("chi2_independence", lambda: tabular.q_chi2_independence(SF_DIR))
     timed("benford_prices", lambda: tabular.q_benford_prices(SF_DIR))
+    timed("greedy_coverage", lambda: tabular.q_greedy_coverage(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

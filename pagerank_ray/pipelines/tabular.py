@@ -9226,3 +9226,68 @@ def q_benford_prices(sf_dir: str) -> pd.DataFrame:
     )
     out["n"] = out["n"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def q_greedy_coverage(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Greedy max-coverage corpus selection (the Nemhauser-Wolsey-Fisher
+    1978 submodular greedy, the subset-selection primitive behind "pick K
+    documents that together cover the most vocabulary"): K rounds, each
+    selecting the document with the most tokens not yet covered (ties →
+    lowest doc_id), then adding its tokens to the covered set. Documents
+    with zero uncovered tokens (including already-selected ones) drop out;
+    the selection ends early if no positive-gain document remains. Output
+    one row per round: (round, doc_id, gain, covered cumulative total).
+
+    Shape: a document's tokens never leave its batch (the tfidf
+    invariant), so per-round marginal gains are batch-local-complete:
+    each round is ONE streaming pass where every batch emits only its
+    local best candidate (doc, gain, its uncovered tokens — ≤ one doc's
+    vocabulary); the driver keeps the global argmax and unions ≤ K
+    documents' token sets. The covered set broadcast each round is the
+    union of ≤ K docs' vocabularies — small by construction, independent
+    of corpus size. K passes total; nothing vocabulary-sized shuffles or
+    reaches the driver."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    covered: set = set()
+    rows = []
+    for rnd in range(1, k + 1):
+        cov_arr = np.array(sorted(covered), dtype=object)
+
+        def best_local(df: pd.DataFrame, cov=cov_arr) -> pd.DataFrame:
+            w, valid, rep = _exploded_tokens(df, id_col="doc_id")
+            empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                  "gain": pd.Series(dtype=np.int64),
+                                  "toks": pd.Series(dtype=str)})
+            if not valid.any():
+                return empty
+            d = pd.DataFrame({"doc_id": rep[valid], "tok": w[valid]}).drop_duplicates()
+            if len(cov):
+                d = d[~d["tok"].isin(cov)]
+            if not len(d):
+                return empty
+            g = d.groupby("doc_id", sort=False).size()
+            # local argmax with the global tie rule (gain desc, doc_id asc)
+            best = g.sort_index().sort_values(kind="stable", ascending=False).index[0]
+            # tokens are whitespace-split, so the \x1f join is injective
+            toks = "\x1f".join(d.loc[d["doc_id"] == best, "tok"].tolist())
+            return pd.DataFrame({"doc_id": np.array([best], np.int64),
+                                 "gain": np.array([int(g.loc[best])], np.int64),
+                                 "toks": [toks]})
+
+        cands = ds.map_batches(best_local, batch_format="pandas").to_pandas()
+        # an exhausted corpus returns only empty partials (a columnless
+        # frame after the concat) — the greedy selection ends early
+        if not len(cands) or "gain" not in cands.columns:
+            break
+        cands = cands[cands["gain"] > 0]
+        if not len(cands):
+            break
+        cands = cands.sort_values(["gain", "doc_id"], ascending=[False, True],
+                                  kind="stable")
+        win = cands.iloc[0]
+        covered.update(win["toks"].split("\x1f"))
+        rows.append((rnd, int(win["doc_id"]), int(win["gain"]), len(covered)))
+    return pd.DataFrame(rows, columns=["round", "doc_id", "gain", "covered"]).astype(
+        {"round": np.int64, "doc_id": np.int64, "gain": np.int64, "covered": np.int64}
+    )

@@ -3886,3 +3886,39 @@ def test_q_benford_prices_planted(ray_session, tmp_path):
     got = {r.digit: (r.n, r.freq, r.benford) for r in out.itertuples()}
     assert got[1] == (3, 0.75, round(math.log10(2), 6))
     assert got[9] == (1, 0.25, round(math.log(1 + 1 / 9) / math.log(10), 6))
+
+
+def test_q_greedy_coverage_multi_round(ray_session, tmp_path):
+    """doc1={a b c d}, doc2={c d e}, doc3={e f}, doc4={a}. Greedy: round 1
+    picks doc1 (gain 4), round 2 doc3 (gain 2 — beats doc2's marginal 1),
+    round 3 doc2 (gain 1, uncovered {e}∩... only 'e' already covered → d2
+    marginal {e}=0? no: doc2={c,d,e}, after r1+r2 covered={a..f} minus none
+    → doc2 gain 0, doc4 gain 0 → early stop at 2 rows."""
+    from pagerank_ray.pipelines.tabular import q_greedy_coverage
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c d", "c d e", "e f", "a"]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([7, 5, 3, 1], pa.int64()),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_greedy_coverage(str(tmp_path))
+    got = list(zip(out["round"], out["doc_id"], out["gain"], out["covered"]))
+    assert got == [(1, 1, 4, 4), (2, 3, 2, 6)]
+
+
+def test_q_greedy_coverage_tie_breaks_low_doc_id(ray_session, tmp_path):
+    """Both docs have 2 uncovered tokens in round 1 → lowest doc_id wins."""
+    from pagerank_ray.pipelines.tabular import q_greedy_coverage
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([7, 3], pa.int64()),
+        "text": pa.array(["a b", "c d"]),
+        "lang": pa.array(["en"] * 2),
+        "source": pa.array(["s"] * 2),
+        "n_chars": pa.array([3, 3], pa.int64()),
+    }), os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_greedy_coverage(str(tmp_path), k=2)
+    got = list(zip(out["round"], out["doc_id"], out["gain"], out["covered"]))
+    assert got == [(1, 3, 2, 2), (2, 7, 2, 4)]
