@@ -3559,6 +3559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_independence": tabular.q_chi2_independence,  # SQL-oracled (per-cell single-expression floats)
         "benford_prices": tabular.q_benford_prices,  # SQL-oracled (cents-string first digit)
         "greedy_coverage": tabular.q_greedy_coverage,  # SQL-oracled (K-round unrolled greedy)
+        "user_primary_type": tabular.q_user_primary_type,  # SQL-oracled (grouped-mode ROW_NUMBER mirror)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3886,6 +3887,16 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY col_name"
         ),
         "greedy_coverage": _greedy_coverage_sql(),
+        "user_primary_type": (
+            # grouped mode: max count per user, tie -> smallest type
+            "WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n "
+            "FROM events GROUP BY 1,2), "
+            "t AS (SELECT user_id, SUM(n)::BIGINT AS n_total FROM c GROUP BY 1), "
+            "r AS (SELECT user_id, event_type, n, ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c) "
+            "SELECT r.user_id, event_type AS primary_type, n AS n_primary, t.n_total "
+            "FROM r JOIN t USING (user_id) WHERE rn = 1 ORDER BY user_id"
+        ),
         "chi2_independence": (
             # event_type x ISO-weekday independence cells; every float is a
             # single expression over exact counts (no accumulated sums)

@@ -255,7 +255,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "lineitem_hist2d", "changelog_compact", "revenue_mom_growth",
             "lang_vocab_overlap", "label_centroids", "llr_bigrams",
             "region_homophily", "chi2_independence", "benford_prices",
-            "greedy_coverage"],
+            "greedy_coverage", "user_primary_type"],
 }
 
 
@@ -450,6 +450,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("chi2_independence", lambda: tabular.q_chi2_independence(SF_DIR))
     timed("benford_prices", lambda: tabular.q_benford_prices(SF_DIR))
     timed("greedy_coverage", lambda: tabular.q_greedy_coverage(SF_DIR))
+    timed("user_primary_type", lambda: tabular.q_user_primary_type(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

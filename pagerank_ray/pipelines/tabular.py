@@ -9291,3 +9291,54 @@ def q_greedy_coverage(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["round", "doc_id", "gain", "covered"]).astype(
         {"round": np.int64, "doc_id": np.int64, "gain": np.int64, "covered": np.int64}
     )
+
+
+def q_user_primary_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE aggregate — each user's most frequent event type (ties
+    → lexicographically smallest type), with its count and the user's
+    total events. Mode is not algebraic, so engines fake it with a
+    count-then-argmax: here per-batch (user, type) count partials (the
+    combiner) route by user hash, each bucket folds its users' counts and
+    picks the winner with one vectorized lexsort. Output is the per-user
+    contract (driver sees only results)."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        u = g["user_id"].to_numpy(np.int64)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        g["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return g
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby(["user_id", "event_type"], sort=False)["n"].sum().reset_index()
+        tot = m.groupby("user_id", sort=False)["n"].sum()
+        # winner per user: max n, tie -> smallest type; lexsort is
+        # last-key-primary, so order by (type asc within n desc within user)
+        et = m["event_type"].to_numpy()
+        order = np.lexsort((et, -m["n"].to_numpy(np.int64),
+                            m["user_id"].to_numpy(np.int64)))
+        m = m.iloc[order]
+        first = np.r_[True, m["user_id"].to_numpy(np.int64)[1:]
+                      != m["user_id"].to_numpy(np.int64)[:-1]]
+        win = m.iloc[first].copy()
+        win["n_total"] = tot.loc[win["user_id"].to_numpy()].to_numpy(np.int64)
+        return win.rename(columns={"event_type": "primary_type", "n": "n_primary"})[
+            ["user_id", "primary_type", "n_primary", "n_total"]
+        ]
+
+    out = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_primary"] = out["n_primary"].astype(np.int64)
+    out["n_total"] = out["n_total"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -3922,3 +3922,16 @@ def test_q_greedy_coverage_tie_breaks_low_doc_id(ray_session, tmp_path):
     out = q_greedy_coverage(str(tmp_path), k=2)
     got = list(zip(out["round"], out["doc_id"], out["gain"], out["covered"]))
     assert got == [(1, 3, 2, 2), (2, 7, 2, 4)]
+
+
+def test_q_user_primary_type_tie(ray_session, tmp_path):
+    """User 1: a×2, b×2 → tie resolves to 'a'; user 2: c×1."""
+    from pagerank_ray.pipelines.tabular import q_user_primary_type
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["b", "a", "b", "a", "c"]),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    out = q_user_primary_type(str(tmp_path))
+    got = list(zip(out["user_id"], out["primary_type"], out["n_primary"], out["n_total"]))
+    assert got == [(1, "a", 2, 4), (2, "c", 1, 1)]
