@@ -3560,6 +3560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_prices": tabular.q_benford_prices,  # SQL-oracled (cents-string first digit)
         "greedy_coverage": tabular.q_greedy_coverage,  # SQL-oracled (K-round unrolled greedy)
         "user_primary_type": tabular.q_user_primary_type,  # SQL-oracled (grouped-mode ROW_NUMBER mirror)
+        "rolling_active_users": tabular.q_rolling_active_users,  # SQL-oracled (first-seen interval explode)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3887,6 +3888,20 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY col_name"
         ),
         "greedy_coverage": _greedy_coverage_sql(),
+        "rolling_active_users": (
+            # exact sliding 7-day distinct via the per-user first-seen
+            # interval decomposition (LAG + generate_series explode)
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "(epoch_us(ts) // 86400000000)::BIGINT AS day FROM events), "
+            "l AS (SELECT user_id, day, LAG(day) OVER "
+            "(PARTITION BY user_id ORDER BY day) AS pday FROM d), "
+            "iv AS (SELECT user_id, CASE WHEN pday IS NULL THEN day "
+            "ELSE GREATEST(day, pday + 7) END AS lo, day + 6 AS hi FROM l), "
+            "e AS (SELECT gs.w AS w FROM iv, "
+            "UNNEST(generate_series(iv.lo, iv.hi)) AS gs(w)) "
+            "SELECT w AS day_end, COUNT(*)::BIGINT AS n_active "
+            "FROM e GROUP BY 1 ORDER BY 1"
+        ),
         "user_primary_type": (
             # grouped mode: max count per user, tie -> smallest type
             "WITH c AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n "

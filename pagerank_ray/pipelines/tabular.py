@@ -9342,3 +9342,65 @@ def q_user_primary_type(sf_dir: str) -> pd.DataFrame:
     out["n_primary"] = out["n_primary"].astype(np.int64)
     out["n_total"] = out["n_total"].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_rolling_active_users(sf_dir: str, window: int = 7) -> pd.DataFrame:
+    """EXACT rolling 7-day distinct users per day (the sliding-window
+    cardinality metric, exact counterpart of the HLL-based
+    q_window_active_users): for every window end day d, the number of
+    users active in [d−6, d]. Sliding distinct does not decompose over
+    windows, but it DOES decompose over per-user first-activity days: an
+    active day `day` with previous active day `pday` (LAG) makes its user
+    the window's first-seen exactly for window ends in
+    [max(day, pday+window), day+window−1] — so each distinct (user, day)
+    pair explodes to ≤window +1 contributions and the count per window is
+    a plain integer sum. Window ends with no active user are absent (SQL
+    GROUP BY semantics); trailing windows past the last active day count
+    their lingering users.
+
+    Shape: per-batch distinct (user, epoch-day) pairs (the combiner)
+    route by user hash; each bucket runs one lexsort + shifted LAG + a
+    vectorized interval explode and emits (day_end, n) partials bounded
+    by the calendar, folded by a tiny driver groupby. Per-user work is
+    linear; nothing user-set-sized moves."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+               // 86_400_000_000)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "day": day}).drop_duplicates()
+        u = d["user_id"].to_numpy(np.int64)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        d["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return d
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["user_id", "day"]].drop_duplicates()
+        u = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        same = np.r_[False, u[1:] == u[:-1]]
+        pday = np.r_[np.int64(0), day[:-1]]
+        lo = np.where(same, np.maximum(day, pday + window), day)
+        hi = day + window - 1
+        lens = hi - lo + 1  # in [1, window] because pday < day strictly
+        total = int(lens.sum())
+        off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        ends = (np.arange(total, dtype=np.int64) - np.repeat(off, lens)
+                + np.repeat(lo, lens))
+        vc = pd.Series(ends).value_counts()
+        return pd.DataFrame({"day_end": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    parts = (
+        ev.map_batches(pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(explode, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("day_end", sort=True)["n"].sum().reset_index(name="n_active")
+    out["n_active"] = out["n_active"].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -3935,3 +3935,28 @@ def test_q_user_primary_type_tie(ray_session, tmp_path):
     out = q_user_primary_type(str(tmp_path))
     got = list(zip(out["user_id"], out["primary_type"], out["n_primary"], out["n_total"]))
     assert got == [(1, "a", 2, 4), (2, "c", 1, 1)]
+
+
+def test_q_rolling_active_users_planted(ray_session, tmp_path):
+    """User 1 active days 0 and 2, user 2 active day 8 (epoch days). With a
+    7-day window the counts brute-forced per window end must match,
+    including windows past the last active day (lingering users)."""
+    from pagerank_ray.pipelines.tabular import q_rolling_active_users
+
+    ts = pd.to_datetime([
+        "1970-01-01 05:00:00", "1970-01-03 12:00:00", "1970-01-03 13:00:00",
+        "1970-01-09 00:00:00",
+    ])
+    pq.write_table(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    out = q_rolling_active_users(str(tmp_path))
+    active = {1: {0, 2}, 2: {8}}
+    expect = {}
+    for d in range(0, 20):
+        n = sum(1 for days in active.values() if any(d - 6 <= x <= d for x in days))
+        if n:
+            expect[d] = n
+    got = dict(zip(out["day_end"], out["n_active"]))
+    assert got == expect
