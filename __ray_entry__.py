@@ -3561,6 +3561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_coverage": tabular.q_greedy_coverage,  # SQL-oracled (K-round unrolled greedy)
         "user_primary_type": tabular.q_user_primary_type,  # SQL-oracled (grouped-mode ROW_NUMBER mirror)
         "rolling_active_users": tabular.q_rolling_active_users,  # SQL-oracled (first-seen interval explode)
+        "bounce_rate": tabular.q_bounce_rate,  # SQL-oracled (sessionize + session-level rollup)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3888,6 +3889,26 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY col_name"
         ),
         "greedy_coverage": _greedy_coverage_sql(),
+        "bounce_rate": (
+            # sessionize (the q_sessionize 30-min rule) then session-level
+            # rollup: bounce = single-event session, grouped by entry type
+            "WITH s AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) "
+            "> 1800000000 THEN 1 ELSE 0 END AS nw FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s2 AS (SELECT user_id, ts, event_id, event_type, SUM(nw) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess "
+            "FROM s), "
+            "r AS (SELECT user_id, sess, event_type, ROW_NUMBER() OVER "
+            "(PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY user_id, sess)::BIGINT AS n FROM s2), "
+            "per AS (SELECT event_type AS first_type, n FROM r WHERE rn = 1), "
+            "agg AS (SELECT first_type, COUNT(*)::BIGINT AS n_sessions, "
+            "SUM(CASE WHEN n=1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce FROM per GROUP BY 1) "
+            "SELECT first_type, n_sessions, n_bounce, "
+            "ROUND(n_bounce::DOUBLE / n_sessions, 6) AS bounce_rate "
+            "FROM agg ORDER BY first_type"
+        ),
         "rolling_active_users": (
             # exact sliding 7-day distinct via the per-user first-seen
             # interval decomposition (LAG + generate_series explode)

@@ -255,7 +255,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "lineitem_hist2d", "changelog_compact", "revenue_mom_growth",
             "lang_vocab_overlap", "label_centroids", "llr_bigrams",
             "region_homophily", "chi2_independence", "benford_prices",
-            "greedy_coverage", "user_primary_type", "rolling_active_users"],
+            "greedy_coverage", "user_primary_type", "rolling_active_users",
+            "bounce_rate"],
 }
 
 
@@ -452,6 +453,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("greedy_coverage", lambda: tabular.q_greedy_coverage(SF_DIR))
     timed("user_primary_type", lambda: tabular.q_user_primary_type(SF_DIR))
     timed("rolling_active_users", lambda: tabular.q_rolling_active_users(SF_DIR))
+    timed("bounce_rate", lambda: tabular.q_bounce_rate(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

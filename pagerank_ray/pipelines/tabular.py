@@ -9404,3 +9404,66 @@ def q_rolling_active_users(sf_dir: str, window: int = 7) -> pd.DataFrame:
     out = parts.groupby("day_end", sort=True)["n"].sum().reset_index(name="n_active")
     out["n_active"] = out["n_active"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def q_bounce_rate(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Session bounce rate per entry event type (the web-analytics rollup
+    on top of sessionization): sessions split on >30-minute gaps per user
+    (the q_sessionize rule, (ts, event_id)-ordered), grouped by the
+    session's FIRST event type; per entry type report session count,
+    single-event ("bounce") count and rate = ROUND(bounces/sessions, 6).
+
+    Shape: a user's stream co-locates by user-hash bucket, so whole
+    sessions assemble locally: one lexsort + gap cumsum per bucket, then
+    session-level first-type/count rows collapse immediately to ≤T
+    per-type partials — event rows never leave their bucket, the driver
+    folds T-bounded partials only."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        df = df.copy()
+        df["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return df
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        new = np.r_[True, (u[1:] != u[:-1])
+                    | (ts[1:] - ts[:-1] > gap_s * 1_000_000)]
+        sid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(sid)])
+        g = (
+            pd.DataFrame({"first_type": et[starts],
+                          "one": np.ones(len(starts), np.int64),
+                          "bounce": (counts == 1).astype(np.int64)})
+            .groupby("first_type", sort=False)
+            .agg(n_sessions=("one", "sum"), n_bounce=("bounce", "sum"))
+            .reset_index()
+        )
+        for c in ("n_sessions", "n_bounce"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    parts = (
+        ev.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("first_type", sort=True).agg(
+        n_sessions=("n_sessions", "sum"), n_bounce=("n_bounce", "sum")
+    ).reset_index()
+    out["bounce_rate"] = _round_half_away(
+        out["n_bounce"].to_numpy(np.int64) / out["n_sessions"].to_numpy(np.int64), 6
+    )
+    for c in ("n_sessions", "n_bounce"):
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -3960,3 +3960,24 @@ def test_q_rolling_active_users_planted(ray_session, tmp_path):
             expect[d] = n
     got = dict(zip(out["day_end"], out["n_active"]))
     assert got == expect
+
+
+def test_q_bounce_rate_planted(ray_session, tmp_path):
+    """User 1: events at 0s and 10s (one session of 2, entry 'a'), then one
+    at +2h (bounce, entry 'b'). User 2: single event (bounce, entry 'a').
+    → a: 2 sessions 1 bounce (0.5); b: 1 session 1 bounce (1.0)."""
+    from pagerank_ray.pipelines.tabular import q_bounce_rate
+
+    ts = pd.to_datetime([
+        "2026-01-01 00:00:00", "2026-01-01 00:00:10", "2026-01-01 02:00:10",
+        "2026-01-02 00:00:00",
+    ])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["a", "c", "b", "a"]),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    out = q_bounce_rate(str(tmp_path))
+    got = list(zip(out["first_type"], out["n_sessions"], out["n_bounce"], out["bounce_rate"]))
+    assert got == [("a", 2, 1, 0.5), ("b", 1, 1, 1.0)]
