@@ -42,12 +42,15 @@ from pagerank_ray.pipelines import tabular  # noqa: E402
 _EDGES = "(SELECT DISTINCT l_orderkey AS s, l_partkey AS d FROM lineitem)"
 
 
-def _pagerank_sql(iters: int = 20, alpha: float = 0.85) -> str:
+def _pagerank_sql(iters: int = 20, alpha: float = 0.85,
+                  edges: str | None = None, rank_col: str = "rank") -> str:
     """Unrolled fixed-iteration PageRank on the mass-n scale: r⁰ = 1;
     r'(v) = (1−α) + α·D/n + α·Σ_{u→v} r(u)/out_deg(u) with D = Σ_dangling r(u)
-    — the identical recurrence the BSP engine runs (superstep.py:399-416)."""
+    — the identical recurrence the BSP engine runs (superstep.py:399-416).
+    ``edges`` overrides the edge subquery (CheiRank passes the reversed
+    set); ``rank_col`` names the output score column."""
     p = [
-        f"WITH e AS MATERIALIZED {_EDGES},",
+        f"WITH e AS MATERIALIZED {edges or _EDGES},",
         "v AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),",
         "outd AS MATERIALIZED (SELECT s AS id, COUNT(*)::DOUBLE AS deg FROM e GROUP BY s),",
         "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),",
@@ -67,7 +70,7 @@ def _pagerank_sql(iters: int = 20, alpha: float = 0.85) -> str:
             f"ON inc.id=v.id),"
         )
     body = "\n".join(p).rstrip()[:-1]
-    return body + f"\nSELECT id, ROUND(r, 6) AS rank FROM pr{iters} ORDER BY id"
+    return body + f"\nSELECT id, ROUND(r, 6) AS {rank_col} FROM pr{iters} ORDER BY id"
 
 
 def _pagerank_incremental_sql(
@@ -3562,6 +3565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_primary_type": tabular.q_user_primary_type,  # SQL-oracled (grouped-mode ROW_NUMBER mirror)
         "rolling_active_users": tabular.q_rolling_active_users,  # SQL-oracled (first-seen interval explode)
         "bounce_rate": tabular.q_bounce_rate,  # SQL-oracled (sessionize + session-level rollup)
+        "cheirank": tabular.q_cheirank,  # SQL-oracled (unrolled PageRank, reversed edges)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3889,6 +3893,10 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY col_name"
         ),
         "greedy_coverage": _greedy_coverage_sql(),
+        "cheirank": _pagerank_sql(
+            edges="(SELECT DISTINCT l_partkey AS s, l_orderkey AS d FROM lineitem)",
+            rank_col="cheirank",
+        ),
         "bounce_rate": (
             # sessionize (the q_sessionize 30-min rule) then session-level
             # rollup: bounce = single-event session, grouped by entry type

@@ -9467,3 +9467,39 @@ def q_bounce_rate(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
     for c in ("n_sessions", "n_bounce"):
         out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def q_cheirank(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.DataFrame:
+    """CheiRank — fixed-iteration PageRank on the REVERSED lineitem graph
+    (Chepelianskii 2010 / Zhirov et al. 2010: ranks "communicative" nodes,
+    the out-link mirror of PageRank's in-link authority; on the web graph
+    the two together give the 2D ranking plane). Identical recurrence and
+    parameters to q_pagerank_fixed (α = 0.85, r⁰ = 1, dangling
+    redistribution, 20 supersteps), run over the dst→src edge set — so
+    the oracle is the SAME unrolled SQL with the edge endpoints swapped.
+
+    Shape: reuses the cached dense-id lineitem edges and the cached
+    reversed CSR (the q_hits 'rev' variant — shared workdir, built once
+    across q_hits/q_salsa/q_cheirank)."""
+    from pagerank_ray.pipelines.flagship import prepare_csr_from_edges
+    from pagerank_ray.pipelines.pagerank import pagerank
+
+    _csr_fwd, n, id_map, dense_edges = _lineitem_csr(
+        sf_dir, n_workers=n_workers, symmetrize=False, return_edges=True
+    )
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src_id": t.column("dst_id"), "dst_id": t.column("src_id")})
+
+    csr_rev = os.path.join(_graph_workdir(sf_dir, "rev"), "csr")
+    prepare_csr_from_edges(
+        dense_edges.map_batches(swap, batch_format="pyarrow"),
+        n,
+        csr_rev,
+        n_parts=4 * n_workers,
+    )
+    res = pagerank(csr_rev, n_workers=n_workers, max_iters=iters, eps_per_vertex=0.0)
+    df = _attach_orig(res.result, id_map, n, ["id"])
+    df = df.sort_values("id").reset_index(drop=True)
+    df["cheirank"] = _round_half_away(df["rank"], 6)
+    return df[["id", "cheirank"]]

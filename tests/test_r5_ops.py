@@ -3981,3 +3981,22 @@ def test_q_bounce_rate_planted(ray_session, tmp_path):
     out = q_bounce_rate(str(tmp_path))
     got = list(zip(out["first_type"], out["n_sessions"], out["n_bounce"], out["bounce_rate"]))
     assert got == [("a", 2, 1, 0.5), ("b", 1, 1, 1.0)]
+
+
+def test_q_cheirank_equals_pagerank_on_symmetric_graph(ray_session, tmp_path):
+    """On a symmetric edge set the reversed graph is the graph itself, so
+    CheiRank must equal fixed-iteration PageRank value-for-value — this
+    pins the reversed-CSR plumbing without hand-unrolling the recurrence."""
+    from pagerank_ray.pipelines.tabular import q_cheirank, q_pagerank_fixed
+
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([a for a, _ in pairs], pa.int64()),
+        "l_partkey": pa.array([b for _, b in pairs], pa.int64()),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    pr = q_pagerank_fixed(str(tmp_path), n_workers=2)
+    cr = q_cheirank(str(tmp_path), n_workers=2)
+    assert list(cr["id"]) == list(pr["id"])
+    assert np.allclose(cr["cheirank"].to_numpy(), pr["rank"].to_numpy())
+    # 3-cycle symmetry: every vertex has equal rank 1.0
+    assert np.allclose(cr["cheirank"].to_numpy(), 1.0)
