@@ -3566,6 +3566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": tabular.q_rolling_active_users,  # SQL-oracled (first-seen interval explode)
         "bounce_rate": tabular.q_bounce_rate,  # SQL-oracled (sessionize + session-level rollup)
         "cheirank": tabular.q_cheirank,  # SQL-oracled (unrolled PageRank, reversed edges)
+        "welch_ttest": tabular.q_welch_ttest,  # SQL-oracled (exact-integer moments, verbatim expr)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3896,6 +3897,28 @@ def oracle_sql() -> dict[str, str]:
         "cheirank": _pagerank_sql(
             edges="(SELECT DISTINCT l_partkey AS s, l_orderkey AS d FROM lineitem)",
             rank_col="cheirank",
+        ),
+        "welch_ttest": (
+            # Welch t between return flags A and R; HUGEINT keeps nQ - S^2
+            # exact, the t and dof are single float expressions
+            "WITH c AS (SELECT l_returnflag AS flag, "
+            "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c "
+            "FROM lineitem WHERE l_returnflag IN ('A','R')), "
+            "m AS (SELECT flag, COUNT(*)::BIGINT AS n, SUM(c)::HUGEINT AS s, "
+            "SUM(c::HUGEINT*c)::HUGEINT AS q FROM c GROUP BY flag), "
+            "g AS (SELECT "
+            "(SELECT n FROM m WHERE flag='A') AS n1, (SELECT s FROM m WHERE flag='A') AS s1, "
+            "(SELECT q FROM m WHERE flag='A') AS q1, "
+            "(SELECT n FROM m WHERE flag='R') AS n2, (SELECT s FROM m WHERE flag='R') AS s2, "
+            "(SELECT q FROM m WHERE flag='R') AS q2), "
+            "x AS (SELECT n1, n2, s1, s2, "
+            "(n1*q1 - s1*s1)::DOUBLE / (n1*(n1-1))::DOUBLE / n1 AS a, "
+            "(n2*q2 - s2*s2)::DOUBLE / (n2*(n2-1))::DOUBLE / n2 AS b FROM g) "
+            "SELECT 'A' AS flag_a, 'R' AS flag_b, n1 AS n_a, n2 AS n_b, "
+            "ROUND(s1::DOUBLE / (100.0*n1), 6) AS mean_a, "
+            "ROUND(s2::DOUBLE / (100.0*n2), 6) AS mean_b, "
+            "ROUND(((s1::DOUBLE/n1) - (s2::DOUBLE/n2)) / SQRT(a + b), 6) AS t_stat, "
+            "ROUND((a+b)*(a+b) / (a*a/(n1-1) + b*b/(n2-1)), 6) AS dof FROM x"
         ),
         "bounce_rate": (
             # sessionize (the q_sessionize 30-min rule) then session-level

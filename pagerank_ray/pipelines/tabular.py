@@ -9503,3 +9503,62 @@ def q_cheirank(sf_dir: str, n_workers: int = 4, iters: int = 20) -> pd.DataFrame
     df = df.sort_values("id").reset_index(drop=True)
     df["cheirank"] = _round_half_away(df["rank"], 6)
     return df[["id", "cheirank"]]
+
+
+def q_welch_ttest(sf_dir: str, flag_a: str = "A", flag_b: str = "R") -> pd.DataFrame:
+    """Welch's unequal-variance t-test between two lineitem segments (the
+    A/B-experiment readout, BSTJ Welch 1947): compare mean extended price
+    of return flags ``flag_a`` vs ``flag_b``. All moments accumulate as
+    EXACT integers (cents and squared cents; per-batch int64 partials —
+    the bound is cents ≤ 10⁷, squared 10¹⁴, × batch ≤ 8192 < 2⁶³ — folded
+    as Python ints on the driver), so the t statistic and Welch-
+    Satterthwaite dof are each ONE deterministic float expression over
+    exact integers, mirrored verbatim in the oracle. ROUND 6.
+
+    Shape: two-row distributive aggregate — no shuffle."""
+    import pyarrow.dataset as pds
+
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"],
+        filter=pds.field("l_returnflag").isin([flag_a, flag_b]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _round_half_away(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        g = pd.DataFrame({"flag": df["l_returnflag"].to_numpy(), "c": cents,
+                          "q": cents * cents})
+        out = g.groupby("flag", sort=False).agg(
+            n=("c", "size"), s=("c", "sum"), q=("q", "sum")
+        ).reset_index()
+        for c in ("n", "s", "q"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    acc = {}
+    for _, r in parts.iterrows():
+        n, s, q = acc.get(r["flag"], (0, 0, 0))
+        acc[r["flag"]] = (n + int(r["n"]), s + int(r["s"]), q + int(r["q"]))
+    (n1, s1, q1), (n2, s2, q2) = acc[flag_a], acc[flag_b]
+    m1 = s1 / (100.0 * n1)
+    m2 = s2 / (100.0 * n2)
+    # sample variance in cents^2 from exact integers: (nQ - S^2)/(n(n-1))
+    v1 = float(n1 * q1 - s1 * s1) / float(n1 * (n1 - 1))
+    v2 = float(n2 * q2 - s2 * s2) / float(n2 * (n2 - 1))
+    a = v1 / n1
+    b = v2 / n2
+    # ONE canonical expression (mirrored in SQL), on the cents scale
+    t = ((s1 / float(n1)) - (s2 / float(n2))) / np.sqrt(a + b)
+    dof = (a + b) * (a + b) / (a * a / (n1 - 1) + b * b / (n2 - 1))
+    return pd.DataFrame(
+        {
+            "flag_a": [flag_a], "flag_b": [flag_b],
+            "n_a": np.array([n1], np.int64), "n_b": np.array([n2], np.int64),
+            "mean_a": _round_half_away(np.array([m1]), 6),
+            "mean_b": _round_half_away(np.array([m2]), 6),
+            "t_stat": _round_half_away(np.array([t]), 6),
+            "dof": _round_half_away(np.array([dof]), 6),
+        }
+    )

@@ -4000,3 +4000,28 @@ def test_q_cheirank_equals_pagerank_on_symmetric_graph(ray_session, tmp_path):
     assert np.allclose(cr["cheirank"].to_numpy(), pr["rank"].to_numpy())
     # 3-cycle symmetry: every vertex has equal rank 1.0
     assert np.allclose(cr["cheirank"].to_numpy(), 1.0)
+
+
+def test_q_welch_ttest_planted(ray_session, tmp_path):
+    """A = {10.00, 12.00}, R = {20.00, 24.00, 28.00}: hand-check against
+    the scalar Welch formula (statistics on cents)."""
+    import math
+    from pagerank_ray.pipelines.tabular import q_welch_ttest
+
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A", "A", "R", "R", "R", "N"]),
+        "l_extendedprice": pa.array([10.0, 12.0, 20.0, 24.0, 28.0, 99.0], pa.float64()),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_welch_ttest(str(tmp_path))
+    a = [1000, 1200]; b = [2000, 2400, 2800]
+    m1, m2 = sum(a)/2, sum(b)/3
+    v1 = sum((x-m1)**2 for x in a)/1
+    v2 = sum((x-m2)**2 for x in b)/2
+    aa, bb = v1/2, v2/3
+    t = (m1 - m2)/math.sqrt(aa + bb)
+    dof = (aa+bb)**2 / (aa*aa/1 + bb*bb/2)
+    r = out.iloc[0]
+    assert (r["n_a"], r["n_b"]) == (2, 3)
+    assert r["mean_a"] == 11.0 and r["mean_b"] == 24.0
+    assert abs(r["t_stat"] - round(t, 6)) < 1e-9
+    assert abs(r["dof"] - round(dof, 6)) < 1e-9
