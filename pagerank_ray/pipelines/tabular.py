@@ -8607,22 +8607,22 @@ def q_orders_reconciliation(sf_dir: str) -> pd.DataFrame:
     )
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
-        okeys = set(df.loc[df["is_order"] == 1, "key"].tolist())
+        okeys = pd.unique(df.loc[df["is_order"] == 1, "key"].to_numpy(np.int64))
         ldf = df[df["is_order"] == 0]
         lagg = ldf.groupby("key", sort=False).agg(n=("n", "sum"), rc=("rc", "sum"))
-        lkeys = set(lagg.index.tolist())
+        in_orders = lagg.index.isin(okeys)  # vectorized membership, no sets
+        n_orders_unmatched = len(okeys) - int(in_orders.sum())
         rows = []
-        matched = okeys & lkeys
-        if matched:
-            sel = lagg.loc[sorted(matched)]
-            rows.append(("matched", len(matched), int(sel["n"].sum()), int(sel["rc"].sum())))
-        o_only = okeys - lkeys
-        if o_only:
-            rows.append(("order_only", len(o_only), 0, 0))
-        l_only = lkeys - okeys
-        if l_only:
-            sel = lagg.loc[sorted(l_only)]
-            rows.append(("lineitem_only", len(l_only), int(sel["n"].sum()), int(sel["rc"].sum())))
+        if in_orders.any():
+            sel = lagg[in_orders]
+            rows.append(("matched", int(in_orders.sum()),
+                         int(sel["n"].sum()), int(sel["rc"].sum())))
+        if n_orders_unmatched:
+            rows.append(("order_only", n_orders_unmatched, 0, 0))
+        if (~in_orders).any():
+            sel = lagg[~in_orders]
+            rows.append(("lineitem_only", int((~in_orders).sum()),
+                         int(sel["n"].sum()), int(sel["rc"].sum())))
         return pd.DataFrame(rows, columns=["cat", "n_keys", "n_lineitems", "rc"])
 
     parts = (
