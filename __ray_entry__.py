@@ -3567,6 +3567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate": tabular.q_bounce_rate,  # SQL-oracled (sessionize + session-level rollup)
         "cheirank": tabular.q_cheirank,  # SQL-oracled (unrolled PageRank, reversed edges)
         "welch_ttest": tabular.q_welch_ttest,  # SQL-oracled (exact-integer moments, verbatim expr)
+        "jsonl_gz_source": tabular.q_jsonl_gz_source,  # SQL-oracled (same roundtrip aggregate)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3848,6 +3849,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_source": _SOURCE_ROUNDTRIP_SQL,
         "orc_source": _SOURCE_ROUNDTRIP_SQL,
         "jsonl_source": _SOURCE_ROUNDTRIP_SQL,
+        "jsonl_gz_source": _SOURCE_ROUNDTRIP_SQL,
         "copurchase_topk": _copurchase_sql(),
         "butterflies": (
             # exact bipartite 4-cycle census + Robins-Alexander cc4; all

@@ -256,7 +256,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "lang_vocab_overlap", "label_centroids", "llr_bigrams",
             "region_homophily", "chi2_independence", "benford_prices",
             "greedy_coverage", "user_primary_type", "rolling_active_users",
-            "bounce_rate", "cheirank", "welch_ttest"],
+            "bounce_rate", "cheirank", "welch_ttest", "jsonl_gz_source"],
 }
 
 
@@ -456,6 +456,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("bounce_rate", lambda: tabular.q_bounce_rate(SF_DIR))
     timed("cheirank", lambda: tabular.q_cheirank(SF_DIR, n_workers=min(8, ncpu)))
     timed("welch_ttest", lambda: tabular.q_welch_ttest(SF_DIR))
+    timed("jsonl_gz_source", lambda: tabular.q_jsonl_gz_source(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -6710,6 +6710,19 @@ def _export_events_subset(sf_dir: str, fmt: str) -> str:
             from pagerank_ray.sources.orc import write_orc
 
             write_orc(ds, tmp)
+        elif fmt == "jsonl_gz":
+            import gzip
+
+            ds.write_json(tmp)
+            # one-time driver-side recompression of the exported shards
+            # (conformance path; corpus-scale gz writing would be a sink)
+            for name in os.listdir(tmp):
+                if not name.endswith(".json"):
+                    continue
+                src = os.path.join(tmp, name)
+                with open(src, "rb") as fin, gzip.open(src + ".gz", "wb") as fout:
+                    fout.write(fin.read())
+                os.remove(src)
         else:
             ds.write_json(tmp)
         with open(os.path.join(tmp, "_DONE"), "w") as f:
@@ -6735,6 +6748,11 @@ def _source_roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
         from pagerank_ray.sources.orc import read_orc
 
         ds = read_orc(path).materialize()
+    elif fmt == "jsonl_gz":
+        ds = rd.read_json(
+            path, file_extensions=["gz"],
+            arrow_open_stream_args={"compression": "gzip"},
+        ).materialize()
     else:
         reader = rd.read_csv if fmt == "csv" else rd.read_json
         ds = reader(
@@ -6795,6 +6813,15 @@ def q_csv_source(sf_dir: str) -> pd.DataFrame:
 def q_jsonl_source(sf_dir: str) -> pd.DataFrame:
     """JSONL source conformance: same round-trip through ``ray.data.read_json``."""
     return _source_roundtrip(sf_dir, "jsonl")
+
+
+def q_jsonl_gz_source(sf_dir: str) -> pd.DataFrame:
+    """Gzip-compressed JSONL source conformance (the format web corpora
+    actually ship in — WET/WARC derivatives are .gz): same round-trip, the
+    read decompresses inside ``ray.data.read_json`` workers via
+    ``arrow_open_stream_args={'compression': 'gzip'}`` — distributed
+    decode, no driver-side decompression on the read path."""
+    return _source_roundtrip(sf_dir, "jsonl_gz")
 
 
 def q_orc_source(sf_dir: str) -> pd.DataFrame:

@@ -4025,3 +4025,25 @@ def test_q_welch_ttest_planted(ray_session, tmp_path):
     assert r["mean_a"] == 11.0 and r["mean_b"] == 24.0
     assert abs(r["t_stat"] - round(t, 6)) < 1e-9
     assert abs(r["dof"] - round(dof, 6)) < 1e-9
+
+
+def test_q_jsonl_gz_source_roundtrip(ray_session, tmp_path):
+    """Gzip JSONL roundtrip preserves counts/ids exactly (int/string only)."""
+    from pagerank_ray.pipelines.tabular import q_jsonl_gz_source, q_jsonl_source
+
+    ts = pd.to_datetime(["2026-01-01"] * 6)
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "b", "b"]),
+        "value": pa.array([0.0] * 6, pa.float64()),
+        "props": pa.array(["{}"] * 6),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    gz = q_jsonl_gz_source(str(tmp_path))
+    plain = q_jsonl_source(str(tmp_path))
+    pd.testing.assert_frame_equal(gz, plain)
+    rec = {r.event_type: (r.n_events, r.n_users, r.min_id, r.max_id)
+           for r in gz.itertuples()}
+    assert rec["a"] == (3, 2, 1, 4)
+    assert rec["b"] == (3, 2, 2, 6)
