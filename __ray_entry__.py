@@ -3568,6 +3568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheirank": tabular.q_cheirank,  # SQL-oracled (unrolled PageRank, reversed edges)
         "welch_ttest": tabular.q_welch_ttest,  # SQL-oracled (exact-integer moments, verbatim expr)
         "jsonl_gz_source": tabular.q_jsonl_gz_source,  # SQL-oracled (same roundtrip aggregate)
+        "ols_by_flag": tabular.q_ols_by_flag,  # SQL-oracled (exact-integer OLS moments)
+        "day_churn_overlap": tabular.q_day_churn_overlap,  # SQL-oracled (adjacent-day self-join mirror)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3899,6 +3901,33 @@ def oracle_sql() -> dict[str, str]:
         "cheirank": _pagerank_sql(
             edges="(SELECT DISTINCT l_partkey AS s, l_orderkey AS d FROM lineitem)",
             rank_col="cheirank",
+        ),
+        "ols_by_flag": (
+            # grouped OLS price ~ quantity; HUGEINT moments, single-expr
+            # slope/intercept on the dollar scale
+            "WITH c AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x, "
+            "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y FROM lineitem), "
+            "m AS (SELECT flag, COUNT(*)::BIGINT AS n, SUM(x)::HUGEINT AS sx, "
+            "SUM(y)::HUGEINT AS sy, SUM(x::HUGEINT*y)::HUGEINT AS sxy, "
+            "SUM(x::HUGEINT*x)::HUGEINT AS sxx FROM c GROUP BY flag) "
+            "SELECT flag, n, "
+            "ROUND((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE / 100.0, 6) AS slope, "
+            "ROUND((sxx*sy - sx*sxy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE / 100.0, 6) AS intercept "
+            "FROM m WHERE n >= 2 AND n*sxx - sx*sx <> 0 ORDER BY flag"
+        ),
+        "day_churn_overlap": (
+            # day-over-day active-user Jaccard; intersection via the
+            # adjacent-day self-join, totals from distinct (user, day)
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "(epoch_us(ts) // 86400000000)::BIGINT AS day FROM events), "
+            "nd AS (SELECT day, COUNT(*)::BIGINT AS n FROM d GROUP BY 1), "
+            "nb AS (SELECT a.day, COUNT(*)::BIGINT AS n FROM d a JOIN d b "
+            "ON a.user_id = b.user_id AND b.day = a.day + 1 GROUP BY a.day) "
+            "SELECT a.day, COALESCE(nb.n, 0)::BIGINT AS n_common, "
+            "(a.n + c.n - COALESCE(nb.n, 0))::BIGINT AS n_union, "
+            "ROUND(COALESCE(nb.n, 0)::DOUBLE / (a.n + c.n - COALESCE(nb.n, 0)), 6) AS jaccard "
+            "FROM nd a JOIN nd c ON c.day = a.day + 1 LEFT JOIN nb ON nb.day = a.day "
+            "ORDER BY a.day"
         ),
         "welch_ttest": (
             # Welch t between return flags A and R; HUGEINT keeps nQ - S^2

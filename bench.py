@@ -256,7 +256,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "lang_vocab_overlap", "label_centroids", "llr_bigrams",
             "region_homophily", "chi2_independence", "benford_prices",
             "greedy_coverage", "user_primary_type", "rolling_active_users",
-            "bounce_rate", "cheirank", "welch_ttest", "jsonl_gz_source"],
+            "bounce_rate", "cheirank", "welch_ttest", "jsonl_gz_source",
+            "ols_by_flag", "day_churn_overlap"],
 }
 
 
@@ -457,6 +458,8 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("cheirank", lambda: tabular.q_cheirank(SF_DIR, n_workers=min(8, ncpu)))
     timed("welch_ttest", lambda: tabular.q_welch_ttest(SF_DIR))
     timed("jsonl_gz_source", lambda: tabular.q_jsonl_gz_source(SF_DIR))
+    timed("ols_by_flag", lambda: tabular.q_ols_by_flag(SF_DIR))
+    timed("day_churn_overlap", lambda: tabular.q_day_churn_overlap(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -9589,3 +9589,119 @@ def q_welch_ttest(sf_dir: str, flag_a: str = "A", flag_b: str = "R") -> pd.DataF
             "dof": _round_half_away(np.array([dof]), 6),
         }
     )
+
+
+def q_ols_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Grouped ordinary-least-squares regression — price-per-quantity line
+    per return flag (slope/intercept of l_extendedprice ~ l_quantity, the
+    elasticity readout next to q_qty_price_corr's Pearson r): all five
+    moments (n, Σx, Σy, Σxy, Σx²) accumulate as EXACT integers (quantity
+    units and price cents; per-batch int64 partials, Python-int driver
+    fold), slope and intercept are single float expressions over those
+    integers, mirrored verbatim in the oracle. Dollar-scale outputs,
+    ROUND 6. Flags with < 2 rows or zero x-variance are omitted.
+
+    Shape: F-row distributive aggregate — no shuffle."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(np.float64).astype(np.int64)  # integral units
+        y = _round_half_away(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        g = pd.DataFrame({"flag": df["l_returnflag"].to_numpy(), "x": x, "y": y,
+                          "xy": x * y, "xx": x * x})
+        out = g.groupby("flag", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"),
+        ).reset_index()
+        for c in ("n", "sx", "sy", "sxy", "sxx"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    acc = {}
+    for _, r in parts.iterrows():
+        n, sx, sy, sxy, sxx = acc.get(r["flag"], (0, 0, 0, 0, 0))
+        acc[r["flag"]] = (n + int(r["n"]), sx + int(r["sx"]), sy + int(r["sy"]),
+                          sxy + int(r["sxy"]), sxx + int(r["sxx"]))
+    rows = []
+    for flag in sorted(acc):
+        n, sx, sy, sxy, sxx = acc[flag]
+        det = n * sxx - sx * sx
+        if n < 2 or det == 0:
+            continue
+        slope = float(n * sxy - sx * sy) / float(det) / 100.0
+        intercept = float(sxx * sy - sx * sxy) / float(det) / 100.0
+        rows.append((flag, n, slope, intercept))
+    out = pd.DataFrame(rows, columns=["flag", "n", "slope", "intercept"])
+    out["n"] = out["n"].astype(np.int64)
+    out["slope"] = _round_half_away(out["slope"].to_numpy(np.float64), 6)
+    out["intercept"] = _round_half_away(out["intercept"].to_numpy(np.float64), 6)
+    return out.reset_index(drop=True)
+
+
+def q_day_churn_overlap(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day active-user overlap (the retention/churn Jaccard):
+    for each consecutive calendar day pair (d, d+1) with activity on both,
+    |A_d ∩ A_{d+1}| (users active both days), |A_d ∪ A_{d+1}| and their
+    Jaccard (ROUND 6). Exact: the intersection decomposes per user —
+    a user contributes to day pair d iff days d and d+1 are BOTH in their
+    active-day set — so user-bucketed sorted day lists yield adjacent-day
+    hits with one vectorized diff==1 scan; daily totals are distinct
+    (user, day) counts from the same buckets. Calendar-bounded partials.
+
+    Shape: same bucketed per-user pass as rolling_active_users; nothing
+    user-set-sized moves."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+               // 86_400_000_000)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "day": day}).drop_duplicates()
+        u = d["user_id"].to_numpy(np.int64)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        d["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return d
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["user_id", "day"]].drop_duplicates()
+        u = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        adj = (u[1:] == u[:-1]) & (day[1:] - day[:-1] == 1)
+        daily = pd.Series(day).value_counts()
+        both = pd.Series(day[:-1][adj]).value_counts()
+        out = pd.DataFrame({"day": daily.index.to_numpy(np.int64),
+                            "n_day": daily.to_numpy(np.int64),
+                            "n_both": np.zeros(len(daily), np.int64)})
+        out = out.set_index("day")
+        out.loc[both.index, "n_both"] = both.to_numpy(np.int64)
+        return out.reset_index()
+
+    parts = (
+        ev.map_batches(pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    m = parts.groupby("day", sort=True).agg(
+        n_day=("n_day", "sum"), n_both=("n_both", "sum")
+    ).reset_index()
+    day = m["day"].to_numpy(np.int64)
+    nd = m["n_day"].to_numpy(np.int64)
+    nb = m["n_both"].to_numpy(np.int64)
+    has_next = np.r_[day[1:] - day[:-1] == 1, False]
+    idx = np.flatnonzero(has_next)
+    n_common = nb[idx]
+    n_union = nd[idx] + nd[idx + 1] - n_common
+    out = pd.DataFrame({
+        "day": day[idx],
+        "n_common": n_common.astype(np.int64),
+        "n_union": n_union.astype(np.int64),
+        "jaccard": _round_half_away(n_common / n_union, 6),
+    })
+    return out.reset_index(drop=True)

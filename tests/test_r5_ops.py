@@ -4047,3 +4047,36 @@ def test_q_jsonl_gz_source_roundtrip(ray_session, tmp_path):
            for r in gz.itertuples()}
     assert rec["a"] == (3, 2, 1, 4)
     assert rec["b"] == (3, 2, 2, 6)
+
+
+def test_q_ols_by_flag_planted(ray_session, tmp_path):
+    """Flag A lies exactly on y = 2x + 3 (dollars) → slope 2, intercept 3.
+    Flag Z has a single row → omitted (undefined regression)."""
+    from pagerank_ray.pipelines.tabular import q_ols_by_flag
+
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A", "A", "A", "Z"]),
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 5.0], pa.float64()),
+        "l_extendedprice": pa.array([5.0, 7.0, 9.0, 1.0], pa.float64()),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_ols_by_flag(str(tmp_path))
+    got = list(zip(out["flag"], out["n"], out["slope"], out["intercept"]))
+    assert got == [("A", 3, 2.0, 3.0)]
+
+
+def test_q_day_churn_overlap_planted(ray_session, tmp_path):
+    """Day 0 actives {1,2}, day 1 actives {2,3}: common {2}, union {1,2,3}
+    → J=1/3. Day 2 has no activity, so no (1,2) pair row."""
+    from pagerank_ray.pipelines.tabular import q_day_churn_overlap
+
+    ts = pd.to_datetime([
+        "1970-01-01 01:00", "1970-01-01 02:00", "1970-01-02 01:00",
+        "1970-01-02 02:00", "1970-01-04 01:00",
+    ])
+    pq.write_table(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 2, 3, 1], pa.int64()),
+    }), os.path.join(str(tmp_path), "events.parquet"))
+    out = q_day_churn_overlap(str(tmp_path))
+    got = list(zip(out["day"], out["n_common"], out["n_union"], out["jaccard"]))
+    assert got == [(0, 1, 3, round(1 / 3, 6))]
