@@ -3570,6 +3570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_gz_source": tabular.q_jsonl_gz_source,  # SQL-oracled (same roundtrip aggregate)
         "ols_by_flag": tabular.q_ols_by_flag,  # SQL-oracled (exact-integer OLS moments)
         "day_churn_overlap": tabular.q_day_churn_overlap,  # SQL-oracled (adjacent-day self-join mirror)
+        "centroid_similarity": tabular.q_centroid_similarity,  # SQL-oracled (exact-integer dot products)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3901,6 +3902,22 @@ def oracle_sql() -> dict[str, str]:
         "cheirank": _pagerank_sql(
             edges="(SELECT DISTINCT l_partkey AS s, l_orderkey AS d FROM lineitem)",
             rank_col="cheirank",
+        ),
+        "centroid_similarity": (
+            # cosine between per-label centroid sums: counts cancel, the
+            # three inner products are exact HUGEINT integers
+            "WITH e AS (SELECT label::BIGINT AS label, "
+            "(generate_subscripts(embedding,1)-1)::BIGINT AS dim, "
+            "unnest(embedding) AS v FROM embeddings), "
+            "q AS (SELECT label, dim, CAST(ROUND(v::DOUBLE * 10000) AS BIGINT) AS qv FROM e), "
+            "s AS (SELECT label, dim, SUM(qv)::HUGEINT AS s FROM q GROUP BY 1,2), "
+            "n AS (SELECT label, SUM(s*s)::HUGEINT AS nn FROM s GROUP BY 1), "
+            "d AS (SELECT a.label AS la, b.label AS lb, SUM(a.s*b.s)::HUGEINT AS dot "
+            "FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label GROUP BY 1,2) "
+            "SELECT la AS label_a, lb AS label_b, "
+            "ROUND(dot::DOUBLE / (SQRT(na.nn::DOUBLE) * SQRT(nb.nn::DOUBLE)), 6) AS cosine "
+            "FROM d JOIN n na ON na.label = la JOIN n nb ON nb.label = lb "
+            "WHERE na.nn <> 0 AND nb.nn <> 0 ORDER BY label_a, label_b"
         ),
         "ols_by_flag": (
             # grouped OLS price ~ quantity; HUGEINT moments, single-expr

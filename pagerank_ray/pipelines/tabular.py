@@ -9705,3 +9705,63 @@ def q_day_churn_overlap(sf_dir: str) -> pd.DataFrame:
         "jaccard": _round_half_away(n_common / n_union, 6),
     })
     return out.reset_index(drop=True)
+
+
+def q_centroid_similarity(sf_dir: str, scale: int = 10**4) -> pd.DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    (the class-confusability matrix of embedding diagnostics): because the
+    per-label counts cancel, cos(a, b) = Σ_d S_a S_b / (√ΣS_a² · √ΣS_b²)
+    over the EXACT integer quantized per-(label, dim) sums S — all three
+    inner products are exact integers (Python-int driver fold over the
+    L×D grid), the cosine is one float expression, ROUND 6. Upper
+    triangle (label_a < label_b), sorted.
+
+    Shape: identical one-pass partial as q_label_centroids (≤ L·D rows
+    per batch); the L×L matrix math is driver-side on contract-sized
+    integers. No shuffle."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.num_rows
+        dim = len(flat) // max(n, 1)
+        if n and len(flat) != n * dim:
+            raise ValueError("ragged embedding lists")
+        y = flat.reshape(n, dim) * float(scale)
+        q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        labs, starts = np.unique(labels[order], return_index=True)
+        sums = np.add.reduceat(q[order], starts, axis=0)
+        return pd.DataFrame(
+            {"label": np.repeat(labs, dim),
+             "dim": np.tile(np.arange(dim, dtype=np.int64), len(labs)),
+             "s": sums.ravel()}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["label", "dim"], sort=True)["s"].sum().reset_index()
+    labs = sorted(g["label"].unique().tolist())
+    vecs = {
+        lab: [int(v) for v in
+              g[g["label"] == lab].sort_values("dim")["s"].tolist()]
+        for lab in labs
+    }
+    rows = []
+    for i, a in enumerate(labs):
+        va = vecs[a]
+        na = sum(x * x for x in va)  # exact Python ints — no overflow at any n
+        for b in labs[i + 1:]:
+            vb = vecs[b]
+            nb = sum(x * x for x in vb)
+            dot = sum(x * y for x, y in zip(va, vb))
+            if na == 0 or nb == 0:
+                continue
+            cos = float(dot) / (np.sqrt(float(na)) * np.sqrt(float(nb)))
+            rows.append((a, b, cos))
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "cosine"])
+    out["label_a"] = out["label_a"].astype(np.int64)
+    out["label_b"] = out["label_b"].astype(np.int64)
+    out["cosine"] = _round_half_away(out["cosine"].to_numpy(np.float64), 6)
+    return out.reset_index(drop=True)

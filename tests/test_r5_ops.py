@@ -4080,3 +4080,22 @@ def test_q_day_churn_overlap_planted(ray_session, tmp_path):
     out = q_day_churn_overlap(str(tmp_path))
     got = list(zip(out["day"], out["n_common"], out["n_union"], out["jaccard"]))
     assert got == [(0, 1, 3, round(1 / 3, 6))]
+
+
+def test_q_centroid_similarity_planted(ray_session, tmp_path):
+    """Label 1 centroid sums → (2, 0), label 2 → (0, 3), label 3 → (1, 1):
+    cos(1,2)=0, cos(1,3)=1/√2, cos(2,3)=1/√2 (exact integer dot products)."""
+    import math
+    from pagerank_ray.pipelines.tabular import q_centroid_similarity
+
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [1.0, 0.0], [0.0, 3.0], [1.0, 1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([1, 1, 2, 3], pa.int32()),
+    }), os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = q_centroid_similarity(str(tmp_path))
+    got = {(r.label_a, r.label_b): r.cosine for r in out.itertuples()}
+    assert got[(1, 2)] == 0.0
+    assert got[(1, 3)] == round(1 / math.sqrt(2), 6)
+    assert got[(2, 3)] == round(1 / math.sqrt(2), 6)
