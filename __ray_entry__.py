@@ -3571,6 +3571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ols_by_flag": tabular.q_ols_by_flag,  # SQL-oracled (exact-integer OLS moments)
         "day_churn_overlap": tabular.q_day_churn_overlap,  # SQL-oracled (adjacent-day self-join mirror)
         "centroid_similarity": tabular.q_centroid_similarity,  # SQL-oracled (exact-integer dot products)
+        "k_anonymity": tabular.q_k_anonymity,  # SQL-oracled (QI equivalence-class audit)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3902,6 +3903,16 @@ def oracle_sql() -> dict[str, str]:
         "cheirank": _pagerank_sql(
             edges="(SELECT DISTINCT l_partkey AS s, l_orderkey AS d FROM lineitem)",
             rank_col="cheirank",
+        ),
+        "k_anonymity": (
+            # k=5 anonymity over (nation, segment) quasi-identifiers
+            "WITH c AS (SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS n "
+            "FROM customer GROUP BY 1,2), "
+            "t AS (SELECT SUM(n)::BIGINT AS tot FROM c), "
+            "r AS (SELECT CASE WHEN n < 5 THEN 'violating' ELSE 'anonymous' END AS regime, "
+            "COUNT(*)::BIGINT AS n_classes, SUM(n)::BIGINT AS n_records FROM c GROUP BY 1) "
+            "SELECT regime, n_classes, n_records, "
+            "ROUND(n_records::DOUBLE / (SELECT tot FROM t), 6) AS frac FROM r ORDER BY regime"
         ),
         "centroid_similarity": (
             # cosine between per-label centroid sums: counts cancel, the

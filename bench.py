@@ -257,7 +257,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "region_homophily", "chi2_independence", "benford_prices",
             "greedy_coverage", "user_primary_type", "rolling_active_users",
             "bounce_rate", "cheirank", "welch_ttest", "jsonl_gz_source",
-            "ols_by_flag", "day_churn_overlap", "centroid_similarity"],
+            "ols_by_flag", "day_churn_overlap", "centroid_similarity",
+            "k_anonymity"],
 }
 
 
@@ -461,6 +462,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("ols_by_flag", lambda: tabular.q_ols_by_flag(SF_DIR))
     timed("day_churn_overlap", lambda: tabular.q_day_churn_overlap(SF_DIR))
     timed("centroid_similarity", lambda: tabular.q_centroid_similarity(SF_DIR))
+    timed("k_anonymity", lambda: tabular.q_k_anonymity(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

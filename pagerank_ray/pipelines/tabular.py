@@ -9765,3 +9765,46 @@ def q_centroid_similarity(sf_dir: str, scale: int = 10**4) -> pd.DataFrame:
     out["label_b"] = out["label_b"].astype(np.int64)
     out["cosine"] = _round_half_away(out["cosine"].to_numpy(np.float64), 6)
     return out.reset_index(drop=True)
+
+
+def q_k_anonymity(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (c_nationkey,
+    c_mktsegment) — the privacy-release check (Sweeney 2002): an
+    equivalence class smaller than ``k`` re-identifies its members. Per
+    class-size regime report class count and record count, plus the
+    violating-record fraction (ROUND 6). Output rows: 'violating'
+    (size < k) and 'anonymous' (size ≥ k); empty regimes omitted.
+
+    Shape: per-batch (nation, segment) count partials — the combiner —
+    fold on the driver (the QI domain is N×S-bounded); everything exact
+    integers until the final fraction."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["c_nationkey", "c_mktsegment"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["c_nationkey"] = g["c_nationkey"].astype(np.int64)
+        return g
+
+    parts = cust.map_batches(partial, batch_format="pandas").to_pandas()
+    classes = parts.groupby(["c_nationkey", "c_mktsegment"], sort=False)["n"].sum()
+    total = int(classes.sum())
+    viol = classes[classes < k]
+    anon = classes[classes >= k]
+    rows = []
+    if len(viol):
+        rows.append(("violating", len(viol), int(viol.sum()),
+                     float(int(viol.sum())) / total))
+    if len(anon):
+        rows.append(("anonymous", len(anon), int(anon.sum()),
+                     float(int(anon.sum())) / total))
+    out = pd.DataFrame(rows, columns=["regime", "n_classes", "n_records", "frac"])
+    out = out.sort_values("regime").reset_index(drop=True)
+    out["n_classes"] = out["n_classes"].astype(np.int64)
+    out["n_records"] = out["n_records"].astype(np.int64)
+    out["frac"] = _round_half_away(out["frac"].to_numpy(np.float64), 6)
+    return out

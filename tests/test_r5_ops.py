@@ -4099,3 +4099,21 @@ def test_q_centroid_similarity_planted(ray_session, tmp_path):
     assert got[(1, 2)] == 0.0
     assert got[(1, 3)] == round(1 / math.sqrt(2), 6)
     assert got[(2, 3)] == round(1 / math.sqrt(2), 6)
+
+
+def test_q_k_anonymity_planted(ray_session, tmp_path):
+    """QI classes: (0,'A')×5 anonymous at k=5, (0,'B')×2 and (1,'A')×1
+    violating → violating: 2 classes / 3 records, frac 3/8."""
+    from pagerank_ray.pipelines.tabular import q_k_anonymity
+
+    nk = [0] * 5 + [0, 0, 1]
+    seg = ["A"] * 5 + ["B", "B", "A"]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(8), pa.int64()),
+        "c_nationkey": pa.array(nk, pa.int32()),
+        "c_mktsegment": pa.array(seg),
+    }), os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_k_anonymity(str(tmp_path))
+    got = {r.regime: (r.n_classes, r.n_records, r.frac) for r in out.itertuples()}
+    assert got["anonymous"] == (1, 5, 0.625)
+    assert got["violating"] == (2, 3, 0.375)
