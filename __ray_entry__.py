@@ -3572,6 +3572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "day_churn_overlap": tabular.q_day_churn_overlap,  # SQL-oracled (adjacent-day self-join mirror)
         "centroid_similarity": tabular.q_centroid_similarity,  # SQL-oracled (exact-integer dot products)
         "k_anonymity": tabular.q_k_anonymity,  # SQL-oracled (QI equivalence-class audit)
+        "l_diversity": tabular.q_l_diversity,  # SQL-oracled (distinct-sensitive-per-class audit)
+        "order_size_hist": tabular.q_order_size_hist,  # SQL-oracled (per-order count histogram)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3903,6 +3905,22 @@ def oracle_sql() -> dict[str, str]:
         "cheirank": _pagerank_sql(
             edges="(SELECT DISTINCT l_partkey AS s, l_orderkey AS d FROM lineitem)",
             rank_col="cheirank",
+        ),
+        "l_diversity": (
+            # l=3 diversity of the sensitive segment within nation classes
+            "WITH c AS (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment)::BIGINT AS nd, "
+            "COUNT(*)::BIGINT AS n FROM customer GROUP BY 1), "
+            "t AS (SELECT SUM(n)::BIGINT AS tot FROM c), "
+            "r AS (SELECT CASE WHEN nd >= 3 THEN 'diverse' ELSE 'violating' END AS regime, "
+            "COUNT(*)::BIGINT AS n_classes, SUM(n)::BIGINT AS n_records FROM c GROUP BY 1) "
+            "SELECT regime, n_classes, n_records, "
+            "ROUND(n_records::DOUBLE / (SELECT tot FROM t), 6) AS frac FROM r ORDER BY regime"
+        ),
+        "order_size_hist": (
+            # lineitems-per-order histogram, 7+ clamped
+            "WITH per AS (SELECT l_orderkey, COUNT(*)::BIGINT AS n FROM lineitem GROUP BY 1) "
+            "SELECT LEAST(n, 7)::BIGINT AS order_size, COUNT(*)::BIGINT AS n_orders "
+            "FROM per GROUP BY 1 ORDER BY 1"
         ),
         "k_anonymity": (
             # k=5 anonymity over (nation, segment) quasi-identifiers

@@ -258,7 +258,7 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "greedy_coverage", "user_primary_type", "rolling_active_users",
             "bounce_rate", "cheirank", "welch_ttest", "jsonl_gz_source",
             "ols_by_flag", "day_churn_overlap", "centroid_similarity",
-            "k_anonymity"],
+            "k_anonymity", "l_diversity", "order_size_hist"],
 }
 
 
@@ -463,6 +463,8 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("day_churn_overlap", lambda: tabular.q_day_churn_overlap(SF_DIR))
     timed("centroid_similarity", lambda: tabular.q_centroid_similarity(SF_DIR))
     timed("k_anonymity", lambda: tabular.q_k_anonymity(SF_DIR))
+    timed("l_diversity", lambda: tabular.q_l_diversity(SF_DIR))
+    timed("order_size_hist", lambda: tabular.q_order_size_hist(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -9808,3 +9808,87 @@ def q_k_anonymity(sf_dir: str, k: int = 5) -> pd.DataFrame:
     out["n_records"] = out["n_records"].astype(np.int64)
     out["frac"] = _round_half_away(out["frac"].to_numpy(np.float64), 6)
     return out
+
+
+def q_l_diversity(sf_dir: str, l_min: int = 3) -> pd.DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, the successor check
+    to k-anonymity): a quasi-identifier class is safe only if its
+    SENSITIVE attribute takes ≥ l distinct values. QI = c_nationkey,
+    sensitive = c_mktsegment. Per regime ('diverse' / 'violating') report
+    class count and record count, fraction ROUND 6.
+
+    Shape: per-batch locally-distinct (nation, segment) pairs plus
+    (nation, n_records) count partials — both QI-domain-bounded — fold on
+    the driver; distinct-per-class sums exactly because a (nation,
+    segment) pair dedups globally on the tiny folded grid."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["c_nationkey", "c_mktsegment"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["c_nationkey"] = g["c_nationkey"].astype(np.int64)
+        return g
+
+    parts = cust.map_batches(partial, batch_format="pandas").to_pandas()
+    grid = parts.groupby(["c_nationkey", "c_mktsegment"], sort=False)["n"].sum()
+    per_class = grid.reset_index().groupby("c_nationkey").agg(
+        n_distinct=("c_mktsegment", "nunique"), n_records=("n", "sum")
+    )
+    total = int(per_class["n_records"].sum())
+    div = per_class[per_class["n_distinct"] >= l_min]
+    bad = per_class[per_class["n_distinct"] < l_min]
+    rows = []
+    if len(div):
+        rows.append(("diverse", len(div), int(div["n_records"].sum())))
+    if len(bad):
+        rows.append(("violating", len(bad), int(bad["n_records"].sum())))
+    out = pd.DataFrame(rows, columns=["regime", "n_classes", "n_records"])
+    out = out.sort_values("regime").reset_index(drop=True)
+    out["frac"] = _round_half_away(
+        out["n_records"].to_numpy(np.int64) / float(total), 6
+    )
+    out["n_classes"] = out["n_classes"].astype(np.int64)
+    out["n_records"] = out["n_records"].astype(np.int64)
+    return out
+
+
+def q_order_size_hist(sf_dir: str) -> pd.DataFrame:
+    """Order-size distribution — lineitems per order, histogrammed (the
+    fill-rate profile of warehouse monitoring): per order count its
+    lineitem rows, then bucket counts into sizes 1..6 and '7+'. Exact
+    integers throughout.
+
+    Shape: per-batch (orderkey, n) partials (the combiner), orderkey-hash
+    bucketed fold to finish per-order counts, then each bucket collapses
+    to ≤7 histogram rows — the driver folds 7·n_buckets rows."""
+    n_buckets = 64
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["l_orderkey"].value_counts()
+        g = pd.DataFrame({"key": vc.index.to_numpy(np.int64),
+                          "n": vc.to_numpy(np.int64)})
+        mixed = (g["key"].to_numpy(np.int64) * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        g["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return g
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        per = df.groupby("key", sort=False)["n"].sum()
+        size = np.minimum(per.to_numpy(np.int64), 7)
+        vc = pd.Series(size).value_counts()
+        return pd.DataFrame({"order_size": vc.index.to_numpy(np.int64),
+                             "n_orders": vc.to_numpy(np.int64)})
+
+    parts = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(hist, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("order_size", sort=True)["n_orders"].sum().reset_index()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -4117,3 +4117,32 @@ def test_q_k_anonymity_planted(ray_session, tmp_path):
     got = {r.regime: (r.n_classes, r.n_records, r.frac) for r in out.itertuples()}
     assert got["anonymous"] == (1, 5, 0.625)
     assert got["violating"] == (2, 3, 0.375)
+
+
+def test_q_l_diversity_planted(ray_session, tmp_path):
+    """Nation 0 has 3 distinct segments (diverse at l=3); nation 1 only 1
+    (violating, 2 records)."""
+    from pagerank_ray.pipelines.tabular import q_l_diversity
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(5), pa.int64()),
+        "c_nationkey": pa.array([0, 0, 0, 1, 1], pa.int32()),
+        "c_mktsegment": pa.array(["A", "B", "C", "A", "A"]),
+    }), os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_l_diversity(str(tmp_path))
+    got = {r.regime: (r.n_classes, r.n_records, r.frac) for r in out.itertuples()}
+    assert got["diverse"] == (1, 3, 0.6)
+    assert got["violating"] == (1, 2, 0.4)
+
+
+def test_q_order_size_hist_planted(ray_session, tmp_path):
+    """Orders with 1, 2 and 8 lineitems → sizes 1, 2 and the 7+ clamp."""
+    from pagerank_ray.pipelines.tabular import q_order_size_hist
+
+    keys = [1] + [2] * 2 + [3] * 8
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(keys, pa.int64()),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_order_size_hist(str(tmp_path))
+    got = list(zip(out["order_size"], out["n_orders"]))
+    assert got == [(1, 1), (2, 1), (7, 1)]
