@@ -3574,6 +3574,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": tabular.q_k_anonymity,  # SQL-oracled (QI equivalence-class audit)
         "l_diversity": tabular.q_l_diversity,  # SQL-oracled (distinct-sensitive-per-class audit)
         "order_size_hist": tabular.q_order_size_hist,  # SQL-oracled (per-order count histogram)
+        "session_paths": tabular.q_session_paths,  # SQL-oracled (double-LEAD window mirror)
+        "knn_label_disagreement": tabular.q_knn_label_disagreement,  # SQL-oracled (quantized-int d2 + ROW_NUMBER)
+        "containment_pairs": tabular.q_containment_pairs,  # SQL-oracled (shingle self-join mirror)
+        "event_cooccurrence": tabular.q_event_cooccurrence,  # SQL-oracled (windowed same-user self-join)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3931,6 +3935,68 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS n_classes, SUM(n)::BIGINT AS n_records FROM c GROUP BY 1) "
             "SELECT regime, n_classes, n_records, "
             "ROUND(n_records::DOUBLE / (SELECT tot FROM t), 6) AS frac FROM r ORDER BY regime"
+        ),
+        "session_paths": (
+            # top-20 length-3 event-type paths; double LEAD over the
+            # (ts, event_id)-pinned per-user stream
+            "WITH s AS (SELECT event_type AS e1, "
+            "LEAD(event_type, 1) OVER w AS e2, LEAD(event_type, 2) OVER w AS e3 "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "c AS (SELECT e1, e2, e3, COUNT(*)::BIGINT AS n FROM s "
+            "WHERE e3 IS NOT NULL GROUP BY 1, 2, 3) "
+            "SELECT e1, e2, e3, n FROM c ORDER BY n DESC, e1, e2, e3 LIMIT 20"
+        ),
+        "knn_label_disagreement": (
+            # k=10 NN by exact quantized-int squared Euclidean (ties by
+            # vec_id), fraction with a different label, top-20 suspects
+            "WITH e AS (SELECT vec_id, "
+            "(generate_subscripts(embedding,1)-1)::BIGINT AS dim, "
+            "CAST(ROUND(unnest(embedding)::DOUBLE * 10000) AS BIGINT) AS qv "
+            "FROM embeddings), "
+            "l AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), "
+            "d AS (SELECT a.vec_id AS va, b.vec_id AS vb, "
+            "SUM((a.qv-b.qv)*(a.qv-b.qv))::BIGINT AS d2 "
+            "FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id <> b.vec_id "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT va, vb, ROW_NUMBER() OVER "
+            "(PARTITION BY va ORDER BY d2, vb) AS rn FROM d), "
+            "x AS (SELECT r.va AS vec_id, "
+            "SUM(CASE WHEN la.label <> lb.label THEN 1 ELSE 0 END)::BIGINT AS n_disagree "
+            "FROM r JOIN l la ON la.vec_id = r.va JOIN l lb ON lb.vec_id = r.vb "
+            "WHERE r.rn <= 10 GROUP BY 1) "
+            "SELECT x.vec_id, l.label, x.n_disagree, "
+            "ROUND(x.n_disagree::DOUBLE / 10, 6) AS frac "
+            "FROM x JOIN l ON l.vec_id = x.vec_id "
+            "ORDER BY frac DESC, x.vec_id LIMIT 20"
+        ),
+        "containment_pairs": (
+            # asymmetric shingle containment >= 0.5 (integer form), word
+            # 3-gram distinct shingles, global df <= 50 boilerplate guard
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w "
+            "FROM documents WHERE TRIM(COALESCE(text, '')) <> ''), "
+            "g AS (SELECT t.doc_id, t.w[s.i] || chr(31) || t.w[s.i+1] || chr(31) || t.w[s.i+2] AS sh "
+            "FROM t, UNNEST(generate_series(1, len(t.w) - 2)) AS s(i) "
+            "WHERE len(t.w) >= 3), "
+            "ds AS (SELECT DISTINCT doc_id, sh FROM g), "
+            "dfc AS (SELECT sh, COUNT(*)::BIGINT AS c FROM ds GROUP BY 1), "
+            "f AS (SELECT ds.doc_id, ds.sh FROM ds JOIN dfc USING (sh) WHERE dfc.c <= 50), "
+            "na AS (SELECT doc_id, COUNT(*)::BIGINT AS n_a FROM f GROUP BY 1), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*)::BIGINT AS n_common "
+            "FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+            "SELECT p.a, p.b, p.n_common, na.n_a, "
+            "ROUND(p.n_common::DOUBLE / na.n_a, 6) AS containment "
+            "FROM p JOIN na ON na.doc_id = p.a "
+            "WHERE 2 * p.n_common >= na.n_a ORDER BY p.a, p.b"
+        ),
+        "event_cooccurrence": (
+            # unordered type pairs of same-user events within 1 hour,
+            # time order pinned by (ts, event_id)
+            "WITH p AS (SELECT LEAST(a.event_type, b.event_type) AS t1, "
+            "GREATEST(a.event_type, b.event_type) AS t2, COUNT(*)::BIGINT AS n "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id)) "
+            "AND b.ts <= a.ts + INTERVAL 1 HOUR GROUP BY 1, 2) "
+            "SELECT t1, t2, n FROM p ORDER BY t1, t2"
         ),
         "centroid_similarity": (
             # cosine between per-label centroid sums: counts cancel, the

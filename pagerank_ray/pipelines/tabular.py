@@ -9892,3 +9892,404 @@ def q_order_size_hist(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("order_size", sort=True)["n_orders"].sum().reset_index()
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def q_session_paths(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k most frequent length-3 event-type paths in the per-user
+    stream — the second-order extension of ``q_event_transitions`` (web
+    usage mining's classic "navigation path" report): consecutive triples
+    of the same user's events ordered by (ts, event_id), counted, top-k
+    by (n desc, path asc).
+
+    Shape: the event_transitions idiom — user-hash buckets co-locate each
+    stream, one vectorized lexsort + double same-user adjacency mask +
+    triple value_counts per bucket; partials are ≤ T³ rows per bucket
+    (T = event-type vocabulary) and fold on the driver."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        df = df.copy()
+        df["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return df
+
+    def triples(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"e1": pd.Series(dtype=object), "e2": pd.Series(dtype=object),
+             "e3": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64)}
+        )
+        if len(df) < 3:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        if not same.any():
+            return empty
+        out = (
+            pd.DataFrame({"e1": et[:-2][same], "e2": et[1:-1][same],
+                          "e3": et[2:][same]})
+            .groupby(["e1", "e2", "e3"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = (
+        ev.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(triples, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["e1", "e2", "e3"], sort=False)["n"].sum().reset_index()
+    agg["n"] = agg["n"].astype(np.int64)
+    top = agg.sort_values(
+        ["n", "e1", "e2", "e3"], ascending=[False, True, True, True],
+        kind="mergesort",
+    ).head(k)
+    return top.reset_index(drop=True)
+
+
+def q_knn_label_disagreement(
+    sf_dir: str, k: int = 10, top: int = 20
+) -> pd.DataFrame:
+    """Label-noise audit via k-NN disagreement (the Confident-Learning /
+    Wilson-editing family, Northcutt et al. 2021): for every embedding,
+    the fraction of its k exact nearest neighbors (quantized squared
+    Euclidean, ties by vec_id) carrying a DIFFERENT label; the top rows
+    by (frac desc, vec_id) are the suspected mislabels. Embeddings
+    quantize to int (ROUND(v·10⁴)) so all distances are exact int64 and
+    the DuckDB oracle matches bit-for-bit.
+
+    Shape: the reference matrix (vec_id, label, qvec) broadcasts once
+    (``ray.put`` + per-worker cache) and every batch computes its int64
+    distance block via one matmul — brute force IS the audit baseline at
+    reference-set scale (`stages/knn.py` IVF is the path when the
+    reference side outgrows a broadcast). Per-batch top rows are the
+    combiner; the driver re-selects the global top."""
+    import ray
+
+    from pagerank_ray.stages import joins
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def collect_q(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy())
+        q = _round_half_away(mat.astype(np.float64) * 10000.0, 0).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64),
+             "label": df["label"].to_numpy(np.int64),
+             "q": list(q)}
+        )
+
+    ref = emb.map_batches(collect_q, batch_format="pandas").to_pandas()
+    ref = ref.sort_values("vec_id").reset_index(drop=True)
+    n_ref = len(ref)
+    if n_ref <= k:
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "label": pd.Series(dtype=np.int64),
+                             "n_disagree": pd.Series(dtype=np.int64),
+                             "frac": pd.Series(dtype=np.float64)})
+    rq = np.stack(ref["q"].to_numpy())
+    rid = ref["vec_id"].to_numpy(np.int64)
+    rlab = ref["label"].to_numpy(np.int64)
+    rn2 = (rq * rq).sum(axis=1)
+    # composite key d2·n_ref + pos must fit int64; d2 ≤ 4·max‖q‖²
+    if 4 * int(rn2.max()) >= (1 << 62) // max(n_ref, 1):
+        raise RuntimeError("knn_label_disagreement: composite-key overflow")
+    bref = ray.put((rq, rid, rlab, rn2))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rq_, rid_, rlab_, rn2_ = joins.broadcast_get(
+            bref, lambda v: v, "knn_disagree_ref"
+        )
+        mat = np.stack(df["embedding"].to_numpy())
+        q = _round_half_away(mat.astype(np.float64) * 10000.0, 0).astype(np.int64)
+        vid = df["vec_id"].to_numpy(np.int64)
+        lab = df["label"].to_numpy(np.int64)
+        d2 = (q * q).sum(axis=1)[:, None] + rn2_[None, :] - 2 * (q @ rq_.T)
+        # composite sort key: exact (d2, position-of-vec_id) in one int64
+        nr = len(rid_)
+        key = d2 * np.int64(nr) + np.arange(nr, dtype=np.int64)[None, :]
+        key[vid[:, None] == rid_[None, :]] = np.iinfo(np.int64).max  # no self
+        nn = np.argpartition(key, k - 1, axis=1)[:, :k]
+        dis = (rlab_[nn] != lab[:, None]).sum(axis=1).astype(np.int64)
+        out = pd.DataFrame(
+            {"vec_id": vid, "label": lab, "n_disagree": dis,
+             "frac": _round_half_away(dis / float(k), 6)}
+        )
+        # per-batch combiner: only the batch's top rows travel
+        return out.sort_values(["frac", "vec_id"], ascending=[False, True],
+                               kind="mergesort").head(top)
+
+    parts = emb.map_batches(score, batch_format="pandas").to_pandas()
+    res = parts.sort_values(["frac", "vec_id"], ascending=[False, True],
+                            kind="mergesort").head(top).reset_index(drop=True)
+    res["vec_id"] = res["vec_id"].astype(np.int64)
+    res["label"] = res["label"].astype(np.int64)
+    res["n_disagree"] = res["n_disagree"].astype(np.int64)
+    return res
+
+
+def q_containment_pairs(
+    sf_dir: str, max_df: int = 50, shingle_n: int = 3
+) -> pd.DataFrame:
+    """Asymmetric shingle-containment join (Broder 1997's containment
+    C(A,B) = |A∩B| / |A| — catches quotes and partial copies that
+    symmetric Jaccard misses): word 3-gram distinct shingle sets per
+    document, shingles with global document frequency > ``max_df``
+    dropped first (the boilerplate guard every corpus-scale containment
+    system applies — a df-F shingle fans out F² candidate pairs), then
+    every ORDERED pair (a, b), a ≠ b, with 2·|A∩B| ≥ |A| (integer form
+    of containment ≥ 0.5) reports (n_common, n_a, containment ROUND 6).
+
+    Shape: per-doc distinct shingles explode per batch (each doc lives in
+    one row, so batch-local distinct is global); shingle-hash buckets
+    co-locate each posting list; groups ≤ max_df emit their ordered pairs
+    via the repeat/tile kernel; pair-hash buckets sum n_common; |A| comes
+    from the same filtered postings and attaches by broadcast-or-hash
+    join. Nothing driver-side until the result contract."""
+    from pagerank_ray.stages import joins
+
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles(df: pd.DataFrame) -> pd.DataFrame:
+        w, valid, rep = _exploded_tokens(df, id_col="doc_id")
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "sh": pd.Series(dtype=object)})
+        if len(w) < shingle_n:
+            return empty
+        m = valid[: -(shingle_n - 1)].copy()
+        for i in range(1, shingle_n):
+            end = -(shingle_n - 1) + i
+            m &= valid[i:end] if end else valid[i:]
+            m &= rep[: -(shingle_n - 1)] == (rep[i:end] if end else rep[i:])
+        if not m.any():
+            return empty
+        s0 = pd.Series(w[: -(shingle_n - 1)][m])
+        parts = [s0]
+        for i in range(1, shingle_n):
+            end = -(shingle_n - 1) + i
+            parts.append(pd.Series((w[i:end] if end else w[i:])[m]))
+        sh = parts[0].str.cat(parts[1:], sep="\x1f")
+        out = pd.DataFrame(
+            {"doc_id": rep[: -(shingle_n - 1)][m], "sh": sh.to_numpy(dtype=object)}
+        ).drop_duplicates()
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out
+
+    def bucketize_sh(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["sh"].to_numpy(dtype=object))
+        df = df.copy()
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        """Per shingle-bucket: df filter, per-doc |A| partials AND ordered
+        candidate pairs (the triangles segment-pairs kernel — no per-group
+        Python loop), distinguished by the is_na sentinel column."""
+        from pagerank_ray.pipelines.triangles import _segment_pairs
+
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64), "is_na": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        codes, _ = pd.factorize(df["sh"], sort=False)
+        d = df["doc_id"].to_numpy(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c, d = codes[order], d[order]
+        starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
+        lengths = np.diff(np.concatenate([starts, [len(c)]]))
+        keep = lengths <= max_df
+        out = []
+        if keep.any():
+            kept_docs = d[np.repeat(keep, lengths)]
+            vc = pd.Series(kept_docs).value_counts()
+            out.append(pd.DataFrame(
+                {"a": vc.index.to_numpy(np.int64),
+                 "b": np.zeros(len(vc), np.int64),
+                 "n": vc.to_numpy(np.int64),
+                 "is_na": np.ones(len(vc), np.int64)}))
+        kp = keep & (lengths >= 2)
+        if kp.any():
+            dk = d[np.repeat(kp, lengths)]
+            lk = lengths[kp]
+            first, second = _segment_pairs(lk)
+            x, y = dk[first], dk[second]  # distinct per doc ⇒ x != y
+            pairs = (
+                pd.DataFrame({"a": np.concatenate([x, y]),
+                              "b": np.concatenate([y, x])})
+                .groupby(["a", "b"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            pairs["n"] = pairs["n"].astype(np.int64)
+            pairs["is_na"] = np.zeros(len(pairs), np.int64)
+            out.append(pairs)
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    _empty_folded = pd.DataFrame(
+        {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+         "n": pd.Series(dtype=np.int64), "is_na": pd.Series(dtype=np.int64)})
+
+    def bucketize_pair(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # Ray may hand a 0-column empty block
+            out = _empty_folded.copy()
+            out["bucket"] = pd.Series(dtype=np.int32)
+            return out
+        mixed = ((df["a"].to_numpy(np.int64) * np.int64(0x9E3779B1))
+                 ^ (df["b"].to_numpy(np.int64) * np.int64(0x85EBCA77))) \
+            & np.int64(0x7FFFFFFF)
+        df = df.copy()
+        df["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_folded.copy()
+        o = df.groupby(["a", "b", "is_na"], sort=False)["n"].sum().reset_index()
+        o["n"] = o["n"].astype(np.int64)
+        return o
+
+    folded = (
+        docs.map_batches(shingles, batch_format="pandas")
+        .map_batches(bucketize_sh, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(postings, batch_format="pandas")
+        .map_batches(bucketize_pair, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+    _empty_na = pd.DataFrame({"doc": pd.Series(dtype=np.int64),
+                              "n_a": pd.Series(dtype=np.int64)})
+
+    na_tbl = folded.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc": df.loc[df["is_na"] == 1, "a"].to_numpy(np.int64),
+             "n_a": df.loc[df["is_na"] == 1, "n"].to_numpy(np.int64)})
+        if len(df) else _empty_na.copy(),
+        batch_format="pandas",
+    )
+    pairs = folded.map_batches(
+        lambda df: df[df["is_na"] == 0][["a", "b", "n"]]
+        if len(df) else _empty_folded[["a", "b", "n"]].copy(),
+        batch_format="pandas",
+    )
+    n_docs = na_tbl.count()
+    joined = joins.attach_column(
+        pairs, na_tbl, probe_col="a", build_key="doc", build_val="n_a",
+        out_col="n_a", build_count=n_docs,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+                 "n_common": pd.Series(dtype=np.int64),
+                 "n_a": pd.Series(dtype=np.int64),
+                 "containment": pd.Series(dtype=np.float64)})
+        nc = df["n"].to_numpy(np.int64)
+        na_ = df["n_a"].to_numpy(np.int64)
+        keep = 2 * nc >= na_  # integer containment >= 0.5
+        return pd.DataFrame(
+            {"a": df["a"].to_numpy(np.int64)[keep],
+             "b": df["b"].to_numpy(np.int64)[keep],
+             "n_common": nc[keep], "n_a": na_[keep],
+             "containment": _round_half_away(nc[keep] / na_[keep].astype(np.float64), 6)}
+        )
+
+    res = joined.map_batches(finish, batch_format="pandas").to_pandas()
+    if not len(res):  # an all-empty dataset loses its column schema
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "n_common": pd.Series(dtype=np.int64),
+             "n_a": pd.Series(dtype=np.int64),
+             "containment": pd.Series(dtype=np.float64)})
+    return res.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_event_cooccurrence(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
+    """Windowed event-type co-occurrence: for every ordered-in-time pair
+    of the same user's events within ``window_s`` seconds (order pinned
+    by (ts, event_id)), count the unordered type pair (LEAST, GREATEST)
+    — the "market-basket over time" report behind session-affinity
+    analyses. Full T² matrix, sorted (t1, t2).
+
+    Shape: user-hash buckets co-locate streams; per bucket one lexsort,
+    per-user window ends via ONE batched searchsorted against the
+    user-offset time axis (streams get disjoint time offsets so a single
+    sorted array serves every user), pair fan-out via the repeat/cumsum
+    kernel — no per-row loop, no self-join. Partials are T²-bounded and
+    fold on the driver."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        df = df.copy()
+        df["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return df
+
+    def co(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"t1": pd.Series(dtype=object), "t2": pd.Series(dtype=object),
+             "n": pd.Series(dtype=np.int64)}
+        )
+        if len(df) < 2:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        # disjoint per-user time axes: offset each user's stream far apart
+        # so one global searchsorted bounds every user's window at once
+        ub = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        seg = np.zeros(len(u), np.int64)
+        seg[ub] = 1
+        seg = np.cumsum(seg) - 1
+        span = np.int64(2) * (ts.max() - ts.min() + win_us + 1)
+        shifted = ts - ts.min() + seg * span
+        ends = np.searchsorted(shifted, shifted + win_us, side="right")
+        cnt = ends - np.arange(len(u)) - 1
+        if cnt.sum() == 0:
+            return empty
+        first = np.repeat(np.arange(len(u)), cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        second = np.arange(len(first)) - np.repeat(offs, cnt) \
+            + np.repeat(np.arange(len(u)), cnt) + 1
+        ta, tb = et[first], et[second]
+        lo = np.minimum(ta, tb)
+        hi = np.maximum(ta, tb)
+        out = (
+            pd.DataFrame({"t1": lo, "t2": hi})
+            .groupby(["t1", "t2"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = (
+        ev.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(co, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["t1", "t2"], sort=True)["n"].sum().reset_index()
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg.reset_index(drop=True)

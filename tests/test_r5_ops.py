@@ -4146,3 +4146,100 @@ def test_q_order_size_hist_planted(ray_session, tmp_path):
     out = q_order_size_hist(str(tmp_path))
     got = list(zip(out["order_size"], out["n_orders"]))
     assert got == [(1, 1), (2, 1), (7, 1)]
+
+
+# ---------------------------------------------------------------------------
+# round-5 late batch: session paths / co-occurrence / containment / knn audit
+# ---------------------------------------------------------------------------
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, ts_seconds, user_id, event_type)."""
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+    })
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+
+
+def test_q_session_paths_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_session_paths
+
+    _write_events(tmp_path, [
+        (1, 1, 1, "A"), (2, 2, 1, "B"), (3, 3, 1, "C"), (4, 4, 1, "D"),
+        (5, 1, 2, "A"), (6, 2, 2, "B"), (7, 3, 2, "C"),
+    ])
+    out = q_session_paths(str(tmp_path))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [("A", "B", "C", 2), ("B", "C", "D", 1)]
+
+
+def test_q_event_cooccurrence_window_edges(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_event_cooccurrence
+
+    _write_events(tmp_path, [
+        # user 1: a@0, b@1800, c@5400 — (a,b) in, (b,c) exactly at the
+        # 3600 s boundary (inclusive), (a,c) out
+        (1, 0, 1, "a"), (2, 1800, 1, "b"), (3, 5400, 1, "c"),
+        # user 2: equal timestamps — order pinned by event_id
+        (10, 100, 2, "x"), (11, 100, 2, "y"),
+    ])
+    out = q_event_cooccurrence(str(tmp_path))
+    got = {(r.t1, r.t2): r.n for r in out.itertuples(index=False)}
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("x", "y"): 1}
+
+
+def test_q_containment_pairs_asymmetric(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_containment_pairs
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "q w e r",              # shingles {q w e, w e r}: n_a = 2
+            "q w e r t y u",        # 5 shingles, shares both of doc 0's
+        ]),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_containment_pairs(str(tmp_path))
+    # 0→1 containment = 2/2 = 1.0 kept; 1→0 = 2/5 < 0.5 dropped
+    assert list(out.itertuples(index=False, name=None)) == [(0, 1, 2, 2, 1.0)]
+    # boilerplate guard: df <= max_df filter drops every shared shingle
+    assert len(q_containment_pairs(str(tmp_path), max_df=1)) == 0
+
+
+def test_q_knn_label_disagreement_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_knn_label_disagreement
+
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[0.0, 0.0], [0.001, 0.0], [0.002, 0.0], [1.0, 1.0]],
+            pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 1, 2], pa.int32()),
+    })
+    pq.write_table(emb, os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = q_knn_label_disagreement(str(tmp_path), k=2, top=4)
+    got = {r.vec_id: (r.n_disagree, r.frac) for r in out.itertuples(index=False)}
+    # v0 NNs {v1,v2} both label 1 → 2/2; v3 NNs {v2,v1} → 2/2;
+    # v1 NNs {v0,v2} → 1/2; v2 NNs {v1,v0} → 1/2
+    assert got == {0: (2, 1.0), 3: (2, 1.0), 1: (1, 0.5), 2: (1, 0.5)}
+    assert list(out["vec_id"]) == [0, 3, 1, 2]  # frac desc, vec_id asc
+
+
+def test_q_knn_label_disagreement_tiebreak_by_vec_id(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_knn_label_disagreement
+
+    # v1 and v4 are EQUIDISTANT from v0; k=1 must pick the lower vec_id (v1,
+    # label 1 ≠ 0) — picking v4 (label 0) would report frac 0 instead
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 4], pa.int64()),
+        "embedding": pa.array(
+            [[0.0, 0.0], [0.001, 0.0], [-0.001, 0.0]],
+            pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 0], pa.int32()),
+    })
+    pq.write_table(emb, os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = q_knn_label_disagreement(str(tmp_path), k=1, top=3)
+    got = {r.vec_id: r.n_disagree for r in out.itertuples(index=False)}
+    assert got[0] == 1
