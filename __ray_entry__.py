@@ -3578,6 +3578,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_disagreement": tabular.q_knn_label_disagreement,  # SQL-oracled (quantized-int d2 + ROW_NUMBER)
         "containment_pairs": tabular.q_containment_pairs,  # SQL-oracled (shingle self-join mirror)
         "event_cooccurrence": tabular.q_event_cooccurrence,  # SQL-oracled (windowed same-user self-join)
+        "touch_attribution": tabular.q_touch_attribution,  # SQL-oracled (IGNORE NULLS window mirror)
+        "boolean_retrieval": tabular.q_boolean_retrieval,  # SQL-oracled (posting intersection HAVING mirror)
+        "activity_anomaly": tabular.q_activity_anomaly,  # SQL-oracled (exact-integer 3-sigma filter)
+        "lexical_diversity": tabular.q_lexical_diversity,  # SQL-oracled (per-source token-count fold)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3935,6 +3939,65 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS n_classes, SUM(n)::BIGINT AS n_records FROM c GROUP BY 1) "
             "SELECT regime, n_classes, n_records, "
             "ROUND(n_records::DOUBLE / (SELECT tot FROM t), 6) AS frac FROM r ORDER BY regime"
+        ),
+        "touch_attribution": (
+            # first/last preceding touch per purchase; strict precedence via
+            # the 1-PRECEDING frame, order pinned by (ts, event_id)
+            "WITH s AS (SELECT user_id, ts, event_id, event_type, "
+            "FIRST_VALUE(CASE WHEN event_type IN ('click','view','signup') "
+            "THEN event_type END IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft, "
+            "LAST_VALUE(CASE WHEN event_type IN ('click','view','signup') "
+            "THEN event_type END IGNORE NULLS) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt "
+            "FROM events) "
+            "SELECT COALESCE(ft, '(none)') AS first_touch, "
+            "COALESCE(lt, '(none)') AS last_touch, COUNT(*)::BIGINT AS n "
+            "FROM s WHERE event_type = 'purchase' GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "boolean_retrieval": (
+            # conjunctive AND retrieval: docs containing every query term
+            "WITH t AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS tok "
+            "FROM documents WHERE TRIM(COALESCE(text, '')) <> ''), "
+            "nt AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens FROM t GROUP BY 1), "
+            "m AS (SELECT DISTINCT doc_id, tok FROM t "
+            "WHERE tok IN ('spark', 'merge', 'window')), "
+            "h AS (SELECT doc_id FROM m GROUP BY doc_id HAVING COUNT(*) = 3) "
+            "SELECT h.doc_id, nt.n_tokens FROM h JOIN nt USING (doc_id) "
+            "ORDER BY doc_id"
+        ),
+        "activity_anomaly": (
+            # per-user daily 3-sigma burst days; filter in exact integers,
+            # only the reported z rounds
+            "WITH d AS (SELECT user_id, "
+            "(epoch_us(ts) // 86400000000)::BIGINT AS day, "
+            "COUNT(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+            "m AS (SELECT user_id, COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS s, "
+            "SUM(n*n)::BIGINT AS s2 FROM d GROUP BY 1) "
+            "SELECT d.user_id, d.day, d.n, "
+            "ROUND((d.n*m.k - m.s)::DOUBLE / SQRT((m.k*m.s2 - m.s*m.s)::DOUBLE), 6) AS z "
+            "FROM d JOIN m USING (user_id) "
+            "WHERE m.k >= 3 AND m.k*m.s2 - m.s*m.s > 0 AND d.n*m.k - m.s > 0 "
+            "AND (d.n*m.k - m.s)*(d.n*m.k - m.s) > 9*(m.k*m.s2 - m.s*m.s) "
+            "ORDER BY user_id, day"
+        ),
+        "lexical_diversity": (
+            # per-source exact vocabulary / hapax / type-token ratio
+            "WITH t AS (SELECT source, "
+            "unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS tok "
+            "FROM documents WHERE TRIM(COALESCE(text, '')) <> ''), "
+            "c AS (SELECT source, tok, COUNT(*)::BIGINT AS n FROM t GROUP BY 1, 2), "
+            "a AS (SELECT source, SUM(n)::BIGINT AS n_tokens, "
+            "COUNT(*)::BIGINT AS n_distinct, "
+            "SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax "
+            "FROM c GROUP BY 1) "
+            "SELECT source, n_tokens, n_distinct, n_hapax, "
+            "ROUND(n_distinct::DOUBLE / n_tokens, 6) AS ttr, "
+            "ROUND(n_hapax::DOUBLE / n_distinct, 6) AS hapax_frac "
+            "FROM a ORDER BY source"
         ),
         "session_paths": (
             # top-20 length-3 event-type paths; double LEAD over the

@@ -259,6 +259,9 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "bounce_rate", "cheirank", "welch_ttest", "jsonl_gz_source",
             "ols_by_flag", "day_churn_overlap", "centroid_similarity",
             "k_anonymity", "l_diversity", "order_size_hist"],
+    "r5i": ["session_paths", "knn_label_disagreement", "containment_pairs",
+            "event_cooccurrence", "touch_attribution", "boolean_retrieval",
+            "activity_anomaly", "lexical_diversity"],
 }
 
 
@@ -465,6 +468,14 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("k_anonymity", lambda: tabular.q_k_anonymity(SF_DIR))
     timed("l_diversity", lambda: tabular.q_l_diversity(SF_DIR))
     timed("order_size_hist", lambda: tabular.q_order_size_hist(SF_DIR))
+    timed("session_paths", lambda: tabular.q_session_paths(SF_DIR))
+    timed("knn_label_disagreement", lambda: tabular.q_knn_label_disagreement(SF_DIR))
+    timed("containment_pairs", lambda: tabular.q_containment_pairs(SF_DIR))
+    timed("event_cooccurrence", lambda: tabular.q_event_cooccurrence(SF_DIR))
+    timed("touch_attribution", lambda: tabular.q_touch_attribution(SF_DIR))
+    timed("boolean_retrieval", lambda: tabular.q_boolean_retrieval(SF_DIR))
+    timed("activity_anomaly", lambda: tabular.q_activity_anomaly(SF_DIR))
+    timed("lexical_diversity", lambda: tabular.q_lexical_diversity(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

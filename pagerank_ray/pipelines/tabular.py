@@ -10293,3 +10293,270 @@ def q_event_cooccurrence(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
     agg = parts.groupby(["t1", "t2"], sort=True)["n"].sum().reset_index()
     agg["n"] = agg["n"].astype(np.int64)
     return agg.reset_index(drop=True)
+
+
+def q_touch_attribution(sf_dir: str) -> pd.DataFrame:
+    """Conversion attribution: every 'purchase' event is attributed to the
+    user's FIRST and LAST preceding touch (touch types: click / view /
+    signup; order pinned by (ts, event_id)), the classic first-touch /
+    last-touch marketing report. Purchases with no prior touch land in
+    '(none)'. Output: (first_touch, last_touch, n) grid, sorted.
+
+    Shape: user-hash buckets co-locate streams; per bucket one lexsort,
+    segment-aware cummin/cummax of touch positions (pandas C-level
+    groupby kernels) shifted one row to exclude the current event — no
+    per-user Python loop; partials are (T+1)²-bounded and fold on the
+    driver."""
+    n_buckets = 64
+    touch_types = ("click", "view", "signup")
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        df = df.copy()
+        df["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return df
+
+    def attrib(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"first_touch": pd.Series(dtype=object),
+             "last_touch": pd.Series(dtype=object),
+             "n": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        n = len(u)
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.concatenate([[True], u[1:] != u[:-1]])
+        seg = np.cumsum(seg_start) - 1
+        touch = np.isin(et, touch_types)
+        big = np.int64(n + 1)
+        fp = pd.Series(np.where(touch, pos, big)).groupby(seg).cummin().to_numpy()
+        lp = pd.Series(np.where(touch, pos, -1)).groupby(seg).cummax().to_numpy()
+        # shift one row within each segment: only STRICTLY-preceding touches
+        fp_b = np.concatenate([[big], fp[:-1]])
+        lp_b = np.concatenate([[np.int64(-1)], lp[:-1]])
+        fp_b[seg_start] = big
+        lp_b[seg_start] = -1
+        conv = et == "purchase"
+        if not conv.any():
+            return empty
+        fi, li = fp_b[conv], lp_b[conv]
+        ft = np.full(int(conv.sum()), "(none)", dtype=object)
+        lt = ft.copy()
+        ft[fi < big] = et[fi[fi < big]]
+        lt[li >= 0] = et[li[li >= 0]]
+        out = (
+            pd.DataFrame({"first_touch": ft, "last_touch": lt})
+            .groupby(["first_touch", "last_touch"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = (
+        ev.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(attrib, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["first_touch", "last_touch"], sort=True)["n"].sum().reset_index()
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg.reset_index(drop=True)
+
+
+def q_boolean_retrieval(
+    sf_dir: str, terms: tuple = ("spark", "merge", "window")
+) -> pd.DataFrame:
+    """Conjunctive (AND) boolean retrieval: documents whose token set
+    contains EVERY query term — the posting-list-intersection primitive
+    under every search stack, run here as one fully-streaming pass (no
+    shuffle at all: each doc's verdict is decided inside its own batch).
+    Output: (doc_id, n_tokens) of matches, sorted by doc_id.
+
+    Shape: per batch one exploded-token membership mask against the tiny
+    sorted term array, distinct (row, term) pairs, per-row match count ==
+    |terms| — all C-level; emitted rows ≤ matches."""
+    tarr = np.sort(np.asarray(terms, dtype=object))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "n_tokens": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        w, valid, rep = _exploded_tokens(df, id_col="doc_id")
+        n_tok = pd.Series(rep[valid]).value_counts()
+        if not valid.any():
+            return empty
+        ti = np.searchsorted(tarr, w[valid])
+        ti = np.clip(ti, 0, len(tarr) - 1)
+        hit = tarr[ti] == w[valid]
+        if not hit.any():
+            return empty
+        pairs = pd.DataFrame(
+            {"d": rep[valid][hit], "t": ti[hit]}).drop_duplicates()
+        cnt = pairs.groupby("d").size()
+        ids = cnt.index[cnt.to_numpy() == len(tarr)].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids,
+             "n_tokens": n_tok.reindex(ids).to_numpy(np.int64)})
+
+    res = docs.map_batches(match, batch_format="pandas").to_pandas()
+    if not len(res):
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "n_tokens": pd.Series(dtype=np.int64)})
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_activity_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Per-user daily-activity anomaly days: a (user, day) whose event
+    count exceeds that user's mean by > 3 population σ over their active
+    days — the burst/bot-day audit. The 3σ filter is evaluated in EXACT
+    integers ((n·k − S) > 0 and (n·k − S)² > 9·(k·S₂ − S²), the
+    variance-scaled form), so engine and oracle agree bit-for-bit; only
+    the reported z = (n·k − S)/√(k·S₂ − S²) rounds (6). Users need ≥ 3
+    active days and non-zero variance. Sorted (user_id, day).
+
+    Shape: (user, day) count partials per batch (the combiner), user-hash
+    bucketed fold — per-user moments form in the same bucket (no second
+    shuffle) and the filter emits only anomaly rows."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        day = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64) \
+            // np.int64(86_400_000_000)
+        g = (
+            pd.DataFrame({"u": u, "day": day})
+            .groupby(["u", "day"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        mixed = (g["u"].to_numpy(np.int64) * np.int64(0x9E3779B1)) \
+            & np.int64(0x7FFFFFFF)
+        g["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return g
+
+    def anomalies(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series(dtype=np.int64),
+             "day": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64),
+             "z": pd.Series(dtype=np.float64)})
+        if not len(df):
+            return empty
+        per = df.groupby(["u", "day"], sort=False)["n"].sum().reset_index()
+        n = per["n"].to_numpy(np.int64)
+        mom = per.groupby("u")["n"].agg(
+            k="size", s="sum", s2=lambda v: int((v.to_numpy(np.int64) ** 2).sum())
+        )
+        k = mom["k"].reindex(per["u"]).to_numpy(np.int64)
+        s = mom["s"].reindex(per["u"]).to_numpy(np.int64)
+        s2 = mom["s2"].reindex(per["u"]).to_numpy(np.int64)
+        dev = n * k - s
+        var_k2 = k * s2 - s * s  # k²·variance, exact
+        keep = (k >= 3) & (var_k2 > 0) & (dev > 0) & (dev * dev > 9 * var_k2)
+        if not keep.any():
+            return empty
+        z = dev[keep] / np.sqrt(var_k2[keep].astype(np.float64))
+        return pd.DataFrame(
+            {"user_id": per["u"].to_numpy(np.int64)[keep],
+             "day": per["day"].to_numpy(np.int64)[keep],
+             "n": n[keep], "z": _round_half_away(z, 6)})
+
+    res = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(anomalies, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(res):
+        return pd.DataFrame(
+            {"user_id": pd.Series(dtype=np.int64),
+             "day": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64),
+             "z": pd.Series(dtype=np.float64)})
+    return res.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def q_lexical_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-source lexical-diversity profile: token count, EXACT distinct
+    vocabulary, hapax-legomena count (tokens appearing exactly once in
+    that source), type-token ratio and hapax fraction (both ROUND 6) —
+    the corpus-health report behind vocabulary-collapse checks on
+    generated/synthetic sources. Sorted by source.
+
+    Shape: per-batch (source, token) count partials, token-hash bucketed
+    fold completes exact per-(source, token) counts, each bucket
+    collapses to 3 integers per source — the driver folds
+    |sources|·buckets rows (source domain is corpus-metadata-bounded)."""
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series(dtype=object),
+                              "tok": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        src = np.repeat(df["source"].to_numpy(dtype=object),
+                        np.maximum(n_tok, 1))
+        if not valid.any():
+            return empty
+        g = (
+            pd.DataFrame({"source": src[valid],
+                          "tok": flat.to_numpy(dtype=object)[valid]})
+            .groupby(["source", "tok"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["tok"].to_numpy(dtype=object))
+        df = df.copy()
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        per = df.groupby(["source", "tok"], sort=False)["n"].sum()
+        agg = per.reset_index().groupby("source")["n"].agg(
+            n_tokens="sum", n_distinct="size",
+            n_hapax=lambda v: int((v.to_numpy(np.int64) == 1).sum()))
+        out = agg.reset_index()
+        for c in ("n_tokens", "n_distinct", "n_hapax"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("source", sort=True).sum(numeric_only=True).reset_index()
+    agg["ttr"] = _round_half_away(
+        agg["n_distinct"].to_numpy(np.int64)
+        / agg["n_tokens"].to_numpy(np.float64), 6)
+    agg["hapax_frac"] = _round_half_away(
+        agg["n_hapax"].to_numpy(np.int64)
+        / agg["n_distinct"].to_numpy(np.float64), 6)
+    for c in ("n_tokens", "n_distinct", "n_hapax"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.reset_index(drop=True)

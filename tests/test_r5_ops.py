@@ -4243,3 +4243,84 @@ def test_q_knn_label_disagreement_tiebreak_by_vec_id(ray_session, tmp_path):
     out = q_knn_label_disagreement(str(tmp_path), k=1, top=3)
     got = {r.vec_id: r.n_disagree for r in out.itertuples(index=False)}
     assert got[0] == 1
+
+
+def test_q_touch_attribution_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_touch_attribution
+
+    _write_events(tmp_path, [
+        # user 1: view → click → purchase  (first=view, last=click)
+        (1, 1, 1, "view"), (2, 2, 1, "click"), (3, 3, 1, "purchase"),
+        # user 2: purchase with NO prior touch, then signup → purchase
+        (10, 1, 2, "purchase"), (11, 2, 2, "signup"), (12, 3, 2, "purchase"),
+        # user 3: error is not a touch
+        (20, 1, 3, "error"), (21, 2, 3, "purchase"),
+    ])
+    out = q_touch_attribution(str(tmp_path))
+    got = {(r.first_touch, r.last_touch): r.n for r in out.itertuples(index=False)}
+    assert got == {("view", "click"): 1, ("(none)", "(none)"): 2,
+                   ("signup", "signup"): 1}
+
+
+def test_q_boolean_retrieval_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_boolean_retrieval
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "spark merge window extra",     # all three → match, 4 tokens
+            "spark merge merge spark",      # missing 'window'
+            "window spark merge",           # match, 3 tokens
+            "",                             # empty
+        ]),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_boolean_retrieval(str(tmp_path))
+    assert list(out.itertuples(index=False, name=None)) == [(0, 4), (2, 3)]
+
+
+def test_q_activity_anomaly_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_activity_anomaly
+
+    rows = []
+    eid = 0
+    # user 1: 10 days of 1 event, then a 30-event day.  NOTE a lone outlier
+    # can sit at most √(k−1) σ from the mean (it inflates σ itself), so the
+    # 3σ report needs k ≥ 11 active days — here z ≈ 3.16
+    for day in range(10):
+        rows.append((eid, day * 86400, 1, "view")); eid += 1
+    for j in range(30):
+        rows.append((eid, 10 * 86400 + j, 1, "view")); eid += 1
+    # user 2: uniform activity → no anomaly
+    for day in range(5):
+        rows.append((eid, day * 86400, 2, "view")); eid += 1
+    _write_events(tmp_path, rows)
+    out = q_activity_anomaly(str(tmp_path))
+    assert list(out["user_id"]) == [1]
+    assert list(out["day"]) == [10]
+    n, k, s, s2 = 30, 11, 40, 910
+    import math
+    z = (n * k - s) / math.sqrt(k * s2 - s * s)
+    assert out.loc[0, "z"] == round(z, 6)
+
+
+def test_q_lexical_diversity_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_lexical_diversity
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "a b b c",        # src X: counts a1 b2 c1
+            "c d",            # src X: c→2, d1
+            "e e e",          # src Y: e3
+        ]),
+        "source": pa.array(["X", "X", "Y"]),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_lexical_diversity(str(tmp_path)).set_index("source")
+    # X: 6 tokens, 4 distinct (a,b,c,d), hapax a,d → 2
+    assert (out.loc["X", "n_tokens"], out.loc["X", "n_distinct"],
+            out.loc["X", "n_hapax"]) == (6, 4, 2)
+    assert out.loc["X", "ttr"] == round(4 / 6, 6)
+    assert (out.loc["Y", "n_tokens"], out.loc["Y", "n_distinct"],
+            out.loc["Y", "n_hapax"]) == (3, 1, 0)
