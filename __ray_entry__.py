@@ -3582,6 +3582,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_retrieval": tabular.q_boolean_retrieval,  # SQL-oracled (posting intersection HAVING mirror)
         "activity_anomaly": tabular.q_activity_anomaly,  # SQL-oracled (exact-integer 3-sigma filter)
         "lexical_diversity": tabular.q_lexical_diversity,  # SQL-oracled (per-source token-count fold)
+        "sla_percentiles": tabular.q_sla_percentiles,  # SQL-oracled (integer-threshold histogram percentiles)
+        "local_bridges": tabular.q_local_bridges,  # SQL-oracled (triangle anti-join mirror)
+        "weekly_autocorr": tabular.q_weekly_autocorr,  # SQL-oracled (zero-filled lag-7 moment mirror)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3939,6 +3942,56 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS n_classes, SUM(n)::BIGINT AS n_records FROM c GROUP BY 1) "
             "SELECT regime, n_classes, n_records, "
             "ROUND(n_records::DOUBLE / (SELECT tot FROM t), 6) AS frac FROM r ORDER BY regime"
+        ),
+        "sla_percentiles": (
+            # exact p50/p95/p99 ship lag per priority; thresholds in pure
+            # integers: ceil(p*n) = (num*n + den - 1) // den
+            "WITH j AS (SELECT o.o_orderpriority AS prio, "
+            "((epoch_us(l.l_shipdate) // 86400000000) - "
+            "(epoch_us(o.o_orderdate) // 86400000000))::BIGINT AS lag "
+            "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey), "
+            "h AS (SELECT prio, lag, COUNT(*)::BIGINT AS n FROM j GROUP BY 1, 2), "
+            "tot AS (SELECT prio, SUM(n)::BIGINT AS n FROM h GROUP BY 1), "
+            "c AS (SELECT prio, lag, SUM(n) OVER "
+            "(PARTITION BY prio ORDER BY lag) AS cum FROM h) "
+            "SELECT t.prio, t.n, "
+            "(SELECT MIN(lag) FROM c WHERE c.prio = t.prio AND c.cum >= (t.n + 1) // 2)::BIGINT AS p50, "
+            "(SELECT MIN(lag) FROM c WHERE c.prio = t.prio AND c.cum >= (19*t.n + 19) // 20)::BIGINT AS p95, "
+            "(SELECT MIN(lag) FROM c WHERE c.prio = t.prio AND c.cum >= (99*t.n + 99) // 100)::BIGINT AS p99 "
+            "FROM tot t ORDER BY t.prio"
+        ),
+        "local_bridges": (
+            # edges of the canonical undirected simple graph in NO triangle
+            f"WITH ec AS MATERIALIZED {_EDGES}, "
+            "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, "
+            "GREATEST(s, d) AS b FROM ec WHERE s <> d), "
+            "t AS (SELECT x.a AS a, x.b AS b, y.b AS c FROM e0 x "
+            "JOIN e0 y ON y.a = x.b JOIN e0 z ON z.a = x.a AND z.b = y.b), "
+            "s AS (SELECT a, b FROM t UNION SELECT b AS a, c AS b FROM t "
+            "UNION SELECT a, c AS b FROM t) "
+            "SELECT e.a, e.b FROM e0 e LEFT JOIN s "
+            "ON s.a = e.a AND s.b = e.b WHERE s.a IS NULL ORDER BY e.a, e.b"
+        ),
+        "weekly_autocorr": (
+            # lag-7 Pearson autocorrelation of the zero-filled daily series
+            "WITH d AS (SELECT event_type, "
+            "(epoch_us(ts) // 86400000000)::BIGINT AS day, "
+            "COUNT(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+            "b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1), "
+            "cal AS (SELECT b.event_type, g.g AS day FROM b, "
+            "UNNEST(generate_series(b.d0, b.d1)) AS g(g)), "
+            "f AS (SELECT cal.event_type, cal.day, COALESCE(d.n, 0)::BIGINT AS n "
+            "FROM cal LEFT JOIN d ON d.event_type = cal.event_type AND d.day = cal.day), "
+            "p AS (SELECT a.event_type, a.n AS x, b2.n AS y FROM f a "
+            "JOIN f b2 ON b2.event_type = a.event_type AND b2.day = a.day + 7), "
+            "m AS (SELECT event_type, COUNT(*)::BIGINT AS k, SUM(x)::BIGINT AS sx, "
+            "SUM(y)::BIGINT AS sy, SUM(x*y)::BIGINT AS sxy, SUM(x*x)::BIGINT AS sxx, "
+            "SUM(y*y)::BIGINT AS syy FROM p GROUP BY 1) "
+            "SELECT event_type, k AS n_pairs, "
+            "ROUND((k*sxy - sx*sy)::DOUBLE / (SQRT((k*sxx - sx*sx)::DOUBLE) * "
+            "SQRT((k*syy - sy*sy)::DOUBLE)), 6) AS r7 "
+            "FROM m WHERE k >= 2 AND k*sxx - sx*sx > 0 AND k*syy - sy*sy > 0 "
+            "ORDER BY event_type"
         ),
         "touch_attribution": (
             # first/last preceding touch per purchase; strict precedence via

@@ -261,7 +261,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "k_anonymity", "l_diversity", "order_size_hist"],
     "r5i": ["session_paths", "knn_label_disagreement", "containment_pairs",
             "event_cooccurrence", "touch_attribution", "boolean_retrieval",
-            "activity_anomaly", "lexical_diversity"],
+            "activity_anomaly", "lexical_diversity", "sla_percentiles",
+            "local_bridges", "weekly_autocorr"],
 }
 
 
@@ -476,6 +477,9 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("boolean_retrieval", lambda: tabular.q_boolean_retrieval(SF_DIR))
     timed("activity_anomaly", lambda: tabular.q_activity_anomaly(SF_DIR))
     timed("lexical_diversity", lambda: tabular.q_lexical_diversity(SF_DIR))
+    timed("sla_percentiles", lambda: tabular.q_sla_percentiles(SF_DIR))
+    timed("local_bridges", lambda: tabular.q_local_bridges(SF_DIR))
+    timed("weekly_autocorr", lambda: tabular.q_weekly_autocorr(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -10560,3 +10560,158 @@ def q_lexical_diversity(sf_dir: str) -> pd.DataFrame:
     for c in ("n_tokens", "n_distinct", "n_hapax"):
         agg[c] = agg[c].astype(np.int64)
     return agg.reset_index(drop=True)
+
+
+def q_sla_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Fulfilment-SLA report: EXACT p50/p95/p99 of the ship lag
+    (l_shipdate − o_orderdate, whole days) per order priority. The lag
+    domain is contract-bounded (a shipment window of ~120 distinct day
+    values), so exact order statistics come from integer histograms — no
+    sort, no sketch: q(p) = smallest lag whose cumulative count reaches
+    ceil(p·N), thresholds computed in pure integers ((p_num·N + p_num)
+    // p_den form) so engine and oracle can never drift.
+
+    Shape: the order date+priority attach is broadcast-or-hash
+    (stages/joins.py — orders outgrow BROADCAST_LIMIT long before
+    lineitem does); per-batch (priority, lag) count partials fold on the
+    driver (priority × lag-domain bounded)."""
+    from pagerank_ray.stages import joins
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def oprep(df: pd.DataFrame) -> pd.DataFrame:
+        od = df["o_orderdate"].to_numpy().astype("datetime64[us]").view(np.int64) \
+            // np.int64(86_400_000_000)
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                             "oday": od,
+                             "prio": df["o_orderpriority"].to_numpy()})
+
+    omat = orders.map_batches(oprep, batch_format="pandas").materialize()
+    n_orders = omat.count()
+    with_day = joins.attach_column(
+        li, omat, probe_col="l_orderkey", build_key="o_orderkey",
+        build_val="oday", out_col="oday", build_count=n_orders)
+    with_prio = joins.attach_column(
+        with_day, omat, probe_col="l_orderkey", build_key="o_orderkey",
+        build_val="prio", out_col="prio", build_count=n_orders)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy().astype("datetime64[us]").view(np.int64) \
+            // np.int64(86_400_000_000)
+        lag = sd - df["oday"].to_numpy(np.int64)
+        g = (
+            pd.DataFrame({"prio": df["prio"].to_numpy(), "lag": lag})
+            .groupby(["prio", "lag"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = with_prio.map_batches(partial, batch_format="pandas").to_pandas()
+    hist = parts.groupby(["prio", "lag"], sort=True)["n"].sum().reset_index()
+    rows = []
+    for prio, g in hist.groupby("prio", sort=True):
+        n = int(g["n"].sum())
+        lags = g["lag"].to_numpy(np.int64)
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        def pick(num: int, den: int) -> int:
+            thr = (num * n + den - 1) // den  # ceil(num·n / den), exact
+            return int(lags[np.searchsorted(cum, thr)])
+        rows.append((prio, n, pick(1, 2), pick(19, 20), pick(99, 100)))
+    out = pd.DataFrame(rows, columns=["prio", "n", "p50", "p95", "p99"])
+    for c in ("n", "p50", "p95", "p99"):
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_local_bridges(sf_dir: str) -> pd.DataFrame:
+    """Local bridges of the undirected simple lineitem graph: edges whose
+    endpoints share NO common neighbor (triangle support 0) — removing
+    one strictly lengthens its endpoints' distance (Easley-Kleinberg's
+    local-bridge definition; the weak-tie edges of the network). Returns
+    the sorted (a, b) edge list.
+
+    Shape: reuses the k-truss support pipeline's single support pass
+    (pipelines/ktruss.py:_edge_support — oriented wedge enumeration with
+    O(√m)-bounded hub fan-out, grouped-sum shuffle, default-0 attach), so
+    the op costs exactly one triangle-counting round."""
+    from pagerank_ray.pipelines.ktruss import _edge_support
+    from pagerank_ray.pipelines.triangles import _canonical_undirected
+
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
+    und = dedup_pairs(
+        dense_edges.map_batches(_canonical_undirected, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table({"src_id": t.column("a"), "dst_id": t.column("b")}),
+            batch_format="pyarrow",
+        )
+    ).map_batches(
+        lambda t: pa.table({"a": t.column("src_id"), "b": t.column("dst_id")}),
+        batch_format="pyarrow",
+    ).materialize()
+    sup = _edge_support(und, und.count())
+    bridges = sup.map_batches(
+        lambda df: df.loc[df["support"] == 0, ["a", "b"]]
+        if len(df) else pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                      "b": pd.Series(dtype=np.int64)}),
+        batch_format="pandas",
+    )
+    df = _attach_orig(bridges, id_map, n, ["a", "b"])
+    return df[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_weekly_autocorr(sf_dir: str, lag_days: int = 7) -> pd.DataFrame:
+    """Weekly periodicity detection: per event type, the lag-7 Pearson
+    autocorrelation of the zero-filled daily count series over the type's
+    [first, last] active-day span — the seasonality probe run before any
+    trend model. Moments are exact integers; only the reported r rounds
+    (6). Types need ≥ 2 lag pairs and non-degenerate variance on both
+    ends. Sorted by event_type.
+
+    Shape: per-batch (type, day) count partials fold on the driver (the
+    calendar-bounded contract shared by day_churn_overlap); zero-fill and
+    the moment fold are vectorized over the dense per-type day span."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64) \
+            // np.int64(86_400_000_000)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"].to_numpy(), "day": day})
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    daily = parts.groupby(["event_type", "day"], sort=True)["n"].sum().reset_index()
+    rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        d = g["day"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        span = np.zeros(int(d.max() - d.min()) + 1, np.int64)
+        span[d - d.min()] = n
+        if len(span) <= lag_days:
+            continue
+        x = span[:-lag_days]
+        y = span[lag_days:]
+        k = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        vx = k * sxx - sx * sx
+        vy = k * syy - sy * sy
+        if k < 2 or vx <= 0 or vy <= 0:
+            continue
+        r = (k * sxy - sx * sy) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+        rows.append((et, k, float(_round_half_away(np.array([r]), 6)[0])))
+    out = pd.DataFrame(rows, columns=["event_type", "n_pairs", "r7"])
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -4324,3 +4324,53 @@ def test_q_lexical_diversity_planted(ray_session, tmp_path):
     assert out.loc["X", "ttr"] == round(4 / 6, 6)
     assert (out.loc["Y", "n_tokens"], out.loc["Y", "n_distinct"],
             out.loc["Y", "n_hapax"]) == (3, 1, 0)
+
+
+def test_q_sla_percentiles_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_sla_percentiles
+
+    day_us = 86_400_000_000
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array([0, 0, 0, 0], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["P"] * 4),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_shipdate": pa.array([1 * day_us, 2 * day_us, 3 * day_us, 10 * day_us],
+                               pa.timestamp("us")),
+    })
+    pq.write_table(orders, os.path.join(str(tmp_path), "orders.parquet"))
+    pq.write_table(li, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_sla_percentiles(str(tmp_path))
+    # lags {1,2,3,10}: p50 thr=ceil(2)=2 → 2; p95 thr=ceil(3.8)=4 → 10;
+    # p99 thr=ceil(3.96)=4 → 10
+    assert list(out.itertuples(index=False, name=None)) == [("P", 4, 2, 10, 10)]
+
+
+def test_q_local_bridges_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_local_bridges
+
+    # triangle 1-2-3 plus pendant edge 3-4: only (3,4) is a local bridge
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 1, 3], pa.int64()),
+        "l_partkey": pa.array([2, 3, 3, 4], pa.int64()),
+    })
+    pq.write_table(li, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_local_bridges(str(tmp_path))
+    assert list(out.itertuples(index=False, name=None)) == [(3, 4)]
+
+
+def test_q_weekly_autocorr_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_weekly_autocorr
+
+    rows = []
+    eid = 0
+    # 14 days with an exact period-7 pattern → lag-7 series are identical
+    pattern = [5, 1, 1, 1, 1, 1, 1]
+    for day in range(14):
+        for _ in range(pattern[day % 7]):
+            rows.append((eid, day * 86400, 1, "view")); eid += 1
+    _write_events(tmp_path, rows)
+    out = q_weekly_autocorr(str(tmp_path))
+    assert list(out.itertuples(index=False, name=None)) == [("view", 7, 1.0)]
