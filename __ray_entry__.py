@@ -3585,6 +3585,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sla_percentiles": tabular.q_sla_percentiles,  # SQL-oracled (integer-threshold histogram percentiles)
         "local_bridges": tabular.q_local_bridges,  # SQL-oracled (triangle anti-join mirror)
         "weekly_autocorr": tabular.q_weekly_autocorr,  # SQL-oracled (zero-filled lag-7 moment mirror)
+        "ref_integrity_audit": tabular.q_ref_integrity_audit,  # SQL-oracled (LEFT-JOIN orphan mirror)
+        "silhouette_by_label": tabular.q_silhouette_by_label,  # SQL-oracled (quantized-int d2 silhouette)
+        "revenue_concentration": tabular.q_revenue_concentration,  # SQL-oracled (integer 80% threshold prefix)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3942,6 +3945,72 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS n_classes, SUM(n)::BIGINT AS n_records FROM c GROUP BY 1) "
             "SELECT regime, n_classes, n_records, "
             "ROUND(n_records::DOUBLE / (SELECT tot FROM t), 6) AS frac FROM r ORDER BY regime"
+        ),
+        "ref_integrity_audit": (
+            # FK orphan counts per relation (parents are unique-keyed)
+            "WITH r AS ("
+            "SELECT 'lineitem->orders' AS relation, COUNT(*)::BIGINT AS n_rows, "
+            "SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans "
+            "FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "UNION ALL SELECT 'lineitem->part', COUNT(*)::BIGINT, "
+            "SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey "
+            "UNION ALL SELECT 'lineitem->supplier', COUNT(*)::BIGINT, "
+            "SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "UNION ALL SELECT 'orders->customer', COUNT(*)::BIGINT, "
+            "SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey "
+            "UNION ALL SELECT 'customer->nation', COUNT(*)::BIGINT, "
+            "SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey) "
+            "SELECT relation, n_rows, n_orphans FROM r ORDER BY relation"
+        ),
+        "silhouette_by_label": (
+            # mean silhouette per label on exact quantized-int squared
+            # Euclidean distances; only the final ratios are floats
+            "WITH e AS (SELECT vec_id, "
+            "(generate_subscripts(embedding,1)-1)::BIGINT AS dim, "
+            "CAST(ROUND(unnest(embedding)::DOUBLE * 10000) AS BIGINT) AS qv "
+            "FROM embeddings), "
+            "l AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), "
+            "cnt AS (SELECT label, COUNT(*)::BIGINT AS n FROM l GROUP BY 1), "
+            "d AS (SELECT a.vec_id AS i, b.vec_id AS j, "
+            "SUM((a.qv-b.qv)*(a.qv-b.qv))::BIGINT AS d2 "
+            "FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id <> b.vec_id "
+            "GROUP BY 1, 2), "
+            "pl AS (SELECT d.i, lj.label AS jl, SUM(d.d2)::BIGINT AS s "
+            "FROM d JOIN l lj ON lj.vec_id = d.j GROUP BY 1, 2), "
+            "m AS (SELECT pl.i, li.label AS il, pl.jl, "
+            "CASE WHEN pl.jl = li.label THEN pl.s::DOUBLE / (c2.n - 1) "
+            "ELSE pl.s::DOUBLE / c2.n END AS mean_d "
+            "FROM pl JOIN l li ON li.vec_id = pl.i "
+            "JOIN cnt c2 ON c2.label = pl.jl), "
+            "ab AS (SELECT i, il, MAX(CASE WHEN jl = il THEN mean_d END) AS a, "
+            "MIN(CASE WHEN jl <> il THEN mean_d END) AS b "
+            "FROM m GROUP BY i, il), "
+            "s AS (SELECT il AS label, CASE WHEN GREATEST(a, b) > 0 "
+            "THEN (b - a) / GREATEST(a, b) ELSE 0 END AS sil "
+            "FROM ab WHERE a IS NOT NULL) "
+            "SELECT label, COUNT(*)::BIGINT AS n, "
+            "ROUND(AVG(sil), 6) AS mean_silhouette "
+            "FROM s GROUP BY label HAVING COUNT(*) >= 2 ORDER BY label"
+        ),
+        "revenue_concentration": (
+            # smallest (revenue desc, custkey) prefix reaching 80% of cents
+            "WITH pc AS (SELECT o_custkey AS c, "
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS cents "
+            "FROM orders GROUP BY 1), "
+            "t AS (SELECT SUM(cents)::BIGINT AS total, COUNT(*)::BIGINT AS n FROM pc), "
+            "r AS (SELECT c, cents, SUM(cents) OVER "
+            "(ORDER BY cents DESC, c) AS cum FROM pc), "
+            "x AS (SELECT MIN(cum)::BIGINT AS crossing FROM r, t "
+            "WHERE cum >= (4 * t.total + 4) // 5), "
+            "k AS (SELECT COUNT(*)::BIGINT AS n_top, MAX(cum)::BIGINT AS cum_cents "
+            "FROM r, x WHERE r.cum <= x.crossing) "
+            "SELECT t.n AS n_customers, k.n_top, "
+            "ROUND(k.n_top::DOUBLE / t.n, 6) AS top_share, k.cum_cents "
+            "FROM t, k"
         ),
         "sla_percentiles": (
             # exact p50/p95/p99 ship lag per priority; thresholds in pure

@@ -262,7 +262,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
     "r5i": ["session_paths", "knn_label_disagreement", "containment_pairs",
             "event_cooccurrence", "touch_attribution", "boolean_retrieval",
             "activity_anomaly", "lexical_diversity", "sla_percentiles",
-            "local_bridges", "weekly_autocorr"],
+            "local_bridges", "weekly_autocorr", "ref_integrity_audit",
+            "silhouette_by_label", "revenue_concentration"],
 }
 
 
@@ -480,6 +481,9 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("sla_percentiles", lambda: tabular.q_sla_percentiles(SF_DIR))
     timed("local_bridges", lambda: tabular.q_local_bridges(SF_DIR))
     timed("weekly_autocorr", lambda: tabular.q_weekly_autocorr(SF_DIR))
+    timed("ref_integrity_audit", lambda: tabular.q_ref_integrity_audit(SF_DIR))
+    timed("silhouette_by_label", lambda: tabular.q_silhouette_by_label(SF_DIR))
+    timed("revenue_concentration", lambda: tabular.q_revenue_concentration(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

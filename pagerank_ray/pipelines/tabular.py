@@ -10715,3 +10715,218 @@ def q_weekly_autocorr(sf_dir: str, lag_days: int = 7) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["event_type", "n_pairs", "r7"])
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def q_ref_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit across the star schema: for every
+    foreign-key relation, the child row count and the number of ORPHAN
+    rows (child key absent from the parent) — the pre-load contract check
+    every warehouse runs. Relations: lineitem→orders, lineitem→part,
+    lineitem→supplier, orders→customer, customer→nation. Sorted by
+    relation name.
+
+    Shape: each parent's distinct key set reduces distributed
+    (graph_build.distinct_values) and broadcasts once (`ray.put` + sorted
+    searchsorted membership per batch — the bloom_semi_join shape with an
+    exact set, parents here fit the broadcast; a parent beyond
+    BROADCAST_LIMIT would swap in the same Ray-native hash anti-join the
+    joins module already routes to); per-batch (n, n_orphan) integer
+    partials fold on the driver — 2 integers per relation per batch."""
+    import ray
+
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.graph_build import distinct_values
+
+    rels = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    rows = []
+    for name, child, ck, parent, pk in rels:
+        pkeys = distinct_values(
+            _read(sf_dir, parent, [pk]).map_batches(
+                lambda t, _pk=pk: pa.table({"k": pc.cast(t.column(_pk), pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            "k",
+        )
+        ref = ray.put(joins._collect_arrow(pkeys))
+
+        def audit(t: pa.Table, _ck=ck, _ref=ref) -> pa.Table:
+            keys = joins.broadcast_get(
+                _ref, lambda tab: np.sort(tab.column("k").to_numpy()),
+                "ref_integrity")
+            v = t.column(_ck).to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(keys, v)
+            pos = np.clip(pos, 0, max(len(keys) - 1, 0))
+            hit = keys[pos] == v if len(keys) else np.zeros(len(v), bool)
+            return pa.table({
+                "n": pa.array([len(v)], pa.int64()),
+                "n_orphan": pa.array([int((~hit).sum())], pa.int64()),
+            })
+
+        part = _read(sf_dir, child, [ck]).map_batches(
+            audit, batch_format="pyarrow").to_pandas()
+        rows.append((name, int(part["n"].sum()), int(part["n_orphan"].sum())))
+    out = pd.DataFrame(rows, columns=["relation", "n_rows", "n_orphans"])
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_orphans"] = out["n_orphans"].astype(np.int64)
+    return out.sort_values("relation").reset_index(drop=True)
+
+
+def q_silhouette_by_label(sf_dir: str) -> pd.DataFrame:
+    """Clustering-quality audit: mean silhouette per label over the
+    embedding table, computed on EXACT quantized squared-Euclidean
+    distances (ROUND(v·10⁴) ints — the knn_label_disagreement metric):
+    a(i) = mean d² to own label (excl. self), b(i) = min over other
+    labels of mean d², s(i) = (b−a)/max(a,b); labels need ≥ 2 members.
+    Per label: n members and mean silhouette (ROUND 6) — the
+    label-coherence check run before trusting a labeled corpus. The only
+    floats are the final mean ratios; every pairwise term is int64.
+
+    Shape: the quantized reference matrix broadcasts once and each batch
+    computes its distance block by one int64 matmul (brute force is the
+    audit baseline at reference-set scale — the centroid_similarity
+    contract); per-batch partial (label, Σs, n) rows fold on the
+    driver."""
+    import ray
+
+    from pagerank_ray.stages import joins
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def collect_q(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy())
+        q = _round_half_away(mat.astype(np.float64) * 10000.0, 0).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64),
+             "label": df["label"].to_numpy(np.int64),
+             "q": list(q)})
+
+    ref = emb.map_batches(collect_q, batch_format="pandas").to_pandas()
+    ref = ref.sort_values("vec_id").reset_index(drop=True)
+    rq = np.stack(ref["q"].to_numpy())
+    rlab = ref["label"].to_numpy(np.int64)
+    rn2 = (rq * rq).sum(axis=1)
+    labs = np.unique(rlab)
+    if len(labs) < 2:
+        raise ValueError(
+            "silhouette_by_label needs >= 2 distinct labels "
+            f"(got {len(labs)}) — b(i) is undefined otherwise")
+    counts = np.array([(rlab == l).sum() for l in labs], np.int64)
+    onehot = (rlab[None, :] == labs[:, None]).astype(np.int64)  # L×N
+    bref = ray.put((rq, rlab, rn2, labs, counts, onehot))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rq_, rlab_, rn2_, labs_, counts_, oh = joins.broadcast_get(
+            bref, lambda v: v, "silhouette_ref")
+        mat = np.stack(df["embedding"].to_numpy())
+        q = _round_half_away(mat.astype(np.float64) * 10000.0, 0).astype(np.int64)
+        lab = df["label"].to_numpy(np.int64)
+        d2 = (q * q).sum(axis=1)[:, None] + rn2_[None, :] - 2 * (q @ rq_.T)
+        sums = d2 @ oh.T  # B×L exact int64 per-label distance sums
+        li = np.searchsorted(labs_, lab)
+        own_n = counts_[li] - 1
+        keep = own_n >= 1
+        a = sums[np.arange(len(lab)), li] / np.maximum(own_n, 1)
+        other = sums / counts_[None, :].astype(np.float64)
+        other[np.arange(len(lab)), li] = np.inf
+        b = other.min(axis=1)
+        s = (b - a) / np.maximum(a, b)
+        s = np.where(np.maximum(a, b) > 0, s, 0.0)
+        out = pd.DataFrame({"label": lab[keep], "s": s[keep]})
+        g = out.groupby("label", sort=False)["s"].agg(["sum", "size"]).reset_index()
+        return pd.DataFrame({"label": g["label"].to_numpy(np.int64),
+                             "s_sum": g["sum"].to_numpy(np.float64),
+                             "n": g["size"].to_numpy(np.int64)})
+
+    parts = emb.map_batches(score, batch_format="pandas").to_pandas()
+    agg = parts.groupby("label", sort=True).agg(
+        s_sum=("s_sum", "sum"), n=("n", "sum")).reset_index()
+    agg = agg[agg["n"] >= 2].copy()
+    agg["mean_silhouette"] = _round_half_away(
+        agg["s_sum"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64), 6)
+    agg["label"] = agg["label"].astype(np.int64)
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg[["label", "n", "mean_silhouette"]].reset_index(drop=True)
+
+
+def q_revenue_concentration(sf_dir: str) -> pd.DataFrame:
+    """Pareto concentration of order revenue: the smallest customer set
+    (ordered by revenue desc, custkey asc) whose cumulative revenue
+    reaches 80% of the total — the classic 80/20 readout. Revenue is
+    cents-exact; the threshold is ceil-integer ((4·total_cents + 4) // 5)
+    so both engines pick the identical prefix. Output: total customers,
+    customers in the 80% set, their share of customers (ROUND 6), and
+    the exact cumulative cents at the crossing.
+
+    Shape: per-customer cents fold in a custkey-bucketed shuffle, then a
+    DISTRIBUTED sort by (revenue desc, custkey) — the driver streams the
+    sorted blocks and stops at the crossing, so only the Pareto PREFIX
+    ever reaches it (the remaining blocks are never pulled)."""
+    n_buckets = 64
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _round_half_away(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        g = (
+            pd.DataFrame({"c": df["o_custkey"].to_numpy(np.int64),
+                          "cents": cents})
+            .groupby("c", sort=False)["cents"].sum().reset_index()
+        )
+        g["cents"] = g["cents"].astype(np.int64)
+        mixed = (g["c"].to_numpy(np.int64) * np.int64(0x9E3779B1)) \
+            & np.int64(0x7FFFFFFF)
+        g["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.groupby("c", sort=False)["cents"].sum().reset_index()
+        o["cents"] = o["cents"].astype(np.int64)
+        return o
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+    n_cust = per_cust.count()
+    total = int(
+        per_cust.map_batches(
+            lambda df: pd.DataFrame({"t": [int(df["cents"].sum())]}),
+            batch_format="pandas",
+        ).to_pandas()["t"].sum()
+    )
+    thr = (4 * total + 4) // 5  # ceil(0.8 · total) in pure integers
+    ranked = per_cust.map_batches(
+        lambda df: pd.DataFrame({"neg": -df["cents"].to_numpy(np.int64),
+                                 "c": df["c"].to_numpy(np.int64),
+                                 "cents": df["cents"].to_numpy(np.int64)}),
+        batch_format="pandas",
+    ).sort(["neg", "c"])
+    cum = 0
+    k = 0
+    crossing = 0
+    for b in ranked.iter_batches(batch_format="numpy", batch_size=4096):
+        cents = b["cents"]
+        csum = cum + np.cumsum(cents)
+        hit = np.flatnonzero(csum >= thr)
+        if len(hit):
+            k += int(hit[0]) + 1
+            crossing = int(csum[hit[0]])
+            break
+        cum = int(csum[-1]) if len(csum) else cum
+        k += len(cents)
+    out = pd.DataFrame(
+        {"n_customers": [n_cust], "n_top": [k],
+         "top_share": _round_half_away(np.array([k / n_cust]), 6),
+         "cum_cents": [crossing]})
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    out["n_top"] = out["n_top"].astype(np.int64)
+    out["cum_cents"] = out["cum_cents"].astype(np.int64)
+    return out

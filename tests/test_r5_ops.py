@@ -4374,3 +4374,62 @@ def test_q_weekly_autocorr_planted(ray_session, tmp_path):
     _write_events(tmp_path, rows)
     out = q_weekly_autocorr(str(tmp_path))
     assert list(out.itertuples(index=False, name=None)) == [("view", 7, 1.0)]
+
+
+def test_q_ref_integrity_audit_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_ref_integrity_audit
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 99], pa.int64()),   # 99 is an orphan
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),  # 3 is an orphan
+        "l_partkey": pa.array([5, 5, 5], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 7], pa.int64()),
+    }), os.path.join(str(tmp_path), "lineitem.parquet"))
+    pq.write_table(pa.table({"p_partkey": pa.array([5], pa.int64())}),
+                   os.path.join(str(tmp_path), "part.parquet"))
+    pq.write_table(pa.table({"s_suppkey": pa.array([7], pa.int64())}),
+                   os.path.join(str(tmp_path), "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10], pa.int64()),
+        "c_nationkey": pa.array([0], pa.int32()),
+    }), os.path.join(str(tmp_path), "customer.parquet"))
+    pq.write_table(pa.table({"n_nationkey": pa.array([0], pa.int32())}),
+                   os.path.join(str(tmp_path), "nation.parquet"))
+    out = q_ref_integrity_audit(str(tmp_path)).set_index("relation")
+    assert out.loc["lineitem->orders", "n_orphans"] == 1
+    assert out.loc["orders->customer", "n_orphans"] == 1
+    assert out.loc["lineitem->part", "n_orphans"] == 0
+    assert out.loc["customer->nation", "n_orphans"] == 0
+
+
+def test_q_silhouette_by_label_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_silhouette_by_label
+
+    # two tight, well-separated pairs → silhouette near 1 for both labels
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[0.0, 0.0], [0.001, 0.0], [0.4, 0.4], [0.401, 0.4]],
+            pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 1], pa.int32()),
+    })
+    pq.write_table(emb, os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = q_silhouette_by_label(str(tmp_path))
+    assert list(out["label"]) == [0, 1]
+    assert (out["mean_silhouette"] > 0.99).all()
+    assert list(out["n"]) == [2, 2]
+
+
+def test_q_revenue_concentration_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_revenue_concentration
+
+    # revenues 50, 30, 15, 5 → total 100, threshold 80 → prefix {50, 30}
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([50.0, 30.0, 15.0, 5.0]),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_revenue_concentration(str(tmp_path))
+    assert list(out.itertuples(index=False, name=None)) == [(4, 2, 0.5, 8000)]
