@@ -3588,6 +3588,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ref_integrity_audit": tabular.q_ref_integrity_audit,  # SQL-oracled (LEFT-JOIN orphan mirror)
         "silhouette_by_label": tabular.q_silhouette_by_label,  # SQL-oracled (quantized-int d2 silhouette)
         "revenue_concentration": tabular.q_revenue_concentration,  # SQL-oracled (integer 80% threshold prefix)
+        "conversion_lag": tabular.q_conversion_lag,  # SQL-oracled (hour-histogram integer percentiles)
+        "degree_centralization": tabular.q_degree_centralization,  # SQL-oracled (Freeman scalar mirror)
+        "gini_revenue": tabular.q_gini_revenue,  # SQL-oracled (ROW_NUMBER i*x mirror)
+        "intrinsic_dimension": tabular.q_intrinsic_dimension,  # SQL-oracled (two-NN MLE mirror)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3945,6 +3949,73 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS n_classes, SUM(n)::BIGINT AS n_records FROM c GROUP BY 1) "
             "SELECT regime, n_classes, n_records, "
             "ROUND(n_records::DOUBLE / (SELECT tot FROM t), 6) AS frac FROM r ORDER BY regime"
+        ),
+        "conversion_lag": (
+            # first-signup → first-purchase lag (whole hours), exact
+            # integer-threshold percentiles over the hour histogram
+            "WITH f AS (SELECT user_id, "
+            "MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s, "
+            "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p "
+            "FROM events GROUP BY 1), "
+            "l AS (SELECT ((epoch_us(p) - epoch_us(s)) // 3600000000)::BIGINT AS lag_h "
+            "FROM f WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s), "
+            "h AS (SELECT lag_h, COUNT(*)::BIGINT AS n FROM l GROUP BY 1), "
+            "t AS (SELECT SUM(n)::BIGINT AS n FROM h), "
+            "c AS (SELECT lag_h, SUM(n) OVER (ORDER BY lag_h) AS cum FROM h) "
+            "SELECT t.n AS n_converted, "
+            "(SELECT MIN(lag_h) FROM c WHERE cum >= (t.n + 1) // 2)::BIGINT AS p50_h, "
+            "(SELECT MIN(lag_h) FROM c WHERE cum >= (9*t.n + 9) // 10)::BIGINT AS p90_h, "
+            "(SELECT MIN(lag_h) FROM c WHERE cum >= (99*t.n + 99) // 100)::BIGINT AS p99_h "
+            "FROM t"
+        ),
+        "degree_centralization": (
+            # Freeman centralization; n = every edge endpoint (self-loop-only
+            # vertices have simple-graph degree 0 and charge the full d_max)
+            f"WITH ec AS MATERIALIZED {_EDGES}, "
+            "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, "
+            "GREATEST(s, d) AS b FROM ec WHERE s <> d), "
+            "vs AS (SELECT COUNT(DISTINCT v)::BIGINT AS n FROM "
+            "(SELECT s AS v FROM ec UNION ALL SELECT d FROM ec)), "
+            "dg AS (SELECT v, COUNT(*)::BIGINT AS deg FROM "
+            "(SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1), "
+            "st AS (SELECT MAX(deg)::BIGINT AS dmax, SUM(deg)::BIGINT AS dsum FROM dg), "
+            "mm AS (SELECT COUNT(*)::BIGINT AS m FROM e0) "
+            "SELECT vs.n, mm.m, st.dmax AS d_max, "
+            "ROUND((vs.n * st.dmax - st.dsum)::DOUBLE / "
+            "((vs.n - 1) * (vs.n - 2)), 6) AS centralization "
+            "FROM vs, st, mm"
+        ),
+        "gini_revenue": (
+            # Gini of per-customer cents; exact integer i·x fold
+            "WITH pc AS (SELECT o_custkey AS c, "
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS cents "
+            "FROM orders GROUP BY 1), "
+            "r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, c) AS i FROM pc), "
+            "t AS (SELECT COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS total, "
+            "SUM(i * cents)::HUGEINT AS ix FROM r) "
+            "SELECT n AS n_customers, total AS total_cents, "
+            "ROUND(2.0 * ix::DOUBLE / (n::DOUBLE * total::DOUBLE) "
+            "- (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini FROM t"
+        ),
+        "intrinsic_dimension": (
+            # Facco two-NN MLE on exact quantized-int d2; ties by vec_id
+            "WITH e AS (SELECT vec_id, "
+            "(generate_subscripts(embedding,1)-1)::BIGINT AS dim, "
+            "CAST(ROUND(unnest(embedding)::DOUBLE * 10000) AS BIGINT) AS qv "
+            "FROM embeddings), "
+            "d AS (SELECT a.vec_id AS i, b.vec_id AS j, "
+            "SUM((a.qv-b.qv)*(a.qv-b.qv))::BIGINT AS d2 "
+            "FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id <> b.vec_id "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT i, d2, ROW_NUMBER() OVER "
+            "(PARTITION BY i ORDER BY d2, j) AS rn FROM d), "
+            "p AS (SELECT i, MAX(CASE WHEN rn = 1 THEN d2 END) AS d1, "
+            "MAX(CASE WHEN rn = 2 THEN d2 END) AS dd2 FROM r WHERE rn <= 2 GROUP BY i), "
+            "v AS (SELECT 0.5 * (LN(dd2::DOUBLE) - LN(d1::DOUBLE)) AS lnmu "
+            "FROM p WHERE d1 > 0 AND dd2 > d1) "
+            "SELECT (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_points, "
+            "(SELECT COUNT(*) FROM v)::BIGINT AS n_valid, "
+            "ROUND((SELECT COUNT(*) FROM v)::DOUBLE / (SELECT SUM(lnmu) FROM v), 6) AS d_hat"
         ),
         "ref_integrity_audit": (
             # FK orphan counts per relation (parents are unique-keyed)

@@ -263,7 +263,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "event_cooccurrence", "touch_attribution", "boolean_retrieval",
             "activity_anomaly", "lexical_diversity", "sla_percentiles",
             "local_bridges", "weekly_autocorr", "ref_integrity_audit",
-            "silhouette_by_label", "revenue_concentration"],
+            "silhouette_by_label", "revenue_concentration", "conversion_lag",
+            "degree_centralization", "gini_revenue", "intrinsic_dimension"],
 }
 
 
@@ -484,6 +485,10 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("ref_integrity_audit", lambda: tabular.q_ref_integrity_audit(SF_DIR))
     timed("silhouette_by_label", lambda: tabular.q_silhouette_by_label(SF_DIR))
     timed("revenue_concentration", lambda: tabular.q_revenue_concentration(SF_DIR))
+    timed("conversion_lag", lambda: tabular.q_conversion_lag(SF_DIR))
+    timed("degree_centralization", lambda: tabular.q_degree_centralization(SF_DIR))
+    timed("gini_revenue", lambda: tabular.q_gini_revenue(SF_DIR))
+    timed("intrinsic_dimension", lambda: tabular.q_intrinsic_dimension(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -10930,3 +10930,274 @@ def q_revenue_concentration(sf_dir: str) -> pd.DataFrame:
     out["n_top"] = out["n_top"].astype(np.int64)
     out["cum_cents"] = out["cum_cents"].astype(np.int64)
     return out
+
+
+def q_conversion_lag(sf_dir: str) -> pd.DataFrame:
+    """Signup→purchase conversion-lag percentiles: for every user whose
+    first 'purchase' follows their first 'signup', the lag in WHOLE HOURS
+    (floor), reported as exact p50/p90/p99 from the hour-domain histogram
+    (the sla_percentiles integer-threshold rule: q(p) = smallest lag with
+    cum ≥ ceil(p·N)) plus the converting-user count — the activation-time
+    readout of product analytics.
+
+    Shape: per-batch filter to the two event types, user-hash buckets
+    co-locate streams, per-user firsts via one lexsort + change-point
+    mask; (lag, 1) partials fold on the driver (hour domain is
+    calendar-bounded)."""
+    n_buckets = 64
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("signup", "purchase"))]
+        if not len(df):
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "ts": pd.Series(dtype="datetime64[us]"),
+                 "event_type": pd.Series(dtype=object),
+                 "bucket": pd.Series(dtype=np.int32)})
+        u = df["user_id"].to_numpy(np.int64)
+        mixed = (u * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)
+        df = df.copy()
+        df["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return df
+
+    def lags(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"lag_h": pd.Series(dtype=np.int64),
+                              "n": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        seg = np.cumsum(first) - 1
+        n_seg = seg[-1] + 1
+        big = np.int64(1 << 62)
+        s_first = np.full(n_seg, big)
+        p_first = np.full(n_seg, big)
+        is_s = et == "signup"
+        is_p = et == "purchase"
+        # first occurrence per segment: reversed minimum via np.minimum.at
+        np.minimum.at(s_first, seg[is_s], ts[is_s])
+        np.minimum.at(p_first, seg[is_p], ts[is_p])
+        ok = (s_first < big) & (p_first < big) & (p_first >= s_first)
+        if not ok.any():
+            return empty
+        lag_h = (p_first[ok] - s_first[ok]) // np.int64(3_600_000_000)
+        vc = pd.Series(lag_h).value_counts()
+        return pd.DataFrame({"lag_h": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    parts = (
+        ev.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(lags, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame({"n_converted": pd.Series(dtype=np.int64),
+                             "p50_h": pd.Series(dtype=np.int64),
+                             "p90_h": pd.Series(dtype=np.int64),
+                             "p99_h": pd.Series(dtype=np.int64)})
+    hist = parts.groupby("lag_h", sort=True)["n"].sum().reset_index()
+    lags_v = hist["lag_h"].to_numpy(np.int64)
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+
+    def pick(num: int, den: int) -> int:
+        thr = (num * n + den - 1) // den
+        return int(lags_v[np.searchsorted(cum, thr)])
+
+    out = pd.DataFrame({"n_converted": [n], "p50_h": [pick(1, 2)],
+                        "p90_h": [pick(9, 10)], "p99_h": [pick(99, 100)]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def q_degree_centralization(sf_dir: str) -> pd.DataFrame:
+    """Freeman degree centralization of the undirected simple lineitem
+    graph: C = Σ_v (d_max − d_v) / ((n−1)(n−2)) — the network-science
+    scalar for how hub-dominated a graph is (1 = star, 0 = regular).
+    Numerator is an exact integer (n·d_max − 2m'); only the final ratio
+    rounds (6). Output: n, m, d_max, centralization.
+
+    Shape: canonical undirected edges → one grouped_count shuffle for
+    degrees → three scalar aggregates; nothing vertex-sized leaves the
+    cluster."""
+    from pagerank_ray.pipelines.triangles import _canonical_undirected
+    from pagerank_ray.stages.graph_build import grouped_count
+
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
+    und = dedup_pairs(
+        dense_edges.map_batches(_canonical_undirected, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table({"src_id": t.column("a"), "dst_id": t.column("b")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    m = und.count()
+    mentions = und.map_batches(
+        lambda t: pa.table({"v": pa.concat_arrays(
+            [pc.cast(t.column("src_id"), pa.int64()).combine_chunks(),
+             pc.cast(t.column("dst_id"), pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow",
+    )
+    deg = grouped_count(mentions, "v", "deg")
+    stats = deg.map_batches(
+        lambda df: pd.DataFrame({"dmax": [int(df["deg"].max())],
+                                 "dsum": [int(df["deg"].sum())]})
+        if len(df) else pd.DataFrame({"dmax": pd.Series(dtype=np.int64),
+                                      "dsum": pd.Series(dtype=np.int64)}),
+        batch_format="pandas",
+    ).to_pandas()
+    dmax = int(stats["dmax"].max())
+    dsum = int(stats["dsum"].sum())  # = 2m over degree-≥1 vertices
+    if n < 3:
+        raise ValueError("degree centralization needs n >= 3")
+    # n counts EVERY edge endpoint (incl. self-loop-only vertices, which
+    # have degree 0 in the simple graph); n·dmax − Σdeg charges them the
+    # full (dmax − 0) term, which is exactly Freeman's definition
+    num = n * dmax - dsum
+    cent = num / float((n - 1) * (n - 2))
+    out = pd.DataFrame({"n": [n], "m": [m], "d_max": [dmax],
+                        "centralization": _round_half_away(np.array([cent]), 6)})
+    for c in ("n", "m", "d_max"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def q_gini_revenue(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-customer order revenue (cents-exact):
+    G = (2·Σ i·x_i) / (n·Σ x) − (n+1)/n over x sorted ascending (ties by
+    custkey) — the inequality twin of revenue_concentration. Σ i·x_i is
+    an exact integer accumulated OVER THE SORTED STREAM with a running
+    rank offset, so the driver holds two counters, never the customer
+    table. Output: n_customers, total_cents, gini (ROUND 6).
+
+    Shape: custkey-bucketed revenue fold, distributed sort by (cents,
+    custkey), then one streaming pass of block-local i·x partials."""
+    n_buckets = 64
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _round_half_away(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        g = (
+            pd.DataFrame({"c": df["o_custkey"].to_numpy(np.int64),
+                          "cents": cents})
+            .groupby("c", sort=False)["cents"].sum().reset_index()
+        )
+        g["cents"] = g["cents"].astype(np.int64)
+        mixed = (g["c"].to_numpy(np.int64) * np.int64(0x9E3779B1)) \
+            & np.int64(0x7FFFFFFF)
+        g["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.groupby("c", sort=False)["cents"].sum().reset_index()
+        o["cents"] = o["cents"].astype(np.int64)
+        return o
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+    ranked = per_cust.sort(["cents", "c"])
+    i_off = 0
+    ixsum = 0
+    total = 0
+    n = 0
+    for b in ranked.iter_batches(batch_format="numpy", batch_size=8192):
+        x = b["cents"]
+        if not len(x):
+            continue
+        idx = np.arange(1, len(x) + 1, dtype=np.int64) + i_off
+        ixsum += int((idx * x).sum())
+        total += int(x.sum())
+        i_off += len(x)
+        n += len(x)
+    if n == 0 or total == 0:
+        raise ValueError("gini_revenue: empty or zero-revenue input")
+    gini = (2.0 * ixsum) / (float(n) * float(total)) - (n + 1) / float(n)
+    out = pd.DataFrame({"n_customers": [n], "total_cents": [total],
+                        "gini": _round_half_away(np.array([gini]), 6)})
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    out["total_cents"] = out["total_cents"].astype(np.int64)
+    return out
+
+
+def q_intrinsic_dimension(sf_dir: str) -> pd.DataFrame:
+    """Two-NN intrinsic-dimension estimate of the embedding manifold
+    (Facco et al. 2017): per point the ratio μ = r₂/r₁ of its two nearest
+    neighbor distances (exact quantized-int d², ties by vec_id — the
+    knn_label_disagreement metric), MLE d̂ = N_valid / Σ ln μ over points
+    with 0 < r₁ < r₂. Output: n_points, n_valid, d_hat (ROUND 6) — the
+    embedding-collapse sanity check run before trusting a learned space.
+
+    Shape: broadcast reference matrix + one int64 matmul per batch;
+    per-batch partials are (Σ ln μ, counts) scalars."""
+    import ray
+
+    from pagerank_ray.stages import joins
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def collect_q(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy())
+        q = _round_half_away(mat.astype(np.float64) * 10000.0, 0).astype(np.int64)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(np.int64),
+                             "q": list(q)})
+
+    ref = emb.map_batches(collect_q, batch_format="pandas").to_pandas()
+    ref = ref.sort_values("vec_id").reset_index(drop=True)
+    n_ref = len(ref)
+    if n_ref < 3:
+        raise ValueError("intrinsic_dimension needs >= 3 points")
+    rq = np.stack(ref["q"].to_numpy())
+    rid = ref["vec_id"].to_numpy(np.int64)
+    rn2 = (rq * rq).sum(axis=1)
+    if 4 * int(rn2.max()) >= (1 << 62) // max(n_ref, 1):
+        raise RuntimeError("intrinsic_dimension: composite-key overflow")
+    bref = ray.put((rq, rid, rn2))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rq_, rid_, rn2_ = joins.broadcast_get(bref, lambda v: v, "twonn_ref")
+        mat = np.stack(df["embedding"].to_numpy())
+        q = _round_half_away(mat.astype(np.float64) * 10000.0, 0).astype(np.int64)
+        vid = df["vec_id"].to_numpy(np.int64)
+        d2 = (q * q).sum(axis=1)[:, None] + rn2_[None, :] - 2 * (q @ rq_.T)
+        nr = len(rid_)
+        key = d2 * np.int64(nr) + np.arange(nr, dtype=np.int64)[None, :]
+        key[vid[:, None] == rid_[None, :]] = np.iinfo(np.int64).max
+        nn2 = np.argpartition(key, 1, axis=1)[:, :2]
+        kv = np.take_along_axis(key, nn2, axis=1)
+        o = np.argsort(kv, axis=1)
+        nn2 = np.take_along_axis(nn2, o, axis=1)
+        d1 = np.take_along_axis(d2, nn2[:, :1], axis=1)[:, 0]
+        d2nd = np.take_along_axis(d2, nn2[:, 1:2], axis=1)[:, 0]
+        valid = (d1 > 0) & (d2nd > d1)
+        # μ = r2/r1 = sqrt(d2nd/d1); ln μ = 0.5·(ln d2nd − ln d1) — exact
+        # int inputs, deterministic float transform
+        lnmu = 0.5 * (np.log(d2nd[valid].astype(np.float64))
+                      - np.log(d1[valid].astype(np.float64)))
+        return pd.DataFrame({"n": [len(vid)], "n_valid": [int(valid.sum())],
+                             "s": [float(lnmu.sum())]})
+
+    parts = emb.map_batches(score, batch_format="pandas").to_pandas()
+    n_pts = int(parts["n"].sum())
+    n_valid = int(parts["n_valid"].sum())
+    s = float(parts["s"].sum())
+    if n_valid == 0 or s <= 0:
+        raise ValueError("intrinsic_dimension: no valid two-NN ratios")
+    out = pd.DataFrame({"n_points": [n_pts], "n_valid": [n_valid],
+                        "d_hat": _round_half_away(np.array([n_valid / s]), 6)})
+    out["n_points"] = out["n_points"].astype(np.int64)
+    out["n_valid"] = out["n_valid"].astype(np.int64)
+    return out

@@ -4433,3 +4433,61 @@ def test_q_revenue_concentration_planted(ray_session, tmp_path):
     }), os.path.join(str(tmp_path), "orders.parquet"))
     out = q_revenue_concentration(str(tmp_path))
     assert list(out.itertuples(index=False, name=None)) == [(4, 2, 0.5, 8000)]
+
+
+def test_q_conversion_lag_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_conversion_lag
+
+    _write_events(tmp_path, [
+        (1, 0, 1, "signup"), (2, 3700, 1, "purchase"),     # lag 1 h
+        (3, 0, 2, "signup"), (4, 7200, 2, "purchase"),     # lag 2 h
+        (5, 100, 3, "purchase"), (6, 200, 3, "signup"),    # purchase first → out
+        (7, 0, 4, "signup"),                               # never converts
+    ])
+    out = q_conversion_lag(str(tmp_path))
+    assert list(out.itertuples(index=False, name=None)) == [(2, 1, 2, 2)]
+
+
+def test_q_degree_centralization_star(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_degree_centralization
+
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 1], pa.int64()),
+        "l_partkey": pa.array([2, 3, 4], pa.int64()),
+    })
+    pq.write_table(li, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_degree_centralization(str(tmp_path))
+    # a perfect star has centralization exactly 1
+    assert list(out.itertuples(index=False, name=None)) == [(4, 3, 3, 1.0)]
+
+
+def test_q_gini_revenue_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_gini_revenue
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_totalprice": pa.array([1.0, 3.0]),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_gini_revenue(str(tmp_path))
+    # sorted cents [100, 300]: G = 2·(100+600)/(2·400) − 3/2 = 0.25
+    assert list(out.itertuples(index=False, name=None)) == [(2, 400, 0.25)]
+
+
+def test_q_intrinsic_dimension_line(ray_session, tmp_path):
+    import math
+
+    from pagerank_ray.pipelines.tabular import q_intrinsic_dimension
+
+    emb = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[0.0, 0.0], [0.001, 0.0], [0.003, 0.0], [0.007, 0.0]],
+            pa.list_(pa.float32())),
+    })
+    pq.write_table(emb, os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = q_intrinsic_dimension(str(tmp_path))
+    # quantized coords (0, 10, 30, 70): per-point (d1, d2) =
+    # (100,900), (100,400), (400,900), (1600,3600)
+    s = 0.5 * (math.log(900/100) + math.log(400/100)
+               + math.log(900/400) + math.log(3600/1600))
+    assert list(out.itertuples(index=False, name=None)) == [(4, 4, round(4/s, 6))]
