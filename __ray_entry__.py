@@ -3614,6 +3614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_cover": tabular.q_vertex_cover,  # SQL-oracled (matched-vertex union)
         "ppr_batch": tabular.q_ppr_batch,  # SQL-oracled (K-column unrolled PPR)
         "orc_source": tabular.q_orc_source,  # SQL-oracled (round-trip vs parquet)
+        "ipc_source": tabular.q_ipc_source,  # SQL-oracled (round-trip vs parquet)
         "harmonic_centrality": tabular.q_harmonic_centrality,  # SQL-oracled (per-vertex HyperBall fold)
         "embedding_pca": tabular.q_embedding_pca,  # SQL-oracled (fixed-point power iter)
         "msf": tabular.q_msf,  # SQL-oracled (_msf_sql unrolled rounds)
@@ -3872,6 +3873,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "csv_source": _SOURCE_ROUNDTRIP_SQL,
         "orc_source": _SOURCE_ROUNDTRIP_SQL,
+        "ipc_source": _SOURCE_ROUNDTRIP_SQL,
         "jsonl_source": _SOURCE_ROUNDTRIP_SQL,
         "jsonl_gz_source": _SOURCE_ROUNDTRIP_SQL,
         "copurchase_topk": _copurchase_sql(),

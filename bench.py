@@ -264,7 +264,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "activity_anomaly", "lexical_diversity", "sla_percentiles",
             "local_bridges", "weekly_autocorr", "ref_integrity_audit",
             "silhouette_by_label", "revenue_concentration", "conversion_lag",
-            "degree_centralization", "gini_revenue", "intrinsic_dimension"],
+            "degree_centralization", "gini_revenue", "intrinsic_dimension",
+            "ipc_source"],
 }
 
 
@@ -489,6 +490,7 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("degree_centralization", lambda: tabular.q_degree_centralization(SF_DIR))
     timed("gini_revenue", lambda: tabular.q_gini_revenue(SF_DIR))
     timed("intrinsic_dimension", lambda: tabular.q_intrinsic_dimension(SF_DIR))
+    timed("ipc_source", lambda: tabular.q_ipc_source(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

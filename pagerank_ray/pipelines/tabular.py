@@ -6710,6 +6710,10 @@ def _export_events_subset(sf_dir: str, fmt: str) -> str:
             from pagerank_ray.sources.orc import write_orc
 
             write_orc(ds, tmp)
+        elif fmt == "ipc":
+            from pagerank_ray.sources.ipc import write_ipc
+
+            write_ipc(ds, tmp)
         elif fmt == "jsonl_gz":
             import gzip
 
@@ -6748,6 +6752,10 @@ def _source_roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
         from pagerank_ray.sources.orc import read_orc
 
         ds = read_orc(path).materialize()
+    elif fmt == "ipc":
+        from pagerank_ray.sources.ipc import read_ipc
+
+        ds = read_ipc(path).materialize()
     elif fmt == "jsonl_gz":
         ds = rd.read_json(
             path, file_extensions=["gz"],
@@ -6832,6 +6840,16 @@ def q_orc_source(sf_dir: str) -> pd.DataFrame:
     ships no ORC connector; this exercises the PUBLIC custom-connector
     surface end-to-end."""
     return _source_roundtrip(sf_dir, "orc")
+
+
+def q_ipc_source(sf_dir: str) -> pd.DataFrame:
+    """Arrow IPC (Feather v2) source/sink conformance: the events subset is
+    written by the engine's distributed IPC datasink (sources/ipc.py — one
+    file per block) and read back record-batch-streaming through its
+    FileBasedDatasource, then aggregated per event type against the same
+    parquet oracle. Ray Data ships no IPC connector; this exercises the
+    PUBLIC custom-connector surface over Arrow's own interchange format."""
+    return _source_roundtrip(sf_dir, "ipc")
 
 
 def _exploded_tokens(df: pd.DataFrame, id_col: str | None = None):
