@@ -10748,47 +10748,69 @@ def q_ref_integrity_audit(sf_dir: str) -> pd.DataFrame:
     searchsorted membership per batch — the bloom_semi_join shape with an
     exact set, parents here fit the broadcast; a parent beyond
     BROADCAST_LIMIT would swap in the same Ray-native hash anti-join the
-    joins module already routes to); per-batch (n, n_orphan) integer
-    partials fold on the driver — 2 integers per relation per batch."""
+    joins module already routes to); every child table scans ONCE with
+    all of its FK columns audited in the same pass (lineitem's three
+    relations share one scan); per-batch (n, n_orphan) integer partials
+    fold on the driver — 2 integers per relation per batch."""
     import ray
 
     from pagerank_ray.stages import joins
     from pagerank_ray.stages.graph_build import distinct_values
 
-    rels = [
-        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
-        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-    ]
-    rows = []
-    for name, child, ck, parent, pk in rels:
-        pkeys = distinct_values(
-            _read(sf_dir, parent, [pk]).map_batches(
-                lambda t, _pk=pk: pa.table({"k": pc.cast(t.column(_pk), pa.int64())}),
-                batch_format="pyarrow",
-            ),
-            "k",
-        )
-        ref = ray.put(joins._collect_arrow(pkeys))
+    # child table → [(relation name, child FK col, parent table, parent key)]
+    by_child = {
+        "lineitem": [
+            ("lineitem->orders", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem->part", "l_partkey", "part", "p_partkey"),
+            ("lineitem->supplier", "l_suppkey", "supplier", "s_suppkey"),
+        ],
+        "orders": [("orders->customer", "o_custkey", "customer", "c_custkey")],
+        "customer": [("customer->nation", "c_nationkey", "nation", "n_nationkey")],
+    }
+    refs = {}
+    for rels in by_child.values():
+        for _, _, parent, pk in rels:
+            if parent in refs:
+                continue
+            pkeys = distinct_values(
+                _read(sf_dir, parent, [pk]).map_batches(
+                    lambda t, _pk=pk: pa.table(
+                        {"k": pc.cast(t.column(_pk), pa.int64())}),
+                    batch_format="pyarrow",
+                ),
+                "k",
+            )
+            refs[parent] = ray.put(joins._collect_arrow(pkeys))
 
-        def audit(t: pa.Table, _ck=ck, _ref=ref) -> pa.Table:
-            keys = joins.broadcast_get(
-                _ref, lambda tab: np.sort(tab.column("k").to_numpy()),
-                "ref_integrity")
-            v = t.column(_ck).to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(keys, v)
-            pos = np.clip(pos, 0, max(len(keys) - 1, 0))
-            hit = keys[pos] == v if len(keys) else np.zeros(len(v), bool)
+    rows = []
+    for child, rels in by_child.items():
+        cols = [ck for _, ck, _, _ in rels]
+        ref_list = [(ck, refs[parent], parent) for _, ck, parent, _ in rels]
+
+        def audit(t: pa.Table, _rl=tuple(ref_list)) -> pa.Table:
+            out_n, out_o = [], []
+            for ck, ref, parent in _rl:
+                keys = joins.broadcast_get(
+                    ref, lambda tab: np.sort(tab.column("k").to_numpy()),
+                    f"ref_integrity:{parent}")
+                v = t.column(ck).to_numpy(zero_copy_only=False).astype(np.int64)
+                pos = np.searchsorted(keys, v)
+                pos = np.clip(pos, 0, max(len(keys) - 1, 0))
+                hit = keys[pos] == v if len(keys) else np.zeros(len(v), bool)
+                out_n.append(len(v))
+                out_o.append(int((~hit).sum()))
             return pa.table({
-                "n": pa.array([len(v)], pa.int64()),
-                "n_orphan": pa.array([int((~hit).sum())], pa.int64()),
+                "col": pa.array([c for c, _, _ in _rl]),
+                "n": pa.array(out_n, pa.int64()),
+                "n_orphan": pa.array(out_o, pa.int64()),
             })
 
-        part = _read(sf_dir, child, [ck]).map_batches(
+        part = _read(sf_dir, child, cols).map_batches(
             audit, batch_format="pyarrow").to_pandas()
-        rows.append((name, int(part["n"].sum()), int(part["n_orphan"].sum())))
+        agg = part.groupby("col")[["n", "n_orphan"]].sum()
+        for name, ck, _, _ in rels:
+            rows.append((name, int(agg.loc[ck, "n"]),
+                         int(agg.loc[ck, "n_orphan"])))
     out = pd.DataFrame(rows, columns=["relation", "n_rows", "n_orphans"])
     out["n_rows"] = out["n_rows"].astype(np.int64)
     out["n_orphans"] = out["n_orphans"].astype(np.int64)
