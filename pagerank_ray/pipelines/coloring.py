@@ -292,12 +292,19 @@ def greedy_coloring(
 
         active = _drop(active, "id").materialize()
         adj = _drop(_drop(adj, "v"), "x").materialize()
-        # forbidden set for the surviving active remnant (distinct pairs)
+        # forbidden set for the surviving active remnant (distinct pairs).
+        # BOUND THE BLOCK COUNT before the dedup groupby: forb is a
+        # per-round union, and without the split/coalesce repartition its
+        # block count grows by O(adj blocks) every round — the groupby's
+        # sort shuffle then serializes O(P_in·P_out) block refs per round,
+        # which wedged the driver for 40+ min at 300k-500k vertices
+        # (faulthandler showed pull_based_shuffle_task_scheduler.execute
+        # stuck submitting; r5 session fix)
         forb = dedup_pairs(
             _drop(forb, "id").union(_drop(new_pairs, "id")).map_batches(
                 lambda t: t.rename_columns(["src_id", "dst_id"]),
                 batch_format="pyarrow",
-            )
+            ).repartition(64)
         ).map_batches(
             lambda t: t.rename_columns(["id", "c"]), batch_format="pyarrow"
         ).materialize()
