@@ -3592,6 +3592,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_centralization": tabular.q_degree_centralization,  # SQL-oracled (Freeman scalar mirror)
         "gini_revenue": tabular.q_gini_revenue,  # SQL-oracled (ROW_NUMBER i*x mirror)
         "intrinsic_dimension": tabular.q_intrinsic_dimension,  # SQL-oracled (two-NN MLE mirror)
+        "hhi_concentration": tabular.q_hhi_concentration,  # SQL-oracled (share-squared fold)
+        "order_velocity": tabular.q_order_velocity,  # SQL-oracled (windowed same-customer self-join)
+        "cross_source_entropy": tabular.q_cross_source_entropy,  # SQL-oracled (add-one LM cross-entropy)
+        "edge_embeddedness": tabular.q_edge_embeddedness,  # SQL-oracled (support + degree Jaccard mirror)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3951,6 +3955,74 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS n_classes, SUM(n)::BIGINT AS n_records FROM c GROUP BY 1) "
             "SELECT regime, n_classes, n_records, "
             "ROUND(n_records::DOUBLE / (SELECT tot FROM t), 6) AS frac FROM r ORDER BY regime"
+        ),
+        "hhi_concentration": (
+            # Herfindahl index of revenue share per nation and segment
+            "WITH j AS (SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents, "
+            "c.c_nationkey AS nat, c.c_mktsegment AS seg "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey), "
+            "a AS (SELECT 'nation' AS dimension, nat::VARCHAR AS g, "
+            "SUM(cents)::BIGINT AS s FROM j GROUP BY 2 "
+            "UNION ALL SELECT 'segment', seg, SUM(cents)::BIGINT FROM j GROUP BY 2), "
+            "t AS (SELECT dimension, SUM(s)::BIGINT AS tot, "
+            "COUNT(*)::BIGINT AS n_groups FROM a GROUP BY 1) "
+            "SELECT a.dimension, t.n_groups, "
+            "ROUND(SUM((a.s::DOUBLE / t.tot) * (a.s::DOUBLE / t.tot)), 6) AS hhi "
+            "FROM a JOIN t USING (dimension) GROUP BY 1, 2 ORDER BY 1"
+        ),
+        "order_velocity": (
+            # same customer, two orders within 7 days; order pinned by
+            # (day, orderkey); amount delta rides along
+            "WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, "
+            "(epoch_us(o_orderdate) // 86400000000)::BIGINT AS day, "
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+            "SELECT a.c AS custkey, a.k AS o1, b.k AS o2, "
+            "(b.day - a.day)::BIGINT AS lag_days, "
+            "ABS(b.cents - a.cents)::BIGINT AS cents_diff "
+            "FROM o a JOIN o b ON b.c = a.c "
+            "AND (a.day < b.day OR (a.day = b.day AND a.k < b.k)) "
+            "AND b.day <= a.day + 7 "
+            "ORDER BY custkey, o1, o2"
+        ),
+        "cross_source_entropy": (
+            # H(A under B's add-one unigram LM) over the global vocabulary
+            "WITH t AS (SELECT source, "
+            "unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS tok "
+            "FROM documents WHERE TRIM(COALESCE(text, '')) <> ''), "
+            "c AS (SELECT source, tok, COUNT(*)::BIGINT AS n FROM t GROUP BY 1, 2), "
+            "vv AS (SELECT COUNT(DISTINCT tok)::BIGINT AS v FROM c), "
+            "ns AS (SELECT source, SUM(n)::BIGINT AS n_s FROM c GROUP BY 1), "
+            "terms AS (SELECT ca.source AS sa, nsb.source AS sb, "
+            "SUM(ca.n * LN((COALESCE(cb.n, 0) + 1)::DOUBLE / (nsb.n_s + vv.v))) AS s "
+            "FROM c ca CROSS JOIN ns nsb "
+            "LEFT JOIN c cb ON cb.source = nsb.source AND cb.tok = ca.tok "
+            "CROSS JOIN vv GROUP BY 1, 2) "
+            "SELECT tm.sa AS src_a, tm.sb AS src_b, "
+            "ROUND(-(tm.s / nsa.n_s), 6) AS xent "
+            "FROM terms tm JOIN ns nsa ON nsa.source = tm.sa "
+            "ORDER BY src_a, src_b"
+        ),
+        "edge_embeddedness": (
+            # neighborhood Jaccard per edge; support from the triangle
+            # enumeration, union = da + db - 2 - common
+            f"WITH ec AS MATERIALIZED {_EDGES}, "
+            "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(s, d) AS a, "
+            "GREATEST(s, d) AS b FROM ec WHERE s <> d), "
+            "t AS (SELECT x.a AS a, x.b AS b, y.b AS c FROM e0 x "
+            "JOIN e0 y ON y.a = x.b JOIN e0 z ON z.a = x.a AND z.b = y.b), "
+            "sp AS (SELECT a, b, COUNT(*)::BIGINT AS s FROM "
+            "(SELECT a, b FROM t UNION ALL SELECT b AS a, c AS b FROM t "
+            "UNION ALL SELECT a, c AS b FROM t) GROUP BY 1, 2), "
+            "dg AS (SELECT v, COUNT(*)::BIGINT AS deg FROM "
+            "(SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1), "
+            "x AS (SELECT e.a, e.b, COALESCE(sp.s, 0)::BIGINT AS n_common, "
+            "(da.deg + db.deg - 2 - COALESCE(sp.s, 0))::BIGINT AS n_union "
+            "FROM e0 e LEFT JOIN sp ON sp.a = e.a AND sp.b = e.b "
+            "JOIN dg da ON da.v = e.a JOIN dg db ON db.v = e.b) "
+            "SELECT a, b, n_common, n_union, "
+            "ROUND(CASE WHEN n_union > 0 THEN n_common::DOUBLE / n_union "
+            "ELSE 0 END, 6) AS jaccard "
+            "FROM x ORDER BY jaccard DESC, a, b LIMIT 25"
         ),
         "conversion_lag": (
             # first-signup → first-purchase lag (whole hours), exact

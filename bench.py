@@ -265,7 +265,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "local_bridges", "weekly_autocorr", "ref_integrity_audit",
             "silhouette_by_label", "revenue_concentration", "conversion_lag",
             "degree_centralization", "gini_revenue", "intrinsic_dimension",
-            "ipc_source"],
+            "ipc_source", "hhi_concentration", "order_velocity",
+            "cross_source_entropy", "edge_embeddedness"],
 }
 
 
@@ -491,6 +492,10 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("gini_revenue", lambda: tabular.q_gini_revenue(SF_DIR))
     timed("intrinsic_dimension", lambda: tabular.q_intrinsic_dimension(SF_DIR))
     timed("ipc_source", lambda: tabular.q_ipc_source(SF_DIR))
+    timed("hhi_concentration", lambda: tabular.q_hhi_concentration(SF_DIR))
+    timed("order_velocity", lambda: tabular.q_order_velocity(SF_DIR))
+    timed("cross_source_entropy", lambda: tabular.q_cross_source_entropy(SF_DIR))
+    timed("edge_embeddedness", lambda: tabular.q_edge_embeddedness(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

@@ -11241,3 +11241,290 @@ def q_intrinsic_dimension(sf_dir: str) -> pd.DataFrame:
     out["n_points"] = out["n_points"].astype(np.int64)
     out["n_valid"] = out["n_valid"].astype(np.int64)
     return out
+
+
+def q_hhi_concentration(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per market
+    dimension: revenue share per nation (via customer) and per market
+    segment, HHI = Σ share² (0 = atomized, 1 = monopoly) — the
+    concentration readout regulators and marketplaces both run. Revenue
+    is cents-exact; shares and HHI round (6). Output: one row per
+    dimension (dimension, n_groups, hhi).
+
+    Shape: one broadcast attach of (custkey → nation, segment) onto
+    orders, per-batch (dim, group, cents) partials, driver fold over the
+    group-domain-bounded grid."""
+    from pagerank_ray.stages import joins
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+    n_cust = cust.count()
+    with_n = joins.attach_column(
+        orders, cust, probe_col="o_custkey", build_key="c_custkey",
+        build_val="c_nationkey", out_col="nat", build_count=n_cust)
+    with_s = joins.attach_column(
+        with_n, cust, probe_col="o_custkey", build_key="c_custkey",
+        build_val="c_mktsegment", out_col="seg", build_count=n_cust)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _round_half_away(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        a = (
+            pd.DataFrame({"g": df["nat"].astype(np.int64).astype(str),
+                          "cents": cents})
+            .groupby("g", sort=False)["cents"].sum().reset_index()
+        )
+        a["dim"] = "nation"
+        b = (
+            pd.DataFrame({"g": df["seg"].to_numpy(dtype=object), "cents": cents})
+            .groupby("g", sort=False)["cents"].sum().reset_index()
+        )
+        b["dim"] = "segment"
+        out = pd.concat([a, b], ignore_index=True)
+        out["cents"] = out["cents"].astype(np.int64)
+        return out
+
+    parts = with_s.map_batches(partial, batch_format="pandas").to_pandas()
+    grid = parts.groupby(["dim", "g"], sort=True)["cents"].sum().reset_index()
+    rows = []
+    for dim, g in grid.groupby("dim", sort=True):
+        c = g["cents"].to_numpy(np.int64)
+        tot = int(c.sum())
+        hhi = float(((c / tot) ** 2).sum())
+        rows.append((dim, len(c), float(_round_half_away(np.array([hhi]), 6)[0])))
+    out = pd.DataFrame(rows, columns=["dimension", "n_groups", "hhi"])
+    out["n_groups"] = out["n_groups"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_order_velocity(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Order-velocity audit: pairs of DISTINCT orders by the same
+    customer within ``window_days`` of each other — the rapid-repeat /
+    card-testing screen (the amount delta rides along for the
+    double-charge triage). Pair order pinned by (orderdate, orderkey);
+    output (custkey, o1, o2, lag_days, cents_diff) sorted. Exact
+    integers throughout.
+
+    Shape: custkey-bucketed shuffle co-locates each customer's orders;
+    per group one vectorized day-window pair fan-out (the
+    event_cooccurrence repeat/cumsum kernel)."""
+    n_buckets = 64
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    win = np.int64(window_days)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _round_half_away(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        day = df["o_orderdate"].to_numpy().astype("datetime64[us]").view(np.int64) \
+            // np.int64(86_400_000_000)
+        g = pd.DataFrame({"c": df["o_custkey"].to_numpy(np.int64),
+                          "k": df["o_orderkey"].to_numpy(np.int64),
+                          "day": day, "cents": cents})
+        mixed = (g["c"].to_numpy(np.int64) * np.int64(0x9E3779B1)) \
+            & np.int64(0x7FFFFFFF)
+        g["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return g
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"custkey": pd.Series(dtype=np.int64),
+             "o1": pd.Series(dtype=np.int64), "o2": pd.Series(dtype=np.int64),
+             "lag_days": pd.Series(dtype=np.int64),
+             "cents_diff": pd.Series(dtype=np.int64)})
+        if len(df) < 2:
+            return empty
+        c = df["c"].to_numpy(np.int64)
+        k = df["k"].to_numpy(np.int64)
+        day = df["day"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        order = np.lexsort((k, day, c))
+        c, k, day, cents = c[order], k[order], day[order], cents[order]
+        grp = np.concatenate([[True], c[1:] != c[:-1]])
+        seg = np.cumsum(grp) - 1
+        span = np.int64(2) * (day.max() - day.min() + win + 1)
+        shifted = day - day.min() + seg * span
+        ends = np.searchsorted(shifted, shifted + win, side="right")
+        cnt = ends - np.arange(len(c)) - 1
+        if cnt.sum() == 0:
+            return empty
+        first = np.repeat(np.arange(len(c)), cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        second = np.arange(len(first)) - np.repeat(offs, cnt) + first + 1
+        return pd.DataFrame(
+            {"custkey": c[first], "o1": k[first], "o2": k[second],
+             "lag_days": day[second] - day[first],
+             "cents_diff": np.abs(cents[second] - cents[first])})
+
+    res = (
+        orders.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(res):
+        return pd.DataFrame(
+            {"custkey": pd.Series(dtype=np.int64),
+             "o1": pd.Series(dtype=np.int64), "o2": pd.Series(dtype=np.int64),
+             "lag_days": pd.Series(dtype=np.int64),
+             "cents_diff": pd.Series(dtype=np.int64)})
+    for col in res.columns:
+        res[col] = res[col].astype(np.int64)
+    return res.sort_values(["custkey", "o1", "o2"]).reset_index(drop=True)
+
+
+def q_cross_source_entropy(sf_dir: str) -> pd.DataFrame:
+    """Cross-source language-model divergence matrix: per ordered source
+    pair (A, B), the cross-entropy of A's token stream under B's add-one
+    unigram LM, H(A, B) = −Σ_w p_A(w)·ln q_B(w) with q_B(w) =
+    (c_B(w)+1)/(n_B+V) over the GLOBAL vocabulary V — the
+    corpus-drift / source-similarity readout behind mixture rebalancing.
+    Exact integer counts; only the final entropy floats (ROUND 6).
+    Sorted (src_a, src_b), diagonal included (self-entropy).
+
+    Shape: one (source, token)-count shuffle (the lexical_diversity
+    fold); the S×V count grid is source-vocabulary bounded and folds on
+    the driver, where the S×S matrix is one vectorized log-matmul."""
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series(dtype=object),
+                              "tok": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
+        if not len(df):
+            return empty
+        toks = df["text"].fillna("").str.split()
+        n_tok = toks.str.len().fillna(0).to_numpy(np.int64)
+        flat = toks.explode(ignore_index=True)
+        valid = flat.notna().to_numpy()
+        src = np.repeat(df["source"].to_numpy(dtype=object),
+                        np.maximum(n_tok, 1))
+        if not valid.any():
+            return empty
+        g = (
+            pd.DataFrame({"source": src[valid],
+                          "tok": flat.to_numpy(dtype=object)[valid]})
+            .groupby(["source", "tok"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["tok"].to_numpy(dtype=object))
+        df = df.copy()
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.groupby(["source", "tok"], sort=False)["n"].sum().reset_index()
+        o["n"] = o["n"].astype(np.int64)
+        return o
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    piv = counts.pivot_table(index="tok", columns="source", values="n",
+                             fill_value=0, aggfunc="sum")
+    piv = piv.sort_index()
+    srcs = sorted(piv.columns)
+    mat = piv[srcs].to_numpy(np.int64)  # V×S
+    v = mat.shape[0]
+    n_s = mat.sum(axis=0)
+    q = (mat + 1) / (n_s + v).astype(np.float64)  # V×S add-one LMs
+    p = mat / n_s.astype(np.float64)
+    h = -(p.T @ np.log(q))  # S×S: H(row A under col B)
+    rows = []
+    for i, a in enumerate(srcs):
+        for j, b in enumerate(srcs):
+            rows.append((a, b, float(_round_half_away(np.array([h[i, j]]), 6)[0])))
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "xent"])
+    return out.reset_index(drop=True)
+
+
+def q_edge_embeddedness(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Edge embeddedness — neighborhood Jaccard per edge: for every edge
+    (a, b) of the undirected simple lineitem graph, |N(a)∩N(b)| /
+    |N(a)∪N(b)\\{a,b}| (Easley-Kleinberg's strong-tie measure; the
+    per-edge refinement of local_bridges, whose bridges are exactly the
+    zero rows). Top-k by (jaccard desc, a, b) with the count columns —
+    denominators are exact integers (da + db − 2 − common), only the
+    ratio rounds (6).
+
+    Shape: one k-truss support pass (common-neighbor counts) + the same
+    degree table it already builds, one vectorized finish — no new
+    shuffle beyond the support pipeline's own."""
+    from pagerank_ray.pipelines.ktruss import _edge_support
+    from pagerank_ray.pipelines.triangles import _canonical_undirected
+    from pagerank_ray.stages import joins
+    from pagerank_ray.stages.graph_build import grouped_count
+
+    dense_edges, n, id_map = _compact_ids_cached(
+        sf_dir, "li", lambda: lineitem_edges(sf_dir)
+    )
+    und = dedup_pairs(
+        dense_edges.map_batches(_canonical_undirected, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table({"src_id": t.column("a"), "dst_id": t.column("b")}),
+            batch_format="pyarrow",
+        )
+    ).map_batches(
+        lambda t: pa.table({"a": t.column("src_id"), "b": t.column("dst_id")}),
+        batch_format="pyarrow",
+    ).materialize()
+    sup = _edge_support(und, und.count()).materialize()
+    mentions = und.map_batches(
+        lambda t: pa.table({"v": pa.concat_arrays(
+            [t.column("a").combine_chunks().cast(pa.int64()),
+             t.column("b").combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow",
+    )
+    deg = grouped_count(mentions, "v", "deg").materialize()
+    n_deg = deg.count()
+    with_da = joins.attach_column(
+        sup, deg, probe_col="a", build_key="v", build_val="deg",
+        out_col="da", build_count=n_deg)
+    with_db = joins.attach_column(
+        with_da, deg, probe_col="b", build_key="v", build_val="deg",
+        out_col="db", build_count=n_deg)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+                 "n_common": pd.Series(dtype=np.int64),
+                 "n_union": pd.Series(dtype=np.int64),
+                 "jaccard": pd.Series(dtype=np.float64)})
+        s = df["support"].to_numpy(np.int64)
+        da = df["da"].to_numpy(np.int64)
+        db = df["db"].to_numpy(np.int64)
+        union = da + db - 2 - s  # |N(a)∪N(b)| minus the endpoints
+        out = pd.DataFrame(
+            {"a": df["a"].to_numpy(np.int64), "b": df["b"].to_numpy(np.int64),
+             "n_common": s, "n_union": union,
+             "jaccard": _round_half_away(
+                 np.where(union > 0, s / np.maximum(union, 1), 0.0), 6)})
+        # per-batch combiner: only each batch's top rows travel
+        return out.sort_values(["jaccard", "a", "b"],
+                               ascending=[False, True, True],
+                               kind="mergesort").head(k)
+
+    parts = with_db.map_batches(finish, batch_format="pandas").to_pandas()
+    dense = parts.sort_values(["jaccard", "a", "b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+    res = _attach_orig(
+        rd.from_arrow(pa.Table.from_pandas(dense, preserve_index=False)),
+        id_map, n, ["a", "b"])
+    res = res.sort_values(["jaccard", "a", "b"],
+                          ascending=[False, True, True],
+                          kind="mergesort").reset_index(drop=True)
+    for c in ("a", "b", "n_common", "n_union"):
+        res[c] = res[c].astype(np.int64)
+    return res[["a", "b", "n_common", "n_union", "jaccard"]]

@@ -4491,3 +4491,78 @@ def test_q_intrinsic_dimension_line(ray_session, tmp_path):
     s = 0.5 * (math.log(900/100) + math.log(400/100)
                + math.log(900/400) + math.log(3600/1600))
     assert list(out.itertuples(index=False, name=None)) == [(4, 4, round(4/s, 6))]
+
+
+def test_q_hhi_concentration_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_hhi_concentration
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_totalprice": pa.array([75.0, 25.0]),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_nationkey": pa.array([0, 1], pa.int32()),
+        "c_mktsegment": pa.array(["A", "A"]),
+    }), os.path.join(str(tmp_path), "customer.parquet"))
+    out = q_hhi_concentration(str(tmp_path)).set_index("dimension")
+    # nations: shares 0.75/0.25 → HHI 0.625; segment: one group → 1.0
+    assert out.loc["nation", "hhi"] == 0.625
+    assert out.loc["segment", "hhi"] == 1.0
+    assert (out.loc["nation", "n_groups"], out.loc["segment", "n_groups"]) == (2, 1)
+
+
+def test_q_order_velocity_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_order_velocity
+
+    day_us = 86_400_000_000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array([0, 3 * day_us, 20 * day_us, 0],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 12.5, 10.0, 99.0]),
+    }), os.path.join(str(tmp_path), "orders.parquet"))
+    out = q_order_velocity(str(tmp_path))
+    # only (1,2): 3-day lag, |1250-1000| cents; (2,3) is 17 days apart
+    assert list(out.itertuples(index=False, name=None)) == [(1, 1, 2, 3, 250)]
+
+
+def test_q_cross_source_entropy_planted(ray_session, tmp_path):
+    import math
+
+    from pagerank_ray.pipelines.tabular import q_cross_source_entropy
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a a b", "b b b"]),
+        "source": pa.array(["X", "Y"]),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_cross_source_entropy(str(tmp_path))
+    got = {(r.src_a, r.src_b): r.xent for r in out.itertuples(index=False)}
+    # V=2; q_X = (a:3/5, b:2/5); q_Y = (a:1/5, b:4/5); p_X = (2/3, 1/3)
+    hxy = -(2/3 * math.log(1/5) + 1/3 * math.log(4/5))
+    hxx = -(2/3 * math.log(3/5) + 1/3 * math.log(2/5))
+    assert got[("X", "Y")] == round(hxy, 6)
+    assert got[("X", "X")] == round(hxx, 6)
+    assert len(got) == 4
+
+
+def test_q_edge_embeddedness_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_edge_embeddedness
+
+    # triangle 1-2-3 plus pendant 3-4: edge (1,2) has N(1)={2,3}, N(2)={1,3}
+    # → common {3}, union {3} → jaccard 1.0; (3,4) → 0
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 1, 3], pa.int64()),
+        "l_partkey": pa.array([2, 3, 3, 4], pa.int64()),
+    })
+    pq.write_table(li, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_edge_embeddedness(str(tmp_path))
+    got = {(r.a, r.b): (r.n_common, r.n_union, r.jaccard)
+           for r in out.itertuples(index=False)}
+    assert got[(1, 2)] == (1, 1, 1.0)
+    assert got[(3, 4)][2] == 0.0
+    # edge (1,3): common {2}, union {2, 4} → 0.5
+    assert got[(1, 3)] == (1, 2, 0.5)
