@@ -3596,6 +3596,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_velocity": tabular.q_order_velocity,  # SQL-oracled (windowed same-customer self-join)
         "cross_source_entropy": tabular.q_cross_source_entropy,  # SQL-oracled (add-one LM cross-entropy)
         "edge_embeddedness": tabular.q_edge_embeddedness,  # SQL-oracled (support + degree Jaccard mirror)
+        "gram_novelty": tabular.q_gram_novelty,  # SQL-oracled (MIN first-doc gram mirror)
+        "single_source_parts": tabular.q_single_source_parts,  # SQL-oracled (distinct-supplier histogram)
+        "weekday_profile": tabular.q_weekday_profile,  # SQL-oracled (uniform-null chi-square cells)
         "span_dedup": tabular.q_span_dedup,  # SQL-oracled (string-gram coverage-union mirror)
         "condensation_layers": tabular.q_condensation_layers,  # SQL-oracled (closure + longest-path CTE)
         "winnowing_fp": tabular.q_winnowing_fp,  # SQL-oracled (shared tok_hash chain + window argmin)
@@ -3955,6 +3958,43 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS n_classes, SUM(n)::BIGINT AS n_records FROM c GROUP BY 1) "
             "SELECT regime, n_classes, n_records, "
             "ROUND(n_records::DOUBLE / (SELECT tot FROM t), 6) AS frac FROM r ORDER BY regime"
+        ),
+        "gram_novelty": (
+            # fraction of each doc's distinct 3-grams it introduces
+            # (gram first seen at MIN doc_id)
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS w "
+            "FROM documents WHERE TRIM(COALESCE(text, '')) <> ''), "
+            "g AS (SELECT t.doc_id, t.w[s.i] || chr(31) || t.w[s.i+1] || chr(31) || t.w[s.i+2] AS g "
+            "FROM t, UNNEST(generate_series(1, len(t.w) - 2)) AS s(i) "
+            "WHERE len(t.w) >= 3), "
+            "d AS (SELECT DISTINCT doc_id, g FROM g), "
+            "m AS (SELECT g, MIN(doc_id) AS first_doc FROM d GROUP BY 1), "
+            "nt AS (SELECT doc_id, COUNT(*)::BIGINT AS n_grams FROM d GROUP BY 1), "
+            "nv AS (SELECT first_doc AS doc_id, COUNT(*)::BIGINT AS n_novel FROM m GROUP BY 1) "
+            "SELECT nt.doc_id, nt.n_grams, COALESCE(nv.n_novel, 0)::BIGINT AS n_novel, "
+            "ROUND(COALESCE(nv.n_novel, 0)::DOUBLE / nt.n_grams, 6) AS novelty "
+            "FROM nt LEFT JOIN nv USING (doc_id) ORDER BY doc_id"
+        ),
+        "single_source_parts": (
+            # parts by distinct-supplier count regime (3+ clamped)
+            "WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
+            "per AS (SELECT l_partkey, LEAST(COUNT(*), 3)::BIGINT AS ns FROM d GROUP BY 1), "
+            "h AS (SELECT ns AS n_suppliers, COUNT(*)::BIGINT AS n_parts FROM per GROUP BY 1), "
+            "t AS (SELECT SUM(n_parts)::BIGINT AS tot FROM h) "
+            "SELECT h.n_suppliers, h.n_parts, "
+            "ROUND(h.n_parts::DOUBLE / t.tot, 6) AS frac FROM h, t "
+            "ORDER BY h.n_suppliers"
+        ),
+        "weekday_profile": (
+            # per (type, weekday 0=Monday) counts + chi-square cell vs
+            # the uniform-across-weekdays null
+            "WITH d AS (SELECT event_type, "
+            "(((epoch_us(ts) // 86400000000) + 3) % 7)::BIGINT AS weekday FROM events), "
+            "c AS (SELECT event_type, weekday, COUNT(*)::BIGINT AS n FROM d GROUP BY 1, 2), "
+            "t AS (SELECT event_type, SUM(n)::BIGINT AS tot FROM c GROUP BY 1) "
+            "SELECT c.event_type, c.weekday, c.n, "
+            "ROUND((c.n - t.tot / 7.0) * (c.n - t.tot / 7.0) / (t.tot / 7.0), 6) AS chi2_cell "
+            "FROM c JOIN t USING (event_type) ORDER BY event_type, weekday"
         ),
         "hhi_concentration": (
             # Herfindahl index of revenue share per nation and segment

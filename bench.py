@@ -266,7 +266,8 @@ HEADLINE_GROUPS: dict[str, list[str]] = {
             "silhouette_by_label", "revenue_concentration", "conversion_lag",
             "degree_centralization", "gini_revenue", "intrinsic_dimension",
             "ipc_source", "hhi_concentration", "order_velocity",
-            "cross_source_entropy", "edge_embeddedness"],
+            "cross_source_entropy", "edge_embeddedness", "gram_novelty",
+            "single_source_parts", "weekday_profile"],
 }
 
 
@@ -496,6 +497,9 @@ def headline(ncpu: int, selected: set[str] | None = None) -> dict:
     timed("order_velocity", lambda: tabular.q_order_velocity(SF_DIR))
     timed("cross_source_entropy", lambda: tabular.q_cross_source_entropy(SF_DIR))
     timed("edge_embeddedness", lambda: tabular.q_edge_embeddedness(SF_DIR))
+    timed("gram_novelty", lambda: tabular.q_gram_novelty(SF_DIR))
+    timed("single_source_parts", lambda: tabular.q_single_source_parts(SF_DIR))
+    timed("weekday_profile", lambda: tabular.q_weekday_profile(SF_DIR))
 
     # web flagship end-to-end at a fixed synthetic size (pages → ranks)
     def web():

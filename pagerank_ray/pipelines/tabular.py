@@ -11528,3 +11528,158 @@ def q_edge_embeddedness(sf_dir: str, k: int = 25) -> pd.DataFrame:
     for c in ("a", "b", "n_common", "n_union"):
         res[c] = res[c].astype(np.int64)
     return res[["a", "b", "n_common", "n_union", "jaccard"]]
+
+
+def q_gram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Corpus novelty curve at the 3-gram level: a gram is INTRODUCED by
+    the lowest doc_id containing it; per document, the fraction of its
+    distinct 3-grams it introduces (novelty = n_novel / n_grams, ROUND
+    6) — the order-aware complement of dup_ngram_ratio that curation
+    uses to find where a crawl stops contributing new content. Docs
+    need ≥ 1 gram. Sorted by doc_id.
+
+    Shape: per-doc distinct grams explode per batch (docs live in one
+    row); gram-hash buckets complete the global MIN(doc_id) per gram AND
+    count novel grams per introducing doc in the same pass; per-doc
+    totals fold by doc-hash buckets; broadcast-or-hash attach joins the
+    two doc-keyed tables."""
+    from pagerank_ray.stages import joins
+
+    n_buckets = 64
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        w, valid, rep = _exploded_tokens(df, id_col="doc_id")
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "g": pd.Series(dtype=object)})
+        if len(w) < 3:
+            return empty
+        m = valid[:-2] & valid[1:-1] & valid[2:] \
+            & (rep[:-2] == rep[1:-1]) & (rep[:-2] == rep[2:])
+        if not m.any():
+            return empty
+        s0 = pd.Series(w[:-2][m])
+        g = s0.str.cat([pd.Series(w[1:-1][m]), pd.Series(w[2:][m])], sep="\x1f")
+        out = pd.DataFrame({"doc_id": rep[:-2][m],
+                            "g": g.to_numpy(dtype=object)}).drop_duplicates()
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out
+
+    def bucketize_g(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["g"].to_numpy(dtype=object))
+        df = df.copy()
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        """Within a gram bucket: per-doc totals partial AND per-doc novel
+        counts (MIN doc per gram), is_novel-tagged."""
+        per = df.groupby("g", sort=False)["doc_id"].min()
+        novel = per.value_counts()
+        totals = df.groupby("doc_id", sort=False).size()
+        return pd.concat([
+            pd.DataFrame({"doc_id": novel.index.to_numpy(np.int64),
+                          "n": novel.to_numpy(np.int64),
+                          "kind": np.ones(len(novel), np.int64)}),
+            pd.DataFrame({"doc_id": totals.index.to_numpy(np.int64),
+                          "n": totals.to_numpy(np.int64),
+                          "kind": np.zeros(len(totals), np.int64)}),
+        ], ignore_index=True)
+
+    parts = (
+        docs.map_batches(grams, batch_format="pandas")
+        .map_batches(bucketize_g, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["doc_id", "kind"], sort=False)["n"].sum().unstack(
+        fill_value=0)
+    n_grams = agg.get(0, pd.Series(dtype=np.int64))
+    n_novel = agg.get(1, pd.Series(dtype=np.int64)).reindex(
+        n_grams.index, fill_value=0)
+    out = pd.DataFrame({
+        "doc_id": n_grams.index.to_numpy(np.int64),
+        "n_grams": n_grams.to_numpy(np.int64),
+        "n_novel": n_novel.to_numpy(np.int64)})
+    out["novelty"] = _round_half_away(
+        out["n_novel"].to_numpy(np.int64)
+        / out["n_grams"].to_numpy(np.float64), 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_single_source_parts(sf_dir: str) -> pd.DataFrame:
+    """Supply-chain concentration audit: per part-supplier count regime,
+    how many parts are single-sourced (exactly one distinct supplier in
+    the order flow), dual-sourced, or 3+ — the procurement-risk screen.
+    Output: (n_suppliers_clamped_3, n_parts, frac ROUND 6), sorted.
+
+    Shape: per-batch distinct (part, supplier) pairs, part-hash buckets
+    complete exact distinct-supplier counts per part, each bucket
+    collapses to ≤ 3 histogram rows."""
+    n_buckets = 64
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[["l_partkey", "l_suppkey"]].drop_duplicates().copy()
+        mixed = (p["l_partkey"].to_numpy(np.int64) * np.int64(0x9E3779B1)) \
+            & np.int64(0x7FFFFFFF)
+        p["bucket"] = (mixed % n_buckets).astype(np.int32)
+        return p
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["l_partkey", "l_suppkey"]].drop_duplicates()
+        per = d.groupby("l_partkey", sort=False).size()
+        clamped = np.minimum(per.to_numpy(np.int64), 3)
+        vc = pd.Series(clamped).value_counts()
+        return pd.DataFrame({"n_suppliers": vc.index.to_numpy(np.int64),
+                             "n_parts": vc.to_numpy(np.int64)})
+
+    parts = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(hist, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("n_suppliers", sort=True)["n_parts"].sum().reset_index()
+    total = int(agg["n_parts"].sum())
+    agg["frac"] = _round_half_away(
+        agg["n_parts"].to_numpy(np.int64) / float(total), 6)
+    agg["n_parts"] = agg["n_parts"].astype(np.int64)
+    agg["n_suppliers"] = agg["n_suppliers"].astype(np.int64)
+    return agg.reset_index(drop=True)
+
+
+def q_weekday_profile(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonality profile per event type: counts per
+    (event_type, weekday 0=Monday) plus the chi-square statistic against
+    the uniform-across-weekdays null (the seasonality screen run before
+    weekly_autocorr's lag test). Counts exact; expected = n/7 and χ²
+    float with ROUND 6. Sorted (event_type, weekday).
+
+    Shape: per-batch (type, weekday) count partials — a T×7 grid — fold
+    on the driver."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64) \
+            // np.int64(86_400_000_000)
+        wd = (day + 3) % 7  # 1970-01-01 was a Thursday → +3 ≡ Monday=0
+        g = (
+            pd.DataFrame({"event_type": df["event_type"].to_numpy(), "weekday": wd})
+            .groupby(["event_type", "weekday"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    grid = parts.groupby(["event_type", "weekday"], sort=True)["n"].sum().reset_index()
+    tot = grid.groupby("event_type")["n"].transform("sum")
+    exp = tot.to_numpy(np.int64) / 7.0
+    grid["chi2_cell"] = _round_half_away(
+        (grid["n"].to_numpy(np.int64) - exp) ** 2 / exp, 6)
+    grid["n"] = grid["n"].astype(np.int64)
+    grid["weekday"] = grid["weekday"].astype(np.int64)
+    return grid.reset_index(drop=True)

@@ -4566,3 +4566,52 @@ def test_q_edge_embeddedness_planted(ray_session, tmp_path):
     assert got[(3, 4)][2] == 0.0
     # edge (1,3): common {2}, union {2, 4} → 0.5
     assert got[(1, 3)] == (1, 2, 0.5)
+
+
+def test_q_gram_novelty_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_gram_novelty
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "a b c d",        # grams {abc, bcd} — both novel (first doc)
+            "a b c e f",      # grams {abc, bce, cef} — abc seen, 2 novel
+        ]),
+    })
+    pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+    out = q_gram_novelty(str(tmp_path)).set_index("doc_id")
+    assert (out.loc[0, "n_grams"], out.loc[0, "n_novel"]) == (2, 2)
+    assert (out.loc[1, "n_grams"], out.loc[1, "n_novel"]) == (3, 2)
+    assert out.loc[1, "novelty"] == round(2 / 3, 6)
+
+
+def test_q_single_source_parts_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_single_source_parts
+
+    li = pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2, 2, 3, 3, 3, 3], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 7, 8, 8, 7, 8, 9, 10], pa.int64()),
+    })
+    pq.write_table(li, os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = q_single_source_parts(str(tmp_path)).set_index("n_suppliers")
+    # part 1: single-sourced; part 2: dual; part 3: 4 suppliers → clamp 3
+    assert out.loc[1, "n_parts"] == 1
+    assert out.loc[2, "n_parts"] == 1
+    assert out.loc[3, "n_parts"] == 1
+    assert out.loc[1, "frac"] == round(1 / 3, 6)
+
+
+def test_q_weekday_profile_planted(ray_session, tmp_path):
+    from pagerank_ray.pipelines.tabular import q_weekday_profile
+
+    # day 0 (1970-01-01) is a Thursday → weekday 3; day 4 is Monday → 0
+    _write_events(tmp_path, [
+        (1, 0, 1, "view"), (2, 4 * 86400, 1, "view"), (3, 4 * 86400, 2, "view"),
+    ])
+    out = q_weekday_profile(str(tmp_path))
+    got = {(r.event_type, r.weekday): r.n for r in out.itertuples(index=False)}
+    assert got == {("view", 3): 1, ("view", 0): 2}
+    exp = 3 / 7
+    chi_thu = round((1 - exp) ** 2 / exp, 6)
+    row = out[(out.weekday == 3)].iloc[0]
+    assert row.chi2_cell == chi_thu
