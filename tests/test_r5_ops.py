@@ -4152,7 +4152,7 @@ def test_q_order_size_hist_planted(ray_session, tmp_path):
 # round-5 late batch: session paths / co-occurrence / containment / knn audit
 # ---------------------------------------------------------------------------
 
-def _write_events(tmp_path, rows):
+def _write_event_rows(tmp_path, rows):
     """rows: list of (event_id, ts_seconds, user_id, event_type)."""
     tbl = pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -4166,7 +4166,7 @@ def _write_events(tmp_path, rows):
 def test_q_session_paths_planted(ray_session, tmp_path):
     from pagerank_ray.pipelines.tabular import q_session_paths
 
-    _write_events(tmp_path, [
+    _write_event_rows(tmp_path, [
         (1, 1, 1, "A"), (2, 2, 1, "B"), (3, 3, 1, "C"), (4, 4, 1, "D"),
         (5, 1, 2, "A"), (6, 2, 2, "B"), (7, 3, 2, "C"),
     ])
@@ -4178,7 +4178,7 @@ def test_q_session_paths_planted(ray_session, tmp_path):
 def test_q_event_cooccurrence_window_edges(ray_session, tmp_path):
     from pagerank_ray.pipelines.tabular import q_event_cooccurrence
 
-    _write_events(tmp_path, [
+    _write_event_rows(tmp_path, [
         # user 1: a@0, b@1800, c@5400 — (a,b) in, (b,c) exactly at the
         # 3600 s boundary (inclusive), (a,c) out
         (1, 0, 1, "a"), (2, 1800, 1, "b"), (3, 5400, 1, "c"),
@@ -4248,7 +4248,7 @@ def test_q_knn_label_disagreement_tiebreak_by_vec_id(ray_session, tmp_path):
 def test_q_touch_attribution_planted(ray_session, tmp_path):
     from pagerank_ray.pipelines.tabular import q_touch_attribution
 
-    _write_events(tmp_path, [
+    _write_event_rows(tmp_path, [
         # user 1: view → click → purchase  (first=view, last=click)
         (1, 1, 1, "view"), (2, 2, 1, "click"), (3, 3, 1, "purchase"),
         # user 2: purchase with NO prior touch, then signup → purchase
@@ -4294,7 +4294,7 @@ def test_q_activity_anomaly_planted(ray_session, tmp_path):
     # user 2: uniform activity → no anomaly
     for day in range(5):
         rows.append((eid, day * 86400, 2, "view")); eid += 1
-    _write_events(tmp_path, rows)
+    _write_event_rows(tmp_path, rows)
     out = q_activity_anomaly(str(tmp_path))
     assert list(out["user_id"]) == [1]
     assert list(out["day"]) == [10]
@@ -4371,7 +4371,7 @@ def test_q_weekly_autocorr_planted(ray_session, tmp_path):
     for day in range(14):
         for _ in range(pattern[day % 7]):
             rows.append((eid, day * 86400, 1, "view")); eid += 1
-    _write_events(tmp_path, rows)
+    _write_event_rows(tmp_path, rows)
     out = q_weekly_autocorr(str(tmp_path))
     assert list(out.itertuples(index=False, name=None)) == [("view", 7, 1.0)]
 
@@ -4438,7 +4438,7 @@ def test_q_revenue_concentration_planted(ray_session, tmp_path):
 def test_q_conversion_lag_planted(ray_session, tmp_path):
     from pagerank_ray.pipelines.tabular import q_conversion_lag
 
-    _write_events(tmp_path, [
+    _write_event_rows(tmp_path, [
         (1, 0, 1, "signup"), (2, 3700, 1, "purchase"),     # lag 1 h
         (3, 0, 2, "signup"), (4, 7200, 2, "purchase"),     # lag 2 h
         (5, 100, 3, "purchase"), (6, 200, 3, "signup"),    # purchase first → out
@@ -4605,7 +4605,7 @@ def test_q_weekday_profile_planted(ray_session, tmp_path):
     from pagerank_ray.pipelines.tabular import q_weekday_profile
 
     # day 0 (1970-01-01) is a Thursday → weekday 3; day 4 is Monday → 0
-    _write_events(tmp_path, [
+    _write_event_rows(tmp_path, [
         (1, 0, 1, "view"), (2, 4 * 86400, 1, "view"), (3, 4 * 86400, 2, "view"),
     ])
     out = q_weekday_profile(str(tmp_path))
